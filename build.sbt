@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked `run` output goes straight to stdout (no [info] prefix) and the
+// trailing [success] banner is suppressed, so Bench's final JSON line is
+// the last clean line of stdout and stays machine-parseable.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false

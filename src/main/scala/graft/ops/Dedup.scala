@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB case:
+  *
+  *  - exact dedup: hash-groupBy on a content digest — one shuffle on the
+  *    digest, map-side partial agg, no row comparison.
+  *  - MinHash + LSH near-dedup: signature -> banded bucket join. Only
+  *    documents sharing a band bucket are ever compared, so the join is
+  *    hash-partitioned by (band, bucket) and NEVER an all-pairs cross
+  *    join; candidate verification computes exact shingle Jaccard.
+  *  - SimHash: 64-bit sketch + pigeonhole chunk join for Hamming<=k.
+  *
+  * Reference analog: first-seen URL dedup scraper.py:116-132 and
+  * sink-existence dedup scraper_utils.py:56-61, generalized from URLs to
+  * content.
+  */
+object Dedup {
+
+  /** Content digest for exact dedup (sha256 — collision-safe at corpus
+    * scale, and mirrored by DuckDB's sha256 for the oracle). */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** Exact-dup groups: canonical doc (min id) + multiplicity. */
+  def exactDupGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(contentHash(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("dup_count"))
+
+  /** First-seen kept set: one row per distinct content, earliest doc_id
+    * wins (order-preserving dedup, D1 generalized). */
+  def exactDedupKeepFirst(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h", contentHash(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  // --------------------------------------------------------- shingling
+
+  /** k-token shingles of a document (text -> ARRAY<STRING>). */
+  def tokenShingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(text))
+  }
+
+  /** Character k-gram shingles (n-gram Jaccard's unit). */
+  def charShingles(text: Column, k: Int): Column = {
+    val n = length(text)
+    when(n >= k,
+      array_distinct(transform(sequence(lit(1), n - k + 1),
+        i => text.substr(i, lit(k)))))
+      .otherwise(array(text))
+  }
+
+  // ----------------------------------------------------------- MinHash
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min hash over the shingle set. Pure expressions — one scan, no
+    * shuffle, no UDF. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, x => xxhash64(lit(seed), x)))
+    }: _*)
+
+  /** Exact Jaccard over two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * numHashes = bands * rowsPerBand. Docs agreeing on ALL rows of at
+    * least one band become candidates (banded join keyed by
+    * (band, hash-of-band-slice)); candidates are verified with exact
+    * shingle Jaccard >= threshold. Scale shape: explode is bands-per-doc
+    * (constant), the self-join is an equi-join on the band bucket key —
+    * shuffle-partitioned, skew handled by AQE.
+    */
+  def minHashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol).as("id"),
+        array_distinct(tokenShingles(col(textCol), shingleK)).as("shingles"))
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+    val banded = withSig.select(
+      col("id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b,
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Near-dup pairs over the documents table (rows-only check: xxhash64
+    * has no DuckDB mirror; invariants covered by ScalaTest). */
+  def minHashPairsQuery(s: SparkSession, d: String): DataFrame =
+    minHashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+      shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+
+  /** n-gram (character 5-gram) Jaccard near-dup pairs — same banded-LSH
+    * candidate generation, character shingles. */
+  def ngramJaccardPairsQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        charShingles(col("text"), 5).as("shingles"))
+    val withSig = docs.withColumn("sig", minHashSignature(col("shingles"), 32))
+    val banded = withSig.select(col("id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        b => xxhash64(lit("cband"), b,
+          concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4))))))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of a token multiset: per-bit majority vote of token
+    * hashes, computed with a single array-fold (no shuffle, no UDF). */
+  def simHash(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    val votes = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1,
+            lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash sketches (rows-only; invariants in ScalaTest). */
+  def simHashQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), simHash(col("text")).as("simhash"))
+
+  /** SimHash near-dup candidates with Hamming distance <= 3: pigeonhole
+    * on 4 x 16-bit chunks (any pair within distance 3 agrees on >= 1
+    * chunk), then exact popcount verification — banded join again, never
+    * all-pairs. */
+  def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sk = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val chunked = sk.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sh"), c * 16)
+          .bitwiseAND(0xFFFF)))
+        .as(Seq("chunk", "ckey")))
+    val l = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

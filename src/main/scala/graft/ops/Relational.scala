@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The relational operator surface of the engine (SURVEY.md §2.4-2.9),
+  * expressed as declarative DataFrame pipelines so Catalyst handles
+  * pushdown, pruning, join selection and AQE at scale.
+  *
+  * Numeric convention: aggregates over `double` columns are computed in
+  * `DECIMAL(18,4)` (exact, associative — so partial/map-side aggregation
+  * at 1000-executor scale yields bit-identical results regardless of
+  * partitioning) and only the final value is cast back to `double`.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double column. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Exact mean: decimal sum / count, divided as doubles. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  // ------------------------------------------------------------ filters
+
+  /** F1 prefix match — reference scraper.py:110,123. */
+  def filterPrefix(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").startsWith("large"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+
+  /** F2 case-insensitive substring doc-type filter —
+    * reference scraper_copenhagen.py:85. */
+  def filterContains(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(lower(col("o_orderpriority")).contains("high"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+
+  /** F3 date-range predicate (NEW-mode semantics: null dates pass) —
+    * reference scraper_utils.py:72-87. */
+  def filterDateRange(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate").isNull ||
+        (col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+         col("o_orderdate") <  lit("1999-01-01").cast("timestamp")))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+
+  /** F6 validity filter (drop rows with missing fields) —
+    * reference scraper.py:162-164. */
+  def filterValidity(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull && col("props").isNotNull &&
+        col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  /** F7 exclusion predicates (conjunction of negated contains) —
+    * reference scraper_ringkoebing_skjern.py:160-183. */
+  def filterExclusion(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(!col("p_name").contains("widget") &&
+        col("p_type") =!= "PROMO" && !col("p_name").endsWith("rod"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+
+  // -------------------------------------------------------------- dedup
+
+  /** D1 first-seen dedup, order preserved by an explicit discovery index
+    * (here: event_id), per-key window — no global sort, shuffles once on
+    * the dedup key. Reference scraper.py:116-132. */
+  def dedupFirstSeen(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("event_type").as("first_event_type"))
+  }
+
+  /** D2 distinct — reference get_base_url.py:101-107. */
+  def distinctSegments(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+
+  // -------------------------------------------------------------- joins
+
+  /** J1 left-anti join: candidates minus already-ingested — bulk listing
+    * + anti-join instead of the reference's per-key HEAD probes
+    * (scraper.py:209-222), which is the scalable formulation. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** J4 existence semi-join — reference run_scrapers.py:29-51. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** J2/J3 broadcast dimension joins: fact ⋈ small dims. The dims are
+    * explicitly broadcast — no shuffle of the fact side.
+    * Reference scraper.py:188-196 (committee dim lookup). */
+  def broadcastDimJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+
+  /** J6/X1 set difference — reference scraper.py:228,241-242. */
+  def exceptCustkeys(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .except(Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey")))
+
+  /** U1 union + distinct — reference get_base_url.py:74-80. */
+  def unionDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+      .union(Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("custkey")))
+      .distinct()
+
+  // --------------------------------------------------------------- aggs
+
+  /** A1 success/fail counters + totals per group —
+    * reference run_scrapers.py:59-97. */
+  def aggCounters(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") =!= "error", 1)).as("n_ok"),
+        count(when(col("event_type") === "error", 1)).as("n_err"),
+        dsum(col("value")).as("total_value"),
+        count(lit(1)).as("n_events"))
+
+  /** A3 conditional counts per year — reference scraper_svendborg.py:180-189. */
+  def aggConditional(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+        dsum(col("o_totalprice")).as("total_price"))
+
+  /** A4 collect_list with deterministic ordering —
+    * reference scraper_ringkoebing_skjern.py:146-156. */
+  def collectOrderkeys(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+
+  /** A7 group-into-buckets (month partitions) — reference scraper.py:188-197. */
+  def aggMonthBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+
+  /** TPC-H Q1 shape: the headline scan-heavy aggregation. Whole pipeline
+    * is map-side partial agg + single shuffle on the 6-value group key. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3 shape: selective dim filter ⋈ fact ⋈ fact, top-k revenue.
+    * Customer filter is applied before the join (Catalyst pushes it to
+    * the scan); AQE picks broadcast for the filtered side at scale. */
+  def topRevenueOrders(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("2000-03-15").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_date"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).as("disc_price"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_date"))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: local-supplier revenue per nation in one region.
+    * Dims broadcast; the two fact tables join on their natural key. */
+  def regionNationRevenue(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).as("disc_price"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  // ------------------------------------------------------ limits / sort
+
+  /** L1/L4 global top-k with deterministic tie-break — Spark plans this
+    * as TakeOrderedAndProject (no full sort materialization). */
+  def top10Orders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** L3 filter-then-limit: the limit budget counts only rows passing the
+    * filter — reference scraper_svendborg.py:296-305. */
+  def filterThenLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "O")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+
+  /** Top-k per group: per-key window, shuffles once on the group key —
+    * never a global sort. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+}

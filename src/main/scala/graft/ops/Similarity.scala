@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  *  - Brute-force cosine top-k: the 1-query case broadcasts the query
+  *    vector to every partition (1 x N, NOT a shuffled cross join) and
+  *    reduces with TakeOrderedAndProject — linear scan, embarrassingly
+  *    parallel, the exact baseline.
+  *  - SRP-LSH (signed random projections): each vector is bucketed by
+  *    the sign pattern of `numPlanes` fixed hyperplanes, per hash table.
+  *    Queries only scan their own buckets — the scale path, where the
+  *    bucket id becomes the partition key of the vector index.
+  *
+  * Vector math is done with zip_with/aggregate fold expressions in
+  * double precision (deterministic element order -> reproducible
+  * scores), inside whole-stage codegen.
+  */
+object Similarity {
+
+  /** Dot product of two ARRAY<numeric> columns, folded in order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (null-safe for zero vectors via nullif). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
+
+  /** Per-vector norms (oracle-checked: mirrors as list_transform +
+    * list_sum in DuckDB). */
+  def normsQuery(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      round(l2Norm(col("embedding")), 6).as("l2_norm"),
+      size(col("embedding")).cast("long").as("dim"))
+
+  /** Brute-force cosine top-k against one query vector (vec_id = 0).
+    * The query row is broadcast; the scan stays partition-local. */
+  def knnBruteForce(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — identical on
+    * every executor and every run). */
+  private[ops] def hyperplanes(numPlanes: Int, dim: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** SRP-LSH bucket id: sign bits of the vector against each plane. */
+  def srpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's bucket in >= 1 of
+    * `tables` hash tables; exact cosine re-ranks the candidates. At
+    * scale the bucketed index is materialized once and the probe is a
+    * broadcast semi-join on (table, bucket). */
+  def annLsh(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      numPlanes: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val bucketCols = (0 until tables).map { t =>
+      srpBucket(col("embedding"), hyperplanes(numPlanes, dim, 42L + t))
+        .as(s"b$t")
+    }
+    val bucketed = emb.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding") +:
+        (0 until tables).map(t => col(s"b$t").as(s"qb$t")): _*)
+    val sameBucket = (0 until tables)
+      .map(t => col(s"b$t") === col(s"qb$t"))
+      .reduce(_ || _)
+    bucketed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(sameBucket)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token statistics, language ID, quality scoring, fingerprinting.
+  * All pure column expressions (whole-stage codegen, no UDFs) — they
+  * run as a single scan projection at 100 TB with zero shuffles.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the corpus is space-separated lowercase text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count without materializing the array. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("[^ ]+"))
+
+  /** BPE-ish subword count: alphanumeric runs + punctuation singles
+    * (approximates tokenizer granularity for budget estimation). */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z0-9]{1,4}|[^a-zA-Z0-9 ]"))
+
+  /** Mean token length, computed without a lambda so the oracle can
+    * mirror it exactly: chars-without-spaces / tokens. */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Ratio of distinct tokens (repetition detector). */
+  def uniqueTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Stopword hit ratio against a tiny English marker list. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+  def stopwordRatio(text: Column): Column = {
+    val dict = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(dict, t))).cast("double") /
+      tokenCount(text).cast("double")
+  }
+
+  /** n-gram-marker language ID heuristic: first marker list with >= 2
+    * hits wins, checked in a deterministic order. The engine analog of
+    * fastText-style langid for pipelines without model deps. */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of"),
+      "da" -> Seq("og", "det", "en"),
+      "de" -> Seq("der", "und", "die"))
+    val padded = concat(lit(" "), text, lit(" "))
+    def score(ws: Seq[String]): Column =
+      ws.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+        .reduce(_ + _)
+    markers.foldRight(lit("und"): Column) { case ((lang, ws), els) =>
+      when(score(ws) >= 2, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length, lexical diversity,
+    * stopword naturalness — the usual pre-training quality gate. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    lit(0.4) * lenScore +
+      lit(0.3) * uniqueTokenRatio(text) +
+      lit(0.3) * least(stopwordRatio(text) * lit(5.0), lit(1.0))
+  }
+
+  /** 64-bit content fingerprint (xxhash64 of normalized text) — the
+    * cheap exact-dup key; rolling/shingled variants live in Dedup. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(trim(text), "\\s+", " "))
+
+  // ----------------------------------------------------------- queries
+
+  /** Per-document statistics (oracle-checked). */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      avgTokenLen(col("text")).as("avg_token_len"),
+      uniqueTokenRatio(col("text")).as("unique_ratio"))
+
+  /** Corpus profile per language label (oracle-checked). */
+  def langProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Relational.dsum(col("n_chars").cast("double")).as("total_chars"),
+        sum(tokenCount(col("text"))).as("total_tokens"))
+
+  /** Heuristic language ID vs the labeled lang (oracle-checked). */
+  def langIdQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      langId(col("text")).as("detected_lang"))
+
+  /** Quality gate: score each doc, keep the passing set (oracle-checked). */
+  def qualityQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(qualityScore(col("text")), 6).as("quality"))
+      .filter(col("quality") >= 0.5)
+
+  /** Fingerprints (xxhash64 has no DuckDB mirror -> rows-only check). */
+  def fingerprintQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), fingerprint(col("text")).as("fp"))
+}
