@@ -20,20 +20,20 @@ object Exprs {
   /** dd-MM-yyyy date embedded in a URL path (`...d.08-04-2024...`).
     * Reference: scraper.py:168-176. Unparseable -> null (ANSI off). */
   def extractUrlDate(url: Column): Column =
-    to_date(nullIfEmpty(regexp_extract(url, "d\\.(\\d{2}-\\d{2}-\\d{4})", 1)),
+    try_to_date(nullIfEmpty(regexp_extract(url, "d\\.(\\d{2}-\\d{2}-\\d{4})", 1)),
       "dd-MM-yyyy")
 
   /** ISO yyyy-MM-dd in free text with an aria-label fallback.
     * Reference: scraper_billund.py:105-115, scraper_aalborg.py:161-169. */
   def extractIsoDate(text: Column, aria: Column): Column =
-    to_date(coalesce(
+    try_to_date(coalesce(
       nullIfEmpty(regexp_extract(text, "(\\d{4}-\\d{2}-\\d{2})", 1)),
       nullIfEmpty(regexp_extract(aria, "(\\d{4}-\\d{2}-\\d{2})", 1))),
       "yyyy-MM-dd")
 
   /** dd.MM.yyyy listing date. Reference: scraper_copenhagen.py:74-78. */
   def extractDottedDate(text: Column): Column =
-    to_date(nullIfEmpty(regexp_extract(text, "(\\d{2}\\.\\d{2}\\.\\d{4})", 1)),
+    try_to_date(nullIfEmpty(regexp_extract(text, "(\\d{2}\\.\\d{2}\\.\\d{4})", 1)),
       "dd.MM.yyyy")
 
   // ------------------------------------------------------------------ P5
@@ -63,7 +63,7 @@ object Exprs {
       regexp_extract(text, "\\d{1,2}\\.\\s+(\\p{L}+)\\s+\\d{4}", 1)))
     val year = nullIfEmpty(
       regexp_extract(text, "\\d{1,2}\\.\\s+\\p{L}+\\s+(\\d{4})", 1))
-    make_date(year.cast("int"), element_at(danishMonthMap, monthName),
+    safeMakeDate(year.cast("int"), element_at(danishMonthMap, monthName),
       day.cast("int"))
   }
 
@@ -78,7 +78,8 @@ object Exprs {
   /** Guarded date construction: invalid components -> null, never error.
     * Reference: scraper.py:173-176 (try/except -> None). */
   def safeMakeDate(y: Column, m: Column, d: Column): Column =
-    when(m.between(1, 12) && d.between(1, 31), make_date(y, m, d))
+    try_to_date(concat(y.cast("string"), lit("-"), m.cast("string"),
+      lit("-"), d.cast("string")), "y-M-d")
 
   // ------------------------------------------------------------------ P7
   /** Canonical document filename: `{yyyy-MM-dd}_{muni}_{committee}.pdf`,

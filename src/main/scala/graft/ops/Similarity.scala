@@ -60,7 +60,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes (fixed seed — identical on
     * every executor and every run). */
-  private[ops] def hyperplanes(numPlanes: Int, dim: Int,
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int,
       seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes, dim)(rnd.nextGaussian())

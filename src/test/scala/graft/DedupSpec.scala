@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Invariant tests for the near-dedup sketches (MinHash-LSH, SimHash,
+  * shingling) that have no SQL oracle. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and " +
+    "again with many more words to make shingles " + (1 to 30)
+    .map(i => s"w$i").mkString(" ")
+
+  test("tokenShingles produces n-k+1 shingles of k tokens") {
+    val out = Seq("a b c d e").toDF("t")
+      .select(Dedup.tokenShingles($"t", 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("tokenShingles falls back to whole text when too short") {
+    val out = Seq("a b").toDF("t")
+      .select(Dedup.tokenShingles($"t", 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("a b"))
+  }
+
+  test("charShingles yields distinct k-grams") {
+    val out = Seq("abcab").toDF("t")
+      .select(Dedup.charShingles($"t", 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("abc", "bca", "cab"))
+  }
+
+  test("minhash signature is identical for identical text") {
+    val df = Seq((1L, base), (2L, base)).toDF("id", "text")
+      .select($"id", Dedup.minHashSignature(
+        Dedup.tokenShingles($"text", 3), 16).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](1))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("minHashNearDupPairs finds exact duplicates with jaccard 1.0") {
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "totally different content words entirely unrelated corpus"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(docs, "text", "doc_id",
+      threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("minHashNearDupPairs finds near-duplicates above threshold") {
+    val mutated = base.replace("quick", "fast")
+    val docs = Seq((1L, base), (2L, mutated)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(docs, "text", "doc_id",
+      threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    val j = pairs(0).getDouble(2)
+    assert(j > 0.5 && j < 1.0, s"jaccard $j")
+  }
+
+  test("minHashNearDupPairs emits nothing for disjoint docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minHashNearDupPairs(docs, "text", "doc_id",
+      threshold = 0.1).count() == 0)
+  }
+
+  test("pair generation is symmetric-free: id_a < id_b always") {
+    val docs = Seq((5L, base), (2L, base), (9L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(docs, "text", "doc_id",
+      threshold = 0.9).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    // 3 identical docs -> 3 unordered pairs
+    assert(pairs.length == 3)
+  }
+
+  test("simHash is deterministic and identical for identical text") {
+    val out = Seq((1L, base), (2L, base)).toDF("id", "text")
+      .select(Dedup.simHash($"text").as("sh")).collect().map(_.getLong(0))
+    assert(out(0) == out(1))
+  }
+
+  test("simHash of near-identical text is close in Hamming distance") {
+    val mutated = base.replace("quick", "fast")
+    val out = Seq((1L, base), (2L, mutated)).toDF("id", "text")
+      .select(Dedup.simHash($"text").as("sh")).collect().map(_.getLong(0))
+    val hamming = java.lang.Long.bitCount(out(0) ^ out(1))
+    assert(hamming <= 12, s"hamming $hamming")
+  }
+
+  test("simHashNearDups pairs identical docs at distance 0") {
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "different words entirely here unrelated to anything else"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).get(2).toString.toInt == 0)
+  }
+
+  test("exact dedup keeps one row per distinct content, lowest id (sf0.001)") {
+    val kept = Dedup.exactDedupKeepFirst(spark, sf("documents"))
+    val total = Tables.documents(spark, sf("documents")).count()
+    val distinctTexts = Tables.documents(spark, sf("documents"))
+      .select("text").distinct().count()
+    assert(kept.count() == distinctTexts)
+    assert(kept.count() <= total)
+  }
+}

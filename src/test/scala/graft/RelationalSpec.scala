@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Semantics tests for the relational core on crafted inputs
+  * (SURVEY.md §2.4-2.9: D1 keeps-first, L3 filter-then-limit,
+  * J1 anti-join, decimal-sum exactness).
+  */
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("property: dedupFirstSeen keeps exactly the lowest event_id per user") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextInt(30).toLong, rnd.nextInt(10000).toLong))
+      .distinct.map { case (u, e) => (e, u, s"t$u") }
+    val df = rows.toDF("event_id", "user_id", "event_type")
+    df.createOrReplaceTempView("ev_test")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+    val got = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toMap
+    val expected = rows.groupBy(_._2).map { case (u, rs) => u -> rs.map(_._1).min }
+    assert(got == expected)
+  }
+
+  test("filter-then-limit counts only rows passing the filter (L3)") {
+    // 100 rows, half pass the filter; limit 10 must yield 10 passing rows,
+    // matching reference semantics (scraper.py:386-388: skipped rows do
+    // not consume the download budget).
+    val df = (1 to 100).map(i => (i.toLong, i % 2 == 0)).toDF("id", "ok")
+    val out = df.filter($"ok").orderBy($"id").limit(10)
+      .as[(Long, Boolean)].collect()
+    assert(out.length == 10 && out.forall(_._2))
+    assert(out.map(_._1).sameElements((2 to 20 by 2).map(_.toLong)))
+  }
+
+  test("anti-join returns exactly the not-yet-ingested candidates (J1/K5)") {
+    val candidates = Seq("a.pdf", "b.pdf", "c.pdf", "d.pdf").toDF("filename")
+    val inventory = Seq("b.pdf", "d.pdf", "zz.pdf").toDF("filename")
+    val out = candidates.join(inventory, Seq("filename"), "left_anti")
+      .as[String].collect().sorted
+    assert(out.sameElements(Array("a.pdf", "c.pdf")))
+  }
+
+  test("idempotent re-run: second anti-join pass is empty (K5)") {
+    val candidates = Seq("a.pdf", "b.pdf").toDF("filename")
+    val afterFirstRun = candidates // everything ingested on run 1
+    assert(candidates.join(afterFirstRun, Seq("filename"), "left_anti")
+      .count() == 0)
+  }
+
+  test("property: decimal dsum is order- and partition-independent") {
+    val rnd = new scala.util.Random(3)
+    val vals = Seq.fill(2000)(math.round(rnd.nextDouble() * 1e6) / 100.0)
+    val a = vals.toDF("v").repartition(1)
+      .agg(Relational.dsum($"v")).collect()(0).getDouble(0)
+    val b = rnd.shuffle(vals).toDF("v").repartition(13)
+      .agg(Relational.dsum($"v")).collect()(0).getDouble(0)
+    assert(a == b) // bit-exact, not approx
+    val exact = vals.map(v => BigDecimal(v).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(a == exact)
+  }
+
+  test("first-seen dedup preserves discovery order via explicit index (D1)") {
+    // URLs arrive in discovery order with dups; keep first occurrence.
+    val links = Seq("u1", "u2", "u1", "u3", "u2", "u4", "u1")
+    val df = links.zipWithIndex.map { case (u, i) => (u, i.toLong) }
+      .toDF("url", "discovery_idx")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"url").orderBy($"discovery_idx")
+    val kept = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .orderBy($"discovery_idx").as[(String, Long, Int)].collect().map(_._1)
+    assert(kept.sameElements(Array("u1", "u2", "u3", "u4")))
+  }
+
+  test("except removes the full distinct right side (J6/X1)") {
+    val now = Seq("f1", "f2", "f3").toDF("f")
+    val before = Seq("f1", "f1").toDF("f")
+    val newFiles = now.except(before).as[String].collect().sorted
+    assert(newFiles.sameElements(Array("f2", "f3")))
+  }
+
+  test("broadcast dim join does not lose or duplicate fact rows (J2)") {
+    val fact = (1 to 100).map(i => (i.toLong, i % 4)).toDF("id", "dim_id")
+    val dim = (0 until 4).map(i => (i, s"name$i")).toDF("dim_id", "name")
+    val joined = fact.join(broadcast(dim), Seq("dim_id"))
+    assert(joined.count() == 100)
+    assert(joined.select("name").distinct().count() == 4)
+  }
+}

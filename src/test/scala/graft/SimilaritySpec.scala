@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Tests for vector similarity: exact math on known vectors, top-k
+  * shape, and ANN-vs-brute-force agreement on the synthetic table. */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot / l2Norm / cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+    val row = df.select(
+      Similarity.dot($"a", $"b").as("dot"),
+      Similarity.l2Norm($"a").as("na"),
+      Similarity.cosine($"a", $"b").as("cos")).collect()(0)
+    assert(row.getDouble(0) == 2.0)
+    assert(row.getDouble(1) == 3.0)
+    assert(math.abs(row.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0, zero is null") {
+    val df = Seq(
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b").as("c")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).getDouble(0) == 0.0)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("knnBruteForce returns k rows, sorted desc, excluding the query") {
+    val out = Similarity.knnBruteForce(spark, sf("embeddings"), 0L, 10)
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(0) != 0L))
+    val sims = out.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("annLsh candidates are a subset of brute-force ranking prefix quality") {
+    val brute = Similarity.knnBruteForce(spark, sf("embeddings"), 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annLsh(spark, sf("embeddings"), 0L, 10)
+      .collect()
+    assert(ann.nonEmpty)
+    // every ANN hit's cosine must equal the brute-force cosine when present
+    ann.foreach { r =>
+      brute.get(r.getLong(0)).foreach(b =>
+        assert(math.abs(b - r.getDouble(1)) < 1e-9))
+    }
+    val sims = ann.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("srpBucket is deterministic across invocations") {
+    val planes = Similarity.hyperplanes(8, 4, 42L)
+    val df = Seq(Seq(0.5f, -1.0f, 2.0f, 0.1f)).toDF("v")
+    val a = df.select(Similarity.srpBucket($"v", planes)).collect()(0).getLong(0)
+    val b = df.select(Similarity.srpBucket($"v",
+      Similarity.hyperplanes(8, 4, 42L))).collect()(0).getLong(0)
+    assert(a == b)
+  }
+}

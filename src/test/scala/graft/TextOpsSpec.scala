@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Tests for text-analysis operators (langid, quality, token stats). */
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c($"text").as("r")).collect()(0).get(0)
+
+  test("tokenCount counts whitespace tokens, robust to multiple spaces") {
+    assert(one("a b c", TextOps.tokenCount) == 3)
+    assert(one("a  b", TextOps.tokenCount) == 2)
+    assert(one("single", TextOps.tokenCount) == 1)
+  }
+
+  test("subwordCount splits long words into <=4-char runs + punctuation") {
+    // "hello," -> hell + o + , = 3
+    assert(one("hello,", TextOps.subwordCount) == 3)
+    assert(one("ab cd", TextOps.subwordCount) == 2)
+  }
+
+  test("uniqueTokenRatio is 1.0 for all-distinct, lower for repetition") {
+    assert(one("a b c d", TextOps.uniqueTokenRatio) == 1.0)
+    assert(one("a a a a", TextOps.uniqueTokenRatio) == 0.25)
+  }
+
+  test("langId detects en/da/de sentences and falls back to und") {
+    val cases = Seq(
+      "the cat and the dog of the house" -> "en",
+      "det er en god dag og solen skinner" -> "da",
+      "der hund und die katze" -> "de",
+      "xyzzy plugh foobar" -> "und")
+    val out = cases.map(_._1).toDF("text")
+      .select($"text", TextOps.langId($"text").as("l")).collect()
+    cases.zip(out).foreach { case ((s, want), row) =>
+      assert(row.getString(1) == want, s"input: $s")
+    }
+  }
+
+  test("qualityScore stays in [0,1] over the corpus") {
+    val stats = Tables.documents(spark, sf("documents"))
+      .select(TextOps.qualityScore($"text").as("q"))
+      .agg(min($"q"), max($"q")).collect()(0)
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+  }
+
+  test("fingerprint is invariant to surrounding/repeated whitespace") {
+    val out = Seq("a b c", "  a b c  ", "a  b   c").toDF("text")
+      .select(TextOps.fingerprint($"text").as("f")).collect().map(_.getLong(0))
+    assert(out.toSet.size == 1)
+  }
+
+  test("fingerprint differs for different content") {
+    val out = Seq("a b c", "a b d").toDF("text")
+      .select(TextOps.fingerprint($"text").as("f")).collect().map(_.getLong(0))
+    assert(out(0) != out(1))
+  }
+}
