@@ -17,6 +17,18 @@ object Smoke {
     val df = SparkEntry.entry(spark)
     df.show(20, truncate = false)
     println(s"entry rows: ${df.count()}")
+
+    // Drive the E2 ingest pipeline end-to-end against fixture portals.
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_smoke_sink_").resolve("docs").toString
+    val n1 = graft.pipeline.GenericIngest.run(spark,
+      "src/test/resources/fixtures/municipalities.csv",
+      "src/test/resources/fixtures/portals", sink)
+    val n2 = graft.pipeline.GenericIngest.run(spark,
+      "src/test/resources/fixtures/municipalities.csv",
+      "src/test/resources/fixtures/portals", sink)
+    spark.read.parquet(sink).show(10, truncate = false)
+    println(s"ingest run1: $n1 docs, run2 (idempotent): $n2 docs")
     spark.stop()
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.GenericIngest
+
+/** End-to-end tests for the generic-ingest dataflow (E2) against the
+  * fixture portals: parse -> project -> filter -> dedup -> limit ->
+  * anti-join -> partitioned sink, incl. idempotent re-run (K5). */
+class PipelineSpec extends SparkTestBase {
+
+  private val csv = "src/test/resources/fixtures/municipalities.csv"
+  private val portals = "src/test/resources/fixtures/portals"
+
+  private def tmpSink(): String =
+    Files.createTempDirectory("graft_sink_").resolve("docs").toString
+
+  test("config scan trims whitespace and derives municipality (S1/P10)") {
+    val configs = GenericIngest.readConfigs(spark, csv).collect()
+    assert(configs.length == 2)
+    val munis = configs.map(_.getAs[String]("municipality")).sorted
+    assert(munis.sameElements(Array("aarhus", "silkeborg")))
+    // trailing whitespace in the fixture start_url must be gone
+    assert(configs.forall(r => r.getAs[String]("start_url") ==
+      r.getAs[String]("start_url").trim))
+  }
+
+  test("candidates: parse, validity filter, first-seen dedup (ALL mode)") {
+    val cand = GenericIngest.candidates(spark, csv, portals, "Oekonomi",
+      "ALL", 100, java.sql.Date.valueOf("2024-01-01")).collect()
+    // aarhus: 3 unique valid Referat links (dup collapsed, bad uuid out,
+    // Dagsorden + nav link out); silkeborg: 2 unique
+    assert(cand.length == 5)
+    val byMuni = cand.groupBy(_.getAs[String]("municipality"))
+    assert(byMuni("aarhus").length == 3)
+    assert(byMuni("silkeborg").length == 2)
+    // canonical filename carries the parsed date
+    val f = cand.map(_.getAs[String]("filename"))
+    assert(f.exists(_.startsWith("2024-04-08_aarhus_oekonomiudvalget")))
+    assert(cand.forall(_.getAs[String]("bucket").startsWith("raw-files-")))
+  }
+
+  test("NEW mode keeps only today-or-later meetings (F3)") {
+    val cand = GenericIngest.candidates(spark, csv, portals, "Oekonomi",
+      "NEW", 100, java.sql.Date.valueOf("2024-04-01")).collect()
+    // aarhus 2024-04-08 passes; 2024-03-11 and 2024-02-12 dropped;
+    // silkeborg May meetings pass
+    assert(cand.length == 3)
+    assert(cand.forall(r =>
+      !r.getAs[java.sql.Date]("meeting_date").before(
+        java.sql.Date.valueOf("2024-04-01"))))
+  }
+
+  test("per-municipality limit counts only surviving rows (L1/L3)") {
+    val cand = GenericIngest.candidates(spark, csv, portals, "Oekonomi",
+      "ALL", 1, java.sql.Date.valueOf("2024-01-01")).collect()
+    assert(cand.length == 2) // one per municipality
+    // the kept row is the FIRST in discovery order
+    val aarhus = cand.find(_.getAs[String]("municipality") == "aarhus").get
+    assert(aarhus.getAs[String]("filename")
+      .startsWith("2024-04-08_aarhus_oekonomiudvalget"))
+  }
+
+  test("ingest run is idempotent: second run ingests nothing (J1/K5)") {
+    val sink = tmpSink()
+    val n1 = GenericIngest.run(spark, csv, portals, sink)
+    assert(n1 == 5)
+    val n2 = GenericIngest.run(spark, csv, portals, sink)
+    assert(n2 == 0)
+    // sink is partitioned by municipality/committee and complete
+    val stored = spark.read.parquet(sink)
+    assert(stored.count() == 5)
+    assert(stored.select("municipality").distinct().count() == 2)
+    val dirs = new java.io.File(sink).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("municipality=")))
+  }
+
+  test("partial inventory: only missing documents are fetched (K5)") {
+    val sink = tmpSink()
+    // pre-ingest with limit 1 per municipality, then full run
+    assert(GenericIngest.run(spark, csv, portals, sink,
+      limitPerMuni = 1) == 2)
+    assert(GenericIngest.run(spark, csv, portals, sink) == 3)
+    assert(spark.read.parquet(sink).count() == 5)
+  }
+}
