@@ -141,6 +141,8 @@ object SparkEntry {
       Similarity.normsQuery(s, d).orderBy("vec_id")),
     "q42_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q43_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q44_embed_near_dup" -> ((s, d) =>
+      Similarity.cosineNearDupQuery(s, d).orderBy("id_a", "id_b")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */

@@ -75,6 +75,36 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: SRP-LSH bucketed self-join
+    * (docs sharing a bucket in >= 1 hash table become candidates),
+    * verified with exact cosine >= threshold. Same scale shape as
+    * MinHash-LSH dedup: equi-join on (table, bucket), never all-pairs. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numPlanes: Int = 12, tables: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(array((0 until tables).map(t =>
+          srpBucket(col("v"), hyperplanes(numPlanes, dim, 4242L + t))): _*))
+          .as(Seq("tbl", "bucket")))
+    val l = bucketed.select(col("tbl"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val r = bucketed.select(col("tbl"), col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Near-dup embedding pairs over the synthetic table (rows-only). */
+  def cosineNearDupQuery(s: SparkSession, d: String): DataFrame =
+    cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.9)
+
   /** LSH-bucketed ANN: candidates share the query's bucket in >= 1 of
     * `tables` hash tables; exact cosine re-ranks the candidates. At
     * scale the bucketed index is materialized once and the probe is a

@@ -56,6 +56,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("cosineNearDupPairs finds identical vectors, skips orthogonal ones") {
+    val rnd = new scala.util.Random(5)
+    val v1 = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val v2 = Seq.tabulate(64)(i => if (i % 2 == 0) 1.0f else 0.0f)
+    val v3 = Seq.tabulate(64)(i => if (i % 2 == 1) 1.0f else 0.0f)
+    val emb = Seq((1L, v1), (2L, v1), (3L, v2), (4L, v3))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.95).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
   test("srpBucket is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 4, 42L)
     val df = Seq(Seq(0.5f, -1.0f, 2.0f, 0.1f)).toDF("v")
