@@ -1,0 +1,147 @@
+package graft.doc
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.parse.HtmlParser
+
+/** Per-row binary document kernels (SURVEY.md §2.10, B1-B5) as Scala
+  * UDFs + a typed merge Aggregator. All pure JVM, deterministic, no
+  * I/O — safe inside executors, one invocation per row, scale-out by
+  * partitioning.
+  */
+object DocKernels {
+
+  // ------------------------------------------------------------- B1
+  /** DOCX -> plain text: unzip in memory, pull w:t runs from
+    * word/document.xml, paragraph per w:p. Mirrors mammoth's text
+    * extraction semantics minus styling (scraper_glostrup.py:42-66);
+    * WMF/EMF images are dropped entirely, the P21 semantic
+    * (scraper_glostrup.py:69-74). */
+  def docxToText(docx: Array[Byte]): String = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(docx))
+    var xml: String = null
+    try {
+      var e = zis.getNextEntry
+      while (e != null && xml == null) {
+        if (e.getName == "word/document.xml") {
+          xml = new String(zis.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        }
+        e = zis.getNextEntry
+      }
+    } finally zis.close()
+    if (xml == null) return ""
+    val para = "(?s)<w:p[ >].*?</w:p>|<w:p/>".r
+    val run = "(?s)<w:t(?: [^>]*)?>(.*?)</w:t>".r
+    para.findAllIn(xml).map { p =>
+      run.findAllMatchIn(p).map(m => HtmlParser.unescape(m.group(1))).mkString
+    }.mkString("\n")
+  }
+
+  /** B1: DOCX -> PDF (text extraction + MiniPdf rendering). */
+  def docxToPdf(docx: Array[Byte]): Array[Byte] = {
+    val text = docxToText(docx)
+    val lines = wrap(text.split("\n").toSeq)
+    MiniPdf.makePdf(paginate(lines))
+  }
+
+  // ---------------------------------------------------------- B2/B3
+  /** Selectors hidden before print (B3's cleanup-JS semantic,
+    * scraper_svendborg.py:229-268: nav/cookie/footer suppression). */
+  val defaultHideSelectors: Seq[String] =
+    Seq("nav", "header", "footer", "script", "style", "#cookie-banner",
+      ".cookie", ".navigation")
+
+  /** HTML -> visible text lines: parse, drop hidden/cruft subtrees,
+    * emit block-level text in document order. */
+  def htmlToText(html: String,
+      hide: Seq[String] = defaultHideSelectors): String = {
+    val root = HtmlParser.parse(html)
+    val hidden = hide.flatMap(sel => HtmlParser.select(root, sel)).toSet
+    val blocks = Seq("h1", "h2", "h3", "h4", "p", "li", "tr", "div")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(n: HtmlParser.Node): Unit = {
+      if (hidden.contains(n)) return
+      val isBlockLeaf = blocks.contains(n.tag) &&
+        !n.descendants.exists(d => blocks.contains(d.tag))
+      if (isBlockLeaf) { val t = n.text; if (t.nonEmpty) out += t }
+      else n.children.foreach(walk)
+    }
+    walk(root)
+    out.mkString("\n")
+  }
+
+  /** B2/B3: HTML -> PDF. */
+  def htmlToPdf(html: String): Array[Byte] = {
+    val text = htmlToText(html)
+    val lines = wrap(text.split("\n").toSeq)
+    MiniPdf.makePdf(paginate(if (lines.isEmpty) Seq("") else lines))
+  }
+
+  // ------------------------------------------------------------- B4
+  def makeCover(title: String, date: String,
+      participants: Seq[String]): Array[Byte] =
+    MiniPdf.makeCover(title, date, participants)
+
+  // ------------------------------------------------------------- B5 / A5
+  /** Typed merge Aggregator: fold (order, pdf) parts into one document
+    * in part order — the reference's cover+items merge
+    * (scraper_ringkoebing_skjern.py:188-243) as a groupBy aggregate. */
+  class MergePdfs extends Aggregator[(Int, Array[Byte]),
+      Seq[(Int, Array[Byte])], Array[Byte]] {
+    def zero: Seq[(Int, Array[Byte])] = Seq.empty
+    def reduce(b: Seq[(Int, Array[Byte])],
+        a: (Int, Array[Byte])): Seq[(Int, Array[Byte])] = b :+ a
+    def merge(b1: Seq[(Int, Array[Byte])],
+        b2: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] = b1 ++ b2
+    def finish(b: Seq[(Int, Array[Byte])]): Array[Byte] =
+      MiniPdf.merge(b.sortBy(_._1).map(_._2))
+    def bufferEncoder: Encoder[Seq[(Int, Array[Byte])]] =
+      Encoders.kryo[Seq[(Int, Array[Byte])]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** merge_pdfs(idx, pdf) aggregate column. */
+  def mergePdfs(idx: Column, pdf: Column): Column =
+    udaf(new MergePdfs()).apply(idx.cast("int"), pdf)
+
+  // ------------------------------------------------------------- A6
+  /** HTML document assembly: fold per-item sections (sorted by number)
+    * under a meeting header into one styled HTML doc
+    * (scraper_copenhagen.py:197-230). Pure column expression. */
+  def assembleHtml(title: Column, sections: Column): Column =
+    concat(
+      lit("<html><head><meta charset=\"utf-8\"/></head><body><h1>"),
+      title, lit("</h1>"),
+      array_join(sections, ""),
+      lit("</body></html>"))
+
+  // --------------------------------------------------------- UDFs
+  /** Registered row-level UDF forms (non-deterministic NOT set — these
+    * are pure; Catalyst may collapse/reorder them freely). */
+  val docxToPdfUdf = udf((b: Array[Byte]) => if (b == null) null else docxToPdf(b))
+  val htmlToPdfUdf = udf((s: String) => if (s == null) null else htmlToPdf(s))
+  val makeCoverUdf = udf((t: String, d: String, p: Seq[String]) =>
+    makeCover(Option(t).getOrElse(""), Option(d).getOrElse(""),
+      Option(p).getOrElse(Seq.empty)))
+  val pageCountUdf = udf((b: Array[Byte]) => if (b == null) 0 else MiniPdf.pageCount(b))
+
+  // ------------------------------------------------------- helpers
+  private val MaxCols = 90
+  private val LinesPerPage = 44
+
+  private def wrap(lines: Seq[String]): Seq[String] =
+    lines.flatMap { l =>
+      if (l.length <= MaxCols) Seq(l)
+      else l.grouped(MaxCols).toSeq
+    }
+
+  private def paginate(lines: Seq[String]): Seq[MiniPdf.Page] = {
+    val ls = if (lines.isEmpty) Seq("") else lines
+    ls.grouped(LinesPerPage).map(g => MiniPdf.Page(g)).toSeq
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.doc.{DocKernels, MiniPdf}
+
+/** Golden tests for the document kernels (B1-B5, A5/A6) per
+  * FIXTURES.md §5: page counts, merge order, cover fields. */
+class DocSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("makeCover produces a one-page PDF with title/date/participants (B4)") {
+    val pdf = MiniPdf.makeCover("Økonomiudvalget", "2025-11-19",
+      Seq("Anna", "Bo", "Carla"))
+    assert(MiniPdf.pageCount(pdf) == 1)
+    val text = MiniPdf.extractText(pdf).mkString("\n")
+    assert(text.contains("konomiudvalget"))
+    assert(text.contains("Dato: 2025-11-19"))
+    assert(text.contains("* Anna") && text.contains("* Carla"))
+    assert(new String(pdf.take(5), "ISO-8859-1") == "%PDF-")
+  }
+
+  test("makePdf paginates long content (44 lines/page)") {
+    val lines = (1 to 100).map(i => s"line $i")
+    val pdf = MiniPdf.makePdf(lines.grouped(44).map(g => MiniPdf.Page(g)).toSeq)
+    assert(MiniPdf.pageCount(pdf) == 3)
+    val text = MiniPdf.extractText(pdf)
+    assert(text.head == "line 1" && text.last == "line 100")
+  }
+
+  test("merge preserves page count and order (B5)") {
+    val a = MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("doc A page 1")),
+      MiniPdf.Page(Seq("doc A page 2"))))
+    val b = MiniPdf.makeCover("Cover B", "2025-01-01", Seq("X"))
+    val c = MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("doc C"))))
+    val merged = MiniPdf.merge(Seq(b, a, c)) // cover first, then parts
+    assert(MiniPdf.pageCount(merged) == 4)
+    val text = MiniPdf.extractText(merged)
+    assert(text.indexOf("Cover B") < text.indexOf("doc A page 1"))
+    assert(text.indexOf("doc A page 2") < text.indexOf("doc C"))
+  }
+
+  test("mergePdfs aggregator folds parts per group in part order (A5)") {
+    val p0 = MiniPdf.makeCover("Cover", "2025-01-01", Seq("A"))
+    val p1 = MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("item one"))))
+    val p2 = MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("item two"))))
+    // deliberately out-of-order rows; aggregator must sort by idx
+    val df = Seq(("m1", 2, p2), ("m1", 0, p0), ("m1", 1, p1),
+      ("m2", 0, p1)).toDF("meeting", "idx", "pdf")
+    val out = df.groupBy($"meeting")
+      .agg(DocKernels.mergePdfs($"idx", $"pdf").as("merged"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(MiniPdf.pageCount(out("m1")) == 3)
+    val t1 = MiniPdf.extractText(out("m1"))
+    assert(t1.indexOf("Cover") < t1.indexOf("item one"))
+    assert(t1.indexOf("item one") < t1.indexOf("item two"))
+    assert(MiniPdf.pageCount(out("m2")) == 1)
+  }
+
+  private def fakeDocx(paragraphs: Seq[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    zos.putNextEntry(new ZipEntry("[Content_Types].xml"))
+    zos.write("<Types/>".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("word/document.xml"))
+    val body = paragraphs.map(p =>
+      s"<w:p><w:r><w:t>$p</w:t></w:r></w:p>").mkString
+    zos.write(
+      s"""<?xml version="1.0"?><w:document><w:body>$body</w:body></w:document>"""
+        .getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("docxToText extracts paragraph runs from the zip (B1)") {
+    val docx = fakeDocx(Seq("Referat af m&amp;de", "Punkt 1: Budget"))
+    val text = DocKernels.docxToText(docx)
+    assert(text == "Referat af m&de\nPunkt 1: Budget")
+  }
+
+  test("docxToPdf renders extracted text (B1)") {
+    val pdf = DocKernels.docxToPdf(fakeDocx(Seq("Hello", "World")))
+    assert(MiniPdf.pageCount(pdf) == 1)
+    val t = MiniPdf.extractText(pdf)
+    assert(t.contains("Hello") && t.contains("World"))
+  }
+
+  test("htmlToText keeps content blocks, hides nav/footer/cookie (B2/B3)") {
+    val html =
+      """<html><body><nav>menu items</nav>
+        |<h1>Referat</h1><p>Punkt 1 besluttet</p>
+        |<div class="cookie">accept cookies</div>
+        |<footer>kontakt os</footer></body></html>""".stripMargin
+    val text = DocKernels.htmlToText(html)
+    assert(text.contains("Referat") && text.contains("Punkt 1 besluttet"))
+    assert(!text.contains("menu") && !text.contains("cookies")
+      && !text.contains("kontakt"))
+  }
+
+  test("assembleHtml + htmlToPdf: meeting document synthesis (A6/B2)") {
+    val df = Seq(
+      ("m1", 2, "<p>Punkt 2: Plan</p>"),
+      ("m1", 1, "<p>Punkt 1: Budget</p>"))
+      .toDF("meeting", "number", "section")
+    val assembled = df.groupBy($"meeting")
+      .agg(sort_array(collect_list(struct($"number", $"section")))
+        .as("parts"))
+      .select($"meeting", DocKernels.assembleHtml(lit("Økonomiudvalget"),
+        expr("transform(parts, p -> p.section)")).as("html"))
+      .withColumn("pdf", DocKernels.htmlToPdfUdf($"html"))
+      .collect()(0)
+    val html = assembled.getString(1)
+    assert(html.indexOf("Punkt 1") < html.indexOf("Punkt 2"))
+    val pdf = assembled.getAs[Array[Byte]](2)
+    assert(MiniPdf.pageCount(pdf) == 1)
+    val t = MiniPdf.extractText(pdf).mkString(" ")
+    assert(t.contains("Punkt 1: Budget") && t.contains("Punkt 2: Plan"))
+  }
+
+  test("pageCountUdf works on a DataFrame of documents") {
+    val pdfs = Seq(
+      ("a", MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("x"))))),
+      ("b", MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("y")), MiniPdf.Page(Seq("z"))))))
+      .toDF("id", "pdf")
+    val counts = pdfs.select($"id", DocKernels.pageCountUdf($"pdf").as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(counts == Map("a" -> 1, "b" -> 2))
+  }
+}
