@@ -68,15 +68,43 @@ object Dedup {
 
   // ----------------------------------------------------------- MinHash
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min hash over the shingle set. Pure expressions — one scan, no
-    * shuffle, no UDF. */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
+  /** Distinct 64-bit hashes of a shingle set — computed ONCE per
+    * document; every MinHash function below reuses these longs instead
+    * of re-hashing the strings (at 100 TB the string hashing dominates,
+    * so the k-fold reuse is the difference between one and k corpus
+    * scans' worth of hash work). */
+  def shingleHashes(shingles: Column): Column =
+    array_distinct(transform(shingles, x => xxhash64(x)))
+
+  /** MinHash signature from precomputed shingle hashes: for each of
+    * `numHashes` seeded re-hashes of the 8-byte longs, the min over
+    * the set. NOTE: when fanning a shingles COLUMN into many of these,
+    * use [[signatures]] — projection inlining would otherwise
+    * recompute the shingling per hash function. */
+  def minHashSignature(hashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, x => xxhash64(lit(seed), x)))
+      array_min(transform(hashes, h => xxhash64(lit(seed.toLong), h)))
     }: _*)
 
-  /** Exact Jaccard over two shingle-set columns. */
+  /** Per-doc (shingle set, MinHash signature) with single-evaluation
+    * guarantees: shingling+hashing runs ONCE per document behind a
+    * Generate/Aggregate plan boundary (CollapseProject cannot inline
+    * across it), then the k min-hashes aggregate over the exploded
+    * hashes with map-side partial aggregation. One shuffle on the doc
+    * id; no string is hashed more than once. */
+  def signatures(docs: DataFrame, idCol: String, shingleSet: Column,
+      numHashes: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(shingleSet)).as("h"))
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(lit(seed.toLong), col("h"))))
+    exploded.groupBy(col("id"))
+      .agg(collect_set(col("h")).as("shingles"), array(mins: _*).as("sig"))
+  }
+
+  /** Exact Jaccard over two (distinct-element) columns. Operates on
+    * hashed-long shingle sets: intersection cardinality is preserved
+    * by hashing (collisions are ~2^-64). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
@@ -94,10 +122,8 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = docs
-      .select(col(idCol).as("id"),
-        array_distinct(tokenShingles(col(textCol), shingleK)).as("shingles"))
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+    val withSig = signatures(docs, idCol,
+      tokenShingles(col(textCol), shingleK), numHashes)
     val banded = withSig.select(
       col("id"), col("shingles"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -126,10 +152,8 @@ object Dedup {
   /** n-gram (character 5-gram) Jaccard near-dup pairs — same banded-LSH
     * candidate generation, character shingles. */
   def ngramJaccardPairsQuery(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id").as("id"),
-        charShingles(col("text"), 5).as("shingles"))
-    val withSig = docs.withColumn("sig", minHashSignature(col("shingles"), 32))
+    val withSig = signatures(Tables.documents(s, d), "doc_id",
+      charShingles(col("text"), 5), 32)
     val banded = withSig.select(col("id"), col("shingles"),
       posexplode(transform(sequence(lit(0), lit(7)),
         b => xxhash64(lit("cband"), b,

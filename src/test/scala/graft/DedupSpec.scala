@@ -37,7 +37,7 @@ class DedupSpec extends SparkTestBase {
   test("minhash signature is identical for identical text") {
     val df = Seq((1L, base), (2L, base)).toDF("id", "text")
       .select($"id", Dedup.minHashSignature(
-        Dedup.tokenShingles($"text", 3), 16).as("sig"))
+        Dedup.shingleHashes(Dedup.tokenShingles($"text", 3)), 16).as("sig"))
     val sigs = df.collect().map(_.getSeq[Long](1))
     assert(sigs(0) == sigs(1))
   }
