@@ -1,0 +1,244 @@
+package graft.sources
+
+import java.time.LocalDate
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.parse.HtmlParser
+
+/** DataSource V2 `meetinglist` connector — the idiomatic form of the
+  * reference's paginated listing scans (SURVEY.md §2.1 S3-S8, §4):
+  * the pagination loop lives INSIDE the source, invisible to the
+  * query plan, and Catalyst pushes filters, limits and column pruning
+  * into the crawl:
+  *
+  *  - `SupportsPushDownFilters`: meeting_date range + municipality
+  *    equality run during the crawl (the reference encodes these in
+  *    the request URL, scraper_copenhagen.py:34-38). With
+  *    `assumeSortedDesc=true` (portals list newest-first) a min-date
+  *    bound STOPS the crawl — pages older than the bound are never
+  *    opened.
+  *  - `SupportsPushDownLimit`: stop paging once enough rows are
+  *    produced (the reference's early scroll exit, scraper.py:134-137).
+  *  - `SupportsPushDownRequiredColumns`: only materialize requested
+  *    columns.
+  *
+  * A "portal" is a directory per municipality of `page_N.html` files;
+  * the next page is crawled only while a `li.pager__item--next` link
+  * exists — the hermetic stand-in for the HTTP pager, behind the same
+  * reader. One InputPartition per municipality = the reference's
+  * per-portal isolation, as partition parallelism.
+  */
+class MeetingListProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "meetinglist"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MeetingListTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new MeetingListTable(properties.get("path"),
+      "true" == properties.getOrDefault("assumeSortedDesc", "false"))
+}
+
+object MeetingListTable {
+  val schema: StructType = StructType(Seq(
+    StructField("municipality", StringType, nullable = false),
+    StructField("page_idx", IntegerType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("doc_uuid", StringType, nullable = true),
+    StructField("meeting_date", DateType, nullable = true)))
+
+  /** Pages opened across all readers (observability + tests of early
+    * exit; per-JVM, which equals per-executor in production). */
+  val pagesOpened = new AtomicLong(0L)
+}
+
+class MeetingListTable(path: String, sortedDesc: Boolean)
+    extends Table with SupportsRead {
+  override def name(): String = s"meetinglist($path)"
+  override def schema(): StructType = MeetingListTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MeetingListScanBuilder(path, sortedDesc)
+}
+
+class MeetingListScanBuilder(path: String, sortedDesc: Boolean)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = Int.MaxValue
+  private var required: StructType = MeetingListTable.schema
+
+  private def asLocalDate(v: Any): Option[LocalDate] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate)
+    case d: LocalDate => Some(d)
+    case s: String => scala.util.Try(LocalDate.parse(s)).toOption
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case sources.GreaterThanOrEqual("meeting_date", v) => asLocalDate(v).isDefined
+      case sources.GreaterThan("meeting_date", v) => asLocalDate(v).isDefined
+      case sources.LessThanOrEqual("meeting_date", v) => asLocalDate(v).isDefined
+      case sources.LessThan("meeting_date", v) => asLocalDate(v).isDefined
+      case sources.EqualTo("municipality", _: String) => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected // Spark re-applies these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new MeetingListScan(path, sortedDesc, pushed, limit, required)
+}
+
+class MeetingListScan(path: String, sortedDesc: Boolean,
+    filters: Array[Filter], limit: Int, required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"meetinglist path=$path pushedFilters=${filters.mkString("[", ",", "]")} " +
+      s"pushedLimit=${if (limit == Int.MaxValue) "none" else limit}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val muniFilter: Option[String] = filters.collectFirst {
+      case sources.EqualTo("municipality", m: String) => m }
+    val dirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).sorted
+    dirs.filter(d => muniFilter.forall(_ == d))
+      .map(d => MeetingListPartition(s"$path/$d", d): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MeetingListReaderFactory(sortedDesc, filters, limit, required)
+}
+
+case class MeetingListPartition(dir: String, municipality: String)
+    extends InputPartition
+
+class MeetingListReaderFactory(sortedDesc: Boolean, filters: Array[Filter],
+    limit: Int, required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new MeetingListReader(p.asInstanceOf[MeetingListPartition], sortedDesc,
+      filters, limit, required)
+}
+
+/** Crawls page_0.html, page_1.html, ... while a next-link exists,
+  * honoring pushed date bounds, limit, and column pruning. */
+class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
+    filters: Array[Filter], limit: Int, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val urlDateRe = "d\\.(\\d{2})-(\\d{2})-(\\d{4})".r
+  private val uuidRe = "id=([a-f0-9\\-]{36})".r
+
+  private def asLocalDate(v: Any): LocalDate = v match {
+    case d: java.sql.Date => d.toLocalDate
+    case d: LocalDate => d
+    case s: String => LocalDate.parse(s)
+  }
+  private val minDate: Option[LocalDate] = filters.collectFirst {
+    case sources.GreaterThanOrEqual("meeting_date", v) => asLocalDate(v)
+    case sources.GreaterThan("meeting_date", v) => asLocalDate(v)
+  }
+
+  private def keep(d: Option[LocalDate]): Boolean = filters.forall {
+    case sources.GreaterThanOrEqual("meeting_date", v) =>
+      d.exists(x => !x.isBefore(asLocalDate(v)))
+    case sources.GreaterThan("meeting_date", v) =>
+      d.exists(_.isAfter(asLocalDate(v)))
+    case sources.LessThanOrEqual("meeting_date", v) =>
+      d.exists(x => !x.isAfter(asLocalDate(v)))
+    case sources.LessThan("meeting_date", v) =>
+      d.exists(_.isBefore(asLocalDate(v)))
+    case _ => true
+  }
+
+  private var pageIdx = 0
+  private var emitted = 0
+  private var done = false
+  private var queue: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  private def loadPage(): Unit = {
+    val f = new java.io.File(s"${part.dir}/page_$pageIdx.html")
+    if (!f.exists()) { done = true; return }
+    MeetingListTable.pagesOpened.incrementAndGet()
+    val html = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val root = HtmlParser.parse(html)
+    val links = HtmlParser.select(root, "a")
+      .filter(_.attr("href").exists(_.startsWith("/vis?Referat-")))
+    val rows = links.flatMap { a =>
+      val href = a.attr("href").get
+      val date = urlDateRe.findFirstMatchIn(href).flatMap { m =>
+        scala.util.Try(LocalDate.of(m.group(3).toInt, m.group(2).toInt,
+          m.group(1).toInt)).toOption
+      }
+      if (!keep(date)) None
+      else Some(buildRow(href, a.text, date))
+    }
+    // early stop: pages are newest-first and everything here is already
+    // older than the lower bound -> no later page can match
+    val allDates = links.flatMap(a => urlDateRe.findFirstMatchIn(
+      a.attr("href").get).flatMap(m => scala.util.Try(LocalDate.of(
+      m.group(3).toInt, m.group(2).toInt, m.group(1).toInt)).toOption))
+    val exhaustedByDate = sortedDesc && minDate.isDefined &&
+      allDates.nonEmpty && allDates.forall(_.isBefore(minDate.get))
+    val hasNext = HtmlParser.select(root, "li.pager__item--next").nonEmpty
+    queue = rows.iterator
+    pageIdx += 1
+    if (!hasNext || exhaustedByDate) done = true
+  }
+
+  private def buildRow(href: String, title: String,
+      date: Option[LocalDate]): InternalRow = {
+    val uuid = uuidRe.findFirstMatchIn(href).map(_.group(1))
+    val row = new GenericInternalRow(required.length)
+    required.fields.zipWithIndex.foreach { case (f, i) =>
+      f.name match {
+        case "municipality" => row.update(i, UTF8String.fromString(part.municipality))
+        case "page_idx" => row.update(i, pageIdx)
+        case "url" => row.update(i, UTF8String.fromString(href))
+        case "title" => row.update(i, UTF8String.fromString(title))
+        case "doc_uuid" => row.update(i,
+          uuid.map(UTF8String.fromString).orNull)
+        case "meeting_date" => row.update(i,
+          date.map(d => d.toEpochDay.toInt: java.lang.Integer).orNull)
+      }
+    }
+    row
+  }
+
+  override def next(): Boolean = {
+    if (emitted >= limit) return false
+    while (!queue.hasNext && !done) loadPage()
+    if (queue.hasNext) { current = queue.next(); emitted += 1; true }
+    else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MeetingListTable
+
+/** DSv2 meetinglist connector: crawl correctness + pushdown behavior
+  * observed via the pages-opened counter (S3-S8, L2, §4). */
+class MeetingListSourceSpec extends SparkTestBase {
+
+  private val portal = "src/test/resources/fixtures/portals2"
+
+  private def read(opts: Map[String, String] = Map.empty) = {
+    val r = spark.read.format("meetinglist")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(portal)
+  }
+
+  private def countingPages[A](f: => A): (A, Long) = {
+    val before = MeetingListTable.pagesOpened.get()
+    val a = f
+    (a, MeetingListTable.pagesOpened.get() - before)
+  }
+
+  test("full crawl reads every page and link, dates and uuids parsed") {
+    val (rows, pages) = countingPages {
+      read().collect()
+    }
+    assert(rows.length == 8) // aarhus 7 + silkeborg 1
+    assert(pages == 4) // aarhus 3 pages + silkeborg 1
+    val aarhus = rows.filter(_.getAs[String]("municipality") == "aarhus")
+    assert(aarhus.length == 7)
+    assert(rows.forall(_.getAs[String]("doc_uuid") != null))
+    assert(rows.map(_.getAs[java.sql.Date]("meeting_date").toString)
+      .contains("2024-06-10"))
+  }
+
+  test("column pruning: a url-only projection still crawls correctly") {
+    val urls = read().select("url").collect().map(_.getString(0))
+    assert(urls.length == 8)
+    assert(urls.forall(_.startsWith("/vis?Referat-")))
+  }
+
+  test("date lower bound + assumeSortedDesc stops the crawl early (S7/§4)") {
+    val (rows, pages) = countingPages {
+      read(Map("assumeSortedDesc" -> "true"))
+        .filter(col("meeting_date") >= lit("2024-04-01").cast("date"))
+        .collect()
+    }
+    assert(rows.length == 4) // 3 aarhus (Jun/May/Apr) + 1 silkeborg
+    // aarhus: page_0 matches, page_1 all older -> stop; page_2 never
+    // opened. 2 (aarhus) + 1 (silkeborg) = 3 < 4 full-crawl pages.
+    assert(pages == 3)
+  }
+
+  test("without sortedDesc hint the same filter still yields correct rows") {
+    val rows = read()
+      .filter(col("meeting_date") >= lit("2024-04-01").cast("date"))
+      .collect()
+    assert(rows.length == 4)
+  }
+
+  test("limit pushdown stops paging early (L2)") {
+    val (rows, pages) = countingPages {
+      read().limit(2).collect()
+    }
+    assert(rows.length == 2)
+    // each partition reader stops after 2 rows -> page_0 per muni at most
+    assert(pages <= 2)
+  }
+
+  test("municipality equality prunes partitions entirely (F4)") {
+    val (rows, pages) = countingPages {
+      read().filter(col("municipality") === "silkeborg").collect()
+    }
+    assert(rows.length == 1)
+    assert(pages == 1) // aarhus directory never touched
+  }
+
+  test("pushed filters and limit are visible in the scan description") {
+    val df = read().filter(col("meeting_date") >= lit("2024-04-01").cast("date"))
+      .limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") || plan.contains("meetinglist"))
+  }
+}
