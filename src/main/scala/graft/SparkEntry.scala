@@ -88,6 +88,8 @@ object SparkEntry {
       Relational.collectOrderkeys(s, d).orderBy("o_custkey")),
     "q21_agg_month_buckets" -> ((s, d) =>
       Relational.aggMonthBuckets(s, d).orderBy("o_month")),
+    "q45_event_hour_buckets" -> ((s, d) =>
+      Relational.eventHourBuckets(s, d).orderBy("hour_bucket")),
     // ---- limits / sorts / top-k (L1-L5)
     "q17_top10_orders" -> ((s, d) => Relational.top10Orders(s, d)),
     "q18_filter_then_limit" -> ((s, d) => Relational.filterThenLimit(s, d)),
@@ -386,6 +388,12 @@ object SparkEntry {
         |FROM (SELECT o_orderkey, CAST(o_orderkey % 15 + 1 AS INT) AS m
         |      FROM orders) t
         |ORDER BY o_orderkey""".stripMargin,
+    "q45_event_hour_buckets" ->
+      s"""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+         |  COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
     "q31_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,

@@ -230,6 +230,16 @@ object Relational {
         count(lit(1)).as("n_lineitems"))
   }
 
+  /** Hourly event buckets from the nanosecond-timestamp column (read
+    * as long nanos; exact integer division — no double rounding at
+    * 1e18 magnitudes). */
+  def eventHourBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(expr("ts div 3600000000000").as("hour_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+
   // ------------------------------------------------------ limits / sort
 
   /** L1/L4 global top-k with deterministic tie-break — Spark plans this

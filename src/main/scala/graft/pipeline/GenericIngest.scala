@@ -116,12 +116,24 @@ object GenericIngest {
   def run(spark: SparkSession, configCsv: String, portalDir: String,
       sinkDir: String, committee: String = "Oekonomi",
       mode: String = "ALL", limitPerMuni: Int = 100,
-      today: java.sql.Date = java.sql.Date.valueOf("2024-01-01")): Long = {
+      today: java.sql.Date = java.sql.Date.valueOf("2024-01-01"),
+      metricsOut: scala.collection.mutable.Map[String, Long] = null): Long = {
     val cand = candidates(spark, configCsv, portalDir, committee, mode,
       limitPerMuni, today)
-    val todo = cand.join(broadcast(inventory(spark, sinkDir)),
+    // A2 progress counters (run_scrapers.py:90-97 tallies) as an
+    // `observe` — zero-cost piggyback on the action, no extra pass.
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = cand.observe(obs,
+      count(lit(1)).as("n_candidates"),
+      count(col("meeting_date")).as("n_dated"))
+    val todo = observed.join(broadcast(inventory(spark, sinkDir)),
       Seq("filename"), "left_anti")
     val n = todo.count()
+    if (metricsOut != null) {
+      obs.get.foreach { case (k, v) =>
+        metricsOut(k) = v.asInstanceOf[Long] }
+      metricsOut("n_ingested") = n
+    }
     if (n > 0) {
       todo
         .withColumn("content", to_binary(col("doc_uuid"), lit("utf-8")))

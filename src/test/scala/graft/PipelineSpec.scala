@@ -75,6 +75,15 @@ class PipelineSpec extends SparkTestBase {
     assert(dirs.exists(_.startsWith("municipality=")))
   }
 
+  test("observe metrics report candidates/dated/ingested counts (A2)") {
+    val sink = tmpSink()
+    val metrics = scala.collection.mutable.Map.empty[String, Long]
+    GenericIngest.run(spark, csv, portals, sink, metricsOut = metrics)
+    assert(metrics("n_candidates") == 5)
+    assert(metrics("n_dated") == 5)
+    assert(metrics("n_ingested") == 5)
+  }
+
   test("partial inventory: only missing documents are fetched (K5)") {
     val sink = tmpSink()
     // pre-ingest with limit 1 per municipality, then full run
