@@ -111,13 +111,16 @@ object GenericIngest {
   }
 
   /** One ingest run: returns the number of newly-ingested documents.
-    * Content acquisition is stubbed deterministically (no network in
-    * the harness); the fetch UDF slots in before the write. */
+    * Content acquisition goes through the pluggable [[graft.fetch.Fetch.Fetcher]]
+    * (per-partition client; hermetic StaticFetcher by default); fetch
+    * failures become K7 error side output instead of aborting the run. */
   def run(spark: SparkSession, configCsv: String, portalDir: String,
       sinkDir: String, committee: String = "Oekonomi",
       mode: String = "ALL", limitPerMuni: Int = 100,
       today: java.sql.Date = java.sql.Date.valueOf("2024-01-01"),
-      metricsOut: scala.collection.mutable.Map[String, Long] = null): Long = {
+      metricsOut: scala.collection.mutable.Map[String, Long] = null,
+      fetcher: graft.fetch.Fetch.Fetcher = graft.fetch.Fetch.StaticFetcher(),
+      errDir: String = null): Long = {
     val cand = candidates(spark, configCsv, portalDir, committee, mode,
       limitPerMuni, today)
     // A2 progress counters (run_scrapers.py:90-97 tallies) as an
@@ -128,19 +131,31 @@ object GenericIngest {
       count(col("meeting_date")).as("n_dated"))
     val todo = observed.join(broadcast(inventory(spark, sinkDir)),
       Seq("filename"), "left_anti")
-    val n = todo.count()
-    if (metricsOut != null) {
-      obs.get.foreach { case (k, v) =>
-        metricsOut(k) = v.asInstanceOf[Long] }
-      metricsOut("n_ingested") = n
-    }
-    if (n > 0) {
-      todo
-        .withColumn("content", to_binary(col("doc_uuid"), lit("utf-8")))
-        .write.mode("append")
-        .partitionBy("municipality", "committee")
-        .parquet(sinkDir)
-    }
-    n
+    // acquire AFTER all filters + the anti-join — never fetch a
+    // document that would be discarded (the reference's explicit
+    // "filter before download" rule, scraper.py:101-105, enforced by
+    // plan construction)
+    val fetched = graft.fetch.Fetch.fetchBinary(todo, "url", fetcher)
+      .persist()
+    try {
+      val (ok, errs) = graft.fetch.Fetch.partitionByStatus(fetched)
+      val n = ok.count()
+      if (metricsOut != null) {
+        obs.get.foreach { case (k, v) =>
+          metricsOut(k) = v.asInstanceOf[Long] }
+        metricsOut("n_ingested") = n
+        metricsOut("n_fetch_errors") = fetched.count() - n
+      }
+      if (errDir != null && fetched.count() - n > 0) {
+        errs.write.mode("append").parquet(errDir) // K7 side output
+      }
+      if (n > 0) {
+        ok.drop("status", "content_type")
+          .write.mode("append")
+          .partitionBy("municipality", "committee")
+          .parquet(sinkDir)
+      }
+      n
+    } finally fetched.unpersist()
   }
 }

@@ -92,4 +92,26 @@ class PipelineSpec extends SparkTestBase {
     assert(GenericIngest.run(spark, csv, portals, sink) == 3)
     assert(spark.read.parquet(sink).count() == 5)
   }
+
+  test("fetch failures go to K7 side output and retry on the next run") {
+    val sink = tmpSink()
+    val errDir = Files.createTempDirectory("graft_err_").resolve("errs").toString
+    // silkeborg URLs fail on run 1
+    val n1 = GenericIngest.run(spark, csv, portals, sink,
+      fetcher = graft.fetch.Fetch.StaticFetcher(failPattern = "silkeborg"),
+      errDir = errDir)
+    assert(n1 == 3) // aarhus only
+    val errs = spark.read.parquet(errDir)
+    assert(errs.count() == 2)
+    assert(errs.collect().forall(_.getAs[Int]("status") == 404))
+    // run 2 with a healthy fetcher: exactly the failed docs are retried
+    val n2 = GenericIngest.run(spark, csv, portals, sink)
+    assert(n2 == 2)
+    val stored = spark.read.parquet(sink)
+    assert(stored.count() == 5)
+    // content came from the fetcher, not a stub
+    val sample = new String(stored.limit(1).collect()(0)
+      .getAs[Array[Byte]]("content"), "UTF-8")
+    assert(sample.startsWith("PDF-BYTES:"))
+  }
 }
