@@ -90,6 +90,10 @@ object SparkEntry {
       Relational.aggMonthBuckets(s, d).orderBy("o_month")),
     "q45_event_hour_buckets" -> ((s, d) =>
       Relational.eventHourBuckets(s, d).orderBy("hour_bucket")),
+    "q46_running_total" -> ((s, d) =>
+      Relational.runningTotal(s, d).orderBy("o_custkey", "o_orderkey")),
+    "q47_event_gaps" -> ((s, d) =>
+      Relational.eventGaps(s, d).orderBy("user_id", "event_id")),
     // ---- limits / sorts / top-k (L1-L5)
     "q17_top10_orders" -> ((s, d) => Relational.top10Orders(s, d)),
     "q18_filter_then_limit" -> ((s, d) => Relational.filterThenLimit(s, d)),
@@ -394,6 +398,17 @@ object SparkEntry {
          |  COUNT(DISTINCT user_id) AS n_users,
          |  ${dsumSql("value")} AS total_value
          |FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
+    "q46_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |    AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q47_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1)
+        |    OVER (PARTITION BY user_id ORDER BY event_id) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q31_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,

@@ -259,6 +259,30 @@ object Relational {
       .limit(20)
       .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
 
+  /** Running per-customer spend: windowed decimal sum (exact), cast to
+    * double at the edge. Unique (date, key) ordering makes the frame
+    * deterministic. */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+  }
+
+  /** Inter-event gap per user (lag). Computed in MICROseconds: the
+    * parquet ts is nanos, but DuckDB reads TIMESTAMP_NS at micro
+    * precision, so the oracle-comparable unit is micros. */
+  def eventGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("gap_us"))
+  }
+
   /** Top-k per group: per-key window, shuffles once on the group key —
     * never a global sort. */
   def topkPerGroup(s: SparkSession, d: String): DataFrame = {
