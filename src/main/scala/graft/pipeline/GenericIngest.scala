@@ -101,6 +101,44 @@ object GenericIngest {
         "doc_uuid", "meeting_date", "filename", "bucket")
   }
 
+  /** Connector-backed ingest (E2 over the DSv2 `meetinglist` source):
+    * the date bound and per-source limit push INTO the crawl
+    * (SupportsPushDownFilters/Limit — older pages are never opened),
+    * then the same naming/anti-join/fetch/sink tail as [[run]]. */
+  def runFromConnector(spark: SparkSession, portalDir: String,
+      sinkDir: String, committee: String = "Oekonomi",
+      minDate: Option[java.sql.Date] = None,
+      fetcher: graft.fetch.Fetch.Fetcher = graft.fetch.Fetch.StaticFetcher())
+      : Long = {
+    val base = spark.read.format("meetinglist")
+      .option("assumeSortedDesc", "true").load(portalDir)
+    val bounded = minDate match {
+      case Some(d) => base.filter(col("meeting_date") >= lit(d))
+      case None => base
+    }
+    val cand = bounded
+      .filter(col("doc_uuid").isNotNull)
+      .withColumn("committee", lit(committee))
+      .withColumn("filename", graft.expr.Exprs.sanitizeFilename(
+        graft.expr.Exprs.canonicalFilename(col("meeting_date"),
+          col("municipality"), lit("oekonomiudvalget"), col("doc_uuid"))))
+      .dropDuplicates("filename")
+    val todo = cand.join(broadcast(inventory(spark, sinkDir)),
+      Seq("filename"), "left_anti")
+    val fetched = graft.fetch.Fetch.fetchBinary(todo, "url", fetcher)
+      .filter(col("status") < 400)
+      .drop("status", "content_type")
+      .persist() // one crawl serves both the count and the write
+    try {
+      val n = fetched.count()
+      if (n > 0) {
+        fetched.write.mode("append")
+          .partitionBy("municipality", "committee").parquet(sinkDir)
+      }
+      n
+    } finally fetched.unpersist()
+  }
+
   /** Bulk sink inventory (J1's right side): list once, never probe
     * per key (contra reference scraper.py:212-219 head_object loop). */
   def inventory(spark: SparkSession, sinkDir: String): DataFrame = {

@@ -77,6 +77,23 @@ class MeetingListSourceSpec extends SparkTestBase {
     assert(pages == 1) // aarhus directory never touched
   }
 
+  test("connector-backed ingest: pushdown crawl -> naming -> sink (E2)") {
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_conn_").resolve("docs").toString
+    val (n1, pages) = countingPages {
+      graft.pipeline.GenericIngest.runFromConnector(spark, portal, sink,
+        minDate = Some(java.sql.Date.valueOf("2024-04-01")))
+    }
+    assert(n1 == 4)
+    assert(pages == 3) // date bound stopped the aarhus crawl early
+    // idempotent second run
+    assert(graft.pipeline.GenericIngest.runFromConnector(spark, portal,
+      sink, minDate = Some(java.sql.Date.valueOf("2024-04-01"))) == 0)
+    val stored = spark.read.parquet(sink).collect()
+    assert(stored.map(_.getAs[String]("filename")).sorted.head ==
+      "2024-04-08_aarhus_oekonomiudvalget.pdf")
+  }
+
   test("pushed filters and limit are visible in the scan description") {
     val df = read().filter(col("meeting_date") >= lit("2024-04-01").cast("date"))
       .limit(3)
