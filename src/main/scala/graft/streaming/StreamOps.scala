@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operator surface beyond the batch-per-run ingest
+  * (SURVEY.md §2.11 Spark mapping): watermarked windowed aggregation
+  * and custom keyed state via flatMapGroupsWithState.
+  *
+  * At scale: both shuffle once on their key; state lives in the state
+  * store (RocksDB in production), bounded by the watermark/timeout.
+  */
+object StreamOps {
+
+  /** Tumbling-window event counts with a watermark bounding state:
+    * late events beyond `lateness` are dropped, closed windows are
+    * emitted finally (append mode). */
+  def windowedEventCounts(events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  final case class SeenKey(key: String)
+  final case class KeyedRow(key: String, payload: String)
+
+  /** Cross-batch first-seen dedup with explicit keyed state: emits a
+    * row only the first time its key is seen (the streaming form of
+    * the sink-existence dedup, scraper_utils.py:56-61). Pass a
+    * `stateTtl` in production to bound the store via processing-time
+    * timeouts; None keeps state forever (fine for bounded key spaces
+    * and for deterministic tests — timeout batches would otherwise
+    * fire continuously). */
+  def firstSeenDedup(rows: Dataset[KeyedRow],
+      stateTtl: Option[String] = None): Dataset[KeyedRow] = {
+    import rows.sparkSession.implicits._
+    val conf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, KeyedRow](
+        OutputMode.Append(), conf) {
+        (key: String, it: Iterator[KeyedRow], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // key already emitted
+          else {
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            it.take(1) // first occurrence only, in-batch dups dropped too
+          }
+      }
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.KeyedRow
+
+/** Watermarked windowed aggregation + keyed-state dedup over
+  * MemoryStream micro-batches. */
+class StreamOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts finalize closed windows under the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = StreamOps.windowedEventCounts(
+      in.toDF().toDF("ts", "event_type"))
+    val q = agg.writeStream.format("memory").queryName("wincounts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "click"),
+        (ts("2024-01-01 10:15:00"), "click"),
+        (ts("2024-01-01 10:20:00"), "view"))
+      q.processAllAvailable()
+      // advance watermark past 11:30 -> the 10:00 window closes
+      in.addData((ts("2024-01-01 12:00:00"), "click"))
+      q.processAllAvailable()
+      val out = spark.table("wincounts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(out.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(out.contains(("2024-01-01 10:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState dedups keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedRow]
+    val deduped = StreamOps.firstSeenDedup(in.toDS())
+    val q = deduped.writeStream.format("memory").queryName("dedupstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(KeyedRow("a.pdf", "v1"), KeyedRow("a.pdf", "v1-dup"),
+        KeyedRow("b.pdf", "v2"))
+      q.processAllAvailable()
+      in.addData(KeyedRow("a.pdf", "v1-batch2"), KeyedRow("c.pdf", "v3"))
+      q.processAllAvailable()
+      val out = spark.table("dedupstream").as[KeyedRow].collect()
+      assert(out.map(_.key).sorted.sameElements(
+        Array("a.pdf", "b.pdf", "c.pdf")))
+      // the FIRST payload won for a.pdf
+      assert(out.find(_.key == "a.pdf").get.payload == "v1")
+    } finally q.stop()
+  }
+}
