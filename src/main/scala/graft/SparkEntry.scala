@@ -131,6 +131,9 @@ object SparkEntry {
       Dedup.ngramJaccardPairsQuery(s, d).orderBy("id_a", "id_b")),
     "q40_simhash" -> ((s, d) =>
       Dedup.simHashQuery(s, d).orderBy("doc_id")),
+    "q48_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashNearDups(graft.Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id_a", "id_b")),
     // ---- training-data pipeline: text analysis
     "q33_text_stats" -> ((s, d) =>
       TextOps.textStats(s, d).orderBy("doc_id")),

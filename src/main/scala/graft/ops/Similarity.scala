@@ -75,6 +75,33 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Corpus bucket table (id, b0..b{tables-1}) in ONE columnar pass:
+    * explode the vector, compute all tables*numPlanes dot products as
+    * codegen'd sum aggregates (element_at over constant-folded plane
+    * literals — no per-row interpreted higher-order folds), then
+    * sign-pack per table. The per-row [[srpBucket]] stays for 1-row
+    * query vectors where a pass is overkill. */
+  private[graft] def srpBucketsDf(emb: DataFrame, idCol: String,
+      vecCol: String, numPlanes: Int, tables: Int, dim: Int,
+      seedBase: Long): DataFrame = {
+    val exploded = emb.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("i", "x")))
+    val dotAggs = for (t <- 0 until tables; p <- 0 until numPlanes) yield {
+      val plane = hyperplanes(numPlanes, dim, seedBase + t)(p)
+      sum(col("x").cast("double") *
+        element_at(array(plane.toIndexedSeq.map(lit): _*), col("i") + 1))
+        .as(s"dot_${t}_$p")
+    }
+    val dots = exploded.groupBy(col("id"))
+      .agg(dotAggs.head, dotAggs.tail: _*)
+    val buckets = (0 until tables).map { t =>
+      (0 until numPlanes).map(p =>
+        when(col(s"dot_${t}_$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"b$t")
+    }
+    dots.select(col("id") +: buckets: _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-LSH bucketed self-join
     * (docs sharing a bucket in >= 1 hash table become candidates),
     * verified with exact cosine >= threshold. Same scale shape as
@@ -82,10 +109,12 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 12, tables: Int = 4,
       dim: Int = 64): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val buckets = srpBucketsDf(emb, idCol, vecCol, numPlanes, tables,
+      dim, 4242L)
+    val bucketed = vecs.join(buckets, "id")
       .select(col("id"), col("v"),
-        posexplode(array((0 until tables).map(t =>
-          srpBucket(col("v"), hyperplanes(numPlanes, dim, 4242L + t))): _*))
+        posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
           .as(Seq("tbl", "bucket")))
     val l = bucketed.select(col("tbl"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"))
@@ -100,10 +129,13 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Near-dup embedding pairs over the synthetic table (rows-only). */
+  /** Near-dup embedding pairs over the synthetic table (rows-only).
+    * The synthetic vectors are independent gaussians (no true
+    * near-dups), so the demo threshold is low enough that the LSH
+    * candidates' high-cosine tail is non-empty. */
   def cosineNearDupQuery(s: SparkSession, d: String): DataFrame =
     cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.9)
+      threshold = 0.2)
 
   /** LSH-bucketed ANN: candidates share the query's bucket in >= 1 of
     * `tables` hash tables; exact cosine re-ranks the candidates. At
@@ -112,11 +144,10 @@ object Similarity {
   def annLsh(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
       numPlanes: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val bucketCols = (0 until tables).map { t =>
-      srpBucket(col("embedding"), hyperplanes(numPlanes, dim, 42L + t))
-        .as(s"b$t")
-    }
-    val bucketed = emb.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+    val bucketed = emb.join(
+      srpBucketsDf(emb, "vec_id", "embedding", numPlanes, tables, dim, 42L)
+        .withColumnRenamed("id", "vec_id"),
+      "vec_id")
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding") +:
         (0 until tables).map(t => col(s"b$t").as(s"qb$t")): _*)

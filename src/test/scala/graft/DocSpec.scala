@@ -122,6 +122,19 @@ class DocSpec extends SparkTestBase {
     assert(t.contains("Punkt 1: Budget") && t.contains("Punkt 2: Plan"))
   }
 
+  test("binaryFile scan reads documents as (path, content) rows (S13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin_")
+    java.nio.file.Files.write(dir.resolve("a.pdf"),
+      MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("doc a")))))
+    java.nio.file.Files.write(dir.resolve("b.pdf"),
+      MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("b1")), MiniPdf.Page(Seq("b2")))))
+    val df = spark.read.format("binaryFile").load(dir.toString)
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        DocKernels.pageCountUdf(col("content")).as("pages"))
+    val out = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a.pdf" -> 1, "b.pdf" -> 2))
+  }
+
   test("pageCountUdf works on a DataFrame of documents") {
     val pdfs = Seq(
       ("a", MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("x"))))),
