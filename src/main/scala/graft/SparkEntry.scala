@@ -145,6 +145,8 @@ object SparkEntry {
       TextOps.qualityQuery(s, d).orderBy("doc_id")),
     "q41_fingerprint" -> ((s, d) =>
       TextOps.fingerprintQuery(s, d).orderBy("doc_id")),
+    "q49_token_budget" -> ((s, d) =>
+      TextOps.tokenBudget(s, d).orderBy("source")),
     // ---- training-data pipeline: similarity
     "q37_embed_norms" -> ((s, d) =>
       Similarity.normsQuery(s, d).orderBy("vec_id")),
@@ -467,6 +469,13 @@ object SparkEntry {
         |    6) AS quality
         |  FROM t) s
         |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+    "q49_token_budget" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9]{1,4}|[^a-zA-Z0-9 ]'))) AS BIGINT) AS total_subwords
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q37_embed_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding,

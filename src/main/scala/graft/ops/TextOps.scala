@@ -106,6 +106,17 @@ object TextOps {
         round(qualityScore(col("text")), 6).as("quality"))
       .filter(col("quality") >= 0.5)
 
+  /** Corpus token budget per source: whitespace tokens + BPE-ish
+    * subwords (oracle-checked) — the sizing query a training-data
+    * pipeline runs before a tokenization pass. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).cast("long").as("total_tokens"),
+        sum(subwordCount(col("text"))).cast("long").as("total_subwords"))
+
   /** Fingerprints (xxhash64 has no DuckDB mirror -> rows-only check). */
   def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
