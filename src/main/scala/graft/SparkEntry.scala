@@ -94,6 +94,10 @@ object SparkEntry {
       Relational.runningTotal(s, d).orderBy("o_custkey", "o_orderkey")),
     "q47_event_gaps" -> ((s, d) =>
       Relational.eventGaps(s, d).orderBy("user_id", "event_id")),
+    "q50_salted_agg" -> ((s, d) =>
+      graft.ops.Skew.saltedSupplierAgg(s, d).orderBy("l_suppkey")),
+    "q51_json_props" -> ((s, d) =>
+      Relational.jsonProps(s, d).orderBy("event_type")),
     // ---- limits / sorts / top-k (L1-L5)
     "q17_top10_orders" -> ((s, d) => Relational.top10Orders(s, d)),
     "q18_filter_then_limit" -> ((s, d) => Relational.filterThenLimit(s, d)),
@@ -469,6 +473,19 @@ object SparkEntry {
         |    6) AS quality
         |  FROM t) s
         |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+    "q50_salted_agg" ->
+      s"""SELECT l_suppkey, COUNT(*) AS n_items,
+         |  ${dsumSql("l_quantity")} AS total_value
+         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q51_json_props" ->
+      """SELECT event_type,
+        |  COUNT(k) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q49_token_budget" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT)

@@ -240,6 +240,18 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"),
         dsum(col("value")).as("total_value"))
 
+  /** JSON side-column extraction (events.props): typed from_json parse
+    * + aggregation over the extracted field. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k",
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).cast("long").as("max_k"))
+
   // ------------------------------------------------------ limits / sort
 
   /** L1/L4 global top-k with deterministic tie-break — Spark plans this

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Skew mitigation for hot keys: two-stage salted aggregation.
+  *
+  * Stage 1 aggregates (key, salt) partials — a hot key's rows spread
+  * over `buckets` reducers; stage 2 merges the per-key partials (at
+  * most `buckets` rows per key). The result is IDENTICAL to a direct
+  * groupBy because the partials are decomposable (counts and exact
+  * decimal sums) — which is exactly what the DuckDB oracle checks.
+  * AQE's skew-join splitting covers joins; this is the aggregation
+  * analog for when a single groupBy key dominates a 100 TB shuffle.
+  */
+object Skew {
+
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+      buckets: Int = 16): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val stage1 = df
+      .withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(valueCol).cast(dec)).as("_sum"))
+    stage1.groupBy(col(key))
+      .agg(sum(col("_n")).as("n_items"),
+        sum(col("_sum")).cast("double").as("total_value"))
+  }
+
+  /** Salted per-supplier lineitem rollup (oracle: plain GROUP BY —
+    * proving the two-stage rewrite is result-identical). */
+  def saltedSupplierAgg(s: SparkSession, d: String): DataFrame =
+    saltedAgg(Tables.lineitem(s, d), "l_suppkey", "l_quantity")
+}
