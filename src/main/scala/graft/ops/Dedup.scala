@@ -235,10 +235,30 @@ object Dedup {
       lit(0L), (a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash per doc in ONE columnar pass: explode tokens, aggregate
+    * the 64 bit-votes as codegen'd sums (constant shift amounts), then
+    * pack the sign bits. Bit-identical to [[simHash]] (same multiset
+    * votes, same tie rule) — the scalar form remains the reference
+    * implementation for tests. */
+  def simHashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val voteAggs = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$i"))
+    val grouped = exploded.groupBy(col("id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+    val packed = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _) // disjoint bits: sum == OR
+    grouped.select(col("id"), packed.as("simhash"))
+  }
+
   /** SimHash sketches (rows-only; invariants in ScalaTest). */
   def simHashQuery(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), simHash(col("text")).as("simhash"))
+    simHashDf(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
 
   /** SimHash near-dup candidates with Hamming distance <= 3: pigeonhole
     * on 4 x 16-bit chunks (any pair within distance 3 agrees on >= 1
@@ -246,7 +266,8 @@ object Dedup {
     * all-pairs. */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sk = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val sk = simHashDf(docs, idCol, textCol)
+      .select(col("id"), col("simhash").as("sh"))
     val chunked = sk.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sh"), c * 16)

@@ -96,6 +96,16 @@ class DedupSpec extends SparkTestBase {
     assert(run(true).nonEmpty)
   }
 
+  test("columnar simHashDf is bit-identical to the scalar simHash") {
+    val docs = Seq((1L, base), (2L, base.replace("quick", "fast")),
+      (3L, "short text here")).toDF("doc_id", "text")
+    val scalar = docs.select($"doc_id", Dedup.simHash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val columnar = Dedup.simHashDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalar == columnar)
+  }
+
   test("simHash is deterministic and identical for identical text") {
     val out = Seq((1L, base), (2L, base)).toDF("id", "text")
       .select(Dedup.simHash($"text").as("sh")).collect().map(_.getLong(0))
