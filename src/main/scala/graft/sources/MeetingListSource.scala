@@ -49,7 +49,8 @@ class MeetingListProvider extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new MeetingListTable(properties.get("path"),
-      "true" == properties.getOrDefault("assumeSortedDesc", "false"))
+      "true" == properties.getOrDefault("assumeSortedDesc", "false"),
+      properties.getOrDefault("dialect", "firstagenda"))
 }
 
 object MeetingListTable {
@@ -66,17 +67,18 @@ object MeetingListTable {
   val pagesOpened = new AtomicLong(0L)
 }
 
-class MeetingListTable(path: String, sortedDesc: Boolean)
+class MeetingListTable(path: String, sortedDesc: Boolean, dialect: String)
     extends Table with SupportsRead {
   override def name(): String = s"meetinglist($path)"
   override def schema(): StructType = MeetingListTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MeetingListScanBuilder(path, sortedDesc)
+    new MeetingListScanBuilder(path, sortedDesc, dialect)
 }
 
-class MeetingListScanBuilder(path: String, sortedDesc: Boolean)
+class MeetingListScanBuilder(path: String, sortedDesc: Boolean,
+    dialect: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
 
@@ -111,10 +113,10 @@ class MeetingListScanBuilder(path: String, sortedDesc: Boolean)
     required = requiredSchema
 
   override def build(): Scan =
-    new MeetingListScan(path, sortedDesc, pushed, limit, required)
+    new MeetingListScan(path, sortedDesc, dialect, pushed, limit, required)
 }
 
-class MeetingListScan(path: String, sortedDesc: Boolean,
+class MeetingListScan(path: String, sortedDesc: Boolean, dialect: String,
     filters: Array[Filter], limit: Int, required: StructType)
     extends Scan with Batch {
 
@@ -134,26 +136,30 @@ class MeetingListScan(path: String, sortedDesc: Boolean,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MeetingListReaderFactory(sortedDesc, filters, limit, required)
+    new MeetingListReaderFactory(sortedDesc, dialect, filters, limit,
+      required)
 }
 
 case class MeetingListPartition(dir: String, municipality: String)
     extends InputPartition
 
-class MeetingListReaderFactory(sortedDesc: Boolean, filters: Array[Filter],
-    limit: Int, required: StructType) extends PartitionReaderFactory {
+class MeetingListReaderFactory(sortedDesc: Boolean, dialect: String,
+    filters: Array[Filter], limit: Int, required: StructType)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new MeetingListReader(p.asInstanceOf[MeetingListPartition], sortedDesc,
-      filters, limit, required)
+      dialect, filters, limit, required)
 }
 
 /** Crawls page_0.html, page_1.html, ... while a next-link exists,
   * honoring pushed date bounds, limit, and column pruning. */
 class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
-    filters: Array[Filter], limit: Int, required: StructType)
+    dialect: String, filters: Array[Filter], limit: Int,
+    required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val urlDateRe = "d\\.(\\d{2})-(\\d{2})-(\\d{4})".r
+  private val dmyRe = "(\\d{2})-(\\d{2})-(\\d{4})".r
   private val uuidRe = "id=([a-f0-9\\-]{36})".r
 
   private def asLocalDate(v: Any): LocalDate = v match {
@@ -190,28 +196,61 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
     MeetingListTable.pagesOpened.incrementAndGet()
     val html = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     val root = HtmlParser.parse(html)
-    val links = HtmlParser.select(root, "a")
-      .filter(_.attr("href").exists(_.startsWith("/vis?Referat-")))
-    val rows = links.flatMap { a =>
-      val href = a.attr("href").get
-      val date = urlDateRe.findFirstMatchIn(href).flatMap { m =>
-        scala.util.Try(LocalDate.of(m.group(3).toInt, m.group(2).toInt,
-          m.group(1).toInt)).toOption
-      }
-      if (!keep(date)) None
-      else Some(buildRow(href, a.text, date))
+    // (href, title, date) triples per dialect
+    val parsed: Seq[(String, String, Option[LocalDate])] = dialect match {
+      case "resulttable" =>
+        // Glostrup/Syddjurs search-result table (scraper_glostrup.py:
+        // 171-219): dd-MM-yyyy in the first cell, a.row-link target.
+        val trs = HtmlParser.select(root, "#resultTable tr")
+        trs.flatMap { tr =>
+          val link = HtmlParser.select(tr.parent, "a.row-link")
+            .find(_.ancestors.contains(tr))
+          val tds = tr.children.filter(_.tag == "td")
+          for {
+            a <- link
+            href <- a.attr("href")
+          } yield {
+            val date = tds.headOption.map(_.text).flatMap(t =>
+              dmyRe.findFirstMatchIn(t).flatMap(m =>
+                scala.util.Try(LocalDate.of(m.group(3).toInt,
+                  m.group(2).toInt, m.group(1).toInt)).toOption))
+            (href, a.text, date)
+          }
+        }
+      case _ => // firstagenda viewer links, date embedded in the href
+        HtmlParser.select(root, "a")
+          .filter(_.attr("href").exists(_.startsWith("/vis?Referat-")))
+          .map { a =>
+            val href = a.attr("href").get
+            val date = urlDateRe.findFirstMatchIn(href).flatMap { m =>
+              scala.util.Try(LocalDate.of(m.group(3).toInt,
+                m.group(2).toInt, m.group(1).toInt)).toOption
+            }
+            (href, a.text, date)
+          }
     }
+    val rows = parsed.collect {
+      case (href, title, date) if keep(date) => buildRow(href, title, date)
+    }
+    // F8 sentinel: an "Ingen data" result row terminates the scan
+    val sentinel = dialect == "resulttable" &&
+      HtmlParser.select(root, "#resultTable td").exists(
+        _.text.toLowerCase.contains("ingen data"))
     // early stop: pages are newest-first and everything here is already
     // older than the lower bound -> no later page can match
-    val allDates = links.flatMap(a => urlDateRe.findFirstMatchIn(
-      a.attr("href").get).flatMap(m => scala.util.Try(LocalDate.of(
-      m.group(3).toInt, m.group(2).toInt, m.group(1).toInt)).toOption))
+    val allDates = parsed.flatMap(_._3)
     val exhaustedByDate = sortedDesc && minDate.isDefined &&
       allDates.nonEmpty && allDates.forall(_.isBefore(minDate.get))
-    val hasNext = HtmlParser.select(root, "li.pager__item--next").nonEmpty
-    queue = rows.iterator
+    val hasNext = dialect match {
+      case "resulttable" =>
+        // next button present and not disabled (scraper_glostrup.py:206-219)
+        HtmlParser.select(root, "#resultTable_next")
+          .exists(!_.classes.contains("disabled"))
+      case _ => HtmlParser.select(root, "li.pager__item--next").nonEmpty
+    }
+    queue = (if (sentinel) Seq.empty else rows).iterator
     pageIdx += 1
-    if (!hasNext || exhaustedByDate) done = true
+    if (!hasNext || exhaustedByDate || sentinel) done = true
   }
 
   private def buildRow(href: String, title: String,

@@ -94,6 +94,33 @@ class MeetingListSourceSpec extends SparkTestBase {
       "2024-04-08_aarhus_oekonomiudvalget.pdf")
   }
 
+  test("resulttable dialect parses rows and stops at the disabled next (S6)") {
+    val (rows, pages) = countingPages {
+      spark.read.format("meetinglist")
+        .option("dialect", "resulttable")
+        .load("src/test/resources/fixtures/portals3")
+        .filter(col("municipality") === "glostrup")
+        .collect()
+    }
+    assert(rows.length == 3)
+    assert(pages == 2) // page_2 exists but next is disabled on page_1
+    assert(rows.map(_.getAs[java.sql.Date]("meeting_date").toString).sorted
+      .sameElements(Array("2025-09-17", "2025-10-22", "2025-11-19")))
+    assert(rows.forall(_.getAs[String]("url").startsWith("/docs/")))
+  }
+
+  test("'Ingen data' sentinel terminates the scan with zero rows (F8)") {
+    val (rows, pages) = countingPages {
+      spark.read.format("meetinglist")
+        .option("dialect", "resulttable")
+        .load("src/test/resources/fixtures/portals3")
+        .filter(col("municipality") === "tom")
+        .collect()
+    }
+    assert(rows.isEmpty)
+    assert(pages == 1) // sentinel stops despite the enabled next button
+  }
+
   test("pushed filters and limit are visible in the scan description") {
     val df = read().filter(col("meeting_date") >= lit("2024-04-01").cast("date"))
       .limit(3)
