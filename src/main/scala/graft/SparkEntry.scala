@@ -158,6 +158,7 @@ object SparkEntry {
     "q43_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "q44_embed_near_dup" -> ((s, d) =>
       Similarity.cosineNearDupQuery(s, d).orderBy("id_a", "id_b")),
+    "q52_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */

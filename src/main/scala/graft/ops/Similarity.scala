@@ -137,6 +137,48 @@ object Similarity {
     cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.2)
 
+  /** IVF ANN: a KMeans coarse quantizer (nlist centroids) partitions
+    * the corpus into inverted lists; a query probes only its `nprobe`
+    * nearest lists and re-ranks with exact cosine. With
+    * nprobe == nlist the search is exhaustive and exactly equals
+    * brute force (tested). At scale the list id becomes the partition
+    * key of the vector index, so a probe touches nprobe partitions.
+    * Training is a one-time index build (seeded — deterministic). */
+  def annIvf(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val emb = Tables.embeddings(s, d)
+      .withColumn("features", toVec(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("features").fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"),
+        col("prediction").as("list_id"))
+    // query-side: nearest nprobe centroids (tiny, driver-side math on
+    // the centroid table — the index metadata, not the data)
+    val qVec: Array[Double] = emb.filter(col("vec_id") === queryId)
+      .select(col("features")).head().getAs[Vector](0).toArray
+    val probeLists = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val diff = c.toArray.zip(qVec).map { case (a, b) => a - b }
+        (i, math.sqrt(diff.map(x => x * x).sum))
+      }
+      .sortBy(_._2).take(nprobe).map(_._1).toSeq
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    assigned
+      .filter(col("list_id").isin(probeLists: _*) &&
+        col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket in >= 1 of
     * `tables` hash tables; exact cosine re-ranks the candidates. At
     * scale the bucketed index is materialized once and the probe is a

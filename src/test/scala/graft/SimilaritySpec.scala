@@ -70,6 +70,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs(0).getDouble(2) == 1.0)
   }
 
+  test("IVF with full probe equals brute force; partial probe is a subset") {
+    val brute = Similarity.knnBruteForce(spark, sf("embeddings"), 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.annIvf(spark, sf("embeddings"), 0L, 10,
+      nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.sameElements(brute)) // exhaustive probe == exact
+    val partial = Similarity.annIvf(spark, sf("embeddings"), 0L, 10,
+      nlist = 8, nprobe = 2).collect()
+    assert(partial.nonEmpty)
+    val bruteMap = brute.toMap
+    partial.foreach(r => bruteMap.get(r.getLong(0)).foreach(b =>
+      assert(math.abs(b - r.getDouble(1)) < 1e-9)))
+  }
+
   test("srpBucket is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 4, 42L)
     val df = Seq(Seq(0.5f, -1.0f, 2.0f, 0.1f)).toDF("v")
