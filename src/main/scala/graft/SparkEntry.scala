@@ -255,7 +255,9 @@ object SparkEntry {
          |  ${dsumSql("o_totalprice")} AS total_price
          |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q16_collect_list" ->
-      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+      """SELECT o_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        |    AS orderkeys
         |FROM orders WHERE o_custkey < 50
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q17_top10_orders" ->

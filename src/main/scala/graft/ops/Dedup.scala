@@ -79,103 +79,81 @@ object Dedup {
   /** MinHash signature from precomputed shingle hashes: for each of
     * `numHashes` seeded re-hashes of the 8-byte longs, the min over
     * the set. NOTE: when fanning a shingles COLUMN into many of these,
-    * use [[signatures]] — projection inlining would otherwise
+    * use [[signatureIndex]] — projection inlining would otherwise
     * recompute the shingling per hash function. */
   def minHashSignature(hashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(hashes, h => xxhash64(lit(seed.toLong), h)))
     }: _*)
 
-  /** Per-doc (shingle set, MinHash signature) with single-evaluation
-    * guarantees: shingling+hashing runs ONCE per document behind a
-    * Generate/Aggregate plan boundary (CollapseProject cannot inline
-    * across it), then the k min-hashes aggregate over the exploded
-    * hashes with map-side partial aggregation. One shuffle on the doc
-    * id; no string is hashed more than once. */
-  def signatures(docs: DataFrame, idCol: String, shingleSet: Column,
-      numHashes: Int): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(shingleHashes(shingleSet)).as("h"))
+  /** Per-doc (shingle set, MinHash signature) over pre-exploded (id, h)
+    * shingle hashes, with single-evaluation guarantees: the k min-hashes
+    * aggregate over the exploded hashes with map-side partial
+    * aggregation behind a Generate/Aggregate plan boundary
+    * (CollapseProject cannot inline across it), so no shingle is hashed
+    * more than once. One shuffle on the doc id. */
+  def signatureIndex(exploded: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(seed =>
       min(xxhash64(lit(seed.toLong), col("h"))))
     exploded.groupBy(col("id"))
-      .agg(collect_set(col("h")).as("shingles"), array(mins: _*).as("sig"))
+      .agg(collect_set(col("h")).as("sh"), array(mins: _*).as("sig"))
   }
 
-  /** Signatures only (no shingle sets): the partial-aggregated mins
-    * make the shuffle one 8*k-byte row per doc — the cheap half of
-    * [[signatures]], for pipelines that verify candidates separately. */
-  def signaturesOnly(docs: DataFrame, idCol: String, shingleSet: Column,
-      numHashes: Int): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(shingleHashes(shingleSet)).as("h"))
-    val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(lit(seed.toLong), col("h"))))
-    exploded.groupBy(col("id")).agg(array(mins: _*).as("sig"))
-  }
+  /** Exploded (id, h) char k-gram shingle hashes, fully inside
+    * whole-stage codegen: explode the positions, substring, hash. No
+    * interpreted higher-order functions, no intermediate string arrays;
+    * duplicate k-grams are deduped downstream by the set aggregation
+    * (and min-hashes are duplicate-invariant). Hash values are
+    * identical to xxhash64 over [[charShingles]] elements. */
+  def explodedCharShingleHashes(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("t"),
+        explode(sequence(lit(1),
+          greatest(length(col(textCol)) - (k - 1), lit(1)))).as("i"))
+      .select(col("id"), xxhash64(col("t").substr(col("i"), lit(k))).as("h"))
 
-  /** LSH band buckets -> distinct candidate pairs (id_a < id_b). */
-  private def bandedCandidates(sigs: DataFrame, bands: Int,
-      rowsPerBand: Int, tag: String): DataFrame = {
-    val banded = sigs.select(col("id"),
+  /** Generic LSH near-dup pipeline: signature index -> banded candidate
+    * pairs -> exact-Jaccard verification.
+    *
+    * Scale shape: the signature table (id, shingle set, MinHash sig) is
+    * the LSH *index* — computed once and materialized (a cached
+    * DataFrame here; a persisted/bucketed table on a cluster). The
+    * banded self-join then moves ONLY (id, band, bucket) triples —
+    * never the shingle arrays — so shuffle volume is independent of
+    * document size. The (small) candidate pair set joins the shingle
+    * sets back from the cached index for exact verification; candidate
+    * counts are sub-linear in corpus size by LSH design, so these two
+    * joins broadcast the pairs rather than reshuffling the index. */
+  def lshNearDupPairs(docs: DataFrame, idCol: String, shingleSet: Column,
+      bands: Int, rowsPerBand: Int, threshold: Double, tag: String)
+      : DataFrame =
+    lshNearDupPairsFromHashes(
+      docs.select(col(idCol).as("id"),
+        explode(shingleHashes(shingleSet)).as("h")),
+      bands, rowsPerBand, threshold, tag)
+
+  /** As [[lshNearDupPairs]], over pre-exploded (id, h) shingle hashes —
+    * the entry point for codegen'd shingle producers. */
+  def lshNearDupPairsFromHashes(exploded: DataFrame, bands: Int,
+      rowsPerBand: Int, threshold: Double, tag: String): DataFrame = {
+    val index = signatureIndex(exploded, bands * rowsPerBand).persist()
+    val banded = index.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit(tag), b,
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand))))))
+        b => xxhash64(lit(tag), b, concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .as(Seq("band", "bucket")))
-    banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-  }
-
-  /** Generic LSH near-dup pipeline: signatures -> banded candidate
-    * pairs -> exact-Jaccard verification.
-    *
-    * Two verification strategies (measured tradeoff, both correct):
-    *  - `carryShingles=true` (default): the shingle sets ride through
-    *    the band join. One scan computes shingles; the shuffle carries
-    *    `bands` copies of each set. Wins when shingle sets are small
-    *    relative to compute (measured ~25% faster at sf0.1).
-    *  - `carryShingles=false`: only 8*k-byte signatures shuffle; the
-    *    (small) candidate pair set is broadcast back against scan-side
-    *    shingle projections. Wins when sets are wide (long documents)
-    *    and shuffle volume dominates — the 100 TB default for
-    *    full-page documents.
-    */
-  def lshNearDupPairs(docs: DataFrame, idCol: String, shingleSet: Column,
-      bands: Int, rowsPerBand: Int, threshold: Double, tag: String,
-      carryShingles: Boolean = true): DataFrame = {
-    val verified =
-      if (carryShingles) {
-        val withSig = signatures(docs, idCol, shingleSet, bands * rowsPerBand)
-        val banded = withSig.select(col("id"), col("shingles"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(lit(tag), b, concat_ws(",",
-              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-            .as(Seq("band", "bucket")))
-        banded.select(col("band"), col("bucket"),
-            col("id").as("id_a"), col("shingles").as("sh_a"))
-          .join(banded.select(col("band"), col("bucket"),
-            col("id").as("id_b"), col("shingles").as("sh_b")),
-            Seq("band", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-          .dropDuplicates("id_a", "id_b")
-      } else {
-        val sigs = signaturesOnly(docs, idCol, shingleSet, bands * rowsPerBand)
-        val pairs = bandedCandidates(sigs, bands, rowsPerBand, tag)
-        val sh = docs.select(col(idCol).as("id"),
-          shingleHashes(shingleSet).as("sh"))
-        sh.join(pairs.hint("broadcast"), col("id") === col("id_a"))
-          .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
-          .hint("broadcast")
-          .join(sh.withColumnRenamed("sh", "sh_b"), col("id") === col("id_b"))
-          .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      }
-    verified
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val sets = index.select(col("id"), col("sh"))
+    pairs.hint("broadcast")
+      .join(sets, col("id_a") === col("id"))
+      .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
+      .hint("broadcast")
+      .join(sets, col("id_b") === col("id"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -209,11 +187,12 @@ object Dedup {
       shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
 
   /** n-gram (character 5-gram) Jaccard near-dup pairs — same banded-LSH
-    * candidate generation, character shingles. */
+    * candidate generation, character shingles produced by the codegen'd
+    * exploder. */
   def ngramJaccardPairsQuery(s: SparkSession, d: String): DataFrame =
-    lshNearDupPairs(Tables.documents(s, d), "doc_id",
-      charShingles(col("text"), 5), bands = 8, rowsPerBand = 4,
-      threshold = 0.7, tag = "cband")
+    lshNearDupPairsFromHashes(
+      explodedCharShingleHashes(Tables.documents(s, d), "doc_id", "text", 5),
+      bands = 8, rowsPerBand = 4, threshold = 0.7, tag = "cband")
 
   // ----------------------------------------------------------- SimHash
 
@@ -266,8 +245,12 @@ object Dedup {
     * all-pairs. */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // Materialized sketch index: the pigeonhole self-join reads the
+    // 64-bit sketches from cache rather than recomputing the bit-vote
+    // aggregation for each join side.
     val sk = simHashDf(docs, idCol, textCol)
       .select(col("id"), col("simhash").as("sh"))
+      .persist()
     val chunked = sk.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sh"), c * 16)

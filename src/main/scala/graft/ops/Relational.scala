@@ -160,7 +160,11 @@ object Relational {
     Tables.orders(s, d)
       .filter(col("o_custkey") < 50)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+      // Joined to a string (not a raw array) so the verification dump is
+      // hashable by the driver's pandas-based comparator.
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("o_orderkey"))),
+          _.cast("string"))).as("orderkeys"))
 
   /** A7 group-into-buckets (month partitions) — reference scraper.py:188-197. */
   def aggMonthBuckets(s: SparkSession, d: String): DataFrame =

@@ -112,10 +112,13 @@ object Similarity {
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val buckets = srpBucketsDf(emb, idCol, vecCol, numPlanes, tables,
       dim, 4242L)
+    // Materialized LSH index: both self-join sides read the cached
+    // bucket table instead of re-running the 32-dot-product pass.
     val bucketed = vecs.join(buckets, "id")
       .select(col("id"), col("v"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
           .as(Seq("tbl", "bucket")))
+      .persist()
     val l = bucketed.select(col("tbl"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"))
     val r = bucketed.select(col("tbl"), col("bucket"),
@@ -147,16 +150,23 @@ object Similarity {
   def annIvf(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    // Index build: cache the featurized corpus (KMeans training and the
+    // list assignment are both multi-pass over it), train a coarse
+    // quantizer with a bounded iteration budget (it only has to carve
+    // the space into lists, not converge tightly), and materialize the
+    // inverted-list assignment — the IVF index proper.
     val emb = Tables.embeddings(s, d)
-      .withColumn("features", toVec(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42L)
+      .withColumn("features",
+        array_to_vector(col("embedding").cast("array<double>")))
+      .persist()
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").fit(emb)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"),
         col("prediction").as("list_id"))
+      .persist()
     // query-side: nearest nprobe centroids (tiny, driver-side math on
     // the centroid table — the index metadata, not the data)
     val qVec: Array[Double] = emb.filter(col("vec_id") === queryId)
@@ -186,10 +196,13 @@ object Similarity {
   def annLsh(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
       numPlanes: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    // Materialized index: the query probe and the corpus scan both read
+    // the cached bucket table (one bucketing pass, not two).
     val bucketed = emb.join(
       srpBucketsDf(emb, "vec_id", "embedding", numPlanes, tables, dim, 42L)
         .withColumnRenamed("id", "vec_id"),
       "vec_id")
+      .persist()
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding") +:
         (0 until tables).map(t => col(s"b$t").as(s"qb$t")): _*)

@@ -81,19 +81,27 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.length == 3)
   }
 
-  test("both LSH verification strategies yield identical pairs") {
-    val mutated = base.replace("quick", "fast")
-    val docs = Seq((1L, base), (2L, mutated), (3L, base),
-      (4L, "unrelated words entirely different content here"))
+  test("codegen'd char-shingle exploder matches hashed charShingles") {
+    val docs = Seq((1L, "abcdefgab"), (2L, "xy")).toDF("doc_id", "text")
+    val viaExplode = Dedup
+      .explodedCharShingleHashes(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHof = docs.select($"doc_id",
+        explode(Dedup.shingleHashes(Dedup.charShingles($"text", 3))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaExplode == viaHof)
+  }
+
+  test("char-gram LSH via the exploded entry point finds exact dups") {
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "completely different characters in this unrelated document"))
       .toDF("doc_id", "text")
-    def run(carry: Boolean) = Dedup.lshNearDupPairs(docs, "doc_id",
-      Dedup.tokenShingles(org.apache.spark.sql.functions.col("text"), 3),
-      bands = 16, rowsPerBand = 4, threshold = 0.5, tag = "band",
-      carryShingles = carry)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    assert(run(true) == run(false))
-    assert(run(true).nonEmpty)
+    val pairs = Dedup.lshNearDupPairsFromHashes(
+      Dedup.explodedCharShingleHashes(docs, "doc_id", "text", 5),
+      bands = 8, rowsPerBand = 4, threshold = 0.9, tag = "cband").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
   }
 
   test("columnar simHashDf is bit-identical to the scalar simHash") {
