@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, ExprQueries, Relational, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, ExprQueries, Relational, Similarity,
+  Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -159,6 +160,28 @@ object SparkEntry {
     "q44_embed_near_dup" -> ((s, d) =>
       Similarity.cosineNearDupQuery(s, d).orderBy("id_a", "id_b")),
     "q52_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    // ---- temporal operators
+    "q53_sessionize" -> ((s, d) =>
+      Temporal.sessionize(s, d).orderBy("user_id", "session_start_us")),
+    "q54_asof_join" -> ((s, d) =>
+      Temporal.asofJoin(s, d).orderBy("event_id")),
+    "q55_range_join" -> ((s, d) =>
+      Temporal.rangeJoinWindows(s, d).orderBy("window_id")),
+    "q56_salted_join" -> ((s, d) =>
+      graft.ops.Skew.saltedSegmentAgg(s, d).orderBy("segment")),
+    // ---- corpus curation
+    "q57_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(s, d).orderBy("doc_id")),
+    "q58_normalize_text" -> ((s, d) =>
+      Curation.normalizeQuery(s, d).orderBy("doc_id")),
+    "q59_pii_redact" -> ((s, d) =>
+      Curation.piiRedactQuery(s, d).orderBy("c_custkey")),
+    "q60_contamination" -> ((s, d) =>
+      Curation.contamination(s, d).orderBy("doc_id")),
+    "q61_tfidf_top_term" -> ((s, d) =>
+      Curation.tfidfTopTerm(s, d).orderBy("doc_id")),
+    "q62_minhash_md5" -> ((s, d) =>
+      Curation.minhashMd5(s, d).orderBy("doc_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -502,6 +525,118 @@ object SparkEntry {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
         |  CAST(len(embedding) AS BIGINT) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q53_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+         |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w >= 21600000000000
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT user_id, ts, value,
+         |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |          ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM g)
+         |SELECT user_id,
+         |  CAST(min(epoch_ns(ts) // 1000) AS BIGINT) AS session_start_us,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_us""".stripMargin,
+    "q54_asof_join" ->
+      """WITH upd AS (
+        |  SELECT o_custkey % 150 AS user_id,
+        |         1704067200000000000 + (o_orderkey % 720) * 3600000000000
+        |           AS uts,
+        |         MAX(o_totalprice) AS upd_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, u.upd_price AS asof_price
+        |FROM events e ASOF LEFT JOIN upd u
+        |  ON e.user_id = u.user_id AND epoch_ns(e.ts) >= u.uts
+        |ORDER BY e.event_id""".stripMargin,
+    "q55_range_join" ->
+      s"""WITH w AS (SELECT CAST(range AS BIGINT) AS window_id,
+         |             1704067200000000000 + range * 129600000000000 AS ws
+         |           FROM range(20))
+         |SELECT window_id, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events e JOIN w
+         |  ON epoch_ns(e.ts) >= w.ws AND epoch_ns(e.ts) < w.ws + 5400000000000
+         |GROUP BY window_id ORDER BY window_id""".stripMargin,
+    "q56_salted_join" ->
+      s"""WITH dim AS (SELECT c_custkey % 150 AS user_id,
+         |               MAX(c_mktsegment) AS segment
+         |             FROM customer GROUP BY 1)
+         |SELECT segment, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events e JOIN dim USING (user_id)
+         |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q57_stratified_sample" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |         THEN '14' ELSE '33' END AS rate_hex
+        |  FROM documents) t
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= rate_hex
+        |ORDER BY doc_id""".stripMargin,
+    "q58_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q59_pii_redact" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    'contact ' || lower(regexp_replace(c_name, '[# ]', '', 'g'))
+        |      || '@example.com or +45 '
+        |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' '
+        |      || lpad(CAST(c_custkey * 7 % 10000 AS VARCHAR), 4, '0')
+        |      || ' office' AS raw
+        |  FROM customer)
+        |SELECT c_custkey, raw,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+[0-9]{2} [0-9]{4} [0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM t ORDER BY c_custkey""".stripMargin,
+    "q60_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents),
+        |grams AS (SELECT doc_id,
+        |            unnest(list_transform(range(1, len(tk) - 6),
+        |              i -> array_to_string(tk[i:i+7], ' '))) AS g
+        |          FROM toks WHERE len(tk) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT doc_id, COUNT(DISTINCT g) AS n_shared_grams
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q61_tfidf_top_term" ->
+      """WITH tfa AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tfa GROUP BY 1, 2),
+        |dfa AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |      AS score
+        |  FROM tf JOIN dfa USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, round(score, 6) AS tfidf FROM (
+        |  SELECT doc_id, term, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q62_minhash_md5" ->
+      ("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |              FROM documents),
+         |grams AS (SELECT doc_id,
+         |            unnest(list_transform(range(1, len(tk) - 1),
+         |              i -> array_to_string(tk[i:i+2], ' '))) AS g
+         |          FROM toks WHERE len(tk) >= 3)
+         |SELECT doc_id,
+         |""".stripMargin
+        + (0 until 8).map(j =>
+            s"  min(md5('$j|' || g)) AS sig_$j").mkString(",\n")
+        + "\nFROM grams GROUP BY doc_id ORDER BY doc_id"),
     "q42_knn_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators for a training-data pipeline: deterministic
+  * sampling, normalization, PII redaction, benchmark-contamination
+  * checks, tf-idf salience, and an oracle-checkable MinHash variant.
+  *
+  * Everything here is hash- or expression-driven and deterministic —
+  * no RNG state, so re-runs and retried tasks produce identical output
+  * (the property that makes sampling at 100 TB reproducible). md5 is
+  * used where a DuckDB oracle must mirror the hash bit-for-bit;
+  * xxhash64 (cheaper, codegen'd) remains the production default in
+  * [[Dedup]].
+  */
+object Curation {
+
+  /** Deterministic keep-decision: first two hex chars of md5(id) vs a
+    * two-hex-digit rate threshold ("33" keeps ~20%). Lexicographic
+    * compare == numeric compare for fixed-width lowercase hex. */
+  def hashKeep(id: Column, rateHex: Column): Column =
+    substring(md5(id.cast("string")), 1, 2) <= rateHex
+
+  /** Stratified sampling: even-numbered sources keep ~8% ("14"),
+    * odd-numbered ~20% ("33") — per-stratum rates without a shuffle,
+    * reproducible across runs and engines. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("rate_hex",
+        when(substring(col("source"), 4, 10).cast("int") % 2 === 0, "14")
+          .otherwise("33"))
+      .filter(hashKeep(col("doc_id"), col("rate_hex")))
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** Training-text normalization: casefold, strip non-alphanumerics,
+    * collapse whitespace — one codegen'd scan projection. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  def normalizeQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), normalize(col("text")).as("norm_text"))
+
+  /** PII redaction: emails and phone numbers masked in one pass.
+    * The synthetic contact lines are derived from customer so the
+    * oracle builds the identical input. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+      "\\+[0-9]{2} [0-9]{4} [0-9]{4}", "[PHONE]")
+
+  def piiRedactQuery(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(
+      lit("contact "), lower(regexp_replace(col("c_name"), "[# ]", "")),
+      lit("@example.com or +45 "),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" "),
+      lpad((col("c_custkey") * 7 % 10000).cast("string"), 4, "0"),
+      lit(" office"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), raw.as("raw"), redactPii(raw).as("redacted"))
+  }
+
+  /** Token k-gram strings with NO short-text fallback (documents
+    * shorter than k tokens contribute nothing) — strict form shared
+    * with the oracle. */
+  private def strictTokenGrams(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark-contamination check: non-benchmark documents sharing at
+    * least one token 8-gram with the benchmark subset (doc_id % 97 == 0
+    * stands in for the eval set). The benchmark gram set is tiny ->
+    * broadcast; the corpus side streams its grams through the join, so
+    * the full-corpus cost is one scan + one broadcast hash join, never
+    * a corpus self-join. */
+  def contamination(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("doc_id"),
+      explode(strictTokenGrams(col("text"), k)).as("g"))
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
+  }
+
+  /** Per-document most-salient term by tf-idf. One exploded-token
+    * aggregation for tf, one term aggregation for df, broadcast both
+    * the doc count and the (vocabulary-sized) df table back — the
+    * vocabulary is orders of magnitude smaller than the corpus. */
+  def tfidfTopTerm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
+  /** Oracle-checkable MinHash: 8 signature components, each the
+    * lexicographic min of md5(seed || '|' || token-3-gram) — the same
+    * min-over-hashed-shingles structure as [[Dedup.signatureIndex]]
+    * but with a hash DuckDB mirrors exactly. Flat string columns so
+    * the verification dump stays hashable. */
+  def minhashMd5(s: SparkSession, d: String, numHashes: Int = 8): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(strictTokenGrams(col("text"), 3)).as("g"))
+    val sigs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j|"), col("g")))).as(s"sig_$j"))
+    grams.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+  }
+}

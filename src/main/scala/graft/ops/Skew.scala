@@ -36,4 +36,36 @@ object Skew {
     * proving the two-stage rewrite is result-identical). */
   def saltedSupplierAgg(s: SparkSession, d: String): DataFrame =
     saltedAgg(Tables.lineitem(s, d), "l_suppkey", "l_quantity")
+
+  /** Salted join: the fact side gets a deterministic salt, the (small)
+    * dimension side is replicated across all `buckets` salts, and the
+    * join runs on (key, salt) — a hot key's probe rows land on
+    * `buckets` reducers instead of one. Result-identical to the plain
+    * key join (every fact row still meets its dimension row exactly
+    * once), which is what the oracle checks. AQE's skew-join split is
+    * the adaptive variant; this is the explicit rewrite for when the
+    * skew is known ahead of time. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int = 8): DataFrame = {
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    fact.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()),
+        lit(buckets.toLong)))
+      .join(saltedDim, Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
+  /** Per-segment event rollup through the salted join: events (fact)
+    * against a 150-row user->segment dimension derived from customer.
+    * Oracle: the plain unsalted join + GROUP BY. */
+  def saltedSegmentAgg(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .groupBy((col("c_custkey") % 150).as("user_id"))
+      .agg(max(col("c_mktsegment")).as("segment"))
+    val dec = DecimalType(18, 4)
+    saltedJoin(Tables.events(s, d), dim, "user_id")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("total_value"))
+  }
 }

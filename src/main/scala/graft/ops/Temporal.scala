@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Relational.dsum
+
+/** Temporal operators over the event stream, designed for the 100 TB
+  * case: every operator is a single hash-shuffle on the entity key (or a
+  * broadcast), never a per-row probe or an all-pairs time join.
+  *
+  * The events table's `ts` column is parquet TIMESTAMP(NANOS), read as
+  * a nanosecond LONG (`spark.sql.legacy.parquet.nanosAsLong`); integer
+  * `DIV` keeps the arithmetic exact (doubles cannot represent ~1e18).
+  */
+object Temporal {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  /** 2024-01-01T00:00:00Z in epoch nanoseconds (events start here). */
+  private val BaseNs = 1704067200L * 1000 * 1000 * 1000
+
+  /** Gap-based sessionization with Spark's native `session_window`:
+    * events of one user closer than `gap` belong to one session. The
+    * aggregation shuffles once on (user, merged-window) with map-side
+    * partial merge — the same operator Structured Streaming uses for
+    * stateful session windows, here in batch mode.
+    * Reference analog: per-run grouping of scraped meetings into
+    * crawl sessions (scraper.py:154-275 processes one portal visit as
+    * a unit); generalized to the training-data event domain. */
+  def sessionize(s: SparkSession, d: String,
+      gap: String = "6 hours"): DataFrame =
+    Tables.events(s, d)
+      .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(col("user_id"), session_window(col("tsm"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("total_value"))
+
+  /** Price updates derived from orders, remapped into the events' time
+    * range: key = o_custkey mod 150 (the user-id domain), update time =
+    * base + (o_orderkey mod 720) hours, one row per (key, time) with
+    * the max price winning (deterministic). */
+  private[ops] def priceUpdates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy((col("o_custkey") % 150).as("user_id"),
+        (lit(BaseNs) + (col("o_orderkey") % 720) * lit(HourNs)).as("uts"))
+      .agg(max(col("o_totalprice")).as("upd_price"))
+
+  /** As-of join: each event picks the most recent price update (same
+    * user, update time <= event time), tie on equal timestamps going to
+    * the update.
+    *
+    * Implemented as the scalable merge-asof: tag both inputs, union,
+    * and carry the last non-null update value forward with a
+    * `last(..., ignoreNulls)` running window per key — ONE shuffle on
+    * the key, linear merge per partition, versus a per-event
+    * subquery/probe (the reference's per-row `head_object` shape,
+    * scraper.py:212-219, is exactly what this avoids). Oracle: DuckDB's
+    * native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val upd = priceUpdates(s, d)
+      .select(col("user_id"), col("uts").as("t"), lit(0).as("typ"),
+        lit(null).cast("long").as("event_id"), col("upd_price"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("typ"),
+        col("event_id"), lit(null).cast("double").as("upd_price"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("typ"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    upd.unionByName(ev)
+      .withColumn("asof_price", last(col("upd_price"), ignoreNulls = true)
+        .over(w))
+      .filter(col("typ") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_price"))
+  }
+
+  /** Range join: events against 20 fixed 90-minute windows spaced 36 h
+    * apart. Implemented as a bucketed range join: each window explodes
+    * to the hour buckets it spans (<= 2), events equi-join on their own
+    * hour bucket (broadcast — the window table is tiny), and the exact
+    * range predicate filters residuals. At scale this turns an
+    * inequality join into an equi-join with bounded fan-out, instead of
+    * a broadcast-nested-loop over every (event, window) pair. Oracle:
+    * the plain inequality join in DuckDB. */
+  def rangeJoinWindows(s: SparkSession, d: String): DataFrame = {
+    val windows = s.range(20)
+      .select(col("id").as("window_id"),
+        (lit(BaseNs) + col("id") * lit(36 * HourNs)).as("ws"))
+      .withColumn("we", col("ws") + lit(90L * 60 * 1000 * 1000 * 1000))
+    val buckets = windows.withColumn("bucket",
+      explode(sequence(expr("ws DIV 3600000000000"),
+        expr("(we - 1) DIV 3600000000000"))))
+    Tables.events(s, d)
+      .withColumn("bucket", expr("ts DIV 3600000000000"))
+      .join(broadcast(buckets), "bucket")
+      .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, Skew}
+
+/** Corpus-curation operators: sampling determinism, normalization,
+  * PII masking, contamination, tf-idf, md5 MinHash. */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stratified sample is deterministic and roughly at rate") {
+    val s1 = Curation.stratifiedSample(spark, sf("documents"))
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Curation.stratifiedSample(spark, sf("documents"))
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                       // reproducible
+    val total = Tables.documents(spark, sf("documents")).count()
+    assert(s1.nonEmpty && s1.size < total) // a strict, non-empty subset
+  }
+
+  test("normalize strips punctuation and collapses whitespace") {
+    val out = Seq("  Hello,   World!  (ok) ").toDF("t")
+      .select(Curation.normalize($"t")).head().getString(0)
+    assert(out == "hello world ok")
+  }
+
+  test("redactPii masks emails and phone numbers") {
+    val out = Seq("mail a.b+x@test.dk or +45 1234 5678 now").toDF("t")
+      .select(Curation.redactPii($"t")).head().getString(0)
+    assert(out == "mail [EMAIL] or [PHONE] now")
+  }
+
+  test("contamination flags only non-benchmark docs sharing 8-grams") {
+    val out = Curation.contamination(spark, sf("documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall(_._1 % 97 != 0))
+    assert(out.forall(_._2 > 0))
+  }
+
+  test("tfidf top term is one row per doc with positive score for rare terms") {
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "apple banana cherry")).toDF("doc_id", "text")
+    // inline the same computation over a controlled corpus
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // 'cherry' (df=2) beats 'banana' (df=3) for doc 2
+    val dfMap = dfq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMap("banana") == 3 && dfMap("cherry") == 2)
+    val top = Curation.tfidfTopTerm(spark, sf("documents"))
+    val n = Tables.documents(spark, sf("documents")).count()
+    assert(top.count() == n)
+  }
+
+  test("md5 minhash signatures are equal iff shingle sets are equal") {
+    val out = Curation.minhashMd5(spark, sf("documents"))
+    // identical texts (exact dups exist in the synthetic corpus) must
+    // produce identical signatures
+    val withText = Tables.documents(spark, sf("documents"))
+      .select($"doc_id", $"text").join(out, "doc_id").collect()
+      .map(r => r.getString(1) -> (2 to 9).map(r.getString).mkString("/"))
+    withText.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).distinct.size == 1)
+    }
+  }
+
+  test("saltedJoin is result-identical to the plain join") {
+    val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0))
+      .toDF("k", "v")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "grp")
+    val salted = Skew.saltedJoin(fact, dim, "k")
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = fact.join(dim, "k")
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Temporal
+
+/** Temporal operators: sessionization, merge-asof join, bucketed range
+  * join — invariants plus hand-computed golden cases. */
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sessionize groups events by gap and sums per session") {
+    // every event of every session lands in exactly one session
+    val sessions = Temporal.sessionize(spark, sf("events"))
+    val nEvents = Tables.events(spark, sf("events")).count()
+    val sessionSum = sessions.agg(sum($"n_events")).head().getLong(0)
+    assert(sessionSum == nEvents)
+    // session starts are >= 6h apart per user
+    val byUser = sessions.select($"user_id", $"session_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+    byUser.foreach { ss =>
+      val starts = ss.map(_._2).toSeq.sorted
+      starts.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a >= 6L * 3600 * 1000 * 1000)
+        case _ =>
+      }
+    }
+  }
+
+  test("merge-asof picks the latest update at or before each event") {
+    // golden micro-case built through the same window machinery
+    val upd = Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (2L, 150L, 9.0))
+      .toDF("user_id", "t", "upd_price")
+      .select($"user_id", $"t", lit(0).as("typ"),
+        lit(null).cast("long").as("event_id"), $"upd_price")
+    val ev = Seq((1L, 99L, 10L), (1L, 100L, 11L), (1L, 250L, 12L),
+      (2L, 149L, 20L))
+      .toDF("user_id", "t", "event_id")
+      .select($"user_id", $"t", lit(1).as("typ"), $"event_id",
+        lit(null).cast("double").as("upd_price"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t", $"typ")
+      .rowsBetween(Long.MinValue, 0)
+    val out = upd.unionByName(ev)
+      .withColumn("asof", last($"upd_price", ignoreNulls = true).over(w))
+      .filter($"typ" === 1)
+      .select($"event_id", $"asof")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L).isEmpty)          // before any update
+    assert(out(11L).contains(1.0))    // tie goes to the update
+    assert(out(12L).contains(2.0))    // latest preceding update
+    assert(out(20L).isEmpty)          // other key, before its update
+  }
+
+  test("asofJoin covers every event exactly once") {
+    val out = Temporal.asofJoin(spark, sf("events"))
+    val nEvents = Tables.events(spark, sf("events")).count()
+    assert(out.count() == nEvents)
+    assert(out.select($"event_id").distinct().count() == nEvents)
+  }
+
+  test("bucketed range join equals the direct inequality join") {
+    val bucketed = Temporal.rangeJoinWindows(spark, sf("events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // direct (non-bucketed) evaluation of the same predicate
+    val base = 1704067200L * 1000 * 1000 * 1000
+    val ev = Tables.events(spark, sf("events"))
+      .select($"ts").collect().map(_.getLong(0))
+    val direct = (0 until 20).map { wId =>
+      val ws = base + wId * 129600L * 1000 * 1000 * 1000
+      val we = ws + 5400L * 1000 * 1000 * 1000
+      wId.toLong -> ev.count(t => t >= ws && t < we).toLong
+    }.filter(_._2 > 0).toMap
+    assert(bucketed == direct)
+  }
+}
