@@ -85,16 +85,37 @@ object Curation {
     * broadcast; the corpus side streams its grams through the join, so
     * the full-corpus cost is one scan + one broadcast hash join, never
     * a corpus self-join. */
+  /** Exploded (doc_id, gram-hash) pairs, fully codegen'd: tokens
+    * explode with their position, hash once, and k consecutive token
+    * hashes combine through a lead-window into one 64-bit gram key —
+    * no interpreted higher-order slicing, no gram strings. Two grams
+    * are equal iff their token sequences are (modulo 2^-64
+    * collisions), so set arithmetic over these keys matches set
+    * arithmetic over gram strings. */
+  private def gramHashes(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    df.select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"),
+        xxhash64((0 until k).map(j => lead(col("h"), j).over(w)): _*)
+          .as("gh"),
+        lead(col("h"), k - 1).over(w).as("tl"))
+      .filter(col("tl").isNotNull) // docs shorter than k tokens drop out
+      .select(col("doc_id"), col("gh"))
+  }
+
   def contamination(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     val docs = Tables.documents(s, d)
-    val grams = docs.select(col("doc_id"),
-      explode(strictTokenGrams(col("text"), k)).as("g"))
-    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
-      .select(col("g")).distinct()
-    grams.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(benchGrams), "g")
+    // only the 1%-sized benchmark side is gram-ified before its filter
+    // (never the whole corpus twice); the join key is a fixed-width
+    // 64-bit gram hash, not a gram string
+    val benchGrams = gramHashes(docs.filter(col("doc_id") % 97 === 0), k)
+      .select(col("gh")).distinct()
+    gramHashes(docs.filter(col("doc_id") % 97 =!= 0), k)
+      .join(broadcast(benchGrams), "gh")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_shared_grams"))
+      .agg(countDistinct(col("gh")).as("n_shared_grams"))
   }
 
   /** Per-document most-salient term by tf-idf. One exploded-token

@@ -63,12 +63,23 @@ case class ParseHtml(html: Expression, selector: Expression)
     copy(html = newChildren(0), selector = newChildren(1))
 }
 
-/** Registers graft's custom Catalyst functions on a session. */
+/** Registers graft's custom Catalyst functions on a session
+  * (idempotent — re-registration replaces the same builders). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("parse_html"),
       new ExpressionInfo(classOf[ParseHtml].getName, "parse_html"),
       (exprs: Seq[Expression]) => ParseHtml(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.expr.DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => graft.expr.DotProduct(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.expr.CosineSimilarity].getName,
+        "cosine_sim"),
+      (exprs: Seq[Expression]) =>
+        graft.expr.CosineSimilarity(exprs(0), exprs(1)))
   }
 }
