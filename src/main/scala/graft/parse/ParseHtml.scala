@@ -67,6 +67,8 @@ case class ParseHtml(html: Expression, selector: Expression)
   * (idempotent — re-registration replaces the same builders). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("cosine_sim"))) return
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("parse_html"),
       new ExpressionInfo(classOf[ParseHtml].getName, "parse_html"),

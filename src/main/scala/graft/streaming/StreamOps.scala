@@ -25,6 +25,20 @@ object StreamOps {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Streaming gap-based sessions: the streaming twin of
+    * `Temporal.sessionize` — same `session_window` operator, with a
+    * watermark so merged sessions close (and emit finally, append
+    * mode) once the watermark passes their end. State per open
+    * session, bounded by the watermark. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
   final case class SeenKey(key: String)
   final case class KeyedRow(key: String, payload: String)
 

@@ -15,6 +15,29 @@ class StreamOpsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streaming session windows merge within the gap and close on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = StreamOps.sessionCounts(in.toDF().toDF("ts", "user_id"))
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:10:00"), 1L), // merges: gap < 30 min
+        (ts("2024-01-01 11:30:00"), 1L)) // new session
+      q.processAllAvailable()
+      // push the watermark far past both session ends
+      in.addData((ts("2024-01-01 15:00:00"), 2L))
+      q.processAllAvailable()
+      val out = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .toSet
+      assert(out.contains((1L, "2024-01-01 10:00:00.0", 2L)))
+      assert(out.contains((1L, "2024-01-01 11:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("windowed counts finalize closed windows under the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
