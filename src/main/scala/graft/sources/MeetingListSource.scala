@@ -160,7 +160,12 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
 
   private val urlDateRe = "d\\.(\\d{2})-(\\d{2})-(\\d{4})".r
   private val dmyRe = "(\\d{2})-(\\d{2})-(\\d{4})".r
+  private val dotRe = "(\\d{2})\\.(\\d{2})\\.(\\d{4})".r
   private val uuidRe = "id=([a-f0-9\\-]{36})".r
+
+  private def dmy(m: scala.util.matching.Regex.Match): Option[LocalDate] =
+    scala.util.Try(LocalDate.of(m.group(3).toInt, m.group(2).toInt,
+      m.group(1).toInt)).toOption
 
   private def asLocalDate(v: Any): LocalDate = v match {
     case d: java.sql.Date => d.toLocalDate
@@ -217,16 +222,36 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
             (href, a.text, date)
           }
         }
+      case "meetingsplus" =>
+        // MeetingsPlus platform (scraper_billund.py:104-126 and its
+        // furesoe/norddjurs clones): meeting links carry the
+        // dd-MM-yyyy date in the link TEXT; offset pagination probes
+        // pages until one comes back empty.
+        HtmlParser.select(root, "a.meeting-link").flatMap { a =>
+          a.attr("href").map { href =>
+            (href, a.text, dmyRe.findFirstMatchIn(a.text).flatMap(dmy))
+          }
+        }
+      case "os2web" =>
+        // OS2Web portal (scraper_middelfart.py:108-127): one teaser
+        // div per meeting, date dd.MM.yyyy in span.date, link in the
+        // teaser heading; li.pager-next drives pagination.
+        HtmlParser.select(root, "div.node-teaser").flatMap { t =>
+          for {
+            a <- HtmlParser.select(t, "a").headOption
+            href <- a.attr("href")
+          } yield {
+            val date = HtmlParser.select(t, "span.date").headOption
+              .flatMap(s => dotRe.findFirstMatchIn(s.text).flatMap(dmy))
+            (href, a.text, date)
+          }
+        }
       case _ => // firstagenda viewer links, date embedded in the href
         HtmlParser.select(root, "a")
           .filter(_.attr("href").exists(_.startsWith("/vis?Referat-")))
           .map { a =>
             val href = a.attr("href").get
-            val date = urlDateRe.findFirstMatchIn(href).flatMap { m =>
-              scala.util.Try(LocalDate.of(m.group(3).toInt,
-                m.group(2).toInt, m.group(1).toInt)).toOption
-            }
-            (href, a.text, date)
+            (href, a.text, urlDateRe.findFirstMatchIn(href).flatMap(dmy))
           }
     }
     val rows = parsed.collect {
@@ -246,6 +271,12 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
         // next button present and not disabled (scraper_glostrup.py:206-219)
         HtmlParser.select(root, "#resultTable_next")
           .exists(!_.classes.contains("disabled"))
+      case "meetingsplus" =>
+        // offset pagination: keep probing while pages yield items
+        // (scraper_billund.py:93-103 increments the offset until an
+        // empty response)
+        parsed.nonEmpty
+      case "os2web" => HtmlParser.select(root, "li.pager-next").nonEmpty
       case _ => HtmlParser.select(root, "li.pager__item--next").nonEmpty
     }
     queue = (if (sentinel) Seq.empty else rows).iterator

@@ -121,6 +121,47 @@ class MeetingListSourceSpec extends SparkTestBase {
     assert(pages == 1) // sentinel stops despite the enabled next button
   }
 
+  test("meetingsplus dialect: date from link text, stop on empty page (S4)") {
+    val (rows, pages) = countingPages {
+      spark.read.format("meetinglist")
+        .option("dialect", "meetingsplus")
+        .load("src/test/resources/fixtures/portals4")
+        .collect()
+    }
+    assert(rows.length == 3)
+    assert(pages == 3) // page_2 opened, found empty, crawl stops
+    assert(rows.map(_.getAs[java.sql.Date]("meeting_date").toString).sorted
+      .sameElements(Array("2024-04-08", "2024-05-13", "2024-06-10")))
+    assert(rows.forall(_.getAs[String]("doc_uuid").startsWith("aaaaaaaa-")))
+  }
+
+  test("meetingsplus + sortedDesc: date bound stops before the empty page") {
+    val (rows, pages) = countingPages {
+      spark.read.format("meetinglist")
+        .option("dialect", "meetingsplus")
+        .option("assumeSortedDesc", "true")
+        .load("src/test/resources/fixtures/portals4")
+        .filter(col("meeting_date") >= lit("2024-05-01").cast("date"))
+        .collect()
+    }
+    assert(rows.length == 2)
+    assert(pages == 2) // page_1 is all-older -> stop; page_2 never opened
+  }
+
+  test("os2web dialect: teaser rows, dd.MM.yyyy dates, pager-next (S7)") {
+    val (rows, pages) = countingPages {
+      spark.read.format("meetinglist")
+        .option("dialect", "os2web")
+        .load("src/test/resources/fixtures/portals5")
+        .collect()
+    }
+    assert(rows.length == 3)
+    assert(pages == 2) // page_1 has no pager-next
+    assert(rows.map(_.getAs[java.sql.Date]("meeting_date").toString).sorted
+      .sameElements(Array("2025-09-17", "2025-10-22", "2025-11-19")))
+    assert(rows.forall(_.getAs[String]("url").startsWith("/nyheder/")))
+  }
+
   test("pushed filters and limit are visible in the scan description") {
     val df = read().filter(col("meeting_date") >= lit("2024-04-01").cast("date"))
       .limit(3)
