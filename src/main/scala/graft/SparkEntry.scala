@@ -182,6 +182,8 @@ object SparkEntry {
       Curation.tfidfTopTerm(s, d).orderBy("doc_id")),
     "q62_minhash_md5" -> ((s, d) =>
       Curation.minhashMd5(s, d).orderBy("doc_id")),
+    "q63_dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(s, d).orderBy("doc_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -637,6 +639,24 @@ object SparkEntry {
         + (0 until 8).map(j =>
             s"  min(md5('$j|' || g)) AS sig_$j").mkString(",\n")
         + "\nFROM grams GROUP BY doc_id ORDER BY doc_id"),
+    "q63_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (SELECT doc_id,
+        |            unnest(list_transform(range(1, len(tk) - 1),
+        |              i -> array_to_string(tk[i:i+2], ' '))) AS g
+        |          FROM toks WHERE len(tk) >= 3),
+        |sig AS (SELECT doc_id, min(md5('0|' || g)) AS s0
+        |        FROM grams GROUP BY doc_id),
+        |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |          FROM sig a JOIN sig b ON a.s0 = b.s0
+        |          WHERE a.doc_id <> b.doc_id),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q42_knn_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(

@@ -194,6 +194,65 @@ object Dedup {
       explodedCharShingleHashes(Tables.documents(s, d), "doc_id", "text", 5),
       bands = 8, rowsPerBand = 4, threshold = 0.7, tag = "cband")
 
+  // ----------------------------------------- dup-cluster identification
+
+  /** Connected components over a duplicate-pair edge list: every doc
+    * gets the min doc_id of its component as cluster label (the
+    * canonical representative — pick-one-per-cluster is then a plain
+    * groupBy).
+    *
+    * Iterative min-label propagation: each round every vertex takes
+    * the min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow
+    * (cliques glued by shared docs), so this terminates in a handful
+    * of rounds. Each round is one join + one aggregation, both
+    * hash-partitioned on the vertex id; labels persist per round and
+    * the loop stops on a converged (zero-change) round. At larger
+    * diameters the alternating large-star/small-star formulation
+    * halves round count; the per-round dataflow is identical. */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = vertices.select(col("id"), col("id").as("lbl")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Near-dup clusters over documents: edges join docs whose md5
+    * MinHash first component collides (an LSH band of width 1 — the
+    * oracle-mirrorable bucket key), components labeled by min doc_id.
+    * Oracle: the same edges + a recursive-CTE reachability in DuckDB. */
+  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    val sig0 = Curation.minhashMd5(s, d, numHashes = 1)
+      .select(col("doc_id"), col("sig_0")).persist()
+    val edges = sig0.select(col("doc_id").as("src"), col("sig_0"))
+      .join(sig0.select(col("doc_id").as("dst"), col("sig_0")), "sig_0")
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
+    connectedComponents(edges, vertices)
+      .select(col("id").as("doc_id"), col("cluster"))
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token multiset: per-bit majority vote of token

@@ -138,6 +138,33 @@ class DedupSpec extends SparkTestBase {
     assert(pairs(0).get(2).toString.toInt == 0)
   }
 
+  test("connectedComponents labels a path graph with its min vertex") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val out = Dedup.connectedComponents(edges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("nearDupClusters puts exact duplicates in one cluster") {
+    val clusters = Dedup.nearDupClusters(spark, sf("documents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc is labeled
+    assert(clusters.size == Tables.documents(spark, sf("documents")).count())
+    // exact dups (identical text) must share a cluster
+    val texts = Tables.documents(spark, sf("documents"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.groupBy(_._2).values.filter(_.length > 1).foreach { g =>
+      assert(g.map(x => clusters(x._1)).distinct.length == 1)
+    }
+    // labels are canonical: the label is the min id of its members
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl == members.keys.min)
+    }
+  }
+
   test("exact dedup keeps one row per distinct content, lowest id (sf0.001)") {
     val kept = Dedup.exactDedupKeepFirst(spark, sf("documents"))
     val total = Tables.documents(spark, sf("documents")).count()
