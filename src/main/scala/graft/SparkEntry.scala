@@ -184,6 +184,12 @@ object SparkEntry {
       Curation.minhashMd5(s, d).orderBy("doc_id")),
     "q63_dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(s, d).orderBy("doc_id")),
+    "q64_token_quantiles" -> ((s, d) =>
+      TextOps.tokenQuantiles(s, d).orderBy("source")),
+    "q65_rollup_revenue" -> ((s, d) =>
+      Relational.rollupRevenue(s, d).orderBy("o_year", "o_month")),
+    "q66_pivot_status" -> ((s, d) =>
+      Relational.pivotStatus(s, d).orderBy("o_year")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -657,6 +663,30 @@ object SparkEntry {
         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q64_token_quantiles" ->
+      """SELECT source,
+        |  round(quantile_cont(t, 0.5), 6) AS p50,
+        |  round(quantile_cont(t, 0.9), 6) AS p90,
+        |  round(quantile_cont(t, 0.99), 6) AS p99
+        |FROM (SELECT source,
+        |        CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS t
+        |      FROM documents) x
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q65_rollup_revenue" ->
+      s"""SELECT COALESCE(o_year, -1) AS o_year,
+         |  COALESCE(o_month, -1) AS o_month,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |        CAST(month(o_orderdate) AS BIGINT) AS o_month, o_totalprice
+         |      FROM orders) t
+         |GROUP BY ROLLUP (o_year, o_month)
+         |ORDER BY o_year, o_month""".stripMargin,
+    "q66_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q42_knn_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(

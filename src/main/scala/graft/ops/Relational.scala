@@ -310,4 +310,27 @@ object Relational {
       .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
         col("o_totalprice"))
   }
+
+  /** Multi-level aggregation with ROLLUP (year, month) — grand total,
+    * per-year subtotal and per-month detail in ONE pass (Expand +
+    * single shuffle), versus three scans with separate groupBys.
+    * Subtotal levels encode as -1 (not NULL) so the dump stays typed. */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_year"), lit(-1L)).as("o_year"),
+        coalesce(col("o_month"), lit(-1L)).as("o_month"),
+        col("n_orders"), col("total"))
+
+  /** Pivot: order counts per year fanned out by status column — the
+    * wide-format report shape. Fixed pivot values keep the schema
+    * static (and the plan a single aggregation). */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
 }

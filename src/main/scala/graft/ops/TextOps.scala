@@ -117,6 +117,20 @@ object TextOps {
         sum(tokenCount(col("text"))).cast("long").as("total_tokens"),
         sum(subwordCount(col("text"))).cast("long").as("total_subwords"))
 
+  /** Exact token-count quantiles per source (R-7 linear interpolation,
+    * matched by DuckDB's quantile_cont over DOUBLEs). Exact quantiles
+    * shuffle the group's values; at 100 TB swap in
+    * approx_percentile — same call shape, sketch-mergeable. */
+  def tokenQuantiles(s: SparkSession, d: String): DataFrame = {
+    val t = tokenCount(col("text")).cast("double")
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        round(percentile(t, lit(0.5)), 6).as("p50"),
+        round(percentile(t, lit(0.9)), 6).as("p90"),
+        round(percentile(t, lit(0.99)), 6).as("p99"))
+  }
+
   /** Fingerprints (xxhash64 has no DuckDB mirror -> rows-only check). */
   def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
