@@ -11,7 +11,9 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q20_top_revenue_orders",
         "q02_filter_prefix", "q11_broadcast_dim_join", "q07_dedup_first_seen",
-        "q42_knn_brute")
+        "q42_knn_brute", "q53_sessionize", "q54_asof_join", "q55_range_join",
+        "q56_salted_join", "q60_contamination", "q63_dedup_clusters",
+        "q65_rollup_revenue")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
