@@ -23,24 +23,25 @@ import graft.ops.{Curation, Dedup, ExprQueries, Relational, Similarity,
 object SparkEntry {
 
   /** Flagship pipeline on sf0.001 (driver smoke-checks rows > 0):
-    * exact-dedup (first-seen) -> quality/language annotation -> quality
-    * gate -> anti-join against an "already ingested" set -> top-k.
-    * The reference's E2 dataflow shape (scraper.py:154-275) applied to
-    * the training-data domain. */
+    * near-dup clustering (keep the canonical doc per cluster) ->
+    * quality/language annotation -> quality gate -> contamination
+    * screen (anti-join against benchmark 8-gram overlaps) ->
+    * deterministic sample -> top-k. The reference's E2 dataflow shape
+    * (scraper.py:154-275) composed from the training-data operators. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
-    val kept = Dedup.exactDedupKeepFirst(spark, d)
-    val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), col("text"))
-    val ingested = Tables.documents(spark, d)
-      .filter(col("doc_id") % 7 === 0)
+    val canonical = Dedup.nearDupClusters(spark, d)
+      .filter(col("doc_id") === col("cluster")) // cluster representative
       .select(col("doc_id"))
-    kept
-      .join(docs, "doc_id")
+    val contaminated = Curation.contamination(spark, d)
+      .select(col("doc_id"))
+    Tables.documents(spark, d)
+      .join(canonical, "doc_id")
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .withColumn("detected_lang", TextOps.langId(col("text")))
       .filter(col("quality") >= 0.3)
-      .join(broadcast(ingested), Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .filter(Curation.hashKeep(col("doc_id"), lit("cc"))) // ~80% sample
       .select(col("doc_id"), col("lang"), col("detected_lang"),
         round(col("quality"), 4).as("quality"), col("n_chars"))
       .orderBy(col("quality").desc, col("doc_id"))
