@@ -191,6 +191,9 @@ object SparkEntry {
       Relational.rollupRevenue(s, d).orderBy("o_year", "o_month")),
     "q66_pivot_status" -> ((s, d) =>
       Relational.pivotStatus(s, d).orderBy("o_year")),
+    "q67_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(s, d)),
+    "q68_value_histogram" -> ((s, d) =>
+      Relational.valueHistogram(s, d).orderBy("bucket")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -688,6 +691,15 @@ object SparkEntry {
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
         |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q67_heavy_hitters" ->
+      """SELECT term, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    "q68_value_histogram" ->
+      s"""SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q42_knn_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(

@@ -324,6 +324,16 @@ object Relational {
         coalesce(col("o_month"), lit(-1L)).as("o_month"),
         col("n_orders"), col("total"))
 
+  /** Fixed-width value histogram — one scan, one shuffle on the bucket
+    * id. Bucket arithmetic is plain double division + floor so the
+    * oracle mirrors it bit-for-bit. */
+  def valueHistogram(s: SparkSession, d: String,
+      width: Double = 50.0): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+
   /** Pivot: order counts per year fanned out by status column — the
     * wide-format report shape. Fixed pivot values keep the schema
     * static (and the plan a single aggregation). */

@@ -131,6 +131,18 @@ object TextOps {
         round(percentile(t, lit(0.99)), 6).as("p99"))
   }
 
+  /** Corpus heavy hitters: the top-k most frequent tokens. Exact
+    * (map-side partial counts -> one shuffle on the token -> top-k via
+    * TakeOrderedAndProject); at 100 TB the same query shape runs over
+    * a count-min-sketch pre-pass to cap the shuffle at the candidate
+    * set. */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
   /** Fingerprints (xxhash64 has no DuckDB mirror -> rows-only check). */
   def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(

@@ -39,6 +39,20 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Watermarked stream-stream inner join: events enrich against an
+    * update stream on the key, accepting updates at most `skew` older
+    * than the event. The time-range predicate plus watermarks on BOTH
+    * sides is what lets Spark evict join state — the requirement for
+    * joining two unbounded inputs. */
+  def enrichJoin(events: DataFrame, updates: DataFrame,
+      skew: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val e = events.withWatermark("ts", lateness)
+    val u = updates.withWatermark("uts", lateness)
+    e.join(u, expr(
+      s"user_id = u_user_id AND uts BETWEEN ts - INTERVAL $skew AND ts"))
+      .select(col("ts"), col("user_id"), col("uts"), col("price"))
+  }
+
   final case class SeenKey(key: String)
   final case class KeyedRow(key: String, payload: String)
 

@@ -15,6 +15,28 @@ class StreamOpsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("stream-stream join matches only updates within the time skew") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Timestamp, Long)]
+    val upd = MemoryStream[(Timestamp, Long, Double)]
+    val joined = StreamOps.enrichJoin(
+      ev.toDF().toDF("ts", "user_id"),
+      upd.toDF().toDF("uts", "u_user_id", "price"))
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      upd.addData(
+        (ts("2024-01-01 09:00:00"), 1L, 3.0),  // too old for the event
+        (ts("2024-01-01 10:00:00"), 1L, 5.0),  // within 1 h
+        (ts("2024-01-01 10:00:00"), 2L, 9.0))  // other key
+      ev.addData((ts("2024-01-01 10:30:00"), 1L))
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => (r.getLong(1), r.getDouble(3)))
+      assert(out.toSet == Set((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within the gap and close on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
