@@ -1,0 +1,106 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.expr.Exprs
+import graft.ops.Dedup
+
+/** Property-based invariants (SURVEY.md §5 item 2): generated inputs
+  * run through the actual Spark expressions in one batch per property
+  * (a DataFrame per sample would be 100 Spark jobs; a DataFrame per
+  * property is one). */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic sample of a generator. */
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val dateGen: Gen[LocalDate] = for {
+    day <- Gen.choose(0L, 365L * 80)
+  } yield LocalDate.of(1990, 1, 1).plusDays(day)
+
+  test("property: Danish date format/parse round-trips (P5)") {
+    val dates = sample(dateGen, 120).distinct
+    val out = dates.map(_.toString).toDF("iso")
+      .select(col("iso"),
+        Exprs.parseDanishDate(
+          Exprs.formatDanishDate(col("iso").cast("date"))).as("rt"))
+      .collect()
+    out.foreach(r => assert(r.getDate(1).toString == r.getString(0)))
+  }
+
+  test("property: dd-MM-yyyy embedded-URL date extraction round-trips (P2)") {
+    val dates = sample(dateGen, 120).distinct
+    val out = dates.map(_.toString).toDF("iso")
+      .select(col("iso"), Exprs.extractUrlDate(
+        concat(lit("/vis?Referat-d."),
+          date_format(col("iso").cast("date"), "dd-MM-yyyy"),
+          lit("&id=x"))).as("rt"))
+      .collect()
+    out.foreach(r => assert(r.getDate(1).toString == r.getString(0)))
+  }
+
+  test("property: filename sanitization is idempotent (P8)") {
+    val nameGen = Gen.listOfN(24,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('<', '>', ':', '"', '/', '\\',
+        '|', '?', '*', ' ', '.', 'æ', 'ø', 'å'))).map(_.mkString)
+    val names = sample(nameGen, 150).distinct
+    val out = names.toDF("name")
+      .select(Exprs.sanitizeFilename(col("name")).as("once"))
+      .select(col("once"), Exprs.sanitizeFilename(col("once")).as("twice"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // and no forbidden character survives
+    out.foreach(r => assert(!r.getString(0).exists("<>:\"/\\|?*".contains(_))))
+  }
+
+  test("property: first-seen dedup keeps the min id per key (D1)") {
+    val rowsGen = Gen.listOfN(200, for {
+      k <- Gen.choose(0L, 20L)
+      id <- Gen.choose(0L, 10000L)
+    } yield (k, id))
+    val rows = sample(rowsGen, 1).head.distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"id")
+    val kept = rows.toDF("k", "id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_._1).map { case (k, g) =>
+      k -> g.map(_._2).min }
+    assert(kept == expected)
+  }
+
+  test("property: limit-after-filter == filter of sorted prefix (L3)") {
+    val valsGen = Gen.listOfN(300, Gen.choose(0, 1000))
+    val vals = sample(valsGen, 1).head.zipWithIndex
+    val df = vals.toDF("v", "idx")
+    val got = df.filter($"v" % 3 === 0).orderBy($"v", $"idx").limit(10)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val expected = vals.filter(_._1 % 3 == 0).sorted.take(10)
+    assert(got == expected)
+  }
+
+  test("property: shingle-hash Jaccard equals set Jaccard over tokens") {
+    val docGen = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      .map(_.mkString(" "))
+    val docs = sample(Gen.zip(docGen, docGen), 40)
+    val out = docs.toDF("t1", "t2")
+      .select($"t1", $"t2",
+        Dedup.jaccard(
+          Dedup.shingleHashes(Dedup.tokenShingles($"t1", 2)),
+          Dedup.shingleHashes(Dedup.tokenShingles($"t2", 2))).as("j"))
+      .collect()
+    out.foreach { r =>
+      def grams(s: String) = s.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      val (g1, g2) = (grams(r.getString(0)), grams(r.getString(1)))
+      val expected = g1.intersect(g2).size.toDouble / g1.union(g2).size
+      assert(math.abs(r.getDouble(2) - expected) < 1e-12)
+    }
+  }
+}
