@@ -194,6 +194,8 @@ object SparkEntry {
     "q67_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(s, d)),
     "q68_value_histogram" -> ((s, d) =>
       Relational.valueHistogram(s, d).orderBy("bucket")),
+    "q69_snapshot_diff" -> ((s, d) =>
+      Relational.snapshotDiffQuery(s, d).orderBy("o_orderkey")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -700,6 +702,20 @@ object SparkEntry {
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q69_snapshot_diff" ->
+      """WITH prev AS (SELECT o_orderkey, o_totalprice AS fp FROM orders
+        |              WHERE o_orderkey % 9 <> 0),
+        |cur AS (SELECT o_orderkey,
+        |          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+        |               ELSE o_totalprice END AS fp
+        |        FROM orders)
+        |SELECT COALESCE(p.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |  CASE WHEN p.o_orderkey IS NULL THEN 'added'
+        |       WHEN c.o_orderkey IS NULL THEN 'removed'
+        |       WHEN p.fp <> c.fp THEN 'changed' END AS status
+        |FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey
+        |WHERE (p.o_orderkey IS NULL OR c.o_orderkey IS NULL OR p.fp <> c.fp)
+        |ORDER BY o_orderkey""".stripMargin,
     "q42_knn_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(

@@ -324,6 +324,35 @@ object Relational {
         coalesce(col("o_month"), lit(-1L)).as("o_month"),
         col("n_orders"), col("total"))
 
+  /** Inventory snapshot diff (the D3/K5 family's incremental primitive:
+    * what changed since the last run) — rows added, removed, or changed
+    * between two snapshots, as ONE full-outer join hash-partitioned on
+    * the key; unchanged rows drop out. At 100 TB both snapshots bucket
+    * by the key and the join is co-located (see Bucketing). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String)
+      : DataFrame =
+    oldDf.toDF(key, "old_fp")
+      .join(newDf.toDF(key, "new_fp"), Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(key), col("status"))
+
+  /** Snapshot diff over orders: the previous run is missing every 9th
+    * key, the current run re-priced every 7th — both derivable by the
+    * oracle. */
+  def snapshotDiffQuery(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val prev = orders.filter(col("o_orderkey") % 9 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val cur = orders.select(col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+        .otherwise(col("o_totalprice")))
+    snapshotDiff(prev, cur, "o_orderkey")
+  }
+
   /** Fixed-width value histogram — one scan, one shuffle on the bucket
     * id. Bucket arithmetic is plain double division + floor so the
     * oracle mirrors it bit-for-bit. */

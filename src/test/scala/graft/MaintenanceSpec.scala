@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Maintenance, Relational}
+
+/** Table maintenance + snapshot diff. */
+class MaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("compact rewrites a many-small-files dir into few files, same rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_")
+    val in = s"$base/in"
+    val out = s"$base/out"
+    (1 to 1000).toDF("n").repartition(50).write.parquet(in)
+    val smallFiles = spark.read.parquet(in).inputFiles.length
+    assert(smallFiles >= 40)
+    val parts = Maintenance.compact(spark, in, out, targetFileMB = 128)
+    assert(parts == 1)
+    val compacted = spark.read.parquet(out)
+    assert(compacted.inputFiles.length == 1)
+    assert(compacted.agg(sum($"n")).head().getLong(0) == 500500L)
+  }
+
+  test("snapshotDiff classifies added, removed, changed; drops unchanged") {
+    val prev = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "fp")
+    val cur = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("k", "fp")
+    val out = Relational.snapshotDiff(prev, cur, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+}
