@@ -246,6 +246,22 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
             (href, a.text, date)
           }
         }
+      case "accordion" =>
+        // Accordion/JS-expanded page (scraper_aalborg.py:117-173,
+        // scraper_hedensted.py): one collapsed section per meeting,
+        // dd-MM-yyyy in the section header, attachment links in the
+        // (server-rendered but hidden) content div. The whole archive
+        // is one page — no pagination.
+        HtmlParser.select(root, "div.accordion-item").flatMap { item =>
+          val header = HtmlParser.select(item, "h3.accordion-header")
+            .headOption
+          val date = header.flatMap(h =>
+            dmyRe.findFirstMatchIn(h.text).flatMap(dmy))
+          HtmlParser.select(item, "a").flatMap { a =>
+            a.attr("href").map(href =>
+              (href, header.map(_.text).getOrElse(a.text), date))
+          }
+        }
       case _ => // firstagenda viewer links, date embedded in the href
         HtmlParser.select(root, "a")
           .filter(_.attr("href").exists(_.startsWith("/vis?Referat-")))
@@ -277,6 +293,7 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
         // empty response)
         parsed.nonEmpty
       case "os2web" => HtmlParser.select(root, "li.pager-next").nonEmpty
+      case "accordion" => false // single-page archive
       case _ => HtmlParser.select(root, "li.pager__item--next").nonEmpty
     }
     queue = (if (sentinel) Seq.empty else rows).iterator

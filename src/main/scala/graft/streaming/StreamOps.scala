@@ -53,6 +53,17 @@ object StreamOps {
       .select(col("ts"), col("user_id"), col("uts"), col("price"))
   }
 
+  /** Built-in watermark-bounded streaming dedup: first row per key is
+    * emitted, later duplicates are dropped while the key is inside the
+    * watermark horizon, and state self-expires with the watermark —
+    * the zero-custom-code form of [[firstSeenDedup]] for pipelines
+    * whose duplicate window is time-bounded (the reference's
+    * re-crawl-within-a-run case, scraper.py:116-132). */
+  def dedupWithinWatermark(rows: DataFrame, keyCols: Seq[String],
+      lateness: String = "1 hour"): DataFrame =
+    rows.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SeenKey(key: String)
   final case class KeyedRow(key: String, payload: String)
 

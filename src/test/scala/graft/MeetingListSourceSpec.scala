@@ -162,6 +162,22 @@ class MeetingListSourceSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[String]("url").startsWith("/nyheder/")))
   }
 
+  test("accordion dialect: one row per attachment, header date, single page (S8)") {
+    val (rows, pages) = countingPages {
+      spark.read.format("meetinglist")
+        .option("dialect", "accordion")
+        .load("src/test/resources/fixtures/portals6")
+        .collect()
+    }
+    assert(rows.length == 3) // 2 attachments + 1
+    assert(pages == 1) // no pagination: page_1 never probed
+    assert(rows.count(
+      _.getAs[java.sql.Date]("meeting_date").toString == "2024-06-10") == 2)
+    assert(rows.forall(_.getAs[String]("doc_uuid").startsWith("cccccccc-")))
+    assert(rows.forall(
+      _.getAs[String]("title").startsWith("Oekonomiudvalget")))
+  }
+
   test("pushed filters and limit are visible in the scan description") {
     val df = read().filter(col("meeting_date") >= lit("2024-04-01").cast("date"))
       .limit(3)

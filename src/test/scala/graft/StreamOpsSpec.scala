@@ -15,6 +15,26 @@ class StreamOpsSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("dropDuplicatesWithinWatermark keeps the first row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val dedup = StreamOps.dedupWithinWatermark(
+      in.toDF().toDF("ts", "url"), Seq("url"))
+    val q = dedup.writeStream.format("memory").queryName("wmdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), "/a"),
+        (ts("2024-01-01 10:05:00"), "/a"), // dup within watermark
+        (ts("2024-01-01 10:10:00"), "/b"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:20:00"), "/a")) // still within horizon
+      q.processAllAvailable()
+      val urls = spark.table("wmdedup").collect().map(_.getString(1))
+      assert(urls.sorted.sameElements(Array("/a", "/b")))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches only updates within the time skew") {
     implicit val sqlCtx = spark.sqlContext
     val ev = MemoryStream[(Timestamp, Long)]
