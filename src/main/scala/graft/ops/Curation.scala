@@ -67,18 +67,6 @@ object Curation {
       .select(col("c_custkey"), raw.as("raw"), redactPii(raw).as("redacted"))
   }
 
-  /** Token k-gram strings with NO short-text fallback (documents
-    * shorter than k tokens contribute nothing) — strict form shared
-    * with the oracle. */
-  private def strictTokenGrams(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
-    val n = size(toks)
-    when(n >= k,
-      transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Benchmark-contamination check: non-benchmark documents sharing at
     * least one token 8-gram with the benchmark subset (doc_id % 97 == 0
     * stands in for the eval set). The benchmark gram set is tiny ->
@@ -147,8 +135,18 @@ object Curation {
     * but with a hash DuckDB mirrors exactly. Flat string columns so
     * the verification dump stays hashable. */
   def minhashMd5(s: SparkSession, d: String, numHashes: Int = 8): DataFrame = {
+    // gram strings assemble through a lead-window over exploded tokens
+    // (codegen'd) instead of interpreted array slicing; identical
+    // strings to strictTokenGrams for docs of >= 3 tokens
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val grams = Tables.documents(s, d)
-      .select(col("doc_id"), explode(strictTokenGrams(col("text"), 3)).as("g"))
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "t")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), lead(col("t"), 1).over(w),
+          lead(col("t"), 2).over(w)).as("g"),
+        lead(col("t"), 2).over(w).as("tl"))
+      .filter(col("tl").isNotNull)
     val sigs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("g")))).as(s"sig_$j"))
     grams.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
