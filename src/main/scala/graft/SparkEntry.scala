@@ -196,6 +196,8 @@ object SparkEntry {
       Relational.valueHistogram(s, d).orderBy("bucket")),
     "q69_snapshot_diff" -> ((s, d) =>
       Relational.snapshotDiffQuery(s, d).orderBy("o_orderkey")),
+    "q70_moving_avg" -> ((s, d) =>
+      Relational.movingAvgSpend(s, d).orderBy("o_custkey", "o_orderkey")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -716,6 +718,14 @@ object SparkEntry {
         |FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey
         |WHERE (p.o_orderkey IS NULL OR c.o_orderkey IS NULL OR p.fp <> c.fp)
         |ORDER BY o_orderkey""".stripMargin,
+    "q70_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_last3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q42_knn_brute" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(

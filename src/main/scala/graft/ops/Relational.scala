@@ -324,6 +324,21 @@ object Relational {
         coalesce(col("o_month"), lit(-1L)).as("o_month"),
         col("n_orders"), col("total"))
 
+  /** Bounded-frame window: per-customer moving average over the last 3
+    * orders (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — decimal sum /
+    * count so the double is bit-exact across engines. One shuffle on
+    * the customer key. */
+  def movingAvgSpend(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg_last3"))
+  }
+
   /** Inventory snapshot diff (the D3/K5 family's incremental primitive:
     * what changed since the last run) — rows added, removed, or changed
     * between two snapshots, as ONE full-outer join hash-partitioned on

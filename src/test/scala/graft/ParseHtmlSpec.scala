@@ -123,4 +123,21 @@ class ParseHtmlSpec extends SparkTestBase {
       .selectExpr("id", "parse_html(html, 'a')")
     assert(df.count() == 0)
   }
+
+  test("parser tolerates malformed HTML: unclosed tags, junk, truncation") {
+    import graft.parse.HtmlParser
+    val nasty = Seq(
+      "<div><a href='/x'>unclosed",
+      "<<<>>>&&& <a href=\"/y\">y</a",
+      "<table><tr><td><a href='/z'>z</a></table>",
+      "plain text only, no tags",
+      "")
+    nasty.foreach { h =>
+      // must not throw; link extraction still finds well-formed anchors
+      val links = HtmlParser.selectAll(h, "a")
+      assert(links.forall(_.tag == "a"))
+    }
+    assert(HtmlParser.selectAll("<div><a href='/x'>unclosed", "a")
+      .flatMap(_.attr("href")) == Seq("/x"))
+  }
 }
