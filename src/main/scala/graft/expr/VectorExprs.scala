@@ -60,13 +60,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: nullSafeCodeGen does not brace the block for
+      // non-nullable inputs, so fixed locals would collide when two of
+      // these land in one codegen scope (Janino error -> interpreted
+      // fallback)
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (${getElemCode(left, a, "i")}) * (${getElemCode(right, b, "i")});
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (${getElemCode(left, a, i)}) * (${getElemCode(right, b, i)});
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -102,17 +109,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names for the same scope-collision reason as DotProduct
+      val n = ctx.freshName("n")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double ab = 0.0, aa = 0.0, bb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = ${getElemCode(left, a, "i")};
-         |  double yv = ${getElemCode(right, b, "i")};
-         |  ab += xv * yv; aa += xv * xv; bb += yv * yv;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${getElemCode(left, a, i)};
+         |  double $yv = ${getElemCode(right, b, i)};
+         |  $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
          |}
-         |double denom = Math.sqrt(aa) * Math.sqrt(bb);
-         |if (denom == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ab / denom; }
+         |double $denom = Math.sqrt($aa) * Math.sqrt($bb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $ab / $denom; }
        """.stripMargin
     })
 

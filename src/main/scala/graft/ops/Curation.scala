@@ -107,16 +107,18 @@ object Curation {
   }
 
   /** Per-document most-salient term by tf-idf. One exploded-token
-    * aggregation for tf, one term aggregation for df, broadcast both
-    * the doc count and the (vocabulary-sized) df table back — the
-    * vocabulary is orders of magnitude smaller than the corpus. */
+    * aggregation for tf, one term aggregation for df, a shuffled
+    * equi-join on `term` to score (raw web vocabulary — typos, URLs,
+    * numbers — grows into the billions, so df is NOT broadcast; AQE
+    * still broadcasts it when it actually fits), and a 1-row broadcast
+    * for the corpus doc count. */
   def tfidfTopTerm(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "term")
+    val scored = tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") *

@@ -23,6 +23,8 @@ import graft.Tables
   */
 object Dedup {
 
+  private val lshCallId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Content digest for exact dedup (sha256 — collision-safe at corpus
     * scale, and mirrored by DuckDB's sha256 for the oracle). */
   def contentHash(text: Column): Column = sha2(text, 256)
@@ -99,6 +101,36 @@ object Dedup {
       .agg(collect_set(col("h")).as("sh"), array(mins: _*).as("sig"))
   }
 
+  /** Exploded (id, h) token k-shingle hashes with no interpreted
+    * higher-order functions: tokens explode with their position, hash
+    * once, and k consecutive token hashes combine through a lead-window
+    * into one 64-bit shingle key (the same pattern as
+    * [[Curation]]'s gram hashing). Two shingles collide iff their token
+    * sequences match (mod 2^-64), so Jaccard over these keys equals
+    * Jaccard over shingle strings; docs shorter than k tokens
+    * contribute a single whole-text hash, mirroring [[tokenShingles]]'s
+    * fallback. One shuffle (the per-doc position window) replaces
+    * ~7 us/element of interpreted transform/slice/concat_ws work. */
+  def explodedTokenShingleHashes(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    docs.select(col(idCol).as("id"), col(textCol).as("txt"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+      // carry the raw text only on the first token row (the short-doc
+      // fallback needs it); null elsewhere keeps the window shuffle slim
+      .select(col("id"), col("pos"),
+        when(col("pos") === 0, col("txt")).as("txt"),
+        xxhash64(col("t")).as("th"))
+      .select(col("id"), col("pos"), col("txt"),
+        xxhash64((0 until k).map(j => lead(col("th"), j).over(w)): _*)
+          .as("gh"),
+        lead(col("th"), k - 1).over(w).as("tl"))
+      .filter(col("tl").isNotNull || col("pos") === 0)
+      .select(col("id"),
+        when(col("tl").isNotNull, col("gh"))
+          .otherwise(xxhash64(col("txt"))).as("h"))
+  }
+
   /** Exploded (id, h) char k-gram shingle hashes, fully inside
     * whole-stage codegen: explode the positions, substring, hash. No
     * interpreted higher-order functions, no intermediate string arrays;
@@ -133,25 +165,54 @@ object Dedup {
       bands, rowsPerBand, threshold, tag)
 
   /** As [[lshNearDupPairs]], over pre-exploded (id, h) shingle hashes —
-    * the entry point for codegen'd shingle producers. */
+    * the entry point for codegen'd shingle producers.
+    *
+    * Degenerate-bucket guard: a bucket of B docs yields B^2/2 candidate
+    * pairs, and web corpora reliably produce degenerate buckets
+    * (boilerplate pages, empty documents). Buckets larger than
+    * `maxBucketSize` are dropped from candidate generation — their
+    * members can still pair through their other (bands-1) buckets, the
+    * standard production-LSH cap. The drop is observable, not silent:
+    * an `observe` metric `lsh_capped:<tag>` reports how many (doc,
+    * bucket) memberships the cap removed on every execution. The
+    * bucket-size count is a window over the same (band, bucket) keys
+    * the self-join shuffles on, so the cap adds no extra exchange. */
   def lshNearDupPairsFromHashes(exploded: DataFrame, bands: Int,
-      rowsPerBand: Int, threshold: Double, tag: String): DataFrame = {
+      rowsPerBand: Int, threshold: Double, tag: String,
+      maxBucketSize: Int = 1000): DataFrame = {
     val index = signatureIndex(exploded, bands * rowsPerBand).persist()
-    val banded = index.select(col("id"),
+    val wb = Window.partitionBy(col("band"), col("bucket"))
+    val sized = index.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit(tag), b, concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .as(Seq("band", "bucket")))
-    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
+      .withColumn("bsz", count(lit(1)).over(wb))
+    // the observe sits on ONE side only — a CollectMetrics node
+    // duplicated by the self-join trips DUPLICATED_METRICS_NAME when
+    // the pipeline is composed further, and one side already sees
+    // every (doc, bucket) membership exactly once — and carries a
+    // per-call suffix so two LSH stages can coexist in one query
+    val l = sized
+      .observe(s"lsh_capped:$tag:${lshCallId.incrementAndGet()}",
+        sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L))
+          .as("memberships_dropped"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = sized
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // Verification joins: no forced broadcast — candidate volume is
+    // sub-linear by LSH design but quadratic-exposed without the cap
+    // holding, so let AQE pick broadcast when the pair set actually
+    // fits and fall back to a shuffled join keyed on id when it grows.
     val sets = index.select(col("id"), col("sh"))
-    pairs.hint("broadcast")
+    pairs
       .join(sets, col("id_a") === col("id"))
       .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
-      .hint("broadcast")
       .join(sets, col("id_b") === col("id"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh")))
       .filter(col("jaccard") >= threshold)
@@ -177,7 +238,8 @@ object Dedup {
   def minHashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame =
-    lshNearDupPairs(docs, idCol, tokenShingles(col(textCol), shingleK),
+    lshNearDupPairsFromHashes(
+      explodedTokenShingleHashes(docs, idCol, textCol, shingleK),
       bands, rowsPerBand, threshold, "band")
 
   /** Near-dup pairs over the documents table (rows-only check: xxhash64
@@ -210,14 +272,15 @@ object Dedup {
     * the loop stops on a converged (zero-change) round. At larger
     * diameters the alternating large-star/small-star formulation
     * halves round count; the per-round dataflow is identical. */
-  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = vertices.select(col("id"), col("id").as("lbl")).persist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("id"))
@@ -234,6 +297,14 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    sym.unpersist()
+    if (changed > 0)
+      // a silently-split component diverges from full reachability;
+      // that is a wrong answer, not a degraded one
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          s"($changed labels still changing); raise maxRounds — " +
+          "components with diameter beyond this bound would be split")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
@@ -241,16 +312,31 @@ object Dedup {
     * MinHash first component collides (an LSH band of width 1 — the
     * oracle-mirrorable bucket key), components labeled by min doc_id.
     * Oracle: the same edges + a recursive-CTE reachability in DuckDB. */
-  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+  def nearDupClusters(s: SparkSession, d: String,
+      maxBucketSize: Int = 10000): DataFrame = {
     val sig0 = Curation.minhashMd5(s, d, numHashes = 1)
-      .select(col("doc_id"), col("sig_0")).persist()
+      .select(col("doc_id"), col("sig_0"))
+      // same degenerate-bucket guard as the banded join: a bucket of B
+      // docs emits B^2/2 edges. Label propagation only needs a spanning
+      // structure, but capping keeps the edge list linear; the default
+      // sits far above any honest near-dup cluster (and above the test
+      // corpus, so the recursive-CTE oracle sees identical edges).
+      // (no observe here: the edge list is unioned twice inside
+      // connectedComponents, which would duplicate a CollectMetrics
+      // node; the capped-membership metric is exposed on the LSH pair
+      // path, which shares this guard)
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("sig_0"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz").persist()
     val edges = sig0.select(col("doc_id").as("src"), col("sig_0"))
       .join(sig0.select(col("doc_id").as("dst"), col("sig_0")), "sig_0")
       .filter(col("src") < col("dst"))
       .select(col("src"), col("dst"))
     val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
-    connectedComponents(edges, vertices)
-      .select(col("id").as("doc_id"), col("cluster"))
+    val labels = connectedComponents(edges, vertices)
+    sig0.unpersist() // labels are persisted; the edge source is spent
+    labels.select(col("id").as("doc_id"), col("cluster"))
   }
 
   // ----------------------------------------------------------- SimHash

@@ -16,8 +16,13 @@ object Maintenance {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileMB: Int = 128): Int = {
     val df = spark.read.parquet(inDir)
+    // size through the Hadoop FileSystem API so hdfs:// and s3a:// (the
+    // actual 100 TB deployment) report real lengths — java.io.File
+    // returns 0 for non-file schemes, collapsing the rewrite to 1 part
+    val conf = spark.sparkContext.hadoopConfiguration
     val bytes = df.inputFiles.map { f =>
-      new java.io.File(new java.net.URI(f).getPath).length
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
     val parts = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
     df.repartition(parts).write.mode("overwrite").parquet(outDir)

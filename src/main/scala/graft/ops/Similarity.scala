@@ -161,6 +161,16 @@ object Similarity {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]
 
+  /** Drop every memoized IVF index, unpersisting its assignment table
+    * (tolerant of indexes whose session has already stopped). */
+  def clearIvfCache(): Unit = {
+    ivfCache.values.forEach { ix =>
+      try ix.assigned.unpersist()
+      catch { case _: Throwable => () }
+    }
+    ivfCache.clear()
+  }
+
   /** One-time IVF index build, memoized per (session, corpus, nlist):
     * a seeded KMeans coarse quantizer (bounded iteration budget — it
     * only has to carve the space into lists, not converge tightly)
@@ -170,8 +180,14 @@ object Similarity {
     * At scale the list id becomes the partition key of the index
     * table, so a probe touches nprobe partitions. */
   def buildIvfIndex(s: SparkSession, d: String, nlist: Int): IvfIndex =
+    // keyed on applicationId (unique per SparkContext for the JVM's
+    // lifetime), not an identity hash a later session could collide
+    // with after GC. Persisted DataFrames are context-scoped, so the
+    // context id is exactly the cache-validity scope; entries live
+    // until the JVM or an explicit clearIvfCache — the build-once/
+    // probe-many operating point of a vector store.
     ivfCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}#$d#$nlist",
+      s"${s.sparkContext.applicationId}#$d#$nlist",
       _ => {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector

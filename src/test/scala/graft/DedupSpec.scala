@@ -92,6 +92,48 @@ class DedupSpec extends SparkTestBase {
     assert(viaExplode == viaHof)
   }
 
+  test("codegen'd token-shingle exploder is set-equivalent to tokenShingles") {
+    val docs = Seq((1L, base), (2L, base.replace("quick", "fast")),
+      (3L, "a b"), (4L, "")).toDF("doc_id", "text")
+    // hash VALUES differ by construction (hash-of-hashes vs
+    // hash-of-string), so equivalence is at the set level: identical
+    // per-doc set sizes and identical pairwise Jaccard
+    val viaLead = Dedup.explodedTokenShingleHashes(docs, "doc_id", "text", 3)
+      .groupBy("id").agg(collect_set($"h").as("sh"))
+    val viaHof = docs.select($"doc_id".as("id"),
+      Dedup.shingleHashes(Dedup.tokenShingles($"text", 3)).as("sh"))
+    val sizes = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"id", size($"sh").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sizes(viaLead) == sizes(viaHof))
+    val jac = (df: org.apache.spark.sql.DataFrame) =>
+      df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+        .select($"a.id", $"b.id",
+          round(Dedup.jaccard($"a.sh", $"b.sh"), 9).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    assert(jac(viaLead) == jac(viaHof))
+  }
+
+  test("token-shingle exploder: short doc contributes one whole-text hash") {
+    val out = Dedup.explodedTokenShingleHashes(
+      Seq((7L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 7L)
+  }
+
+  test("LSH bucket cap bounds degenerate buckets (no N^2 blowup)") {
+    val docs = (1L to 40L).map(i => (i, base)).toDF("doc_id", "text")
+    val exploded = Dedup.explodedTokenShingleHashes(docs, "doc_id", "text", 3)
+    // uncapped: 40 identical docs -> all C(40,2) pairs
+    assert(Dedup.lshNearDupPairsFromHashes(exploded, bands = 4,
+      rowsPerBand = 2, threshold = 0.9, tag = "cap") .count() == 40L * 39 / 2)
+    // capped below the bucket size: the degenerate bucket is dropped
+    // entirely, so candidates stay O(N * cap) — here zero
+    assert(Dedup.lshNearDupPairsFromHashes(exploded, bands = 4,
+      rowsPerBand = 2, threshold = 0.9, tag = "cap",
+      maxBucketSize = 10).count() == 0)
+  }
+
   test("char-gram LSH via the exploded entry point finds exact dups") {
     val docs = Seq((1L, base), (2L, base),
       (3L, "completely different characters in this unrelated document"))
