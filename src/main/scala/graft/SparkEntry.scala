@@ -198,6 +198,8 @@ object SparkEntry {
       Relational.snapshotDiffQuery(s, d).orderBy("o_orderkey")),
     "q70_moving_avg" -> ((s, d) =>
       Relational.movingAvgSpend(s, d).orderBy("o_custkey", "o_orderkey")),
+    "q71_lsh_banded_pairs" -> ((s, d) =>
+      Curation.bandedMd5Pairs(s, d).orderBy("id_a", "id_b")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -740,5 +742,31 @@ object SparkEntry {
         |  6) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q71_lsh_banded_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents),
+        |grams AS (SELECT doc_id,
+        |            unnest(list_transform(range(1, len(tk) - 1),
+        |              i -> array_to_string(tk[i:i+2], ' '))) AS g
+        |          FROM toks WHERE len(tk) >= 3),
+        |sig AS (SELECT doc_id,
+        |          min(md5('0|' || g)) AS s0, min(md5('1|' || g)) AS s1,
+        |          min(md5('2|' || g)) AS s2, min(md5('3|' || g)) AS s3,
+        |          min(md5('4|' || g)) AS s4, min(md5('5|' || g)) AS s5,
+        |          min(md5('6|' || g)) AS s6, min(md5('7|' || g)) AS s7
+        |        FROM grams GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, 0 AS band, md5('0' || '|' || s0 || '|' || s1) AS bkey FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1, md5('1' || '|' || s2 || '|' || s3) FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 2, md5('2' || '|' || s4 || '|' || s5) FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 3, md5('3' || '|' || s6 || '|' || s7) FROM sig)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+        |FROM banded a
+        |JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -153,4 +153,30 @@ object Curation {
       min(md5(concat(lit(s"$j|"), col("g")))).as(s"sig_$j"))
     grams.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
   }
+
+  /** Banded-LSH candidate pairs over the md5 MinHash signatures — the
+    * SAME banded self-join shape as [[Dedup.lshNearDupPairsFromHashes]]
+    * (signature -> per-band bucket key -> equi-join on (band, key)),
+    * but built entirely from md5 so a DuckDB oracle reproduces every
+    * bucket key bit-for-bit. Output: candidate pair + how many of the
+    * `numHashes / rowsPerBand` bands matched. The index is persisted
+    * and the join moves only (doc_id, band, key) — fixed-width rows,
+    * shuffle volume independent of document size. */
+  def bandedMd5Pairs(s: SparkSession, d: String, numHashes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashMd5(s, d, numHashes).persist()
+    val bands = numHashes / rowsPerBand
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("|",
+          lit(b.toString) +:
+            (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
+      }: _*)).as(Seq("band", "bkey")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
 }

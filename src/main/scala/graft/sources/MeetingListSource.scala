@@ -194,6 +194,9 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
   private var done = false
   private var queue: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+  // scroll dialect: cumulative link-count fixpoint state
+  private val scrollSeen = scala.collection.mutable.HashSet.empty[String]
+  private var scrollCount = 0
 
   private def loadPage(): Unit = {
     val f = new java.io.File(s"${part.dir}/page_$pageIdx.html")
@@ -262,6 +265,17 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
               (href, header.map(_.text).getOrElse(a.text), date))
           }
         }
+      case "scroll" =>
+        // Infinite-scroll portal (scraper.py:120-149): page_N.html is
+        // the DOM after N scroll-and-settle rounds — a cumulative,
+        // append-only link list. The fixpoint loop below keeps
+        // "scrolling" (opening the next state) while the link count
+        // still grows; only newly-appended links are emitted, in
+        // first-seen order.
+        HtmlParser.select(root, "a.scroll-item").flatMap { a =>
+          a.attr("href").map(href =>
+            (href, a.text, urlDateRe.findFirstMatchIn(href).flatMap(dmy)))
+        }
       case _ => // firstagenda viewer links, date embedded in the href
         HtmlParser.select(root, "a")
           .filter(_.attr("href").exists(_.startsWith("/vis?Referat-")))
@@ -270,7 +284,13 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
             (href, a.text, urlDateRe.findFirstMatchIn(href).flatMap(dmy))
           }
     }
-    val rows = parsed.collect {
+    // scroll: drop links already emitted from an earlier scroll state
+    // (HashSet.add returns false for dups; sequential filter keeps
+    // the page's first-seen order)
+    val fresh =
+      if (dialect == "scroll") parsed.filter(p => scrollSeen.add(p._1))
+      else parsed
+    val rows = fresh.collect {
       case (href, title, date) if keep(date) => buildRow(href, title, date)
     }
     // F8 sentinel: an "Ingen data" result row terminates the scan
@@ -279,7 +299,7 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
         _.text.toLowerCase.contains("ingen data"))
     // early stop: pages are newest-first and everything here is already
     // older than the lower bound -> no later page can match
-    val allDates = parsed.flatMap(_._3)
+    val allDates = fresh.flatMap(_._3)
     val exhaustedByDate = sortedDesc && minDate.isDefined &&
       allDates.nonEmpty && allDates.forall(_.isBefore(minDate.get))
     val hasNext = dialect match {
@@ -294,6 +314,13 @@ class MeetingListReader(part: MeetingListPartition, sortedDesc: Boolean,
         parsed.nonEmpty
       case "os2web" => HtmlParser.select(root, "li.pager-next").nonEmpty
       case "accordion" => false // single-page archive
+      case "scroll" =>
+        // fixpoint on the cumulative link count: another scroll is
+        // worthwhile only if this one grew the list (scraper.py:134-137
+        // stops when the count settles)
+        val grew = parsed.size > scrollCount
+        scrollCount = parsed.size
+        grew
       case _ => HtmlParser.select(root, "li.pager__item--next").nonEmpty
     }
     queue = (if (sentinel) Seq.empty else rows).iterator

@@ -178,6 +178,38 @@ class MeetingListSourceSpec extends SparkTestBase {
       _.getAs[String]("title").startsWith("Oekonomiudvalget")))
   }
 
+  test("scroll dialect: link-count fixpoint stops the crawl (S5)") {
+    val (rows, pages) = countingPages {
+      spark.read.format("meetinglist")
+        .option("dialect", "scroll")
+        .load("src/test/resources/fixtures/portals7")
+        .collect()
+    }
+    // 3 initial links + 2 appended by the first scroll, each emitted once
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[String]("doc_uuid")).distinct.length == 5)
+    // page_0 (initial) + page_1 (grew 3->5) + page_2 (settled at 5);
+    // page_3's poison link proves the fixpoint stopped the crawl
+    assert(pages == 3)
+    assert(!rows.exists(_.getAs[String]("title").contains("POISON")))
+    // first-seen order is preserved: appended links carry later pages
+    val byUuid = rows.map(r => r.getAs[String]("doc_uuid") ->
+      r.getAs[Int]("page_idx")).toMap
+    assert(byUuid("dddddddd-0001-4a33-bd18-7d059bcf9d81") == 0)
+    assert(byUuid("dddddddd-0004-7d66-ea4b-a0382ef2c0b4") == 1)
+  }
+
+  test("scroll dialect + limit pushdown stops scrolling early") {
+    val (rows, pages) = countingPages {
+      spark.read.format("meetinglist")
+        .option("dialect", "scroll")
+        .load("src/test/resources/fixtures/portals7")
+        .limit(3).collect()
+    }
+    assert(rows.length == 3)
+    assert(pages == 1) // the initial state already satisfied the limit
+  }
+
   test("pushed filters and limit are visible in the scan description") {
     val df = read().filter(col("meeting_date") >= lit("2024-04-01").cast("date"))
       .limit(3)
