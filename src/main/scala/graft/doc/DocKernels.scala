@@ -17,12 +17,16 @@ import graft.parse.HtmlParser
 object DocKernels {
 
   // ------------------------------------------------------------- B1
-  /** DOCX -> plain text: unzip in memory, pull w:t runs from
-    * word/document.xml, paragraph per w:p. Mirrors mammoth's text
-    * extraction semantics minus styling (scraper_glostrup.py:42-66);
-    * WMF/EMF images are dropped entirely, the P21 semantic
-    * (scraper_glostrup.py:69-74). */
-  def docxToText(docx: Array[Byte]): String = {
+  /** Structured DOCX content: headings, paragraphs with (text, bold)
+    * runs, and simple tables — the subset mammoth carries into HTML
+    * and WeasyPrint then renders (scraper_glostrup.py:42-100). */
+  sealed trait DocxBlock
+  final case class DocxHeading(level: Int,
+      runs: Seq[(String, Boolean)]) extends DocxBlock
+  final case class DocxPara(runs: Seq[(String, Boolean)]) extends DocxBlock
+  final case class DocxTable(rows: Seq[Seq[String]]) extends DocxBlock
+
+  private def documentXml(docx: Array[Byte]): String = {
     val zis = new ZipInputStream(new ByteArrayInputStream(docx))
     var xml: String = null
     try {
@@ -34,19 +38,112 @@ object DocKernels {
         e = zis.getNextEntry
       }
     } finally zis.close()
-    if (xml == null) return ""
-    val para = "(?s)<w:p[ >].*?</w:p>|<w:p/>".r
-    val run = "(?s)<w:t(?: [^>]*)?>(.*?)</w:t>".r
-    para.findAllIn(xml).map { p =>
-      run.findAllMatchIn(p).map(m => HtmlParser.unescape(m.group(1))).mkString
-    }.mkString("\n")
+    if (xml == null) "" else xml
   }
 
-  /** B1: DOCX -> PDF (text extraction + MiniPdf rendering). */
+  private val blockRe =
+    "(?s)(<w:tbl[ >].*?</w:tbl>)|(<w:p[ >].*?</w:p>|<w:p/>)".r
+  private val runRe = "(?s)<w:r[ >].*?</w:r>".r
+  private val textRe = "(?s)<w:t(?: [^>]*)?>(.*?)</w:t>".r
+  private val headingRe = "<w:pStyle [^>]*w:val=\"Heading(\\d)\"".r
+  private val boldRe = "<w:b(?:\\s[^>]*)?/>".r
+  private val rowRe = "(?s)<w:tr[ >].*?</w:tr>".r
+  private val cellRe = "(?s)<w:tc[ >].*?</w:tc>".r
+
+  /** DOCX -> structured blocks. The scanning regex consumes whole
+    * tables first, so cell paragraphs never leak as top-level
+    * paragraphs; WMF/EMF and all other non-text content is dropped
+    * entirely, the P21 semantic (scraper_glostrup.py:69-74). */
+  def docxToBlocks(docx: Array[Byte]): Seq[DocxBlock] = {
+    val xml = documentXml(docx)
+    def runs(p: String): Seq[(String, Boolean)] = {
+      val rs = runRe.findAllIn(p).map { r =>
+        val bold = boldRe.findFirstIn(r)
+          .exists(b => !b.contains("\"0\"") && !b.contains("\"false\""))
+        val text = textRe.findAllMatchIn(r)
+          .map(m => HtmlParser.unescape(m.group(1))).mkString
+        (text, bold)
+      }.filter(_._1.nonEmpty).toSeq
+      // coalesce adjacent runs of equal style (Word splits arbitrarily)
+      rs.foldLeft(Vector.empty[(String, Boolean)]) {
+        case (acc :+ ((t, b)), (t2, b2)) if b == b2 => acc :+ (t + t2, b)
+        case (acc, r) => acc :+ r
+      }
+    }
+    blockRe.findAllMatchIn(xml).map { m =>
+      if (m.group(1) != null) {
+        DocxTable(rowRe.findAllIn(m.group(1)).map { tr =>
+          cellRe.findAllIn(tr).map { tc =>
+            textRe.findAllMatchIn(tc)
+              .map(x => HtmlParser.unescape(x.group(1))).mkString
+          }.toSeq
+        }.toSeq)
+      } else {
+        val p = m.group(2)
+        headingRe.findFirstMatchIn(p) match {
+          case Some(h) => DocxHeading(h.group(1).toInt, runs(p))
+          case None => DocxPara(runs(p))
+        }
+      }
+    }.toSeq
+  }
+
+  /** DOCX -> plain text: paragraph per line, table rows as
+    * pipe-joined cells. Mirrors mammoth's text extraction semantics
+    * minus styling (scraper_glostrup.py:42-66). */
+  def docxToText(docx: Array[Byte]): String =
+    docxToBlocks(docx).flatMap {
+      case DocxHeading(_, runs) => Seq(runs.map(_._1).mkString)
+      case DocxPara(runs) => Seq(runs.map(_._1).mkString)
+      case DocxTable(rows) => rows.map(_.mkString(" | "))
+    }.mkString("\n")
+
+  /** B1: DOCX -> PDF with minimal structure fidelity toward the
+    * mammoth+WeasyPrint render (scraper_glostrup.py:42-100): headings
+    * become larger bold lines with leading space, bold runs keep
+    * their weight inside wrapped paragraphs, table rows render as
+    * pipe-joined lines. */
   def docxToPdf(docx: Array[Byte]): Array[Byte] = {
-    val text = docxToText(docx)
-    val lines = wrap(text.split("\n").toSeq)
-    MiniPdf.makePdf(paginate(lines))
+    val lines = scala.collection.mutable.ArrayBuffer[MiniPdf.StyledLine]()
+    docxToBlocks(docx).foreach {
+      case DocxHeading(level, runs) =>
+        if (lines.nonEmpty) lines += MiniPdf.StyledLine(Seq.empty)
+        val size = math.max(15 - level, 12)
+        wrapSegs(runs.map { case (t, _) => (t, true) }).foreach(segs =>
+          lines += MiniPdf.StyledLine(segs, fontSize = size))
+      case DocxPara(runs) =>
+        wrapSegs(runs).foreach(segs => lines += MiniPdf.StyledLine(segs))
+      case DocxTable(rows) =>
+        rows.foreach { r =>
+          wrapSegs(Seq((r.mkString(" | "), false))).foreach(segs =>
+            lines += MiniPdf.StyledLine(segs))
+        }
+    }
+    val ls = if (lines.isEmpty) Seq(MiniPdf.StyledLine(Seq.empty))
+      else lines.toSeq
+    MiniPdf.makeStyledPdf(
+      ls.grouped(LinesPerPage).map(g => MiniPdf.StyledPage(g.toSeq)).toSeq)
+  }
+
+  /** Greedy column-budget wrap that preserves run boundaries (and so
+    * bold spans); splits inside over-long runs like the plain wrap. */
+  private def wrapSegs(runs: Seq[(String, Boolean)],
+      max: Int = MaxCols): Seq[Seq[MiniPdf.Seg]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Seq[MiniPdf.Seg]]()
+    var cur = Vector.empty[MiniPdf.Seg]
+    var len = 0
+    runs.foreach { case (t0, b) =>
+      var t = t0
+      while (t.nonEmpty) {
+        if (len == max) { out += cur; cur = Vector.empty; len = 0 }
+        val take = math.min(max - len, t.length)
+        cur = cur :+ MiniPdf.Seg(t.take(take), b)
+        len += take
+        t = t.drop(take)
+      }
+    }
+    if (cur.nonEmpty || out.isEmpty) out += cur
+    out.toSeq
   }
 
   // ---------------------------------------------------------- B2/B3

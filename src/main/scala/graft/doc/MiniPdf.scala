@@ -25,6 +25,16 @@ object MiniPdf {
   final case class Page(lines: Seq[String], x: Int = 72, startY: Int = 770,
       leading: Int = 16, fontSize: Int = 11)
 
+  /** A styled run within a line; bold renders as Helvetica-Bold. */
+  final case class Seg(text: String, bold: Boolean = false)
+
+  /** A line of styled runs; fontSize applies to the whole line. */
+  final case class StyledLine(segs: Seq[Seg], fontSize: Int = 11)
+
+  /** A page of styled lines (B1's structured DOCX render). */
+  final case class StyledPage(lines: Seq[StyledLine], x: Int = 72,
+      startY: Int = 770, leading: Int = 16)
+
   private def escape(s: String): String =
     s.flatMap {
       case '(' => "\\("
@@ -48,36 +58,58 @@ object MiniPdf {
     sb.toString
   }
 
-  /** Build a PDF from pages of text lines. */
-  def makePdf(pages: Seq[Page]): Array[Byte] = {
-    require(pages.nonEmpty, "PDF needs at least one page")
+  private def styledContentStream(p: StyledPage): String = {
+    val sb = new StringBuilder
+    sb.append("BT\n")
+    sb.append(s"${p.x} ${p.startY} Td\n")
+    sb.append(s"${p.leading} TL\n")
+    var curFont = ""
+    p.lines.zipWithIndex.foreach { case (line, i) =>
+      if (i > 0) sb.append("T*\n")
+      val segs = if (line.segs.isEmpty) Seq(Seg("")) else line.segs
+      segs.foreach { seg =>
+        val font = s"${if (seg.bold) "/F2" else "/F1"} ${line.fontSize} Tf"
+        if (font != curFont) { sb.append(font).append("\n"); curFont = font }
+        // Tj advances the pen, so consecutive runs concatenate in-line
+        sb.append(s"(${escape(seg.text)}) Tj\n")
+      }
+    }
+    sb.append("ET\n")
+    sb.toString
+  }
+
+  /** Shared object-level writer: one content stream per page, both
+    * fonts (F1 Helvetica, F2 Helvetica-Bold) in every page's
+    * resources. */
+  private def emitPdf(contents: Seq[String]): Array[Byte] = {
+    require(contents.nonEmpty, "PDF needs at least one page")
     val out = new ByteArrayOutputStream()
     def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     def writeObj(s: String): Unit = { offsets += out.size(); out.write(bytes(s)) }
 
     out.write(bytes("%PDF-1.4\n%âãÏÓ\n"))
-    val n = pages.size
-    // object ids: 1 catalog, 2 pages, 3 font, then per page: page obj
-    // (4+2i) and content obj (5+2i)
+    val n = contents.size
+    // object ids: 1 catalog, 2 pages, 3+4 fonts, then per page: page
+    // obj (5+2i) and content obj (6+2i)
     writeObj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-    val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    val kids = (0 until n).map(i => s"${5 + 2 * i} 0 R").mkString(" ")
     writeObj(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
     writeObj("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
-    pages.zipWithIndex.foreach { case (p, i) =>
-      val pageId = 4 + 2 * i
-      val contId = 5 + 2 * i
+    writeObj("4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>\nendobj\n")
+    contents.zipWithIndex.foreach { case (cs, i) =>
+      val pageId = 5 + 2 * i
+      val contId = 6 + 2 * i
       writeObj(s"$pageId 0 obj\n<< /Type /Page /Parent 2 0 R " +
         s"/MediaBox [0 0 $PageWidth $PageHeight] " +
-        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> " +
         s"/Contents $contId 0 R >>\nendobj\n")
-      val cs = contentStream(p)
       val csBytes = bytes(cs)
       writeObj(s"$contId 0 obj\n<< /Length ${csBytes.length} >>\nstream\n" +
         cs + "endstream\nendobj\n")
     }
     val xrefPos = out.size()
-    val total = 3 + 2 * n + 1
+    val total = 4 + 2 * n + 1
     val sb = new StringBuilder
     sb.append(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
@@ -85,6 +117,15 @@ object MiniPdf {
     out.write(bytes(sb.toString))
     out.toByteArray
   }
+
+  /** Build a PDF from pages of text lines. */
+  def makePdf(pages: Seq[Page]): Array[Byte] =
+    emitPdf(pages.map(contentStream))
+
+  /** Build a PDF from pages of styled lines (bold runs, per-line
+    * sizes) — the B1 structured render target. */
+  def makeStyledPdf(pages: Seq[StyledPage]): Array[Byte] =
+    emitPdf(pages.map(styledContentStream))
 
   /** B4: cover page — title, date, bulleted participants
     * (scraper_ringkoebing_skjern.py:33-67 layout semantics). */
@@ -127,46 +168,26 @@ object MiniPdf {
 
   /** B5: merge — re-emit every source page (text content) into one
     * document, preserving order (PdfWriter.append semantics for the
-    * engine's own uncompressed text PDFs). */
+    * engine's own uncompressed text PDFs). Both fonts ride along in
+    * every page's resources, so plain and styled pages merge freely. */
   def merge(pdfs: Seq[Array[Byte]]): Array[Byte] = {
-    val pages = pdfs.flatMap { pdf =>
-      contentStreams(pdf).map(raw => RawPage(raw))
-    }
+    val pages = pdfs.flatMap(contentStreams)
     require(pages.nonEmpty, "merge of zero pages")
-    makeRawPdf(pages)
+    emitPdf(pages)
   }
 
-  private final case class RawPage(content: String)
-
-  /** Rebuild a PDF from raw content streams (used by merge). */
-  private def makeRawPdf(pages: Seq[RawPage]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
-    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
-    def writeObj(s: String): Unit = { offsets += out.size(); out.write(bytes(s)) }
-    out.write(bytes("%PDF-1.4\n"))
-    val n = pages.size
-    writeObj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-    val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
-    writeObj(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
-    writeObj("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
-    pages.zipWithIndex.foreach { case (p, i) =>
-      val pageId = 4 + 2 * i
-      val contId = 5 + 2 * i
-      writeObj(s"$pageId 0 obj\n<< /Type /Page /Parent 2 0 R " +
-        s"/MediaBox [0 0 $PageWidth $PageHeight] " +
-        s"/Resources << /Font << /F1 3 0 R >> >> " +
-        s"/Contents $contId 0 R >>\nendobj\n")
-      writeObj(s"$contId 0 obj\n<< /Length ${p.content.length} >>\nstream\n" +
-        p.content + "endstream\nendobj\n")
+  /** Extracted (text, font) runs in order — font is "F1" (regular) or
+    * "F2" (bold); the test oracle for B1's styled render. */
+  def extractTextWithFonts(pdf: Array[Byte]): Seq[(String, String)] = {
+    val tok = "/(F\\d+)\\s+[\\d.]+\\s+Tf|\\(((?:[^()\\\\]|\\\\.)*)\\)\\s*Tj".r
+    var font = "F1"
+    contentStreams(pdf).flatMap { cs =>
+      tok.findAllMatchIn(cs).flatMap { m =>
+        if (m.group(1) != null) { font = m.group(1); None }
+        else Some((m.group(2)
+          .replace("\\(", "(").replace("\\)", ")").replace("\\\\", "\\"),
+          font))
+      }
     }
-    val xrefPos = out.size()
-    val total = 3 + 2 * n + 1
-    val sb = new StringBuilder
-    sb.append(s"xref\n0 $total\n0000000000 65535 f \n")
-    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
-    sb.append(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
-    out.write(bytes(sb.toString))
-    out.toByteArray
   }
 }

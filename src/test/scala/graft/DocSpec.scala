@@ -90,6 +90,80 @@ class DocSpec extends SparkTestBase {
     assert(t.contains("Hello") && t.contains("World"))
   }
 
+  /** A DOCX with heading + mixed-weight runs + a 2x2 table. */
+  private def structuredDocx: Array[Byte] = {
+    val body =
+      """<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>
+        |<w:r><w:t>Referat</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>Punkt 1: </w:t></w:r>
+        |<w:r><w:rPr><w:b/></w:rPr><w:t>Budget</w:t></w:r>
+        |<w:r><w:rPr><w:b/></w:rPr><w:t> vedtaget</w:t></w:r>
+        |<w:r><w:t> uden bem&amp;rkninger</w:t></w:r></w:p>
+        |<w:tbl><w:tr><w:tc><w:p><w:r><w:t>Navn</w:t></w:r></w:p></w:tc>
+        |<w:tc><w:p><w:r><w:t>Rolle</w:t></w:r></w:p></w:tc></w:tr>
+        |<w:tr><w:tc><w:p><w:r><w:t>Anne</w:t></w:r></w:p></w:tc>
+        |<w:tc><w:p><w:r><w:t>Formand</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+        |""".stripMargin.replace("\n", "")
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    zos.putNextEntry(new ZipEntry("word/document.xml"))
+    zos.write(
+      s"""<?xml version="1.0"?><w:document><w:body>$body</w:body></w:document>"""
+        .getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("docxToBlocks: heading level, coalesced bold runs, table cells (B1)") {
+    val blocks = DocKernels.docxToBlocks(structuredDocx)
+    assert(blocks == Seq(
+      // run-level style is reported as written (no <w:b/> on the
+      // heading run); the renderer bolds headings itself
+      DocKernels.DocxHeading(1, Seq(("Referat", false))),
+      // adjacent same-style runs coalesce; bold span survives
+      DocKernels.DocxPara(Seq(("Punkt 1: ", false),
+        ("Budget vedtaget", true), (" uden bem&rkninger", false))),
+      DocKernels.DocxTable(Seq(Seq("Navn", "Rolle"), Seq("Anne", "Formand")))))
+    // cell paragraphs never leak as top-level paragraphs
+    assert(!blocks.exists {
+      case DocKernels.DocxPara(rs) => rs.exists(_._1 == "Anne")
+      case _ => false
+    })
+  }
+
+  test("docxToPdf structured render: bold heading/runs, table rows (B1)") {
+    val pdf = DocKernels.docxToPdf(structuredDocx)
+    val runs = MiniPdf.extractTextWithFonts(pdf)
+    // the heading renders bold (F2); the bold span keeps its weight
+    assert(runs.contains(("Referat", "F2")))
+    assert(runs.contains(("Budget vedtaget", "F2")))
+    assert(runs.contains(("Punkt 1: ", "F1")))
+    // table rows are pipe-joined plain lines
+    assert(runs.contains(("Navn | Rolle", "F1")))
+    assert(runs.contains(("Anne | Formand", "F1")))
+    // plain-text extraction sees everything in order
+    val txt = MiniPdf.extractText(pdf).mkString("\n")
+    assert(txt.indexOf("Referat") < txt.indexOf("Punkt 1: "))
+    assert(txt.indexOf("Punkt 1: ") < txt.indexOf("Navn | Rolle"))
+  }
+
+  test("docxToText flattens headings and tables to lines (B1)") {
+    val txt = DocKernels.docxToText(structuredDocx)
+    assert(txt == "Referat\nPunkt 1: Budget vedtaget uden bem&rkninger\n" +
+      "Navn | Rolle\nAnne | Formand")
+  }
+
+  test("merged styled+plain PDFs keep both font resources (B5)") {
+    val styled = DocKernels.docxToPdf(structuredDocx)
+    val plain = MiniPdf.makePdf(Seq(MiniPdf.Page(Seq("cover"))))
+    val merged = MiniPdf.merge(Seq(plain, styled))
+    assert(MiniPdf.pageCount(merged) == 2)
+    val runs = MiniPdf.extractTextWithFonts(merged)
+    assert(runs.contains(("cover", "F1")))
+    assert(runs.contains(("Referat", "F2")))
+  }
+
   test("htmlToText keeps content blocks, hides nav/footer/cookie (B2/B3)") {
     val html =
       """<html><body><nav>menu items</nav>
