@@ -103,4 +103,24 @@ class PropertySpec extends SparkTestBase {
       assert(math.abs(r.getDouble(2) - expected) < 1e-12)
     }
   }
+
+  test("property: LSH bucket cap bounds candidates at O(N*cap), not O(N^2)") {
+    // N identical docs all land in one bucket per band: uncapped LSH
+    // yields C(N,2) pairs; with cap < N the degenerate buckets drop and
+    // candidates collapse — for any generated N and any cap
+    val base = (1 to 24).map(i => s"tok$i").mkString(" ")
+    sample(Gen.zip(Gen.choose(12, 36), Gen.choose(2, 10)), 4).distinct
+      .foreach { case (n, cap) =>
+        val docs = (1L to n.toLong).map((_, base)).toDF("doc_id", "text")
+        val exploded =
+          Dedup.explodedTokenShingleHashes(docs, "doc_id", "text", 3)
+        val uncapped = Dedup.lshNearDupPairsFromHashes(exploded, bands = 4,
+          rowsPerBand = 2, threshold = 0.9, tag = s"p$n").count()
+        assert(uncapped == n.toLong * (n - 1) / 2)
+        val capped = Dedup.lshNearDupPairsFromHashes(exploded, bands = 4,
+          rowsPerBand = 2, threshold = 0.9, tag = s"p$n",
+          maxBucketSize = cap).count()
+        assert(capped <= n.toLong * cap)
+      }
+  }
 }
