@@ -194,13 +194,21 @@ object Dedup {
         .as(Seq("band", "bucket")))
       .withColumn("bsz", count(lit(1)).over(wb))
       .persist()
-    val dropped = sized.filter(col("bsz") > maxBucketSize).count()
+    // one aggregation over the cached banded table yields both the
+    // overflow count (for the log) and an exact pre-distinct bound on
+    // candidate pairs: a kept bucket of size B contributes B rows of
+    // (B-1)/2 each = B(B-1)/2 pairs. One extra job per call, total.
+    val st = sized.agg(
+      sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L))
+        .as("dropped"),
+      sum(when(col("bsz") <= maxBucketSize, col("bsz") - 1L)
+        .otherwise(0L)).as("pair_bound_x2")).head()
+    val dropped = Option(st.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val pairBound = Option(st.get(1)).fold(0L)(_.asInstanceOf[Long]) / 2
     if (dropped > 0)
       log.warn(s"lsh[$tag]: dropped $dropped (doc, bucket) memberships " +
         s"in buckets larger than $maxBucketSize; members can still " +
         "pair through their other bands")
-    // one banded DataFrame for BOTH self-join sides: identical
-    // subtrees reuse the window exchange instead of computing it twice
     val banded = sized.filter(col("bsz") <= maxBucketSize)
       .select(col("band"), col("bucket"), col("id"))
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -208,11 +216,8 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .persist()
-    val nPairs = pairs.count()
-    sized.unpersist()
     def probeSide(df: DataFrame): DataFrame =
-      if (nPairs <= maxBroadcastPairs) df.hint("broadcast") else df
+      if (pairBound <= maxBroadcastPairs) df.hint("broadcast") else df
     val sets = index.select(col("id"), col("sh"))
     probeSide(probeSide(pairs)
       .join(sets, col("id_a") === col("id"))
