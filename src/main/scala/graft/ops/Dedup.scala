@@ -272,15 +272,18 @@ object Dedup {
     * canonical representative — pick-one-per-cluster is then a plain
     * groupBy).
     *
-    * Iterative min-label propagation: each round every vertex takes
-    * the min of its own label and its neighbors' labels; converges in
-    * O(component diameter) rounds — near-dup clusters are shallow
-    * (cliques glued by shared docs), so this terminates in a handful
-    * of rounds. Each round is one join + one aggregation, both
-    * hash-partitioned on the vertex id; labels persist per round and
-    * the loop stops on a converged (zero-change) round. At larger
-    * diameters the alternating large-star/small-star formulation
-    * halves round count; the per-round dataflow is identical. */
+    * Min-label propagation WITH pointer jumping: each round every
+    * vertex takes the min of its own and its neighbors' labels, then
+    * compresses one pointer hop (lbl(u) <- lbl(lbl(u))). Labels only
+    * ever move to ids inside the same component and never below its
+    * min, so the fixpoint is exact full reachability; the jump turns
+    * O(component diameter) rounds into near-logarithmic — a
+    * 10k-diameter chain converges in ~15 rounds, not 10k. Each round
+    * is two joins + one aggregation, all hash-partitioned on the
+    * vertex/label id (the jump join keys on the label, which is
+    * min-skewed inside large components — AQE's skew-join handling
+    * applies at scale); labels persist per round and the loop stops on
+    * a converged (zero-change) round. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
@@ -294,11 +297,21 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist()
+      // pointer jump: follow the label one hop through the mapping
+      // itself (every label IS a vertex id, so the lookup always hits).
+      // The jump references `prop` twice, which would DOUBLE the
+      // logical plan every round — localCheckpoint materializes the
+      // round and truncates lineage, keeping plans (and planning time)
+      // constant across rounds.
+      val next = prop
+        .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("lbl") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev")).count()

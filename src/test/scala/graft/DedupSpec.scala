@@ -189,6 +189,19 @@ class DedupSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents converges on a deep path within the round budget") {
+    // a 300-edge chain has diameter 300: plain min-propagation would
+    // need 300 rounds; pointer jumping must land it inside the default
+    // budget of 50 (it actually takes ~10)
+    val n = 301L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (1L to n).toDF("id")
+    val out = Dedup.connectedComponents(edges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == n)
+    assert(out.forall(_._2 == 1L))
+  }
+
   test("nearDupClusters puts exact duplicates in one cluster") {
     val clusters = Dedup.nearDupClusters(spark, sf("documents"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
