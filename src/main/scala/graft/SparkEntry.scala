@@ -200,6 +200,8 @@ object SparkEntry {
       Relational.movingAvgSpend(s, d).orderBy("o_custkey", "o_orderkey")),
     "q71_lsh_banded_pairs" -> ((s, d) =>
       Curation.bandedMd5Pairs(s, d).orderBy("id_a", "id_b")),
+    "q72_simhash_md5" -> ((s, d) =>
+      Curation.simhashMd5(s, d).orderBy("doc_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -768,5 +770,22 @@ object SparkEntry {
         |JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    "q72_simhash_md5" ->
+      ("""WITH toks AS (SELECT doc_id, md5(t) AS h FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents)),
+         |votes AS (SELECT doc_id,
+         |""".stripMargin
+        + (0 until 60).map { j =>
+            val nib = s"substr(h, ${1 + j / 4}, 1)"
+            s"  SUM(CASE WHEN (((ascii($nib) - CASE WHEN $nib <= '9' " +
+              s"THEN 48 ELSE 87 END) >> ${j % 4}) & 1) = 1 " +
+              s"THEN 1 ELSE -1 END) AS v$j"
+          }.mkString(",\n")
+        + "\nFROM toks GROUP BY doc_id)\nSELECT doc_id, CAST("
+        + (0 until 60).map(j =>
+            s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        + " AS BIGINT) AS simhash60 FROM votes ORDER BY doc_id"),
   )
 }

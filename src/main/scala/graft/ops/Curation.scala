@@ -179,4 +179,34 @@ object Curation {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
+
+  /** Oracle-checkable SimHash: a 60-bit sketch whose bits come from
+    * the first 15 hex nibbles of md5(token) — the same per-bit
+    * majority vote as [[Dedup.simHashDf]], with a hash both engines
+    * share. Nibble value decodes arithmetically (ascii of the hex
+    * char), so the whole sketch is plain integer arithmetic DuckDB
+    * mirrors exactly; one explode + one aggregation, map-side
+    * partials, zero UDFs. */
+  def simhashMd5(s: SparkSession, d: String): DataFrame = {
+    // hash INSIDE the generator: explode(transform(..., md5)) makes h
+    // a Generate output, so CollapseProject cannot inline the md5 into
+    // all 60 vote aggregates (the expression-fanout trap)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(transform(split(col("text"), " "), t => md5(t))).as("h"))
+    // vote_j = sum over tokens of +-1 on bit j; bit j lives in hex
+    // nibble j/4 (1-indexed substr), position j%4
+    val voteAggs = (0 until 60).map { j =>
+      val nibble = ascii(substring(col("h"), 1 + j / 4, 1)) -
+        when(substring(col("h"), 1 + j / 4, 1) <= "9", 48).otherwise(87)
+      sum(when(shiftright(nibble, j % 4).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    val grouped = toks.groupBy(col("doc_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+    val packed = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _) // disjoint bits: sum == OR
+    grouped.select(col("doc_id"), packed.as("simhash60"))
+  }
 }
