@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory carrying the engine's deployment posture, so every
+  * entry point (and a user's own driver) runs with the same knobs:
+  *
+  *  - AQE on, with partition coalescing and skew-join splitting —
+  *    runtime re-planning is what absorbs the skew and size estimates
+  *    no static plan survives at 100 TB. The salted operators in
+  *    [[ops.Skew]] remain for keys hot enough to beat even AQE's
+  *    splitting.
+  *  - `spark.sql.shuffle.partitions`: core count locally; on a
+  *    cluster size it to ~2-3x total executor cores and let AQE
+  *    coalesce down — partitions must be small enough to fit executor
+  *    memory at the target scale (spill-aware), and AQE only ever
+  *    merges, never splits a too-coarse shuffle.
+  *  - `spark.sql.files.maxPartitionBytes` stays at the 128 MB default:
+  *    with ~128 MB parquet row groups (what [[ops.Maintenance.compact]]
+  *    produces) a scan task maps to one row group.
+  *  - nanos timestamps read as longs (the events table is
+  *    TIMESTAMP(NANOS); the engine buckets with integer arithmetic).
+  *  - UTC session timezone: date extraction must not depend on the
+  *    driver host's zone.
+  *  - codegen class cache sized above the suite's distinct stages so
+  *    steady-state runs never recompile.
+  */
+object GraftSession {
+
+  /** Configured builder; callers may override before getOrCreate. */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+
+  /** Local session on `cpus` threads (SPARK_GRAFT_CPUS, default 32). */
+  def local(cpus: String =
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

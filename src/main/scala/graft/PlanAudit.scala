@@ -14,13 +14,7 @@ object PlanAudit {
         "q42_knn_brute", "q53_sessionize", "q54_asof_join", "q55_range_join",
         "q56_salted_join", "q60_contamination", "q63_dedup_clusters",
         "q65_rollup_revenue")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")

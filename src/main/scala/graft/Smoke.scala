@@ -6,14 +6,7 @@ import org.apache.spark.sql.SparkSession
   * (rows > 0 on sf0.001) and prints the result. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("4")
     val df = SparkEntry.entry(spark)
     df.show(20, truncate = false)
     println(s"entry rows: ${df.count()}")

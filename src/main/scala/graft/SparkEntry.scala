@@ -202,6 +202,8 @@ object SparkEntry {
       Curation.bandedMd5Pairs(s, d).orderBy("id_a", "id_b")),
     "q72_simhash_md5" -> ((s, d) =>
       Curation.simhashMd5(s, d).orderBy("doc_id")),
+    "q73_cube_status" -> ((s, d) =>
+      Relational.cubeStatusRevenue(s, d).orderBy("status", "prio")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -787,5 +789,14 @@ object SparkEntry {
             s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
           .mkString(" + ")
         + " AS BIGINT) AS simhash60 FROM votes ORDER BY doc_id"),
+    "q73_cube_status" ->
+      s"""SELECT COALESCE(status, 'ALL') AS status,
+         |  COALESCE(prio, 'ALL') AS prio,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         |FROM (SELECT o_orderstatus AS status,
+         |        substr(o_orderpriority, 1, 1) AS prio, o_totalprice
+         |      FROM orders) t
+         |GROUP BY CUBE (status, prio)
+         |ORDER BY status, prio""".stripMargin,
   )
 }

@@ -324,6 +324,20 @@ object Relational {
         coalesce(col("o_month"), lit(-1L)).as("o_month"),
         col("n_orders"), col("total"))
 
+  /** CUBE over (status, priority-class): every grouping-set combination
+    * in one pass — the full-lattice companion to [[rollupRevenue]]'s
+    * hierarchy; same single shuffle with map-side partials, absent
+    * dimensions coalesced to sentinels for a stable cross-engine
+    * shape. */
+  def cubeStatusRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus").as("status"),
+        substring(col("o_orderpriority"), 1, 1).as("prio"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("status"), lit("ALL")).as("status"),
+        coalesce(col("prio"), lit("ALL")).as("prio"),
+        col("n_orders"), col("total"))
+
   /** Bounded-frame window: per-customer moving average over the last 3
     * orders (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — decimal sum /
     * count so the double is bit-exact across engines. One shuffle on
