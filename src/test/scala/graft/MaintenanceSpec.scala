@@ -22,6 +22,31 @@ class MaintenanceSpec extends SparkTestBase {
     assert(compacted.agg(sum($"n")).head().getLong(0) == 500500L)
   }
 
+  test("compactClustered yields disjoint sorted key ranges per file") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cluster_")
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // shuffled keys across many small files: no pruning possible
+    (1 to 4000).map(i => (i * 2654435761L % 4096, i)).toDF("k", "v")
+      .repartition(40).write.parquet(in)
+    Maintenance.compactClustered(spark, in, out, Seq("k"), targetFileMB = 1)
+    val files = spark.read.parquet(out).inputFiles.sorted
+    assert(files.length >= 1)
+    // per-file ranges must be disjoint (range partitioning) and rows
+    // sorted inside each file (row-group stats monotone)
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"unsorted file $f")
+      (ks.min, ks.max)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+    // nothing lost
+    assert(spark.read.parquet(out).count() == 4000)
+  }
+
   test("snapshotDiff classifies added, removed, changed; drops unchanged") {
     val prev = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "fp")
     val cur = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("k", "fp")
