@@ -153,9 +153,9 @@ object Dedup {
     * banded self-join then moves ONLY (id, band, bucket) triples —
     * never the shingle arrays — so shuffle volume is independent of
     * document size. The (small) candidate pair set joins the shingle
-    * sets back from the cached index for exact verification; candidate
-    * counts are sub-linear in corpus size by LSH design, so these two
-    * joins broadcast the pairs rather than reshuffling the index. */
+    * sets back from the cached index for exact verification; the pair
+    * side broadcasts only while the measured candidate bound stays
+    * small (see [[lshNearDupPairsFromHashes]]). */
   def lshNearDupPairs(docs: DataFrame, idCol: String, shingleSet: Column,
       bands: Int, rowsPerBand: Int, threshold: Double, tag: String)
       : DataFrame =
@@ -177,10 +177,11 @@ object Dedup {
     * so the overflow count is one cheap cached aggregation.
     *
     * Verification joins move the shingle sets, so which side builds
-    * matters: the candidate-pair set is counted (cached, one action)
-    * and broadcast only while it is genuinely small
-    * (`maxBroadcastPairs`); past that the verify join falls back to a
-    * shuffled equi-join on id — linear, skew handled by AQE. */
+    * matters: the same aggregation yields an exact pre-distinct bound
+    * on candidate pairs, and the pair side is broadcast only while
+    * that bound is at most `maxBroadcastPairs`; past that the verify
+    * join falls back to a shuffled equi-join on id — linear, skew
+    * handled by AQE. */
   def lshNearDupPairsFromHashes(exploded: DataFrame, bands: Int,
       rowsPerBand: Int, threshold: Double, tag: String,
       maxBucketSize: Int = 1000,

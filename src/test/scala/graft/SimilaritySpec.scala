@@ -85,6 +85,22 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(b - r.getDouble(1)) < 1e-9)))
   }
 
+  test("measured IVF recall@10 over multiple queries clears a floor") {
+    val queries = Seq(0L, 7L, 23L, 111L, 202L)
+    val recalls = queries.map { q =>
+      val brute = Similarity.knnBruteForce(spark, sf("embeddings"), q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.annIvf(spark, sf("embeddings"), q, 10,
+        nlist = 8, nprobe = 4).collect().map(_.getLong(0)).toSet
+      brute.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF recall@10 nprobe=4/8: $mean%.2f (per-query: $recalls)")
+    // gaussian embeddings have no cluster structure — the hostile case
+    // for IVF — yet probing half the lists must recover a majority
+    assert(mean >= 0.5, f"mean recall $mean%.2f below floor")
+  }
+
   test("srpBucket is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 4, 42L)
     val df = Seq(Seq(0.5f, -1.0f, 2.0f, 0.1f)).toDF("v")
