@@ -229,6 +229,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Banded (band, bucket) keys for a signature index (id, sh, sig) —
+    * shared by the self-join and incremental paths. */
+  private def bandKeys(index: DataFrame, bands: Int, rowsPerBand: Int,
+      tag: String): DataFrame =
+    index.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit(tag), b, concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "bucket")))
+
+  /** Incremental near-dedup: candidates between a NEW batch and an
+    * EXISTING corpus signature index — the per-crawl operation of a
+    * long-running pipeline. The corpus is never self-joined and its
+    * signatures are read from the stored index (a [[signatureIndex]]
+    * output persisted as a table keyed by (band, bucket) at scale);
+    * only the batch is signature-hashed. Only the batch's FIXED-WIDTH
+    * banded keys broadcast into the probe (never shingle arrays); the
+    * corpus contributes nothing but bucket-matched rows, and shingle
+    * sets join back onto the (small) candidate list for exact
+    * verification. Returns (new_id, corpus_id, jaccard >= threshold). */
+  def lshNearDupNewVsIndex(newExploded: DataFrame, corpusIndex: DataFrame,
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      tag: String = "band"): DataFrame = {
+    val batchIdx =
+      signatureIndex(newExploded, bands * rowsPerBand).persist()
+    val batchKeys = bandKeys(batchIdx, bands, rowsPerBand, tag)
+      .select(col("band"), col("bucket"), col("id").as("new_id"))
+    val corpus = bandKeys(corpusIndex, bands, rowsPerBand, tag)
+      .select(col("band"), col("bucket"),
+        col("id").as("corpus_id"), col("sh").as("sh_c"))
+    corpus.join(broadcast(batchKeys), Seq("band", "bucket"))
+      .dropDuplicates("new_id", "corpus_id")
+      .join(batchIdx.select(col("id").as("new_id"), col("sh").as("sh_new")),
+        "new_id")
+      .withColumn("jaccard", jaccard(col("sh_new"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact Jaccard over two (distinct-element) columns. Operates on
     * hashed-long shingle sets: intersection cardinality is preserved
     * by hashing (collisions are ~2^-64). */

@@ -180,6 +180,24 @@ class DedupSpec extends SparkTestBase {
     assert(pairs(0).get(2).toString.toInt == 0)
   }
 
+  test("incremental batch-vs-index near-dedup catches dups, passes novel docs") {
+    val corpus = Seq((10L, base), (11L, "some other corpus document " +
+      "with enough words to shingle it three times over"))
+      .toDF("doc_id", "text")
+    val corpusIdx = Dedup.signatureIndex(
+      Dedup.explodedTokenShingleHashes(corpus, "doc_id", "text", 3), 64)
+    val batch = Seq((100L, base), // exact dup of corpus doc 10
+      (101L, "an entirely novel crawl result about different topics"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.lshNearDupNewVsIndex(
+      Dedup.explodedTokenShingleHashes(batch, "doc_id", "text", 3),
+      corpusIdx, bands = 16, rowsPerBand = 4, threshold = 0.9)
+      .collect()
+    assert(hits.length == 1)
+    assert(hits(0).getLong(0) == 100L && hits(0).getLong(1) == 10L)
+    assert(hits(0).getDouble(2) == 1.0)
+  }
+
   test("connectedComponents labels a path graph with its min vertex") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
     val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
