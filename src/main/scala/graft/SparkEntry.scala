@@ -204,6 +204,8 @@ object SparkEntry {
       Curation.simhashMd5(s, d).orderBy("doc_id")),
     "q73_cube_status" -> ((s, d) =>
       Relational.cubeStatusRevenue(s, d).orderBy("status", "prio")),
+    "q74_above_cust_avg" -> ((s, d) =>
+      Relational.aboveCustomerAvg(s, d).orderBy("o_orderkey")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -798,5 +800,14 @@ object SparkEntry {
          |      FROM orders) t
          |GROUP BY CUBE (status, prio)
          |ORDER BY status, prio""".stripMargin,
+    "q74_above_cust_avg" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+        |    (SELECT COUNT(*) FROM orders i
+        |     WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
+        |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

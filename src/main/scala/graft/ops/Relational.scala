@@ -372,6 +372,27 @@ object Relational {
   /** Snapshot diff over orders: the previous run is missing every 9th
     * key, the current run re-priced every 7th — both derivable by the
     * oracle. */
+  /** Orders priced above their customer's average, written as a
+    * correlated scalar subquery through `spark.sql` — the SQL-surface
+    * path: Catalyst decorrelates both subqueries into aggregate +
+    * join on the customer key (one shuffle each), so the declarative
+    * form costs the same as the hand-written window/join. The
+    * comparison runs in exact decimal arithmetic (price * count >
+    * sum) so row membership cannot flip on a floating-point ulp
+    * between engines. */
+  def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_sql")
+    s.sql("""
+      SELECT o_orderkey, o_custkey
+      FROM orders_sql o
+      WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+          (SELECT COUNT(*) FROM orders_sql i
+           WHERE i.o_custkey = o.o_custkey)
+        > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
+           FROM orders_sql i WHERE i.o_custkey = o.o_custkey)
+    """)
+  }
+
   def snapshotDiffQuery(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
     val prev = orders.filter(col("o_orderkey") % 9 =!= 0)
