@@ -188,11 +188,8 @@ object Dedup {
       maxBroadcastPairs: Long = 2000000L): DataFrame = {
     val index = signatureIndex(exploded, bands * rowsPerBand).persist()
     val wb = Window.partitionBy(col("band"), col("bucket"))
-    val sized = index.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit(tag), b, concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .as(Seq("band", "bucket")))
+    val sized = bandKeys(index, bands, rowsPerBand, tag)
+      .select(col("id"), col("band"), col("bucket")) // sh pruned out
       .withColumn("bsz", count(lit(1)).over(wb))
       .persist()
     // one aggregation over the cached banded table yields both the
