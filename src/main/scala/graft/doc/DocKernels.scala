@@ -74,7 +74,15 @@ object DocKernels {
       if (m.group(1) != null) {
         DocxTable(rowRe.findAllIn(m.group(1)).map { tr =>
           cellRe.findAllIn(tr).map { tc =>
-            textRe.findAllMatchIn(tc)
+            // paragraph-per-paragraph, joined with a space: two cell
+            // paragraphs "Budget" / "2024" read "Budget 2024", not
+            // "Budget2024"
+            val paras = "(?s)<w:p[ >].*?</w:p>|<w:p/>".r.findAllIn(tc)
+              .map(p => textRe.findAllMatchIn(p)
+                .map(x => HtmlParser.unescape(x.group(1))).mkString)
+              .filter(_.nonEmpty).toSeq
+            if (paras.nonEmpty) paras.mkString(" ")
+            else textRe.findAllMatchIn(tc)
               .map(x => HtmlParser.unescape(x.group(1))).mkString
           }.toSeq
         }.toSeq)

@@ -241,25 +241,56 @@ object Dedup {
     * long-running pipeline. The corpus is never self-joined and its
     * signatures are read from the stored index (a [[signatureIndex]]
     * output persisted as a table keyed by (band, bucket) at scale);
-    * only the batch is signature-hashed. Only the batch's FIXED-WIDTH
-    * banded keys broadcast into the probe (never shingle arrays); the
-    * corpus contributes nothing but bucket-matched rows, and shingle
-    * sets join back onto the (small) candidate list for exact
-    * verification. Returns (new_id, corpus_id, jaccard >= threshold). */
+    * only the batch is signature-hashed. Only fixed-width banded keys
+    * move through the probe (never shingle arrays — both sides' sets
+    * join back onto the deduplicated candidate list), the batch keys
+    * broadcast only while the batch is genuinely small, and matched
+    * corpus buckets above `maxBucketSize` are skipped per probe doc
+    * with the skip count logged. Fails fast if the stored index was built
+    * with a different signature width than bands*rowsPerBand (a
+    * mismatch would silently hash empty slices into one mega-bucket).
+    * Returns (new_id, corpus_id, jaccard >= threshold). */
   def lshNearDupNewVsIndex(newExploded: DataFrame, corpusIndex: DataFrame,
       bands: Int, rowsPerBand: Int, threshold: Double,
-      tag: String = "band"): DataFrame = {
+      tag: String = "band", maxBucketSize: Int = 1000,
+      maxBroadcastKeys: Long = 4000000L): DataFrame = {
+    corpusIndex.select(size(col("sig"))).head() match {
+      case row if row.getInt(0) != bands * rowsPerBand =>
+        throw new IllegalArgumentException(
+          s"corpus index has ${row.getInt(0)} signature components; " +
+            s"probe requested bands*rowsPerBand = ${bands * rowsPerBand}")
+      case _ =>
+    }
     val batchIdx =
       signatureIndex(newExploded, bands * rowsPerBand).persist()
     val batchKeys = bandKeys(batchIdx, bands, rowsPerBand, tag)
       .select(col("band"), col("bucket"), col("id").as("new_id"))
-    val corpus = bandKeys(corpusIndex, bands, rowsPerBand, tag)
-      .select(col("band"), col("bucket"),
-        col("id").as("corpus_id"), col("sh").as("sh_c"))
-    corpus.join(broadcast(batchKeys), Seq("band", "bucket"))
+      .persist()
+    val nKeys = batchKeys.count()
+    val probe = if (nKeys <= maxBroadcastKeys) broadcast(batchKeys)
+      else batchKeys
+    val corpusKeys = bandKeys(corpusIndex, bands, rowsPerBand, tag)
+      .select(col("band"), col("bucket"), col("id").as("corpus_id"))
+    // the probe join is linear (B fixed-width rows for a B-member
+    // bucket); the cap is applied to the MATCHED subset only — sizing
+    // buckets corpus-wide would shuffle the whole corpus per crawl.
+    // bsz partitioned per probe doc = how many corpus members its
+    // bucket matched; degenerate buckets are dropped and logged.
+    val sized = corpusKeys.join(probe, Seq("band", "bucket"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"), col("new_id"))))
+      .persist()
+    val dropped = sized.filter(col("bsz") > maxBucketSize).count()
+    if (dropped > 0)
+      log.warn(s"lsh-probe[$tag]: skipped $dropped matches in corpus " +
+        s"buckets larger than $maxBucketSize")
+    sized.filter(col("bsz") <= maxBucketSize)
+      .select(col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
       .join(batchIdx.select(col("id").as("new_id"), col("sh").as("sh_new")),
         "new_id")
+      .join(corpusIndex.select(col("id").as("corpus_id"),
+        col("sh").as("sh_c")), "corpus_id")
       .withColumn("jaccard", jaccard(col("sh_new"), col("sh_c")))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"),
@@ -341,15 +372,17 @@ object Dedup {
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
       // pointer jump: follow the label one hop through the mapping
       // itself (every label IS a vertex id, so the lookup always hits).
-      // The jump references `prop` twice, which would DOUBLE the
-      // logical plan every round — localCheckpoint materializes the
-      // round and truncates lineage, keeping plans (and planning time)
-      // constant across rounds.
-      val next = prop
-        .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")),
+      // The jump references the propagation result twice, which would
+      // both DOUBLE the logical plan every round and recompute the
+      // edge-join per side — localCheckpoint materializes the
+      // propagation once and truncates lineage, keeping plans (and
+      // per-round work) constant across rounds.
+      val propM = prop.localCheckpoint(true)
+      val next = propM
+        .join(propM.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .persist()
       changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev")).count()
@@ -376,27 +409,22 @@ object Dedup {
     * MinHash first component collides (an LSH band of width 1 — the
     * oracle-mirrorable bucket key), components labeled by min doc_id.
     * Oracle: the same edges + a recursive-CTE reachability in DuckDB. */
-  def nearDupClusters(s: SparkSession, d: String,
-      maxBucketSize: Int = 10000): DataFrame = {
+  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    // STAR edges, not clique edges: connectivity only needs a spanning
+    // structure per bucket, so each sig_0 bucket contributes
+    // (min doc_id -> member) edges — O(B) for a B-member bucket where
+    // the self-join would emit B^2/2. A degenerate boilerplate bucket
+    // of millions of docs stays linear with no cap, no dropped docs,
+    // and identical reachability (the recursive-CTE oracle computes
+    // components over the clique; star and clique connect the same
+    // vertex sets).
     val sig0 = Curation.minhashMd5(s, d, numHashes = 1)
       .select(col("doc_id"), col("sig_0"))
-      // same degenerate-bucket guard as the banded join: a bucket of B
-      // docs emits B^2/2 edges. Label propagation only needs a spanning
-      // structure, but capping keeps the edge list linear; the default
-      // sits far above any honest near-dup cluster (and above the test
-      // corpus, so the recursive-CTE oracle sees identical edges).
-      // (no observe here: the edge list is unioned twice inside
-      // connectedComponents, which would duplicate a CollectMetrics
-      // node; the capped-membership metric is exposed on the LSH pair
-      // path, which shares this guard)
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("sig_0"))))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz").persist()
-    val edges = sig0.select(col("doc_id").as("src"), col("sig_0"))
-      .join(sig0.select(col("doc_id").as("dst"), col("sig_0")), "sig_0")
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst"))
+      .withColumn("hub",
+        min(col("doc_id")).over(Window.partitionBy(col("sig_0"))))
+      .persist()
+    val edges = sig0.filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("src"), col("doc_id").as("dst"))
     val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
     // sig0 stays cached (the signature index; see connectedComponents
     // on cache lifetime)

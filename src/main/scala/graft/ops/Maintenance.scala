@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table-maintenance operators a long-running 100 TB pipeline needs:
   * the scheduled crawl appends small files every run (one per task per
@@ -8,23 +9,34 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
+  /** Output partition count for ~`targetFileMB`-sized files, from the
+    * ACTUAL input bytes (not a row-count guess). Sizes come from one
+    * `listStatus` per parent directory through the Hadoop FileSystem
+    * API — scheme-independent (hdfs://, s3a://; `java.io.File` would
+    * report 0 off-filesystem) and a handful of RPCs where a
+    * per-file `getFileStatus` loop would pay one round trip per small
+    * file — the exact pathology compaction exists to fix. */
+  private def sizedParts(spark: SparkSession, df: DataFrame,
+      targetFileMB: Int): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = df.inputFiles.map(new Path(_))
+    val wanted = files.map(_.toUri.getPath).toSet
+    val bytes = files.map(_.getParent).distinct.flatMap { dir =>
+      dir.getFileSystem(conf).listStatus(dir)
+        .filter(st => wanted.contains(st.getPath.toUri.getPath))
+        .map(_.getLen)
+    }.sum
+    math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
-    * ~`targetFileMB`-sized files. Sizing comes from the actual input
-    * bytes, not a row-count guess; the rewrite is a repartition (round
+    * ~`targetFileMB`-sized files. The rewrite is a repartition (round
     * robin — even output sizes) plus an overwrite. Returns the output
     * partition count. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileMB: Int = 128): Int = {
     val df = spark.read.parquet(inDir)
-    // size through the Hadoop FileSystem API so hdfs:// and s3a:// (the
-    // actual 100 TB deployment) report real lengths — java.io.File
-    // returns 0 for non-file schemes, collapsing the rewrite to 1 part
-    val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
-    val parts = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val parts = sizedParts(spark, df, targetFileMB)
     df.repartition(parts).write.mode("overwrite").parquet(outDir)
     parts
   }
@@ -40,12 +52,7 @@ object Maintenance {
       clusterCols: Seq[String], targetFileMB: Int = 128): Int = {
     require(clusterCols.nonEmpty, "clustered compaction needs keys")
     val df = spark.read.parquet(inDir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
-    val parts = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val parts = sizedParts(spark, df, targetFileMB)
     val cols = clusterCols.map(org.apache.spark.sql.functions.col)
     df.repartitionByRange(parts, cols: _*)
       .sortWithinPartitions(cols: _*)

@@ -369,9 +369,6 @@ object Relational {
       .filter(col("status").isNotNull)
       .select(col(key), col("status"))
 
-  /** Snapshot diff over orders: the previous run is missing every 9th
-    * key, the current run re-priced every 7th — both derivable by the
-    * oracle. */
   /** Orders priced above their customer's average, written as a
     * correlated scalar subquery through `spark.sql` — the SQL-surface
     * path: Catalyst decorrelates both subqueries into aggregate +
@@ -393,6 +390,9 @@ object Relational {
     """)
   }
 
+  /** Snapshot diff over orders: the previous run is missing every 9th
+    * key, the current run re-priced every 7th — both derivable by the
+    * oracle. */
   def snapshotDiffQuery(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
     val prev = orders.filter(col("o_orderkey") % 9 =!= 0)
