@@ -198,6 +198,19 @@ class DedupSpec extends SparkTestBase {
     assert(hits(0).getDouble(2) == 1.0)
   }
 
+  test("batch-vs-index probe fails fast on signature-width mismatch") {
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val idx32 = Dedup.signatureIndex(
+      Dedup.explodedTokenShingleHashes(corpus, "doc_id", "text", 3), 32)
+    val batch = Dedup.explodedTokenShingleHashes(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", 3)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshNearDupNewVsIndex(batch, idx32,
+        bands = 16, rowsPerBand = 4, threshold = 0.9)
+    }
+    assert(e.getMessage.contains("32 signature components"))
+  }
+
   test("connectedComponents labels a path graph with its min vertex") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
     val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")

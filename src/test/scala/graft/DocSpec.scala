@@ -148,6 +148,21 @@ class DocSpec extends SparkTestBase {
     assert(txt.indexOf("Punkt 1: ") < txt.indexOf("Navn | Rolle"))
   }
 
+  test("multi-paragraph table cells keep word boundaries (B1)") {
+    val body =
+      """<w:tbl><w:tr><w:tc><w:p><w:r><w:t>Budget</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>2024</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"""
+        .stripMargin.replace("\n", "")
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    zos.putNextEntry(new ZipEntry("word/document.xml"))
+    zos.write(s"<w:document><w:body>$body</w:body></w:document>"
+      .getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val blocks = DocKernels.docxToBlocks(bos.toByteArray)
+    assert(blocks == Seq(DocKernels.DocxTable(Seq(Seq("Budget 2024")))))
+  }
+
   test("docxToText flattens headings and tables to lines (B1)") {
     val txt = DocKernels.docxToText(structuredDocx)
     assert(txt == "Referat\nPunkt 1: Budget vedtaget uden bem&rkninger\n" +
