@@ -240,9 +240,19 @@ object Similarity {
   /** LSH-bucketed ANN: candidates share the query's bucket in >= 1 of
     * `tables` hash tables; exact cosine re-ranks the candidates. At
     * scale the bucketed index is materialized once and the probe is a
-    * broadcast semi-join on (table, bucket). */
+    * broadcast semi-join on (table, bucket).
+    *
+    * `multiProbe = true` additionally probes every bucket at Hamming
+    * distance 1 from the query's bucket in each table (flip one
+    * hyperplane's sign bit) — the multi-probe LSH technique: vectors
+    * near a hyperplane land a bit-flip away, so probing neighbor
+    * buckets recovers recall WITHOUT growing the index. The candidate
+    * set stays (numPlanes+1) x tables buckets; the extra comparisons
+    * are codegen'd predicates on the broadcast query row, not extra
+    * joins. */
   def annLsh(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      numPlanes: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+      numPlanes: Int = 8, tables: Int = 4, dim: Int = 64,
+      multiProbe: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // Materialized index: the query probe and the corpus scan both read
     // the cached bucket table (one bucketing pass, not two).
@@ -254,9 +264,13 @@ object Similarity {
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding") +:
         (0 until tables).map(t => col(s"b$t").as(s"qb$t")): _*)
-    val sameBucket = (0 until tables)
-      .map(t => col(s"b$t") === col(s"qb$t"))
-      .reduce(_ || _)
+    val sameBucket = (0 until tables).map { t =>
+      val exact = col(s"b$t") === col(s"qb$t")
+      if (!multiProbe) exact
+      else (exact +: (0 until numPlanes).map(p =>
+        col(s"b$t") === col(s"qb$t").bitwiseXOR(lit(1L << p))))
+        .reduce(_ || _)
+    }.reduce(_ || _)
     bucketed.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .filter(sameBucket)

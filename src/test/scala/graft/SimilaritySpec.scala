@@ -101,6 +101,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.5, f"mean recall $mean%.2f below floor")
   }
 
+  test("multi-probe LSH recall is at least single-probe recall") {
+    val queries = Seq(0L, 7L, 23L, 111L, 202L)
+    def recall(multi: Boolean): Double = queries.map { q =>
+      val brute = Similarity.knnBruteForce(spark, sf("embeddings"), q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ann = Similarity.annLsh(spark, sf("embeddings"), q, 10,
+        multiProbe = multi).collect().map(_.getLong(0)).toSet
+      brute.intersect(ann).size / 10.0
+    }.sum / queries.size
+    val single = recall(multi = false)
+    val multi = recall(multi = true)
+    info(f"LSH recall@10 single=$single%.2f multi-probe=$multi%.2f")
+    // probing Hamming-1 neighbor buckets only ADDS candidates, and the
+    // exact re-rank keeps ordering — recall is monotone
+    assert(multi >= single)
+    // deterministic seed: measured 0.06 -> 0.36 (6x); gaussians have
+    // no cluster structure and buckets hold ~2 vectors, so absolute
+    // recall is inherently modest at this corpus size
+    assert(multi >= 0.25, f"multi-probe recall $multi%.2f below floor")
+  }
+
   test("srpBucket is deterministic across invocations") {
     val planes = Similarity.hyperplanes(8, 4, 42L)
     val df = Seq(Seq(0.5f, -1.0f, 2.0f, 0.1f)).toDF("v")
