@@ -42,6 +42,26 @@ object Fetch {
           s"PDF-BYTES:$url".getBytes("UTF-8"))
   }
 
+  /** Transient-failure retry decorator — the reference's session-level
+    * retry policy as a composable Fetcher: re-fetch while the status
+    * is retryable (5xx by default; connection-level failures should
+    * surface as 5xx from the inner fetcher) up to `maxAttempts`, with
+    * linear backoff. 4xx is NOT retryable — a missing document is
+    * data, and lands in the K7 error side-output instead. */
+  final case class RetryingFetcher(inner: Fetcher, maxAttempts: Int = 3,
+      backoffMs: Long = 0L) extends Fetcher {
+    def fetch(url: String): FetchResult = {
+      var attempt = 1
+      var r = inner.fetch(url)
+      while (r.status >= 500 && attempt < maxAttempts) {
+        if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+        r = inner.fetch(url)
+        attempt += 1
+      }
+      r
+    }
+  }
+
   private val resultSchema = StructType(Seq(
     StructField("status", IntegerType, nullable = false),
     StructField("content_type", StringType, nullable = true),

@@ -114,4 +114,34 @@ class PipelineSpec extends SparkTestBase {
       .getAs[Array[Byte]]("content"), "UTF-8")
     assert(sample.startsWith("PDF-BYTES:"))
   }
+
+  test("RetryingFetcher retries 5xx up to maxAttempts, passes 4xx through") {
+    // flaky inner: 503 on the first two calls per url, then 200
+    class Flaky extends graft.fetch.Fetch.Fetcher {
+      val calls = scala.collection.mutable.Map.empty[String, Int]
+      def fetch(url: String): graft.fetch.Fetch.FetchResult = {
+        val n = calls.getOrElse(url, 0) + 1
+        calls(url) = n
+        if (url.contains("gone")) graft.fetch.Fetch.FetchResult(404, "", Array.empty)
+        else if (n <= 2) graft.fetch.Fetch.FetchResult(503, "", Array.empty)
+        else graft.fetch.Fetch.FetchResult(200, "application/pdf", Array(1))
+      }
+    }
+    val flaky = new Flaky
+    val r = graft.fetch.Fetch.RetryingFetcher(flaky, maxAttempts = 3)
+    assert(r.fetch("http://x/doc").status == 200)
+    assert(flaky.calls("http://x/doc") == 3)
+    // 4xx is data, not a transient: exactly one attempt
+    assert(r.fetch("http://x/gone").status == 404)
+    assert(flaky.calls("http://x/gone") == 1)
+    // budget respected: a permanent 5xx stops at maxAttempts
+    val always503 = new graft.fetch.Fetch.Fetcher {
+      var n = 0
+      def fetch(url: String) = {
+        n += 1; graft.fetch.Fetch.FetchResult(503, "", Array.empty)
+      }
+    }
+    assert(graft.fetch.Fetch.RetryingFetcher(always503, maxAttempts = 3)
+      .fetch("http://x/f").status == 503)
+  }
 }

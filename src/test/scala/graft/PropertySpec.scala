@@ -104,6 +104,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: HtmlParser never throws on arbitrary tag soup") {
+    val frag = Gen.oneOf("<div", ">", "</", "a href='x'", "<p>", "tekst",
+      "&amp;", "&#xZZ;", "<!--", "--!>", "<span class=\"y\"", "/>", "<a",
+      "\"", "'", "<td", "</table>", "<li class='pager__item--next'>",
+      "= '", "<<>>", "</p></p>", "<script>var a='<b>';</script>")
+    val soup = Gen.listOfN(40, frag).map(_.mkString(" "))
+    sample(soup, 80).foreach { html =>
+      val root = graft.parse.HtmlParser.parse(html)
+      // selection and text extraction must also be total
+      graft.parse.HtmlParser.select(root, "a")
+      graft.parse.HtmlParser.select(root, "div.x")
+      graft.parse.HtmlParser.select(root, "#resultTable tr")
+      root.text
+    }
+  }
+
   test("property: LSH bucket cap bounds candidates at O(N*cap), not O(N^2)") {
     // N identical docs all land in one bucket per band: uncapped LSH
     // yields C(N,2) pairs; with cap < N the degenerate buckets drop and
