@@ -206,6 +206,8 @@ object SparkEntry {
       Relational.cubeStatusRevenue(s, d).orderBy("status", "prio")),
     "q74_above_cust_avg" -> ((s, d) =>
       Relational.aboveCustomerAvg(s, d).orderBy("o_orderkey")),
+    "q75_spend_ranks" -> ((s, d) =>
+      Relational.orderSpendRanks(s, d).orderBy("o_orderkey")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -808,6 +810,15 @@ object SparkEntry {
         |     WHERE i.o_custkey = o.o_custkey)
         |  > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
         |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q75_spend_ranks" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile
+        |FROM (SELECT * FROM orders WHERE o_orderkey % 37 = 0) t
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -369,6 +369,22 @@ object Relational {
       .filter(col("status").isNotNull)
       .select(col(key), col("status"))
 
+  /** The ranking-window family in one pass: per-status rank,
+    * dense_rank and spend-decile (ntile) over orders — one shuffle on
+    * the status key serves all three frames (identical window spec,
+    * single Window physical node). Ties break on the order key so
+    * ranks are deterministic cross-engine. */
+  def orderSpendRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 37 === 0) // bounded output for the dump
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(10).over(w).cast("long").as("decile"))
+  }
+
   /** Orders priced above their customer's average, written as a
     * correlated scalar subquery through `spark.sql` — the SQL-surface
     * path: Catalyst decorrelates both subqueries into aggregate +
