@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sketches, TextOps}
+
+/** Misra-Gries mergeable heavy-hitters: classic guarantees checked
+  * against exact counts, plus recovery of the exact top set on the
+  * real corpus. */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("MG guarantees: frequent items kept, estimates within N/k") {
+    // skewed stream: item i appears 2^(12-i) times, i = 1..12, plus
+    // 500 singletons — across 8 partitions to exercise merge()
+    val rows = (1 to 12).flatMap(i => Seq.fill(1 << (12 - i))(s"hot$i")) ++
+      (1 to 500).map(i => s"cold$i")
+    val n = rows.length.toLong
+    val k = 64
+    val df = rows.toDF("t").repartition(8)
+    val got = Sketches.approxHeavyHitters(df, col("t"), k).toMap
+    val exact = rows.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    exact.foreach { case (t, c) =>
+      if (c > n / k) assert(got.contains(t), s"$t (count $c) missing")
+      got.get(t).foreach { est =>
+        assert(est <= c, s"$t overestimated: $est > $c")
+        assert(est >= c - n / k, s"$t underestimated: $est < ${c - n / k}")
+      }
+    }
+    assert(got.size <= k)
+  }
+
+  test("MG with ample k recovers the exact top-20 of the corpus") {
+    val exact = TextOps.heavyHitters(spark, sf("documents"), 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val approx = Sketches.approxHeavyHitters(
+      Tables.documents(spark, sf("documents"))
+        .select(explode(split(col("text"), " ")).as("t")),
+      col("t"), 4096).toMap
+    // with k far above the distinct-token count the sketch is exact
+    exact.foreach { case (t, c) =>
+      assert(approx.get(t).contains(c), s"$t: ${approx.get(t)} != $c")
+    }
+  }
+
+  test("MG summary is deterministic across partitionings") {
+    val rows = (1 to 6).flatMap(i => Seq.fill(1 << (8 - i))(s"x$i"))
+    val a = Sketches.approxHeavyHitters(rows.toDF("t").repartition(2),
+      col("t"), 4).toMap
+    val b = Sketches.approxHeavyHitters(rows.toDF("t").repartition(16),
+      col("t"), 4).toMap
+    // the heavy tail survives identically regardless of partitioning
+    (1 to 2).foreach(i => assert(a.contains(s"x$i") && b.contains(s"x$i")))
+  }
+}
