@@ -64,6 +64,21 @@ object StreamOps {
     rows.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dedup within the watermark horizon: dedup on the
+    * 64-bit SimHash sketch of the text instead of the exact content.
+    * [[graft.ops.Dedup.simHash]] is a stateless scan projection (fold
+    * expressions, no window/self-join), so it composes with streaming
+    * where the banded-LSH paths cannot; sketch-identical documents
+    * (byte-identical or near-identical enough to tie every bit vote)
+    * collapse to their first arrival. State = one sketch key per doc
+    * inside the horizon, evicted with the watermark. */
+  def nearDedupWithinWatermark(rows: DataFrame, textCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    rows.withColumn("simhash", graft.ops.Dedup.simHash(col(textCol)))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("simhash"))
+      .drop("simhash")
+
   final case class SeenKey(key: String)
   final case class KeyedRow(key: String, payload: String)
 

@@ -35,6 +35,25 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sketch near-dedup collapses identical text, keeps distinct text") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val dedup = StreamOps.nearDedupWithinWatermark(
+      in.toDF().toDF("ts", "url", "text"), "text")
+    val q = dedup.writeStream.format("memory").queryName("neardedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val body = "byrådet vedtog budgettet for næste år uden ændringer"
+      in.addData(
+        (ts("2024-01-01 10:00:00"), "/a", body),
+        (ts("2024-01-01 10:05:00"), "/mirror/a", body), // same sketch
+        (ts("2024-01-01 10:10:00"), "/b", "helt andet indhold om noget andet"))
+      q.processAllAvailable()
+      val urls = spark.table("neardedup").collect().map(_.getString(1))
+      assert(urls.sorted.sameElements(Array("/a", "/b")))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches only updates within the time skew") {
     implicit val sqlCtx = spark.sqlContext
     val ev = MemoryStream[(Timestamp, Long)]
