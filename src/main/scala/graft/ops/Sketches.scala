@@ -22,13 +22,14 @@ object Sketches {
     * aggregation — map-side partial summaries, one tiny shuffle of
     * k-entry maps, never a vocabulary-wide exchange.
     */
-  final class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+  class MisraGriesOf[I](k: Int, term: I => String)
+      extends Aggregator[I, Map[String, Long], Seq[(String, Long)]] {
     require(k > 0, "MisraGries needs k > 0")
 
     def zero: Map[String, Long] = Map.empty
 
-    def reduce(m: Map[String, Long], x: String): Map[String, Long] =
+    def reduce(m: Map[String, Long], in: I): Map[String, Long] = {
+      val x = term(in)
       m.get(x) match {
         case Some(c) => m.updated(x, c + 1L)
         case None if m.size < k => m.updated(x, 1L)
@@ -39,6 +40,7 @@ object Sketches {
             if (c > 1L) Some(t -> (c - 1L)) else None
           }
       }
+    }
 
     def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
       val sum = b.foldLeft(a) { case (m, (t, c)) =>
@@ -64,6 +66,9 @@ object Sketches {
       Encoders.kryo[Seq[(String, Long)]]
   }
 
+  /** String-column form of [[MisraGriesOf]]. */
+  final class MisraGries(k: Int) extends MisraGriesOf[String](k, identity)
+
   /** Approximate heavy hitters over a string column: one pass, one
     * k-bounded shuffle. Output: (term, est_count) with est_count in
     * [true - N/k, true]; every term with true count > N/k present. */
@@ -74,5 +79,22 @@ object Sketches {
       .na.drop().as[String]
       .select(new MisraGries(k).toColumn)
       .head()
+  }
+
+  /** Per-group heavy hitters: one MG summary per key — per-language /
+    * per-source frequent terms with per-stratum N_g/k bounds. Shuffle
+    * volume is k counters per GROUP, never the vocabulary. */
+  def approxHeavyHittersByKey(df: DataFrame, keyCol: Column,
+      termCol: Column, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(keyCol.cast("string").as("k"),
+        termCol.cast("string").as("t"))
+      .na.drop().as[(String, String)]
+      .groupByKey(_._1)
+      .agg(new MisraGriesOf[(String, String)](k, _._2).toColumn)
+      .flatMap { case (key, hh) =>
+        hh.map { case (t, c) => (key, t, c) }
+      }
+      .toDF("key", "term", "est_count")
   }
 }

@@ -44,6 +44,24 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("per-group MG finds each stratum's own hot terms") {
+    val rows =
+      Seq.fill(300)(("da", "og")) ++ Seq.fill(150)(("da", "kommune")) ++
+        (1 to 80).map(i => ("da", s"da$i")) ++
+        Seq.fill(300)(("en", "the")) ++ Seq.fill(150)(("en", "council")) ++
+        (1 to 80).map(i => ("en", s"en$i"))
+    val out = Sketches.approxHeavyHittersByKey(
+      rows.toDF("lang", "term").repartition(8),
+      col("lang"), col("term"), k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // each stratum's hot terms are found with near-exact counts, and
+    // never leak into the other stratum
+    assert(out(("da", "og")) >= 300 - 530 / 16)
+    assert(out(("en", "the")) >= 300 - 530 / 16)
+    assert(!out.contains(("da", "the")) && !out.contains(("en", "og")))
+  }
+
   test("MG summary is deterministic across partitionings") {
     val rows = (1 to 6).flatMap(i => Seq.fill(1 << (8 - i))(s"x$i"))
     val a = Sketches.approxHeavyHitters(rows.toDF("t").repartition(2),
