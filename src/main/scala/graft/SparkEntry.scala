@@ -208,6 +208,8 @@ object SparkEntry {
       Relational.aboveCustomerAvg(s, d).orderBy("o_orderkey")),
     "q75_spend_ranks" -> ((s, d) =>
       Relational.orderSpendRanks(s, d).orderBy("o_orderkey")),
+    "q76_doc_chunks" -> ((s, d) =>
+      TextOps.chunkQuery(s, d).orderBy("doc_id", "chunk_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -820,5 +822,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q76_doc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        unnest(range(0, (len(tk) - 1) // 24 + 1)) AS chunk_id
+        |      FROM toks)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(tk[chunk_id * 24 + 1 :
+        |    least(chunk_id * 24 + 32, len(tk))], ' ') AS chunk_text,
+        |  CAST(least(chunk_id * 24 + 32, len(tk)) - chunk_id * 24
+        |    AS BIGINT) AS n_tok
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

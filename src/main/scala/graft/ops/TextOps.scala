@@ -147,4 +147,44 @@ object TextOps {
   def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Fixed-window document chunking with stride overlap — the
+    * sequence-packing prep step of a pre-training pipeline: chunk i
+    * covers tokens [i*stride, i*stride + size), the final chunk may
+    * run short, and consecutive chunks overlap by (size - stride)
+    * tokens so no span is lost at a boundary.
+    *
+    * Shape: tokens explode once with their position; each token fans
+    * out to the <= ceil(size/stride) chunks containing it (a
+    * codegen'd sequence bound, not a membership join); chunk text
+    * reassembles under one (doc, chunk) aggregation with an explicit
+    * in-chunk sort — order never depends on shuffle arrival. One
+    * shuffle total, memory bounded by chunk size, never whole-doc
+    * arrays at the aggregation. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    // i_min = max(0, floor((p - (size - stride)) / stride)): a negative
+    // numerator (chunk 0 still covers p) floors below zero and clips
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("p", "t")))
+      .select(col("doc_id"), col("p"), col("t"),
+        explode(sequence(
+          greatest(floor((col("p") - (size - stride)) / lit(stride)),
+            lit(0L)),
+          floor(col("p") / lit(stride)))).as("chunk_id"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("t")))),
+          x => x.getField("t")), " ").as("chunk_text"),
+        count(lit(1)).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"), col("n_tok"))
+  }
+
+  def chunkQuery(s: SparkSession, d: String): DataFrame =
+    chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+      size = 32, stride = 24)
 }

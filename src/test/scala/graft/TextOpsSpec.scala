@@ -59,4 +59,27 @@ class TextOpsSpec extends SparkTestBase {
       .select(TextOps.fingerprint($"text").as("f")).collect().map(_.getLong(0))
     assert(out(0) != out(1))
   }
+
+  test("chunkDocuments: stride overlap, short tail, short doc (packing)") {
+    val toks = (0 until 50).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, toks), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, "doc_id", "text",
+      size = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // doc 1: 50 tokens -> chunks at 0, 24, 48
+    assert(out((1L, 0L))._2 == 32 && out((1L, 0L))._1.startsWith("t0 t1 "))
+    assert(out((1L, 0L))._1.endsWith(" t31"))
+    // overlap: chunk 1 starts at token 24 (8 tokens shared with chunk 0)
+    assert(out((1L, 1L))._1.startsWith("t24 "))
+    assert(out((1L, 1L))._2 == 26) // tokens 24..49
+    assert(out((1L, 2L)) == (("t48 t49", 2L))) // short tail
+    // a doc shorter than one chunk yields exactly one short chunk
+    assert(out((2L, 0L)) == (("a b", 2L)))
+    assert(!out.contains((2L, 1L)))
+    // no token span is lost: concatenated distinct coverage == the doc
+    val covered = out.collect { case ((1L, _), (txt, _)) =>
+      txt.split(" ").toSet }.reduce(_ ++ _)
+    assert(covered == (0 until 50).map(i => s"t$i").toSet)
+  }
 }
