@@ -49,6 +49,7 @@ object DocKernels {
   private val boldRe = "<w:b(?:\\s[^>]*)?/>".r
   private val rowRe = "(?s)<w:tr[ >].*?</w:tr>".r
   private val cellRe = "(?s)<w:tc[ >].*?</w:tc>".r
+  private val paraRe = "(?s)<w:p[ >].*?</w:p>|<w:p/>".r
 
   /** DOCX -> structured blocks. The scanning regex consumes whole
     * tables first, so cell paragraphs never leak as top-level
@@ -77,7 +78,7 @@ object DocKernels {
             // paragraph-per-paragraph, joined with a space: two cell
             // paragraphs "Budget" / "2024" read "Budget 2024", not
             // "Budget2024"
-            val paras = "(?s)<w:p[ >].*?</w:p>|<w:p/>".r.findAllIn(tc)
+            val paras = paraRe.findAllIn(tc)
               .map(p => textRe.findAllMatchIn(p)
                 .map(x => HtmlParser.unescape(x.group(1))).mkString)
               .filter(_.nonEmpty).toSeq

@@ -254,12 +254,13 @@ object Dedup {
       bands: Int, rowsPerBand: Int, threshold: Double,
       tag: String = "band", maxBucketSize: Int = 1000,
       maxBroadcastKeys: Long = 4000000L): DataFrame = {
-    corpusIndex.select(size(col("sig"))).head() match {
-      case row if row.getInt(0) != bands * rowsPerBand =>
+    // an EMPTY index is legitimate (first crawl): skip the width check
+    // and let the probe join yield the natural empty result
+    corpusIndex.select(size(col("sig"))).head(1).foreach { row =>
+      if (row.getInt(0) != bands * rowsPerBand)
         throw new IllegalArgumentException(
           s"corpus index has ${row.getInt(0)} signature components; " +
             s"probe requested bands*rowsPerBand = ${bands * rowsPerBand}")
-      case _ =>
     }
     val batchIdx =
       signatureIndex(newExploded, bands * rowsPerBand).persist()

@@ -74,9 +74,9 @@ object StreamOps {
     * inside the horizon, evicted with the watermark. */
   def nearDedupWithinWatermark(rows: DataFrame, textCol: String,
       lateness: String = "1 hour"): DataFrame =
-    rows.withColumn("simhash", graft.ops.Dedup.simHash(col(textCol)))
-      .withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark(Seq("simhash"))
+    dedupWithinWatermark(
+      rows.withColumn("simhash", graft.ops.Dedup.simHash(col(textCol))),
+      Seq("simhash"), lateness)
       .drop("simhash")
 
   final case class SeenKey(key: String)

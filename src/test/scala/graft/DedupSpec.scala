@@ -198,6 +198,17 @@ class DedupSpec extends SparkTestBase {
     assert(hits(0).getDouble(2) == 1.0)
   }
 
+  test("batch-vs-index probe on an EMPTY corpus index yields no matches") {
+    val empty = Dedup.signatureIndex(
+      Dedup.explodedTokenShingleHashes(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", 3), 64)
+    val batch = Dedup.explodedTokenShingleHashes(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", 3)
+    assert(Dedup.lshNearDupNewVsIndex(batch, empty,
+      bands = 16, rowsPerBand = 4, threshold = 0.9).count() == 0)
+  }
+
   test("batch-vs-index probe fails fast on signature-width mismatch") {
     val corpus = Seq((10L, base)).toDF("doc_id", "text")
     val idx32 = Dedup.signatureIndex(
