@@ -64,4 +64,21 @@ object CorpusCuration {
       col("quality"), col("n_chars")),
       Metrics(nInput, nExact, nQuality, nFinal, totalTokens))
   }
+
+  /** The pipeline's terminal form: the curated corpus packed into
+    * training-ready fixed token windows ([[TextOps.chunkDocuments]]) —
+    * what actually feeds a trainer. Survivor ids join back to the raw
+    * text (the curation projection deliberately drops the payload),
+    * then chunking adds its one bounded shuffle. */
+  def curateToChunks(spark: SparkSession, d: String,
+      size: Int = 32, stride: Int = 24,
+      minQuality: Double = 0.4,
+      nearDupThreshold: Double = 0.5): (DataFrame, Metrics) = {
+    val (curated, metrics) = curate(spark, d, minQuality, nearDupThreshold)
+    val survivors = curated.select(col("doc_id"))
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("text")),
+        "doc_id")
+    (TextOps.chunkDocuments(survivors, "doc_id", "text", size, stride),
+      metrics)
+  }
 }

@@ -28,6 +28,21 @@ class CorpusCurationSpec extends SparkTestBase {
     assert(survivors.count() == 0)
   }
 
+  test("curateToChunks packs only surviving docs into bounded windows") {
+    val (chunks, m) = CorpusCuration.curateToChunks(spark, sf("documents"),
+      size = 32, stride = 24)
+    val rows = chunks.collect()
+    // every chunk obeys the window bound and belongs to a survivor
+    assert(rows.forall(_.getAs[Long]("n_tok") <= 32))
+    val (curated, _) = CorpusCuration.curate(spark, sf("documents"))
+    val survivors = curated.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == survivors)
+    // token accounting lines up: chunk tokens cover each survivor's
+    // text at least once (overlap means >=, never <)
+    assert(rows.map(_.getAs[Long]("n_tok")).sum >= m.totalTokens)
+  }
+
   test("curation is deterministic across runs") {
     val a = CorpusCuration.curate(spark, sf("documents"))._1
       .collect().map(_.getLong(0)).sorted
