@@ -226,6 +226,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Persist a signature index as a parquet table — the durable form
+    * the per-crawl probe ([[lshNearDupNewVsIndex]]) reads. Bucketing
+    * by id co-locates the shingle-set join-back; at cluster scale a
+    * deployment would additionally partition the BANDED key table by
+    * band. */
+  def writeSignatureIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  /** Load a stored signature index (id, sh, sig). */
+  def readSignatureIndex(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
   /** Banded (band, bucket) keys for a signature index (id, sh, sig) —
     * shared by the self-join and incremental paths. */
   private def bandKeys(index: DataFrame, bands: Int, rowsPerBand: Int,

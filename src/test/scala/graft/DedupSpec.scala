@@ -198,6 +198,22 @@ class DedupSpec extends SparkTestBase {
     assert(hits(0).getDouble(2) == 1.0)
   }
 
+  test("signature index round-trips through parquet and still probes") {
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val idx = Dedup.signatureIndex(
+      Dedup.explodedTokenShingleHashes(corpus, "doc_id", "text", 3), 64)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sigidx_").resolve("idx").toString
+    Dedup.writeSignatureIndex(idx, dir)
+    val stored = Dedup.readSignatureIndex(spark, dir)
+    val batch = Dedup.explodedTokenShingleHashes(
+      Seq((100L, base)).toDF("doc_id", "text"), "doc_id", "text", 3)
+    val hits = Dedup.lshNearDupNewVsIndex(batch, stored,
+      bands = 16, rowsPerBand = 4, threshold = 0.9).collect()
+    assert(hits.length == 1 && hits(0).getLong(1) == 10L)
+    assert(hits(0).getDouble(2) == 1.0)
+  }
+
   test("batch-vs-index probe on an EMPTY corpus index yields no matches") {
     val empty = Dedup.signatureIndex(
       Dedup.explodedTokenShingleHashes(
