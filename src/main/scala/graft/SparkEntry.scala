@@ -210,6 +210,8 @@ object SparkEntry {
       Relational.orderSpendRanks(s, d).orderBy("o_orderkey")),
     "q76_doc_chunks" -> ((s, d) =>
       TextOps.chunkQuery(s, d).orderBy("doc_id", "chunk_id")),
+    "q77_temperature_mix" -> ((s, d) =>
+      Curation.temperatureSample(s, d).orderBy("doc_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -834,5 +836,22 @@ object SparkEntry {
         |  CAST(least(chunk_id * 24 + 32, len(tk)) - chunk_id * 24
         |    AS BIGINT) AS n_tok
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q77_temperature_mix" ->
+      ("""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+         |m AS (SELECT MIN(n_s) AS min_n FROM c),
+         |r AS (SELECT source,
+         |        sqrt(CAST(min_n AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate
+         |      FROM c, m),
+         |h AS (SELECT doc_id, source,
+         |        md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents)
+         |SELECT doc_id, source FROM h JOIN r USING (source)
+         |WHERE CAST(("""
+        + (1 to 8).map { i =>
+            val d = s"substr(hh, $i, 1)"
+            s"CAST(ascii($d) - CASE WHEN $d <= '9' THEN 48 ELSE 87 END " +
+              s"AS BIGINT) * ${1L << (4 * (8 - i))}"
+          }.mkString(" + ")
+        + """) AS DOUBLE) / 4294967296.0 < rate
+          |ORDER BY doc_id""".stripMargin).stripMargin,
   )
 }

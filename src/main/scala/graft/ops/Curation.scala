@@ -180,6 +180,43 @@ object Curation {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** 32-bit uniform hash fraction from the first 8 hex nibbles of
+    * md5(id), decoded with the same ascii arithmetic both engines
+    * share — the deterministic "random" draw behind oracle-checkable
+    * sampling at arbitrary (non-hex-boundary) rates. */
+  private def md5Frac32(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    (1 to 8).map { i =>
+      val d = substring(h, i, 1)
+      (ascii(d) - when(d <= "9", 48).otherwise(87)).cast("long") *
+        (1L << (4 * (8 - i)))
+    }.reduce(_ + _).cast("double") / 4294967296.0
+  }
+
+  /** Temperature-based source mixing (the pre-training data-balancing
+    * step): down-sample each source so expected kept counts are
+    * proportional to n_s^alpha — rare sources keep everything, the
+    * head of the source distribution shrinks. With alpha = 1/2 the
+    * per-source keep rate is sqrt(min_n / n_s) (sqrt rather than pow
+    * for bit-identical cross-engine arithmetic). Deterministic per
+    * doc: the draw is a pure md5 hash of the id, so re-runs and
+    * retried tasks keep exactly the same rows. One count aggregation,
+    * one join back on source (AQE broadcasts while the source table
+    * fits; web-scale domain tables shuffle), zero RNG state. */
+  def temperatureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"))
+    val minN = counts.agg(min(col("n_s")).as("min_n"))
+    val rated = counts.crossJoin(broadcast(minN))
+      .withColumn("rate",
+        sqrt(col("min_n").cast("double") / col("n_s").cast("double")))
+    docs.select(col("doc_id"), col("source"))
+      .join(rated.select(col("source"), col("rate")), "source")
+      .filter(md5Frac32(col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Oracle-checkable SimHash: a 60-bit sketch whose bits come from
     * the first 15 hex nibbles of md5(token) — the same per-bit
     * majority vote as [[Dedup.simHashDf]], with a hash both engines

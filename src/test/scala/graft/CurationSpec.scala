@@ -77,4 +77,28 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted == plain)
   }
+
+  test("temperatureSample flattens the source distribution toward n^alpha") {
+    val kept = graft.ops.Curation.temperatureSample(spark, sf("documents"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.documents(spark, sf("documents"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rarest source keeps (nearly) everything; bigger sources are
+    // down-sampled by sqrt(min/n) so kept ratios shrink with size
+    val minN = full.values.min
+    full.foreach { case (src, n) =>
+      val k = kept.getOrElse(src, 0L).toDouble
+      val expected = n * math.sqrt(minN.toDouble / n)
+      assert(math.abs(k - expected) <= math.max(6.0, 3 * math.sqrt(expected)),
+        s"$src: kept $k, expected ~$expected of $n")
+    }
+    // determinism: the same rows every run
+    val again = graft.ops.Curation.temperatureSample(spark, sf("documents"))
+      .collect().map(_.getLong(0)).sorted
+    val first = graft.ops.Curation.temperatureSample(spark, sf("documents"))
+      .collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(first))
+  }
 }
