@@ -837,14 +837,14 @@ object SparkEntry {
         |    AS BIGINT) AS n_tok
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q77_temperature_mix" ->
-      ("""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+      ("""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY 1),
          |m AS (SELECT MIN(n_s) AS min_n FROM c),
-         |r AS (SELECT source,
+         |r AS (SELECT lang,
          |        sqrt(CAST(min_n AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate
          |      FROM c, m),
-         |h AS (SELECT doc_id, source,
+         |h AS (SELECT doc_id, lang,
          |        md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents)
-         |SELECT doc_id, source FROM h JOIN r USING (source)
+         |SELECT doc_id, lang FROM h JOIN r USING (lang)
          |WHERE CAST(("""
         + (1 to 8).map { i =>
             val d = s"substr(hh, $i, 1)"

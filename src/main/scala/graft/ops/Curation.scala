@@ -202,19 +202,22 @@ object Curation {
     * doc: the draw is a pure md5 hash of the id, so re-runs and
     * retried tasks keep exactly the same rows. One count aggregation,
     * one join back on source (AQE broadcasts while the source table
-    * fits; web-scale domain tables shuffle), zero RNG state. */
-  def temperatureSample(s: SparkSession, d: String): DataFrame = {
+    * fits; web-scale domain tables shuffle), zero RNG state. The
+    * default mixing key is the language column (visibly skewed in the
+    * corpus); domains/sources mix identically by passing `byCol`. */
+  def temperatureSample(s: SparkSession, d: String,
+      byCol: String = "lang"): DataFrame = {
     val docs = Tables.documents(s, d)
-    val counts = docs.groupBy(col("source"))
+    val counts = docs.groupBy(col(byCol))
       .agg(count(lit(1)).as("n_s"))
     val minN = counts.agg(min(col("n_s")).as("min_n"))
     val rated = counts.crossJoin(broadcast(minN))
       .withColumn("rate",
         sqrt(col("min_n").cast("double") / col("n_s").cast("double")))
-    docs.select(col("doc_id"), col("source"))
-      .join(rated.select(col("source"), col("rate")), "source")
+    docs.select(col("doc_id"), col(byCol))
+      .join(rated.select(col(byCol), col("rate")), byCol)
       .filter(md5Frac32(col("doc_id")) < col("rate"))
-      .select(col("doc_id"), col("source"))
+      .select(col("doc_id"), col(byCol))
   }
 
   /** Oracle-checkable SimHash: a 60-bit sketch whose bits come from

@@ -80,10 +80,10 @@ class CurationSpec extends SparkTestBase {
 
   test("temperatureSample flattens the source distribution toward n^alpha") {
     val kept = graft.ops.Curation.temperatureSample(spark, sf("documents"))
-      .groupBy("source").count()
+      .groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val full = Tables.documents(spark, sf("documents"))
-      .groupBy("source").count()
+      .groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // the rarest source keeps (nearly) everything; bigger sources are
     // down-sampled by sqrt(min/n) so kept ratios shrink with size
