@@ -14,13 +14,20 @@ package graft
   * cluster amortizes away.
   *
   * Output discipline: the driver captures only the tail of stdout, so the
-  * JSON line must stay short. Per-query timings are rounded (3 decimals,
-  * degrading to 2 then 1 if the line would exceed the budget), the total
-  * comes first, and a query that throws is recorded as -1 rather than
-  * being timed to the exception.
+  * JSON line must stay short. Query keys are shortened to their `qNN`
+  * prefix (the driver contract's own example shape, `{"q1":sec,...}`),
+  * timings are rounded (3 decimals, degrading to 2 then 1 if the line
+  * would exceed the budget), the total comes first, and a query that
+  * throws is recorded as -1 rather than being timed to the exception.
   */
 object Bench {
   private val LineBudget = 1900
+
+  /** "q38_minhash_pairs" -> "q38"; names without a qNN prefix pass through. */
+  private def shortKey(name: String): String = {
+    val m = "^(q\\d+)_".r.findFirstMatchIn(name)
+    m.map(_.group(1)).getOrElse(name)
+  }
 
   private def fmt(v: Double, decimals: Int): String =
     if (v < 0) "-1"
@@ -43,7 +50,7 @@ object Bench {
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def line(decimals: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }
+      val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, decimals) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir","queries":$qs}"""
     }

@@ -212,6 +212,10 @@ object SparkEntry {
       TextOps.chunkQuery(s, d).orderBy("doc_id", "chunk_id")),
     "q77_temperature_mix" -> ((s, d) =>
       Curation.temperatureSample(s, d).orderBy("doc_id")),
+    "q78_repetition" -> ((s, d) =>
+      TextOps.repetitionQuery(s, d).orderBy("doc_id")),
+    "q79_budget_fill" -> ((s, d) =>
+      Curation.budgetFill(s, d).orderBy("doc_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -853,5 +857,30 @@ object SparkEntry {
           }.mkString(" + ")
         + """) AS DOUBLE) / 4294967296.0 < rate
           |ORDER BY doc_id""".stripMargin).stripMargin,
+    "q78_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents),
+        |i AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |      FROM toks WHERE len(tk) >= 2),
+        |g AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram FROM i),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+        |    AS dup2_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q79_budget_fill" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+        |      AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tok,
+        |  CAST(cum_before + n_tok AS BIGINT) AS cum_tok
+        |FROM c WHERE cum_before < 3000 ORDER BY doc_id""".stripMargin,
   )
 }

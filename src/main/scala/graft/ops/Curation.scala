@@ -36,6 +36,34 @@ object Curation {
       .filter(hashKeep(col("doc_id"), col("rate_hex")))
       .select(col("doc_id"), col("source"), col("lang"))
 
+  /** Token-budget fill: deterministically select documents per source
+    * until each source's token budget is exhausted — the "fill a 10B-token
+    * training mix" step. Documents are consumed in md5(doc_id) order (the
+    * same retry-stable key as [[stratifiedSample]], so the selection is
+    * identical across runs, engines, and partial re-runs); a document is
+    * kept iff the budget was not yet exhausted when it starts, so every
+    * source overshoots by at most one document.
+    *
+    * Scale shape: one shuffle on source + an in-partition sort for the
+    * running sum — the minimal cost for an order-dependent cut. At 100 TB
+    * a single giant source would serialize its own window; the standard
+    * remedy is a two-level pass (cut within hash-subsplits, then a small
+    * per-source correction on the subtotal table), which preserves the
+    * same keep-set because the md5 order is global. */
+  def budgetFill(s: SparkSession, d: String,
+      budgetTokens: Long = 3000L): DataFrame = {
+    val tok = TextOps.tokenCount(col("text")).cast("long")
+    val key = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("source")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tok.as("n_tok"), key.as("k"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("cum_before") + col("n_tok")).as("cum_tok"))
+  }
+
   /** Training-text normalization: casefold, strip non-alphanumerics,
     * collapse whitespace — one codegen'd scan projection. */
   def normalize(text: Column): Column =

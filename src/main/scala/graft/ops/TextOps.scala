@@ -187,4 +187,38 @@ object TextOps {
   def chunkQuery(s: SparkSession, d: String): DataFrame =
     chunkDocuments(Tables.documents(s, d), "doc_id", "text",
       size = 32, stride = 24)
+
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * 2-grams accounted for by its single most frequent 2-gram (boilerplate
+    * and template spam score close to 1; natural text stays low). Computed
+    * entirely inside the row — build the gram array, sort it, fold for the
+    * longest equal-run — so it is a pure scan projection with zero
+    * shuffles: the same one-pass cost as the other quality gates at 100 TB,
+    * and composable into `qualityScore`-style filters for free. */
+  def topGramFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val grams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val best = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    round(best.cast("double") / (n - 1).cast("double"), 6)
+  }
+
+  /** Per-doc top-2-gram fraction over docs with at least one 2-gram
+    * (oracle-checked against a DuckDB unnest+group mirror). */
+  def repetitionQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(tokenCount(col("text")) >= 2)
+      .select(col("doc_id"),
+        topGramFraction(col("text")).as("dup2_frac"))
 }

@@ -101,4 +101,28 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted
     assert(again.sameElements(first))
   }
+
+  test("budgetFill stops each source at its token budget, overshoot <= 1 doc") {
+    val out = Curation.budgetFill(spark, sf("documents"), budgetTokens = 500L)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per source: the last kept doc STARTS under budget; all others fit
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      sorted.init.foreach { r =>
+        assert(r.getLong(3) - r.getLong(2) < 500L, s"$src non-final over") }
+      assert(sorted.last.getLong(3) - sorted.last.getLong(2) < 500L)
+      // cum_tok of the final doc is the first crossing (or the source ran dry)
+      val totalSrc = Tables.documents(spark, sf("documents"))
+        .filter($"source" === src)
+        .select(org.apache.spark.sql.functions.sum(
+          graft.ops.TextOps.tokenCount($"text").cast("long")))
+        .head().getLong(0)
+      assert(sorted.last.getLong(3) >= math.min(500L, totalSrc), s"$src undershoot")
+    }
+    // determinism
+    val again = Curation.budgetFill(spark, sf("documents"), budgetTokens = 500L)
+      .collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(rows.map(_.getLong(0)).sorted))
+  }
 }

@@ -82,4 +82,24 @@ class TextOpsSpec extends SparkTestBase {
       txt.split(" ").toSet }.reduce(_ ++ _)
     assert(covered == (0 until 50).map(i => s"t$i").toSet)
   }
+
+  test("topGramFraction: uniform text low, template spam high") {
+    // "a b a b a b" -> grams: "a b","b a","a b","b a","a b" -> top=3/5
+    assert(one("a b a b a b", TextOps.topGramFraction) == 0.6)
+    // all-distinct grams -> 1/(n-1)
+    assert(one("w x y z", TextOps.topGramFraction) == 0.333333)
+    // pure repetition -> every gram identical
+    assert(one("go go go go go", TextOps.topGramFraction) == 1.0)
+  }
+
+  test("repetitionQuery covers every multi-token doc, frac in (0,1]") {
+    val docs = Tables.documents(spark, sf("documents"))
+    val n = docs.filter(TextOps.tokenCount($"text") >= 2).count()
+    val out = TextOps.repetitionQuery(spark, sf("documents")).collect()
+    assert(out.length == n.toInt)
+    out.foreach { r =>
+      val f = r.getDouble(1)
+      assert(f > 0.0 && f <= 1.0, s"doc ${r.getLong(0)}: $f")
+    }
+  }
 }
