@@ -216,6 +216,8 @@ object SparkEntry {
       TextOps.repetitionQuery(s, d).orderBy("doc_id")),
     "q79_budget_fill" -> ((s, d) =>
       Curation.budgetFill(s, d).orderBy("doc_id")),
+    "q80_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(s, d).orderBy("source", "bin_id", "doc_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -882,5 +884,23 @@ object SparkEntry {
         |SELECT doc_id, source, n_tok,
         |  CAST(cum_before + n_tok AS BIGINT) AS cum_tok
         |FROM c WHERE cum_before < 3000 ORDER BY doc_id""".stripMargin,
+    "q80_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+        |      AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM t WHERE n_tok >= 1),
+        |b AS (SELECT doc_id, source, s, n_tok,
+        |    unnest(range(s // 512, (s + n_tok - 1) // 512 + 1)) AS bin
+        |  FROM c)
+        |SELECT source, CAST(bin AS BIGINT) AS bin_id, doc_id,
+        |  CAST(least(s + n_tok, (bin + 1) * 512)
+        |    - greatest(s, bin * 512) AS BIGINT) AS n_in_bin
+        |FROM b ORDER BY source, bin_id, doc_id""".stripMargin,
   )
 }

@@ -50,8 +50,11 @@ object Curation {
     * remedy is a two-level pass (cut within hash-subsplits, then a small
     * per-source correction on the subtotal table), which preserves the
     * same keep-set because the md5 order is global. */
-  def budgetFill(s: SparkSession, d: String,
-      budgetTokens: Long = 3000L): DataFrame = {
+  /** Per-source token-stream layout: each document's token span start
+    * (`cum_before`) in a deterministic md5(doc_id)-ordered stream — the
+    * shared substrate of [[budgetFill]] and [[packSequences]]. One
+    * shuffle on source + in-partition sort. */
+  private def tokenStream(s: SparkSession, d: String): DataFrame = {
     val tok = TextOps.tokenCount(col("text")).cast("long")
     val key = md5(col("doc_id").cast("string"))
     val w = Window.partitionBy(col("source")).orderBy(col("k"))
@@ -59,9 +62,38 @@ object Curation {
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), tok.as("n_tok"), key.as("k"))
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+  }
+
+  def budgetFill(s: SparkSession, d: String,
+      budgetTokens: Long = 3000L): DataFrame =
+    tokenStream(s, d)
       .filter(col("cum_before") < budgetTokens)
       .select(col("doc_id"), col("source"), col("n_tok"),
         (col("cum_before") + col("n_tok")).as("cum_tok"))
+
+  /** GPT-style sequence packing: concatenate each source's documents into
+    * one token stream (deterministic md5 order, see [[tokenStream]]) and
+    * cut it every `contextTokens` tokens — documents split across context
+    * boundaries, exactly like pre-training batch assembly. Emits one row
+    * per (bin, document) overlap with the token count the document
+    * contributes to that bin, so downstream can both reassemble bins and
+    * account attention-mask segments.
+    *
+    * Shape: the window pass from [[tokenStream]] plus a codegen'd
+    * `sequence`+`explode` over each doc's bin range — fan-out bounded by
+    * ceil(doc_tokens / context) per doc, never a join. At 100 TB the
+    * stream cut is embarrassingly parallel after the one window shuffle. */
+  def packSequences(s: SparkSession, d: String,
+      contextTokens: Int = 512): DataFrame = {
+    val c = lit(contextTokens.toLong)
+    tokenStream(s, d)
+      .filter(col("n_tok") >= 1)
+      .withColumn("bin_id", explode(sequence(
+        expr(s"cum_before div $contextTokens"),
+        expr(s"(cum_before + n_tok - 1) div $contextTokens"))))
+      .select(col("source"), col("bin_id"), col("doc_id"),
+        (least(col("cum_before") + col("n_tok"), (col("bin_id") + 1) * c) -
+          greatest(col("cum_before"), col("bin_id") * c)).as("n_in_bin"))
   }
 
   /** Training-text normalization: casefold, strip non-alphanumerics,

@@ -125,4 +125,26 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted
     assert(again.sameElements(rows.map(_.getLong(0)).sorted))
   }
+
+  test("packSequences cuts each source stream into full context bins") {
+    val out = Curation.packSequences(spark, sf("documents"), contextTokens = 256)
+      .collect()
+    // every doc's per-bin contributions sum to its token count
+    val perDoc = out.groupBy(_.getLong(2))
+      .map { case (id, rs) => id -> rs.map(_.getLong(3)).sum }
+    val want = Tables.documents(spark, sf("documents"))
+      .select($"doc_id", graft.ops.TextOps.tokenCount($"text").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (id, n) => assert(n == want(id), s"doc $id") }
+    // per source: bins are contiguous from 0 and all but the last are full
+    out.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val bins = rs.groupBy(_.getLong(1))
+        .map { case (b, xs) => b -> xs.map(_.getLong(3)).sum }
+      val maxBin = bins.keys.max
+      assert(bins.keySet == (0L to maxBin).toSet, s"$src bins not contiguous")
+      (0L until maxBin).foreach { b =>
+        assert(bins(b) == 256L, s"$src bin $b not full: ${bins(b)}") }
+      assert(bins(maxBin) <= 256L && bins(maxBin) > 0L, s"$src last bin")
+    }
+  }
 }
