@@ -218,6 +218,8 @@ object SparkEntry {
       Curation.budgetFill(s, d).orderBy("doc_id")),
     "q80_pack_sequences" -> ((s, d) =>
       Curation.packSequences(s, d).orderBy("source", "bin_id", "doc_id")),
+    "q81_cluster_split" -> ((s, d) =>
+      Dedup.clusterSplit(s, d).orderBy("doc_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -902,5 +904,27 @@ object SparkEntry {
         |  CAST(least(s + n_tok, (bin + 1) * 512)
         |    - greatest(s, bin * 512) AS BIGINT) AS n_in_bin
         |FROM b ORDER BY source, bin_id, doc_id""".stripMargin,
+    "q81_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (SELECT doc_id,
+        |            unnest(list_transform(range(1, len(tk) - 1),
+        |              i -> array_to_string(tk[i:i+2], ' '))) AS g
+        |          FROM toks WHERE len(tk) >= 3),
+        |sig AS (SELECT doc_id, min(md5('0|' || g)) AS s0
+        |        FROM grams GROUP BY doc_id),
+        |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |          FROM sig a JOIN sig b ON a.s0 = b.s0
+        |          WHERE a.doc_id <> b.doc_id),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lab AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+        |        FROM reach GROUP BY id)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) <= '28'
+        |       THEN 'heldout' ELSE 'train' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin,
   )
 }

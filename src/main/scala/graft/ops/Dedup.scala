@@ -445,6 +445,19 @@ object Dedup {
       .select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** Leakage-safe train/heldout split: the md5 keep-decision is made per
+    * near-dup CLUSTER, not per document, so near-duplicates can never
+    * straddle the split — the eval-contamination failure mode of naive
+    * per-doc sampling. Costs one extra scan projection over
+    * [[nearDupClusters]]' labels; the split is deterministic and
+    * retry-stable like every other curation draw. */
+  def clusterSplit(s: SparkSession, d: String,
+      heldoutHex: String = "28"): DataFrame =
+    nearDupClusters(s, d)
+      .withColumn("split",
+        when(Curation.hashKeep(col("cluster"), lit(heldoutHex)), "heldout")
+          .otherwise("train"))
+
   // ----------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token multiset: per-bit majority vote of token

@@ -286,4 +286,18 @@ class DedupSpec extends SparkTestBase {
     assert(kept.count() == distinctTexts)
     assert(kept.count() <= total)
   }
+
+  test("clusterSplit never puts near-duplicates on both sides") {
+    val out = graft.ops.Dedup.clusterSplit(spark, sf("documents")).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(2)).toSet.subsetOf(Set("train", "heldout")))
+    // leakage-safety: every cluster maps to exactly one split
+    out.groupBy(_.getLong(1)).foreach { case (c, rs) =>
+      assert(rs.map(_.getString(2)).toSet.size == 1, s"cluster $c leaks") }
+    // determinism across runs
+    val again = graft.ops.Dedup.clusterSplit(spark, sf("documents"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted
+    assert(again.sameElements(
+      out.map(r => (r.getLong(0), r.getString(2))).sorted))
+  }
 }
