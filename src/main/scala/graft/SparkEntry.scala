@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, ExprQueries, Relational, Similarity,
-  Temporal, TextOps}
+import graft.ops.{Curation, Dedup, ExprQueries, Maintenance, Relational,
+  Similarity, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -220,6 +220,8 @@ object SparkEntry {
       Curation.packSequences(s, d).orderBy("source", "bin_id", "doc_id")),
     "q81_cluster_split" -> ((s, d) =>
       Dedup.clusterSplit(s, d).orderBy("doc_id")),
+    "q82_zorder_key" -> ((s, d) =>
+      Maintenance.zorderQuery(s, d).orderBy("l_orderkey", "l_linenumber")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -926,5 +928,13 @@ object SparkEntry {
         |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) <= '28'
         |       THEN 'heldout' ELSE 'train' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q82_zorder_key" -> {
+      val terms = (0 until 16).flatMap { j => Seq(
+        s"((((l_partkey & 65535) >> $j) & 1) << ${2 * j})",
+        s"((((l_suppkey & 65535) >> $j) & 1) << ${2 * j + 1})") }
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${terms.mkString("\n    + ")} AS BIGINT) AS zkey
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
   )
 }

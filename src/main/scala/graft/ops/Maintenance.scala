@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators a long-running 100 TB pipeline needs:
   * the scheduled crawl appends small files every run (one per task per
@@ -56,6 +57,49 @@ object Maintenance {
     val cols = clusterCols.map(org.apache.spark.sql.functions.col)
     df.repartitionByRange(parts, cols: _*)
       .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(outDir)
+    parts
+  }
+
+  /** Z-order (Morton) key: bit-interleave the low `bits` bits of two
+    * integer columns (x in even positions, y in odd). Sorting by this key
+    * gives a layout where BOTH dimensions cluster — parquet min/max
+    * stats then prune scans filtered on either column, where a
+    * lexicographic sort prunes only the leading one. Pure codegen'd
+    * arithmetic (shift/and/or fold, subexpression-eliminated), so the
+    * key costs one projection at rewrite time. */
+  def zorderKey2(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1
+    val xs = x.cast("long").bitwiseAND(lit(mask))
+    val ys = y.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xs, j).bitwiseAND(lit(1L)), 2 * j))
+        .bitwiseOR(shiftleft(shiftright(ys, j).bitwiseAND(lit(1L)),
+          2 * j + 1))
+    }
+  }
+
+  /** Morton keys for lineitem's two part-dimension filter columns
+    * (oracle-checked bit-for-bit via shift/and arithmetic DuckDB
+    * shares). */
+  def zorderQuery(s: SparkSession, d: String): DataFrame =
+    graft.Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_linenumber"),
+      zorderKey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
+
+  /** Z-order clustered compaction: [[compactClustered]] on the Morton
+    * key of two filter dimensions instead of a lexicographic sort —
+    * the two-dimensional data-skipping layout. */
+  def compactZOrder(spark: SparkSession, inDir: String, outDir: String,
+      xCol: String, yCol: String, targetFileMB: Int = 128): Int = {
+    val df = spark.read.parquet(inDir)
+    val parts = sizedParts(spark, df, targetFileMB)
+    df.withColumn("__zkey", zorderKey2(col(xCol), col(yCol)))
+      .repartitionByRange(parts, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
       .write.mode("overwrite").parquet(outDir)
     parts
   }
