@@ -222,6 +222,8 @@ object SparkEntry {
       Dedup.clusterSplit(s, d).orderBy("doc_id")),
     "q82_zorder_key" -> ((s, d) =>
       Maintenance.zorderQuery(s, d).orderBy("l_orderkey", "l_linenumber")),
+    "q83_keep_best" -> ((s, d) =>
+      Dedup.keepBestInCluster(s, d).orderBy("cluster")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -936,5 +938,46 @@ object SparkEntry {
          |  CAST(${terms.mkString("\n    + ")} AS BIGINT) AS zkey
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "q83_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (SELECT doc_id,
+        |            unnest(list_transform(range(1, len(tk) - 1),
+        |              i -> array_to_string(tk[i:i+2], ' '))) AS g
+        |          FROM toks WHERE len(tk) >= 3),
+        |sig AS (SELECT doc_id, min(md5('0|' || g)) AS s0
+        |        FROM grams GROUP BY doc_id),
+        |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |          FROM sig a JOIN sig b ON a.s0 = b.s0
+        |          WHERE a.doc_id <> b.doc_id),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lab AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+        |        FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id, round(
+        |    CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(100.0 AS DOUBLE),
+        |      CAST(1.0 AS DOUBLE))
+        |    + CAST(0.3 AS DOUBLE) * (n_uniq / n_tokens)
+        |    + CAST(0.3 AS DOUBLE) * least((n_stop / n_tokens)
+        |      * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), 6) AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE)
+        |        AS n_tokens,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        AS n_uniq,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |        x -> list_contains(['the','a','and','of','to','in'], x)))
+        |        AS DOUBLE) AS n_stop
+        |    FROM documents))
+        |SELECT doc_id, cluster, quality FROM (
+        |  SELECT lab.doc_id, lab.cluster, q.quality,
+        |    row_number() OVER (PARTITION BY lab.cluster
+        |      ORDER BY q.quality DESC, lab.doc_id) AS rn
+        |  FROM lab JOIN q ON lab.doc_id = q.doc_id)
+        |WHERE rn = 1 ORDER BY cluster""".stripMargin,
   )
 }

@@ -458,6 +458,25 @@ object Dedup {
         when(Curation.hashKeep(col("cluster"), lit(heldoutHex)), "heldout")
           .otherwise("train"))
 
+  /** Canonical-document selection: near-dedup that keeps the BEST member
+    * of each cluster (highest quality score, doc_id tie-break) instead of
+    * the first-seen one — the representative-picking semantics real
+    * curation uses so boilerplate clusters contribute their cleanest
+    * exemplar. One join of the cluster labels to a scan-projected quality
+    * score, then a per-cluster top-1 window; both shuffles key on
+    * doc/cluster ids, never on text. */
+  def keepBestInCluster(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.Tables.documents(s, d).select(col("doc_id"),
+      round(TextOps.qualityScore(col("text")), 6).as("quality"))
+    nearDupClusters(s, d)
+      .join(scored, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster"), col("quality"))
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token multiset: per-bit majority vote of token

@@ -300,4 +300,25 @@ class DedupSpec extends SparkTestBase {
     assert(again.sameElements(
       out.map(r => (r.getLong(0), r.getString(2))).sorted))
   }
+
+  test("keepBestInCluster keeps one exemplar per cluster, the best one") {
+    val labels = graft.ops.Dedup.nearDupClusters(spark, sf("documents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = graft.ops.Dedup.keepBestInCluster(spark, sf("documents"))
+      .collect()
+    // exactly one row per distinct cluster
+    assert(out.map(_.getLong(1)).sorted
+      .sameElements(labels.values.toArray.distinct.sorted))
+    // the kept doc really is a member of the cluster it represents
+    out.foreach { r => assert(labels(r.getLong(0)) == r.getLong(1)) }
+    // and it has the cluster's max quality
+    val quality = Tables.documents(spark, sf("documents"))
+      .select($"doc_id", org.apache.spark.sql.functions.round(
+        graft.ops.TextOps.qualityScore($"text"), 6).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = labels.groupBy(_._2).map { case (c, m) =>
+      c -> m.keys.map(quality).max }
+    out.foreach { r =>
+      assert(quality(r.getLong(0)) == best(r.getLong(1)), s"cluster ${r.getLong(1)}") }
+  }
 }
