@@ -418,11 +418,35 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  /** Drop memoized cluster-label tables (tolerant of stopped sessions). */
+  def clearClusterCache(): Unit = {
+    clusterCache.values.forEach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    clusterCache.clear()
+  }
+
   /** Near-dup clusters over documents: edges join docs whose md5
     * MinHash first component collides (an LSH band of width 1 — the
     * oracle-mirrorable bucket key), components labeled by min doc_id.
-    * Oracle: the same edges + a recursive-CTE reachability in DuckDB. */
-  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    * Oracle: the same edges + a recursive-CTE reachability in DuckDB.
+    *
+    * Labels are memoized per (SparkContext, corpus dir) like the IVF
+    * index: clustering is the label-once/consume-many artifact every
+    * downstream curation step keys on ([[clusterSplit]],
+    * [[keepBestInCluster]], dedup itself), and the iterative CC loop's
+    * localCheckpoint lineage defeats CacheManager plan-matching, so
+    * without the memo each consumer would silently re-run the whole
+    * fixpoint. */
+  def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    clusterCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$d",
+      _ => nearDupClustersUncached(s, d).persist())
+
+  private def nearDupClustersUncached(s: SparkSession, d: String): DataFrame = {
     // STAR edges, not clique edges: connectivity only needs a spanning
     // structure per bucket, so each sig_0 bucket contributes
     // (min doc_id -> member) edges — O(B) for a B-member bucket where
