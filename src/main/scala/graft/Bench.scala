@@ -23,11 +23,11 @@ package graft
 object Bench {
   private val LineBudget = 1900
 
+  private val QPrefix = "^(q\\d+)_".r
+
   /** "q38_minhash_pairs" -> "q38"; names without a qNN prefix pass through. */
-  private def shortKey(name: String): String = {
-    val m = "^(q\\d+)_".r.findFirstMatchIn(name)
-    m.map(_.group(1)).getOrElse(name)
-  }
+  private def shortKey(name: String): String =
+    QPrefix.findFirstMatchIn(name).map(_.group(1)).getOrElse(name)
 
   private def fmt(v: Double, decimals: Int): String =
     if (v < 0) "-1"

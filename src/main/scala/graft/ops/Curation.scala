@@ -36,20 +36,6 @@ object Curation {
       .filter(hashKeep(col("doc_id"), col("rate_hex")))
       .select(col("doc_id"), col("source"), col("lang"))
 
-  /** Token-budget fill: deterministically select documents per source
-    * until each source's token budget is exhausted — the "fill a 10B-token
-    * training mix" step. Documents are consumed in md5(doc_id) order (the
-    * same retry-stable key as [[stratifiedSample]], so the selection is
-    * identical across runs, engines, and partial re-runs); a document is
-    * kept iff the budget was not yet exhausted when it starts, so every
-    * source overshoots by at most one document.
-    *
-    * Scale shape: one shuffle on source + an in-partition sort for the
-    * running sum — the minimal cost for an order-dependent cut. At 100 TB
-    * a single giant source would serialize its own window; the standard
-    * remedy is a two-level pass (cut within hash-subsplits, then a small
-    * per-source correction on the subtotal table), which preserves the
-    * same keep-set because the md5 order is global. */
   /** Per-source token-stream layout: each document's token span start
     * (`cum_before`) in a deterministic md5(doc_id)-ordered stream — the
     * shared substrate of [[budgetFill]] and [[packSequences]]. One
@@ -64,6 +50,20 @@ object Curation {
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
   }
 
+  /** Token-budget fill: deterministically select documents per source
+    * until each source's token budget is exhausted — the "fill a 10B-token
+    * training mix" step. Documents are consumed in md5(doc_id) order (the
+    * same retry-stable key as [[stratifiedSample]], so the selection is
+    * identical across runs, engines, and partial re-runs); a document is
+    * kept iff the budget was not yet exhausted when it starts, so every
+    * source overshoots by at most one document.
+    *
+    * Scale shape: one shuffle on source + an in-partition sort for the
+    * running sum — the minimal cost for an order-dependent cut. At 100 TB
+    * a single giant source would serialize its own window; the standard
+    * remedy is a two-level pass (cut within hash-subsplits, then a small
+    * per-source correction on the subtotal table), which preserves the
+    * same keep-set because the md5 order is global. */
   def budgetFill(s: SparkSession, d: String,
       budgetTokens: Long = 3000L): DataFrame =
     tokenStream(s, d)

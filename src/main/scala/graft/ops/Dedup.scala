@@ -367,7 +367,15 @@ object Dedup {
     * applies at scale); labels persist per round and the loop stops on
     * a converged (zero-change) round. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    connectedComponentsPinned(edges, vertices, maxRounds)._1
+
+  /** [[connectedComponents]] plus the DataFrames it leaves persisted
+    * (the symmetric edge index and the final label table), so callers
+    * that own the result's lifetime can actually release the memory —
+    * `unpersist()` on the returned projection would miss both. */
+  def connectedComponentsPinned(edges: DataFrame, vertices: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Seq[DataFrame]) = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -415,16 +423,22 @@ object Dedup {
         s"connectedComponents did not converge in $maxRounds rounds " +
           s"($changed labels still changing); raise maxRounds — " +
           "components with diameter beyond this bound would be split")
-    labels.select(col("id"), col("lbl").as("cluster"))
+    (labels.select(col("id"), col("lbl").as("cluster")), Seq(sym, labels))
   }
 
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private case class ClusterEntry(labels: DataFrame, pinned: Seq[DataFrame])
 
-  /** Drop memoized cluster-label tables (tolerant of stopped sessions). */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ClusterEntry]
+
+  /** Drop memoized cluster-label tables, unpersisting every DataFrame
+    * the build left cached — the signature index, the symmetric edge
+    * index, and the final label table (tolerant of stopped sessions). */
   def clearClusterCache(): Unit = {
-    clusterCache.values.forEach { df =>
-      try df.unpersist() catch { case _: Throwable => () }
+    clusterCache.values.forEach { e =>
+      e.pinned.foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
     }
     clusterCache.clear()
   }
@@ -444,9 +458,12 @@ object Dedup {
   def nearDupClusters(s: SparkSession, d: String): DataFrame =
     clusterCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}#$d",
-      _ => nearDupClustersUncached(s, d).persist())
+      // no extra persist on the projection: it reads the pinned label
+      // table underneath, and a second copy would just double storage
+      _ => nearDupClustersUncached(s, d)).labels
 
-  private def nearDupClustersUncached(s: SparkSession, d: String): DataFrame = {
+  private def nearDupClustersUncached(s: SparkSession,
+      d: String): ClusterEntry = {
     // STAR edges, not clique edges: connectivity only needs a spanning
     // structure per bucket, so each sig_0 bucket contributes
     // (min doc_id -> member) edges — O(B) for a B-member bucket where
@@ -463,10 +480,9 @@ object Dedup {
     val edges = sig0.filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("src"), col("doc_id").as("dst"))
     val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
-    // sig0 stays cached (the signature index; see connectedComponents
-    // on cache lifetime)
-    connectedComponents(edges, vertices)
-      .select(col("id").as("doc_id"), col("cluster"))
+    val (cc, pinned) = connectedComponentsPinned(edges, vertices)
+    ClusterEntry(cc.select(col("id").as("doc_id"), col("cluster")),
+      sig0 +: pinned)
   }
 
   /** Leakage-safe train/heldout split: the md5 keep-decision is made per

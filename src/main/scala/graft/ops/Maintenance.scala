@@ -52,11 +52,18 @@ object Maintenance {
   def compactClustered(spark: SparkSession, inDir: String, outDir: String,
       clusterCols: Seq[String], targetFileMB: Int = 128): Int = {
     require(clusterCols.nonEmpty, "clustered compaction needs keys")
+    rewriteClustered(spark, inDir, outDir, targetFileMB, clusterCols.map(col))
+  }
+
+  /** Shared clustered-rewrite mechanics: size the output from actual
+    * input bytes, range-partition + sort on the key expressions (plain
+    * columns or computed keys like a Morton code), overwrite. */
+  private def rewriteClustered(spark: SparkSession, inDir: String,
+      outDir: String, targetFileMB: Int, keys: Seq[Column]): Int = {
     val df = spark.read.parquet(inDir)
     val parts = sizedParts(spark, df, targetFileMB)
-    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
-    df.repartitionByRange(parts, cols: _*)
-      .sortWithinPartitions(cols: _*)
+    df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(outDir)
     parts
   }
@@ -93,14 +100,7 @@ object Maintenance {
     * key of two filter dimensions instead of a lexicographic sort —
     * the two-dimensional data-skipping layout. */
   def compactZOrder(spark: SparkSession, inDir: String, outDir: String,
-      xCol: String, yCol: String, targetFileMB: Int = 128): Int = {
-    val df = spark.read.parquet(inDir)
-    val parts = sizedParts(spark, df, targetFileMB)
-    df.withColumn("__zkey", zorderKey2(col(xCol), col(yCol)))
-      .repartitionByRange(parts, col("__zkey"))
-      .sortWithinPartitions(col("__zkey"))
-      .drop("__zkey")
-      .write.mode("overwrite").parquet(outDir)
-    parts
-  }
+      xCol: String, yCol: String, targetFileMB: Int = 128): Int =
+    rewriteClustered(spark, inDir, outDir, targetFileMB,
+      Seq(zorderKey2(col(xCol), col(yCol))))
 }

@@ -218,7 +218,11 @@ object TextOps {
     * (oracle-checked against a DuckDB unnest+group mirror). */
   def repetitionQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .filter(tokenCount(col("text")) >= 2)
+      // split semantics, not regexp tokenCount: the gram array is built
+      // from split(text, " "), so the filter must count the same way or
+      // the kept-doc set diverges from the oracle on non-canonical
+      // spacing (trailing/double spaces)
+      .filter(size(tokens(col("text"))) >= 2)
       .select(col("doc_id"),
         topGramFraction(col("text")).as("dup2_frac"))
 }
