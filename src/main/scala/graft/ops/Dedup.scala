@@ -380,6 +380,18 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = vertices.select(col("id"), col("id").as("lbl")).persist()
+    // on any throw (non-convergence, mid-loop job failure) release what
+    // this call persisted — otherwise the handles are lost and the blocks
+    // pin executor memory for the session lifetime, growing per retry
+    var retired: DataFrame = null // previous round's labels, mid-handover
+    def releaseOnFailure[T](body: => T): T =
+      try body catch { case t: Throwable =>
+        Seq(Option(sym), Option(labels), Option(retired)).flatten.foreach {
+          df => try df.unpersist() catch { case _: Throwable => () }
+        }
+        throw t
+      }
+    releaseOnFailure {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -404,11 +416,13 @@ object Dedup {
           col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
         .persist()
+      retired = labels
+      labels = next // handover first: a throw in count() releases both
       changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .join(retired.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      retired.unpersist()
+      retired = null
       rounds += 1
     }
     // sym stays cached: it is the reusable symmetric edge index, and a
@@ -424,6 +438,7 @@ object Dedup {
           s"($changed labels still changing); raise maxRounds — " +
           "components with diameter beyond this bound would be split")
     (labels.select(col("id"), col("lbl").as("cluster")), Seq(sym, labels))
+    }
   }
 
   private case class ClusterEntry(labels: DataFrame, pinned: Seq[DataFrame])
@@ -480,7 +495,14 @@ object Dedup {
     val edges = sig0.filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("src"), col("doc_id").as("dst"))
     val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
-    val (cc, pinned) = connectedComponentsPinned(edges, vertices)
+    val (cc, pinned) =
+      try connectedComponentsPinned(edges, vertices)
+      catch { case t: Throwable =>
+        // CC released its own pins; without this, sig0 would outlive the
+        // failed build unreachably (computeIfAbsent stores no entry)
+        try sig0.unpersist() catch { case _: Throwable => () }
+        throw t
+      }
     ClusterEntry(cc.select(col("id").as("doc_id"), col("cluster")),
       sig0 +: pinned)
   }

@@ -94,7 +94,12 @@ class TextOpsSpec extends SparkTestBase {
 
   test("repetitionQuery covers every multi-token doc, frac in (0,1]") {
     val docs = Tables.documents(spark, sf("documents"))
-    val n = docs.filter(TextOps.tokenCount($"text") >= 2).count()
+    // split semantics, same as the query's own filter (a doc like
+    // "foo " has 2 split-tokens but 1 regexp token — the query and the
+    // oracle both count the former)
+    val n = docs.filter(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")) >= 2).count()
     val out = TextOps.repetitionQuery(spark, sf("documents")).collect()
     assert(out.length == n.toInt)
     out.foreach { r =>
