@@ -139,4 +139,43 @@ class PropertySpec extends SparkTestBase {
         assert(capped <= n.toLong * cap)
       }
   }
+
+  test("property: topGramFraction equals brute-force max-2gram count ratio") {
+    val tokGen = Gen.oneOf("a", "b", "c", "ab", "x")
+    val docGen = Gen.choose(2, 30).flatMap(n => Gen.listOfN(n, tokGen))
+    val docs = sample(docGen, 100).map(_.mkString(" "))
+    val out = docs.toDF("text")
+      .select(col("text"),
+        graft.ops.TextOps.topGramFraction(col("text")).as("f"))
+      .collect()
+    out.foreach { r =>
+      val toks = r.getString(0).split(" ", -1)
+      val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val want = BigDecimal(
+        grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(1) == want, s"text: ${r.getString(0)}")
+    }
+  }
+
+  test("property: packSequences conserves tokens and never overfills a bin") {
+    // random per-source corpora exercised through the real query path is
+    // covered in CurationSpec; here check the pure invariant over the
+    // fixture corpus at several context sizes
+    Seq(64, 256, 1024).foreach { ctx =>
+      val rows = graft.ops.Curation
+        .packSequences(spark, sf("documents"), contextTokens = ctx)
+        .collect()
+      assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= ctx))
+      val binTotals = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+        .map { case (_, rs) => rs.map(_.getLong(3)).sum }
+      assert(binTotals.forall(_ <= ctx))
+      val total = rows.map(_.getLong(3)).sum
+      val want = Tables.documents(spark, sf("documents"))
+        .select(org.apache.spark.sql.functions.sum(
+          graft.ops.TextOps.tokenCount(col("text")).cast("long")))
+        .head().getLong(0)
+      assert(total == want, s"ctx $ctx: token conservation")
+    }
+  }
 }
