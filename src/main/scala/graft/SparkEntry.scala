@@ -224,6 +224,8 @@ object SparkEntry {
       Maintenance.zorderQuery(s, d).orderBy("l_orderkey", "l_linenumber")),
     "q83_keep_best" -> ((s, d) =>
       Dedup.keepBestInCluster(s, d).orderBy("cluster")),
+    "q84_knn_join" -> ((s, d) =>
+      Similarity.knnJoin(s, d).orderBy("q_id", "rank")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -979,5 +981,25 @@ object SparkEntry {
         |      ORDER BY q.quality DESC, lab.doc_id) AS rn
         |  FROM lab JOIN q ON lab.doc_id = q.doc_id)
         |WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "q84_knn_join" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT q.q_id, e.vec_id, round(
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+        |    / nullif(
+        |        sqrt(list_sum(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(qe,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+        |        CAST(0.0 AS DOUBLE)),
+        |    6) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM p)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
   )
 }

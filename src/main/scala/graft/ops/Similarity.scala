@@ -1,9 +1,14 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+
+/** A scored candidate flowing into [[Similarity.TopKByScore]]. */
+case class Scored(id: Long, score: Double)
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
   *
@@ -44,6 +49,56 @@ object Similarity {
   def nativeCosine(spark: SparkSession, a: Column, b: Column): Column = {
     graft.parse.GraftFunctions.register(spark)
     call_function("cosine_sim", a, b)
+  }
+
+  /** Mergeable bounded top-k by (score desc, id asc): the buffer is a
+    * trimmed sorted list capped at k, so map-side partial aggregation
+    * keeps per-partition state at k entries and a batch kNN join
+    * shuffles only queries x partitions x k rows — the scale-correct
+    * alternative to a full per-query window sort, whose shuffle carries
+    * every candidate row. Deterministic tie-break on id keeps the
+    * result oracle-exact. */
+  class TopKByScore(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k >= 1, "k must be positive")
+    private def trim(l: Seq[Scored]): Seq[Scored] =
+      l.sortBy(s => (-s.score, s.id)).take(k)
+    def zero: Seq[Scored] = Nil
+    def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+      if (b.length >= k && {
+        val floor = b.last
+        a.score < floor.score || (a.score == floor.score && a.id > floor.id)
+      }) b // below the current floor: no resort needed
+      else trim(a +: b)
+    def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = trim(a ++ b)
+    def finish(r: Seq[Scored]): Seq[Scored] = r // invariant: trimmed+sorted
+    def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  }
+
+  /** Batch kNN join: top-k cosine neighbors for EVERY query vector in a
+    * set (here the first `numQueries` ids), in one pass over the corpus —
+    * the shape of "screen the eval set against the training corpus".
+    * The query side is broadcast (queries x corpus, no shuffle of the
+    * corpus); candidates reduce through [[TopKByScore]] partials, so the
+    * one shuffle moves only bounded top-k state per partition. Oracled
+    * vs a DuckDB cross-join + row_number window. */
+  def knnJoin(s: SparkSession, d: String, numQueries: Int = 20,
+      k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val topk = udaf(new TopKByScore(k), ExpressionEncoder[Scored]())
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(nativeCosine(s, col("embedding"), col("q_embedding")), 6)
+          .as("cosine"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("nn.id").as("vec_id"), col("nn.score").as("cosine"))
   }
 
   /** Per-vector norms (oracle-checked: mirrors as list_transform +

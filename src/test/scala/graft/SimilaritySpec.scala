@@ -130,4 +130,40 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.hyperplanes(8, 4, 42L))).collect()(0).getLong(0)
     assert(a == b)
   }
+
+  test("TopKByScore equals brute-force sort on random input, any split") {
+    val rnd = new scala.util.Random(7)
+    val items = Seq.fill(200)(graft.ops.Scored(rnd.nextInt(50).toLong,
+      (rnd.nextInt(10) / 10.0)))
+    val agg = new Similarity.TopKByScore(5)
+    val want = items.sortBy(s => (-s.score, s.id)).take(5)
+    // sequential reduce
+    val seqRes = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+    assert(seqRes == want)
+    // arbitrary partition splits + merges (mergeability)
+    Seq(1, 3, 7, 200).foreach { nparts =>
+      val parts = items.grouped(math.max(1, items.size / nparts)).toSeq
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == want, s"nparts $nparts")
+    }
+  }
+
+  test("knnJoin matches a per-query brute-force ranking") {
+    val out = Similarity.knnJoin(spark, sf("embeddings"), numQueries = 5, k = 3)
+      .collect()
+    assert(out.map(_.getLong(0)).distinct.length == 5)
+    // per query: exactly ranks 1..3, scores non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(Array(1L, 2L, 3L)), s"q $q")
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"q $q")
+      // rank-1 equals the single-query brute force answer
+      val brute = Similarity.knnBruteForce(spark, sf("embeddings"),
+        queryId = q, k = 1).head()
+      assert(sorted.head.getLong(2) == brute.getLong(0), s"q $q top-1 id")
+      assert(sorted.head.getDouble(3) == brute.getDouble(1), s"q $q top-1 sim")
+    }
+  }
 }
