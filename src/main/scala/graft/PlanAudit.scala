@@ -14,7 +14,7 @@ object PlanAudit {
         "q42_knn_brute", "q53_sessionize", "q54_asof_join", "q55_range_join",
         "q56_salted_join", "q60_contamination", "q63_dedup_clusters",
         "q65_rollup_revenue", "q78_repetition", "q79_budget_fill",
-        "q80_pack_sequences", "q82_zorder_key")
+        "q80_pack_sequences", "q82_zorder_key", "q84_knn_join")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
