@@ -226,6 +226,8 @@ object SparkEntry {
       Dedup.keepBestInCluster(s, d).orderBy("cluster")),
     "q84_knn_join" -> ((s, d) =>
       Similarity.knnJoin(s, d).orderBy("q_id", "rank")),
+    "q85_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(s, d).orderBy("vec_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1001,5 +1003,23 @@ object SparkEntry {
         |  FROM p)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "q85_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |d AS (SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE)
+        |         * CAST(b.embedding[i] AS DOUBLE)))
+        |    / nullif(
+        |        sqrt(list_sum(list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(b.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+        |        CAST(0.0 AS DOUBLE)),
+        |    6) >= 0.3)
+        |SELECT vec_id, label FROM e
+        |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+        |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -208,6 +208,35 @@ object Similarity {
     cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.2)
 
+  /** SemDeDup-style semantic dedup: within each coarse cluster, drop
+    * every vector whose cosine similarity to some LOWER-id vector in
+    * the same cluster is >= `threshold` (the upper-triangular sweep of
+    * the SemDeDup paper, with id order standing in for
+    * distance-to-centroid order — deterministic and oracle-exact).
+    *
+    * The coarse cluster here is the precomputed `label` column; in
+    * production it is a k-means cell id (see [[buildIvfIndex]] for the
+    * quantizer), sized so cells stay O(corpus / ncells) — the
+    * within-cell pair join is quadratic in CELL size, never in corpus
+    * size, and shuffles only on the cluster key. Both self-join sides
+    * are projections of one DataFrame, so the scan is shared. */
+  def semanticDedup(s: SparkSession, d: String,
+      threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val l = emb.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"))
+    val r = emb.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"))
+    val dropped = l.join(r, "label")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(nativeCosine(s, col("v_a"), col("v_b")), 6)
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   /** A built IVF index: the persisted inverted-list assignment plus
     * the coarse-quantizer centroids (driver-side metadata). */
   final case class IvfIndex(assigned: DataFrame,
