@@ -174,7 +174,10 @@ object Dedup {
     * members can still pair through their other (bands-1) buckets, the
     * standard production-LSH cap. The drop is logged, never silent:
     * the banded table is persisted (fixed-width rows, bands x corpus),
-    * so the overflow count is one cheap cached aggregation.
+    * so the overflow count is one cheap cached aggregation. The banded
+    * table is released as soon as the (bounded) candidate-pair list
+    * materializes — only the signature index itself stays cached, the
+    * documented build-once/probe-many artifact.
     *
     * Verification joins move the shingle sets, so which side builds
     * matters: the same aggregation yields an exact pre-distinct bound
@@ -192,6 +195,15 @@ object Dedup {
       .select(col("id"), col("band"), col("bucket")) // sh pruned out
       .withColumn("bsz", count(lit(1)).over(wb))
       .persist()
+    // a throw before the candidate list materializes would lose both
+    // handles and pin the blocks for the session lifetime
+    def releaseOnFailure[T](body: => T): T =
+      try body catch { case t: Throwable =>
+        Seq(index, sized).foreach { df =>
+          try df.unpersist() catch { case _: Throwable => () } }
+        throw t
+      }
+    releaseOnFailure {
     // one aggregation over the cached banded table yields both the
     // overflow count (for the log) and an exact pre-distinct bound on
     // candidate pairs: a kept bucket of size B contributes B rows of
@@ -209,11 +221,16 @@ object Dedup {
         "pair through their other bands")
     val banded = sized.filter(col("bsz") <= maxBucketSize)
       .select(col("band"), col("bucket"), col("id"))
+    // materialize the deduplicated candidate ids (bounded by the bucket
+    // cap: at most pair_bound rows of two longs each), then drop the
+    // banded table — it must not outlive the call
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .localCheckpoint(true)
+    sized.unpersist()
     def probeSide(df: DataFrame): DataFrame =
       if (pairBound <= maxBroadcastPairs) df.hint("broadcast") else df
     val sets = index.select(col("id"), col("sh"))
@@ -224,6 +241,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** Persist a signature index as a parquet table — the durable form
