@@ -219,12 +219,16 @@ object Curation {
     * (signature -> per-band bucket key -> equi-join on (band, key)),
     * but built entirely from md5 so a DuckDB oracle reproduces every
     * bucket key bit-for-bit. Output: candidate pair + how many of the
-    * `numHashes / rowsPerBand` bands matched. The index is persisted
-    * and the join moves only (doc_id, band, key) — fixed-width rows,
-    * shuffle volume independent of document size. */
+    * `numHashes / rowsPerBand` bands matched. The signature index is
+    * memoized per (context, corpus, numHashes) — cache-read on repeat
+    * calls, released by [[Dedup.clearLshCache]] — and the
+    * join moves only (doc_id, band, key): fixed-width rows, shuffle
+    * volume independent of document size. */
   def bandedMd5Pairs(s: SparkSession, d: String, numHashes: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashMd5(s, d, numHashes).persist()
+    val raw = minhashMd5(s, d, numHashes)
+    val sig = IndexMemo.getOrBuild[DataFrame]("md5SigIdx", s"$numHashes",
+      Seq(raw)) { val idx = raw.persist(); (idx, Seq(idx)) }
     val bands = numHashes / rowsPerBand
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>

@@ -174,40 +174,78 @@ object Dedup {
     * members can still pair through their other (bands-1) buckets, the
     * standard production-LSH cap. The drop is logged, never silent:
     * the banded table is persisted (fixed-width rows, bands x corpus),
-    * so the overflow count is one cheap cached aggregation. The banded
-    * table is released as soon as the (bounded) candidate-pair list
-    * materializes — only the signature index itself stays cached, the
-    * documented build-once/probe-many artifact.
+    * so the overflow count is one cheap cached aggregation.
+    *
+    * Lifecycle: the signature index and the (bounded) candidate-pair
+    * list are the build-once/probe-many artifacts — memoized per
+    * (SparkContext, input plan, banding params) through [[IndexMemo]],
+    * so repeated calls over the same corpus probe the cached index
+    * instead of re-hashing it, and [[clearLshCache]] (or context
+    * shutdown) releases everything at once. The intermediate banded
+    * table is unpersisted as soon as the pair list materializes.
     *
     * Verification joins move the shingle sets, so which side builds
-    * matters: the same aggregation yields an exact pre-distinct bound
-    * on candidate pairs, and the pair side is broadcast only while
-    * that bound is at most `maxBroadcastPairs`; past that the verify
-    * join falls back to a shuffled equi-join on id — linear, skew
-    * handled by AQE. */
+    * matters: the bucket-size aggregation yields an exact pre-distinct
+    * bound on candidate pairs, and the pair side is broadcast only
+    * while that bound is at most `maxBroadcastPairs`; past that the
+    * verify join falls back to a shuffled equi-join on id — linear,
+    * skew handled by AQE. */
   def lshNearDupPairsFromHashes(exploded: DataFrame, bands: Int,
       rowsPerBand: Int, threshold: Double, tag: String,
       maxBucketSize: Int = 1000,
       maxBroadcastPairs: Long = 2000000L): DataFrame = {
+    // threshold and the broadcast bound shape only the per-call verify
+    // join below, not the built index — kept out of the memo key
+    val e = IndexMemo.getOrBuild[LshPairIndex]("lshPairs",
+      s"$bands,$rowsPerBand,$tag,$maxBucketSize", Seq(exploded))(
+      buildLshPairIndex(exploded, bands, rowsPerBand, tag, maxBucketSize))
+    def probeSide(df: DataFrame): DataFrame =
+      if (e.pairBound <= maxBroadcastPairs) df.hint("broadcast") else df
+    val sets = e.index.select(col("id"), col("sh"))
+    probeSide(probeSide(e.pairs)
+      .join(sets, col("id_a") === col("id"))
+      .select(col("id_a"), col("id_b"), col("sh").as("sh_a")))
+      .join(sets, col("id_b") === col("id"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The memoized artifacts of one LSH banding pass: the signature
+    * index (id, sh, sig), the deduplicated candidate-pair list, and
+    * the exact pre-distinct pair bound that gates broadcasting. */
+  private final case class LshPairIndex(index: DataFrame, pairs: DataFrame,
+      pairBound: Long)
+
+  /** Release every memoized LSH/sketch index built by the operators in
+    * this package (signature indexes, candidate-pair lists, SRP bucket
+    * tables, SimHash sketches) — the long-running-session escape hatch,
+    * mirroring [[clearClusterCache]] / [[Similarity.clearIvfCache]]. */
+  def clearLshCache(): Unit = IndexMemo.clear()
+
+  private def buildLshPairIndex(exploded: DataFrame, bands: Int,
+      rowsPerBand: Int, tag: String, maxBucketSize: Int)
+      : (LshPairIndex, Seq[DataFrame]) = {
     val index = signatureIndex(exploded, bands * rowsPerBand).persist()
     val wb = Window.partitionBy(col("band"), col("bucket"))
     val sized = bandKeys(index, bands, rowsPerBand, tag)
       .select(col("id"), col("band"), col("bucket")) // sh pruned out
       .withColumn("bsz", count(lit(1)).over(wb))
       .persist()
-    // a throw before the candidate list materializes would lose both
-    // handles and pin the blocks for the session lifetime
+    var pairs: DataFrame = null
+    // a throw before the memo takes ownership would lose the handles
+    // and pin the blocks for the session lifetime
     def releaseOnFailure[T](body: => T): T =
       try body catch { case t: Throwable =>
-        Seq(index, sized).foreach { df =>
-          try df.unpersist() catch { case _: Throwable => () } }
+        Seq(Option(index), Option(sized), Option(pairs)).flatten.foreach {
+          df => try df.unpersist() catch { case _: Throwable => () } }
         throw t
       }
     releaseOnFailure {
     // one aggregation over the cached banded table yields both the
     // overflow count (for the log) and an exact pre-distinct bound on
     // candidate pairs: a kept bucket of size B contributes B rows of
-    // (B-1)/2 each = B(B-1)/2 pairs. One extra job per call, total.
+    // (B-1)/2 each = B(B-1)/2 pairs. One extra job per build, total.
     val st = sized.agg(
       sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L))
         .as("dropped"),
@@ -223,24 +261,16 @@ object Dedup {
       .select(col("band"), col("bucket"), col("id"))
     // materialize the deduplicated candidate ids (bounded by the bucket
     // cap: at most pair_bound rows of two longs each), then drop the
-    // banded table — it must not outlive the call
-    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    // banded table — only the index and the pair list outlive the build
+    pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .localCheckpoint(true)
+      .persist()
+    pairs.count()
     sized.unpersist()
-    def probeSide(df: DataFrame): DataFrame =
-      if (pairBound <= maxBroadcastPairs) df.hint("broadcast") else df
-    val sets = index.select(col("id"), col("sh"))
-    probeSide(probeSide(pairs)
-      .join(sets, col("id_a") === col("id"))
-      .select(col("id_a"), col("id_b"), col("sh").as("sh_a")))
-      .join(sets, col("id_b") === col("id"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    (LshPairIndex(index, pairs, pairBound), Seq(index, pairs))
     }
   }
 
@@ -276,25 +306,72 @@ object Dedup {
     * join back onto the deduplicated candidate list), the batch keys
     * broadcast only while the batch is genuinely small, and matched
     * corpus buckets above `maxBucketSize` are skipped per probe doc
-    * with the skip count logged. Fails fast if the stored index was built
+    * with the skip count logged. Fails fast if ANY stored row was built
     * with a different signature width than bands*rowsPerBand (a
-    * mismatch would silently hash empty slices into one mega-bucket).
+    * mismatch would silently hash empty slices into one mega-bucket) —
+    * a whole-index min/max aggregate, so a mixed-width index cannot
+    * slip past a well-formed first row. The batch signature index and
+    * the matched candidate list are memoized per (context, batch plan,
+    * corpus plan, params) — re-probing the same crawl batch is a cache
+    * read, and nothing persists without an owner ([[clearLshCache]]).
     * Returns (new_id, corpus_id, jaccard >= threshold). */
   def lshNearDupNewVsIndex(newExploded: DataFrame, corpusIndex: DataFrame,
       bands: Int, rowsPerBand: Int, threshold: Double,
       tag: String = "band", maxBucketSize: Int = 1000,
       maxBroadcastKeys: Long = 4000000L): DataFrame = {
-    // an EMPTY index is legitimate (first crawl): skip the width check
-    // and let the probe join yield the natural empty result
-    corpusIndex.select(size(col("sig"))).head(1).foreach { row =>
-      if (row.getInt(0) != bands * rowsPerBand)
+    val e = IndexMemo.getOrBuild[LshProbeIndex]("lshProbe",
+      s"$bands,$rowsPerBand,$tag,$maxBucketSize,$maxBroadcastKeys",
+      Seq(newExploded, corpusIndex))(
+      buildLshProbeIndex(newExploded, corpusIndex, bands, rowsPerBand,
+        tag, maxBucketSize, maxBroadcastKeys))
+    e.candidates
+      .join(e.batchIdx.select(col("id").as("new_id"), col("sh").as("sh_new")),
+        "new_id")
+      .join(corpusIndex.select(col("id").as("corpus_id"),
+        col("sh").as("sh_c")), "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh_new"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Memoized probe artifacts: the batch signature index and the
+    * deduplicated (new_id, corpus_id) candidate list. */
+  private final case class LshProbeIndex(batchIdx: DataFrame,
+      candidates: DataFrame)
+
+  private def buildLshProbeIndex(newExploded: DataFrame,
+      corpusIndex: DataFrame, bands: Int, rowsPerBand: Int, tag: String,
+      maxBucketSize: Int, maxBroadcastKeys: Long)
+      : (LshProbeIndex, Seq[DataFrame]) = {
+    // an EMPTY index is legitimate (first crawl): the null aggregate
+    // skips the width check and the probe join yields the natural
+    // empty result
+    val wr = corpusIndex.agg(min(size(col("sig"))).as("mn"),
+      max(size(col("sig"))).as("mx")).head()
+    if (!wr.isNullAt(0)) {
+      val (mn, mx) = (wr.getInt(0), wr.getInt(1))
+      if (mn != bands * rowsPerBand || mx != mn) {
+        val width = if (mn == mx) s"$mn" else s"mixed $mn..$mx"
         throw new IllegalArgumentException(
-          s"corpus index has ${row.getInt(0)} signature components; " +
+          s"corpus index has $width signature components; " +
             s"probe requested bands*rowsPerBand = ${bands * rowsPerBand}")
+      }
     }
     val batchIdx =
       signatureIndex(newExploded, bands * rowsPerBand).persist()
-    val batchKeys = bandKeys(batchIdx, bands, rowsPerBand, tag)
+    var batchKeys: DataFrame = null
+    var sized: DataFrame = null
+    var candidates: DataFrame = null
+    def releaseOnFailure[T](body: => T): T =
+      try body catch { case t: Throwable =>
+        Seq(Option(batchIdx), Option(batchKeys), Option(sized),
+          Option(candidates)).flatten.foreach {
+          df => try df.unpersist() catch { case _: Throwable => () } }
+        throw t
+      }
+    releaseOnFailure {
+    batchKeys = bandKeys(batchIdx, bands, rowsPerBand, tag)
       .select(col("band"), col("bucket"), col("id").as("new_id"))
       .persist()
     val nKeys = batchKeys.count()
@@ -307,7 +384,7 @@ object Dedup {
     // buckets corpus-wide would shuffle the whole corpus per crawl.
     // bsz partitioned per probe doc = how many corpus members its
     // bucket matched; degenerate buckets are dropped and logged.
-    val sized = corpusKeys.join(probe, Seq("band", "bucket"))
+    sized = corpusKeys.join(probe, Seq("band", "bucket"))
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bucket"), col("new_id"))))
       .persist()
@@ -315,17 +392,15 @@ object Dedup {
     if (dropped > 0)
       log.warn(s"lsh-probe[$tag]: skipped $dropped matches in corpus " +
         s"buckets larger than $maxBucketSize")
-    sized.filter(col("bsz") <= maxBucketSize)
+    candidates = sized.filter(col("bsz") <= maxBucketSize)
       .select(col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
-      .join(batchIdx.select(col("id").as("new_id"), col("sh").as("sh_new")),
-        "new_id")
-      .join(corpusIndex.select(col("id").as("corpus_id"),
-        col("sh").as("sh_c")), "corpus_id")
-      .withColumn("jaccard", jaccard(col("sh_new"), col("sh_c")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("corpus_id"),
-        round(col("jaccard"), 6).as("jaccard"))
+      .persist()
+    candidates.count() // materialize, then drop the probe intermediates
+    sized.unpersist()
+    batchKeys.unpersist()
+    (LshProbeIndex(batchIdx, candidates), Seq(batchIdx, candidates))
+    }
   }
 
   /** Exact Jaccard over two (distinct-element) columns. Operates on
@@ -610,10 +685,16 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // Materialized sketch index: the pigeonhole self-join reads the
     // 64-bit sketches from cache rather than recomputing the bit-vote
-    // aggregation for each join side.
-    val sk = simHashDf(docs, idCol, textCol)
-      .select(col("id"), col("simhash").as("sh"))
-      .persist()
+    // aggregation for each join side. Memoized per (context, docs plan)
+    // so repeated sketching of the same corpus is a cache read and the
+    // cached copy has an owner ([[clearLshCache]]).
+    val sk = IndexMemo.getOrBuild[DataFrame]("simhashIdx",
+      s"$idCol,$textCol", Seq(docs)) {
+      val idx = simHashDf(docs, idCol, textCol)
+        .select(col("id"), col("simhash").as("sh"))
+        .persist()
+      (idx, Seq(idx))
+    }
     val chunked = sk.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sh"), c * 16)

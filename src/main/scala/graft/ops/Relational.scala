@@ -392,18 +392,24 @@ object Relational {
     * form costs the same as the hand-written window/join. The
     * comparison runs in exact decimal arithmetic (price * count >
     * sum) so row membership cannot flip on a floating-point ulp
-    * between engines. */
+    * between engines. The view registered for the SQL text is
+    * call-unique and dropped before returning — `spark.sql` analyzes
+    * eagerly, so the returned plan no longer references it and
+    * concurrent callers (or a user's own `orders_sql` view) are never
+    * clobbered. */
   def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders_sql")
-    s.sql("""
+    val view = s"orders_sql_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.orders(s, d).createOrReplaceTempView(view)
+    try s.sql(s"""
       SELECT o_orderkey, o_custkey
-      FROM orders_sql o
+      FROM $view o
       WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
-          (SELECT COUNT(*) FROM orders_sql i
+          (SELECT COUNT(*) FROM $view i
            WHERE i.o_custkey = o.o_custkey)
         > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,4)))
-           FROM orders_sql i WHERE i.o_custkey = o.o_custkey)
+           FROM $view i WHERE i.o_custkey = o.o_custkey)
     """)
+    finally s.catalog.dropTempView(view)
   }
 
   /** Snapshot diff over orders: the previous run is missing every 9th

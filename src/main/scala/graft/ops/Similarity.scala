@@ -94,6 +94,10 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(nativeCosine(s, col("embedding"), col("q_embedding")), 6)
           .as("cosine"))
+      // cosine is NULL against a zero-norm vector (nullif); the typed
+      // Scored buffer's primitive double cannot hold it, and the oracle's
+      // ranking drops NULLs anyway — filter, don't crash
+      .filter(col("cosine").isNotNull)
       .groupBy(col("q_id"))
       .agg(topk(col("vec_id"), col("cosine")).as("nn"))
       .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
@@ -181,11 +185,18 @@ object Similarity {
       dim, 4242L)
     // Materialized LSH index: both self-join sides read the cached
     // bucket table instead of re-running the 32-dot-product pass.
-    val bucketed = vecs.join(buckets, "id")
-      .select(col("id"), col("v"),
-        posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
-          .as(Seq("tbl", "bucket")))
-      .persist()
+    // Memoized per (context, input plan, banding params) so repeat
+    // calls probe the cache and the copy has an owner
+    // ([[Dedup.clearLshCache]]).
+    val bucketed = IndexMemo.getOrBuild[DataFrame]("srpPairIdx",
+      s"$idCol,$vecCol,$numPlanes,$tables,$dim", Seq(emb)) {
+      val idx = vecs.join(buckets, "id")
+        .select(col("id"), col("v"),
+          posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
+            .as(Seq("tbl", "bucket")))
+        .persist()
+      (idx, Seq(idx))
+    }
     val l = bucketed.select(col("tbl"), col("bucket"),
       col("id").as("id_a"), col("v").as("v_a"))
     val r = bucketed.select(col("tbl"), col("bucket"),
@@ -339,12 +350,19 @@ object Similarity {
       multiProbe: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // Materialized index: the query probe and the corpus scan both read
-    // the cached bucket table (one bucketing pass, not two).
-    val bucketed = emb.join(
-      srpBucketsDf(emb, "vec_id", "embedding", numPlanes, tables, dim, 42L)
-        .withColumnRenamed("id", "vec_id"),
-      "vec_id")
-      .persist()
+    // the cached bucket table (one bucketing pass, not two). Memoized
+    // per (context, corpus plan, banding params) — the ANN operating
+    // point is build-once/probe-many, and the cached copy has an owner
+    // ([[Dedup.clearLshCache]]).
+    val bucketed = IndexMemo.getOrBuild[DataFrame]("annLshIdx",
+      s"$numPlanes,$tables,$dim", Seq(emb)) {
+      val idx = emb.join(
+        srpBucketsDf(emb, "vec_id", "embedding", numPlanes, tables, dim,
+          42L).withColumnRenamed("id", "vec_id"),
+        "vec_id")
+        .persist()
+      (idx, Seq(idx))
+    }
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding") +:
         (0 until tables).map(t => col(s"b$t").as(s"qb$t")): _*)
