@@ -84,8 +84,12 @@ object Similarity {
     * one shuffle moves only bounded top-k state per partition. Oracled
     * vs a DuckDB cross-join + row_number window. */
   def knnJoin(s: SparkSession, d: String, numQueries: Int = 20,
-      k: Int = 3): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+      k: Int = 3): DataFrame =
+    knnJoinOf(Tables.embeddings(s, d), numQueries, k)
+
+  /** [[knnJoin]] over an explicit (vec_id, embedding) corpus. */
+  def knnJoinOf(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val s = emb.sparkSession
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
     val topk = udaf(new TopKByScore(k), ExpressionEncoder[Scored]())

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Lifecycle tests for the memoized operator indexes: repeated calls
+  * must be cache reads (no per-call storage growth), and
+  * [[Dedup.clearLshCache]] must release every pinned block — the
+  * long-running-session contract that replaced per-call
+  * persist/unpersist in the LSH/SRP/SimHash operators. */
+class IndexMemoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def footprint: Int = spark.sparkContext.getPersistentRDDs.size
+
+  private val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+  private def corpus = Seq(
+    (1L, s"alpha beta gamma $filler"),
+    (2L, s"alpha beta gamma $filler"),
+    (3L, s"alpha beta delta $filler"),
+    (4L, "totally different content words entirely unrelated corpus " +
+      "with its own vocabulary and nothing shared at all")
+  ).toDF("doc_id", "text")
+
+  test("repeated LSH pair calls are memo hits with a stable footprint") {
+    Dedup.clearLshCache()
+    def call() = Dedup.minHashNearDupPairs(corpus, "text", "doc_id",
+      threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = call()
+    val after1 = footprint
+    val r2 = call()
+    val r3 = call()
+    assert(r1.nonEmpty && r1 == r2 && r2 == r3)
+    assert(footprint == after1,
+      s"storage grew across repeated calls: $after1 -> $footprint")
+    Dedup.clearLshCache()
+  }
+
+  test("clearLshCache releases every block the build pinned") {
+    Dedup.clearLshCache()
+    val before = footprint
+    Dedup.minHashNearDupPairs(corpus, "text", "doc_id",
+      threshold = 0.5).count()
+    assert(footprint > before, "build should pin index blocks")
+    Dedup.clearLshCache()
+    assert(footprint == before,
+      s"blocks survived clear: $before -> $footprint")
+  }
+
+  test("repeated incremental probes keep a stable footprint") {
+    Dedup.clearLshCache()
+    val bands = 4; val rpb = 2
+    val corpusIdx = Dedup.signatureIndex(
+      Dedup.explodedTokenShingleHashes(corpus, "doc_id", "text", 3),
+      bands * rpb)
+    val batch = Seq((100L, s"alpha beta gamma $filler")).toDF("doc_id", "text")
+    val newExploded =
+      Dedup.explodedTokenShingleHashes(batch, "doc_id", "text", 3)
+    def probe() = Dedup.lshNearDupNewVsIndex(newExploded, corpusIdx,
+      bands, rpb, threshold = 0.5).count()
+    val n1 = probe()
+    val after1 = footprint
+    assert(probe() == n1 && probe() == n1)
+    assert(footprint == after1,
+      s"probe leaked storage: $after1 -> $footprint")
+    Dedup.clearLshCache()
+  }
+
+  test("simhash and SRP operators do not grow storage per call") {
+    Dedup.clearLshCache()
+    val emb = Tables.embeddings(spark, sf(""))
+    Dedup.simHashNearDups(corpus, "text", "doc_id").count()
+    Similarity.cosineNearDupPairs(emb, "vec_id", "embedding").count()
+    Similarity.annLsh(spark, sf(""), queryId = 0L, k = 5).count()
+    val after1 = footprint
+    Dedup.simHashNearDups(corpus, "text", "doc_id").count()
+    Similarity.cosineNearDupPairs(emb, "vec_id", "embedding").count()
+    Similarity.annLsh(spark, sf(""), queryId = 0L, k = 5).count()
+    assert(footprint == after1,
+      s"repeat calls grew storage: $after1 -> $footprint")
+    Dedup.clearLshCache()
+  }
+
+  test("knnJoin survives zero-norm vectors (cosine NULL is filtered)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)), // zero norm: cosine undefined
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnJoinOf(emb, numQueries = 1, k = 2).collect()
+    // neighbors of q0 ranked by cosine; the zero vector never appears
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 3L))
+    // and a zero-norm QUERY yields no rows rather than crashing
+    val out2 = Similarity.knnJoinOf(
+      emb.withColumn("vec_id",
+        when(col("vec_id") === 2L, 0L).when(col("vec_id") === 0L, 2L)
+          .otherwise(col("vec_id"))),
+      numQueries = 1, k = 2)
+    assert(out2.collect().isEmpty)
+  }
+}
