@@ -17,9 +17,15 @@ object PlanAudit {
         "q80_pack_sequences", "q82_zorder_key", "q84_knn_join")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
+    // PLAN_EXEC=1 executes each query first so the explain shows the
+    // FINAL adaptive plan (AQE's runtime join-strategy and coalesce
+    // decisions), not the pre-execution initial guess
+    val exec = sys.env.get("PLAN_EXEC").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) df.collect()
+      df.explain("formatted")
     }
     spark.stop()
   }

@@ -228,6 +228,11 @@ object SparkEntry {
       Similarity.knnJoin(s, d).orderBy("q_id", "rank")),
     "q85_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(s, d).orderBy("vec_id")),
+    // ---- oracled twins of the sketch-join shapes (hash-match in DuckDB)
+    "q86_simhash_md5_pairs" -> ((s, d) =>
+      Curation.simhashMd5Pairs(s, d).orderBy("id_a", "id_b")),
+    "q87_ann_ivf_exact" -> ((s, d) =>
+      Similarity.annIvf(s, d, nprobe = 16)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -237,6 +242,44 @@ object SparkEntry {
   private val discPriceSql: String =
     "CAST(l_extendedprice AS DECIMAL(18,4)) * " +
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  /** Generated CTE chain for the 60-bit md5 SimHash sketch, ending in
+    * `sk(doc_id, simhash60)` — shared by the q72 sketch oracle and the
+    * q86 pigeonhole pair-join oracle. */
+  private val simhash60Ctes: String =
+    """toks AS (SELECT doc_id, md5(t) AS h FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents)),
+      |votes AS (SELECT doc_id,
+      |""".stripMargin +
+      (0 until 60).map { j =>
+        val nib = s"substr(h, ${1 + j / 4}, 1)"
+        s"  SUM(CASE WHEN (((ascii($nib) - CASE WHEN $nib <= '9' " +
+          s"THEN 48 ELSE 87 END) >> ${j % 4}) & 1) = 1 " +
+          s"THEN 1 ELSE -1 END) AS v$j"
+      }.mkString(",\n") +
+      "\nFROM toks GROUP BY doc_id),\nsk AS (SELECT doc_id, CAST(" +
+      (0 until 60).map(j =>
+        s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ") +
+      " AS BIGINT) AS simhash60 FROM votes)"
+
+  /** Brute-force cosine top-10 for query vector 0 — the oracle for both
+    * the brute-force scan (q42) and the exhaustive IVF probe (q87). */
+  private val bruteForceTop10Sql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |  list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |  / nullif(
+      |      sqrt(list_sum(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(qe,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      CAST(0.0 AS DOUBLE)),
+      |  6) AS cosine
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
   /** DuckDB-dialect oracle SQL per query (omitted -> rows-only check). */
   def oracleSql: Map[String, String] = Map(
@@ -756,20 +799,12 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "q42_knn_brute" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id, round(
-        |  list_sum(list_transform(range(1, len(embedding) + 1),
-        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
-        |  / nullif(
-        |      sqrt(list_sum(list_transform(embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |      * sqrt(list_sum(list_transform(qe,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
-        |      CAST(0.0 AS DOUBLE)),
-        |  6) AS cosine
-        |FROM embeddings, q WHERE vec_id <> 0
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q42_knn_brute" -> bruteForceTop10Sql,
+    // annIvf with nprobe == nlist is exhaustive: the IVF machinery
+    // (KMeans assignment, probe-list ranking, re-rank) must reproduce
+    // the brute-force top-10 exactly — ANN-vs-exact agreement as a
+    // hash-match, not just a ScalaTest invariant
+    "q87_ann_ivf_exact" -> bruteForceTop10Sql,
     "q71_lsh_banded_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |              FROM documents),
@@ -797,22 +832,22 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     "q72_simhash_md5" ->
-      ("""WITH toks AS (SELECT doc_id, md5(t) AS h FROM (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
-         |  FROM documents)),
-         |votes AS (SELECT doc_id,
-         |""".stripMargin
-        + (0 until 60).map { j =>
-            val nib = s"substr(h, ${1 + j / 4}, 1)"
-            s"  SUM(CASE WHEN (((ascii($nib) - CASE WHEN $nib <= '9' " +
-              s"THEN 48 ELSE 87 END) >> ${j % 4}) & 1) = 1 " +
-              s"THEN 1 ELSE -1 END) AS v$j"
-          }.mkString(",\n")
-        + "\nFROM toks GROUP BY doc_id)\nSELECT doc_id, CAST("
-        + (0 until 60).map(j =>
-            s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
-          .mkString(" + ")
-        + " AS BIGINT) AS simhash60 FROM votes ORDER BY doc_id"),
+      s"WITH $simhash60Ctes\nSELECT doc_id, simhash60 FROM sk ORDER BY doc_id",
+    "q86_simhash_md5_pairs" ->
+      s"""WITH $simhash60Ctes,
+         |chunks AS (
+         |  SELECT doc_id, simhash60, c.chunk,
+         |    (simhash60 >> (c.chunk * 15)) & 32767 AS ckey
+         |  FROM sk, (SELECT CAST(unnest(range(4)) AS INT) AS chunk) c),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash60 AS sh_a, b.simhash60 AS sh_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q73_cube_status" ->
       s"""SELECT COALESCE(status, 'ALL') AS status,
          |  COALESCE(prio, 'ALL') AS prio,

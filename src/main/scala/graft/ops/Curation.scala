@@ -313,4 +313,39 @@ object Curation {
       .reduce(_ + _) // disjoint bits: sum == OR
     grouped.select(col("doc_id"), packed.as("simhash60"))
   }
+
+  /** Pigeonhole Hamming join over the oracle-checkable 60-bit md5
+    * SimHash ([[simhashMd5]]): the exact join shape of
+    * [[Dedup.simHashNearDups]] — explode each sketch into 4 x 15-bit
+    * chunks, equi-join on (chunk, key), verify with an exact XOR
+    * popcount — built entirely from md5 arithmetic so a DuckDB oracle
+    * reproduces every chunk key and popcount bit-for-bit. Any pair
+    * within Hamming <= 3 differs in at most 3 of the 4 chunks, so the
+    * banded join finds exactly the all-pairs answer — which is what the
+    * oracle checks (pigeonhole completeness as a hash-match, not just a
+    * ScalaTest invariant). The sketch table is memoized per (context,
+    * corpus) like the other sketch indexes and released by
+    * [[Dedup.clearLshCache]]. */
+  def simhashMd5Pairs(s: SparkSession, d: String,
+      maxHamming: Int = 3): DataFrame = {
+    val raw = simhashMd5(s, d)
+    val sk = IndexMemo.getOrBuild[DataFrame]("simhash60Idx", "",
+      Seq(raw)) { val idx = raw.persist(); (idx, Seq(idx)) }
+    val chunked = sk.select(col("doc_id"), col("simhash60"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("simhash60"), c * 15)
+          .bitwiseAND(0x7FFF)))
+        .as(Seq("chunk", "ckey")))
+    val l = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_a"), col("simhash60").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_b"), col("simhash60").as("sh_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

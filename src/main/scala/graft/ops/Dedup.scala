@@ -680,35 +680,82 @@ object Dedup {
   /** SimHash near-dup candidates with Hamming distance <= 3: pigeonhole
     * on 4 x 16-bit chunks (any pair within distance 3 agrees on >= 1
     * chunk), then exact popcount verification — banded join again, never
-    * all-pairs. */
+    * all-pairs.
+    *
+    * Degenerate-bucket guard (the same pattern as
+    * [[lshNearDupPairsFromHashes]]): a bare 16-bit chunk key space gives
+    * ~N/65536 docs per bucket, so each bucket contributes O(B^2)
+    * candidate pairs — quadratic exactly on the near-duplicate-heavy
+    * corpora near-dedup exists for. Buckets larger than `maxBucketSize`
+    * are dropped from candidate generation with the drop count logged,
+    * never silently; members of a dropped bucket can still pair through
+    * their other 3 chunks.
+    *
+    * Lifecycle: the (bounded, deduplicated) candidate-pair list — which
+    * carries both 64-bit sketches, so no probe-time join-back is needed —
+    * is the build-once/probe-many artifact, memoized per (context, docs
+    * plan, cap) through [[IndexMemo]] and released by [[clearLshCache]].
+    * `maxHamming` shapes only the per-call popcount filter, never the
+    * built index, so calls differing only there share it. */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // Materialized sketch index: the pigeonhole self-join reads the
-    // 64-bit sketches from cache rather than recomputing the bit-vote
-    // aggregation for each join side. Memoized per (context, docs plan)
-    // so repeated sketching of the same corpus is a cache read and the
-    // cached copy has an owner ([[clearLshCache]]).
-    val sk = IndexMemo.getOrBuild[DataFrame]("simhashIdx",
-      s"$idCol,$textCol", Seq(docs)) {
-      val idx = simHashDf(docs, idCol, textCol)
-        .select(col("id"), col("simhash").as("sh"))
-        .persist()
-      (idx, Seq(idx))
-    }
-    val chunked = sk.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("sh"), c * 16)
-          .bitwiseAND(0xFFFF)))
-        .as(Seq("chunk", "ckey")))
-    val l = chunked.select(col("chunk"), col("ckey"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("ckey"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = IndexMemo.getOrBuild[DataFrame]("simhashPairs",
+      s"$idCol,$textCol,$maxBucketSize", Seq(docs))(
+      buildSimHashPairIndex(docs, idCol, textCol, maxBucketSize))
+    pairs
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  private def buildSimHashPairIndex(docs: DataFrame, idCol: String,
+      textCol: String, maxBucketSize: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    val idx = simHashDf(docs, idCol, textCol)
+      .select(col("id"), col("simhash").as("sh"))
+      .persist()
+    var sized: DataFrame = null
+    var pairs: DataFrame = null
+    def releaseOnFailure[T](body: => T): T =
+      try body catch { case t: Throwable =>
+        Seq(Option(idx), Option(sized), Option(pairs)).flatten.foreach {
+          df => try df.unpersist() catch { case _: Throwable => () } }
+        throw t
+      }
+    releaseOnFailure {
+    val wb = Window.partitionBy(col("chunk"), col("ckey"))
+    sized = idx.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          c => call_function("shiftright", col("sh"), c * 16)
+            .bitwiseAND(0xFFFF)))
+          .as(Seq("chunk", "ckey")))
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .persist()
+    val st = sized.agg(
+      sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L))
+        .as("dropped")).head()
+    val dropped = Option(st.get(0)).fold(0L)(_.asInstanceOf[Long])
+    if (dropped > 0)
+      log.warn(s"simhash: dropped $dropped (doc, chunk) memberships in " +
+        s"buckets larger than $maxBucketSize; members can still pair " +
+        "through their other chunks")
+    val kept = sized.filter(col("bsz") <= maxBucketSize)
+    // sh rides along both sides (one long each — fixed width), so the
+    // memoized pair list is self-contained and the popcount filter
+    // never joins back to the sketch table
+    val l = kept.select(col("chunk"), col("ckey"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = kept.select(col("chunk"), col("ckey"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs = l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .persist()
+    pairs.count() // materialize, then drop the build intermediates
+    sized.unpersist()
+    idx.unpersist()
+    (pairs, Seq(pairs))
+    }
   }
 }

@@ -32,6 +32,22 @@ private[graft] object IndexMemo {
 
   private val cache = new ConcurrentHashMap[String, Entry]
 
+  /** Upper bound on memoized entries per operator tag. Without it the
+    * per-crawl regime — a NEW batch plan probed each call — grows one
+    * pinned index per batch for the application lifetime. FIFO per
+    * tag: inserting past the bound releases the tag's oldest entry, so
+    * new batches evict old batches' probe indexes while up to this
+    * many concurrently-live corpora per operator stay cached. Evicting
+    * an entry whose DataFrame a caller still holds only unpersists it:
+    * later reuse recomputes — degraded, never wrong. */
+  private val MaxPerTag = 8
+
+  private val tagQueues =
+    new ConcurrentHashMap[String, java.util.ArrayDeque[String]]
+
+  /** Live entry count (test hook). */
+  private[graft] def size: Int = cache.size
+
   private def release(dfs: Seq[DataFrame]): Unit =
     dfs.foreach(df => try df.unpersist() catch { case _: Throwable => () })
 
@@ -62,16 +78,37 @@ private[graft] object IndexMemo {
     }
     val (value, pinned) = build
     val prev = cache.putIfAbsent(key, Entry(inputs, value, pinned))
-    if (prev == null) value
+    if (prev == null) { boundTag(tag, key); value }
     else if (sameInputs(prev, inputs)) { // lost the race: adopt the winner
       release(pinned)
       prev.value.asInstanceOf[T]
     } else value // collision raced back in; serve our build unmemoized
   }
 
+  /** Enforce [[MaxPerTag]] after inserting `key` under `tag`. The queue
+    * may hold keys already evicted from the cache by the collision path
+    * (their re-inserted twin appears later in the queue) — a stale key's
+    * `cache.remove` returns null and is skipped. Unpersists run outside
+    * the queue lock. */
+  private def boundTag(tag: String, key: String): Unit = {
+    val q = tagQueues.computeIfAbsent(tag,
+      _ => new java.util.ArrayDeque[String])
+    val evicted = q.synchronized {
+      q.addLast(key)
+      val out = Seq.newBuilder[Entry]
+      while (q.size > MaxPerTag) {
+        val e = cache.remove(q.removeFirst())
+        if (e != null) out += e
+      }
+      out.result()
+    }
+    evicted.foreach(e => release(e.pinned))
+  }
+
   /** Release every memoized index (tolerant of stopped sessions). */
   def clear(): Unit = {
     cache.values.forEach(e => release(e.pinned))
     cache.clear()
+    tagQueues.clear()
   }
 }

@@ -180,6 +180,26 @@ class DedupSpec extends SparkTestBase {
     assert(pairs(0).get(2).toString.toInt == 0)
   }
 
+  test("simhash pigeonhole bucket cap bounds degenerate buckets") {
+    Dedup.clearLshCache()
+    // an all-near-identical corpus: every doc lands in the same bucket
+    // of every chunk — uncapped, that is the quadratic blowup
+    val docs = (1L to 40L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(Dedup.simHashNearDups(docs, "text", "doc_id")
+      .count() == 40L * 39 / 2)
+    // capped below the bucket size: the degenerate buckets are dropped
+    // entirely (logged), so the candidate count is bounded — here zero
+    assert(Dedup.simHashNearDups(docs, "text", "doc_id",
+      maxBucketSize = 10).count() == 0)
+    // a mixed corpus under the same cap still pairs its small buckets
+    val mixed = Seq((1L, base), (2L, base),
+      (3L, "different words entirely here unrelated to anything else"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simHashNearDups(mixed, "text", "doc_id",
+      maxBucketSize = 10).count() == 1)
+    Dedup.clearLshCache()
+  }
+
   test("incremental batch-vs-index near-dedup catches dups, passes novel docs") {
     val corpus = Seq((10L, base), (11L, "some other corpus document " +
       "with enough words to shingle it three times over"))

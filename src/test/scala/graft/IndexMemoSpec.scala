@@ -82,6 +82,32 @@ class IndexMemoSpec extends SparkTestBase {
     Dedup.clearLshCache()
   }
 
+  test("per-tag FIFO bound: sequential distinct-batch probes hold O(1) entries") {
+    Dedup.clearLshCache()
+    val bands = 4; val rpb = 2
+    val corpusIdx = Dedup.signatureIndex(
+      Dedup.explodedTokenShingleHashes(corpus, "doc_id", "text", 3),
+      bands * rpb)
+    def probe(i: Long): Unit = {
+      // each batch is a DISTINCT literal plan -> a new memo entry under
+      // the lshProbe tag, the per-crawl regime the bound exists for
+      val batch = Seq((i, s"alpha beta gamma $filler")).toDF("doc_id", "text")
+      Dedup.lshNearDupNewVsIndex(
+        Dedup.explodedTokenShingleHashes(batch, "doc_id", "text", 3),
+        corpusIdx, bands, rpb, threshold = 0.5).count()
+    }
+    (1L to 8L).foreach(i => probe(100L + i))
+    val entriesAt8 = graft.ops.IndexMemo.size
+    val footprintAt8 = footprint
+    (9L to 16L).foreach(i => probe(100L + i))
+    assert(graft.ops.IndexMemo.size == entriesAt8,
+      s"memo grew past the per-tag bound: $entriesAt8 -> " +
+        s"${graft.ops.IndexMemo.size}")
+    assert(footprint == footprintAt8,
+      s"pinned storage grew past the bound: $footprintAt8 -> $footprint")
+    Dedup.clearLshCache()
+  }
+
   test("knnJoin survives zero-norm vectors (cosine NULL is filtered)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
