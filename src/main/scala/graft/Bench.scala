@@ -4,14 +4,18 @@ package graft
   * prints ONE JSON line (last clean stdout line) for the driver.
   *
   * Measurement protocol: steady-state timing. Each query gets one untimed
-  * warm run at the target scale, then two timed runs and we keep the best.
-  * The untimed first run pays the one-time costs — Catalyst planning,
-  * whole-stage-codegen Janino compilation (AQE makes the generated code
-  * scale-dependent, so a smaller-SF warmup does not transfer), JIT, file
-  * listing — and the timed runs measure the data-proportional work, which
-  * is what throughput at the 100 TB design point is made of. Best-of-two
-  * because a single-JVM bench is exposed to GC and compilation pauses a
-  * cluster amortizes away.
+  * warm run at the target scale, then three timed runs and we keep the
+  * best. The untimed first run pays the one-time costs — Catalyst
+  * planning, whole-stage-codegen Janino compilation (AQE makes the
+  * generated code scale-dependent, so a smaller-SF warmup does not
+  * transfer), JIT, file listing — and the timed runs measure the
+  * data-proportional work, which is what throughput at the 100 TB design
+  * point is made of. Best-of-THREE because the bench host demonstrably
+  * stalls individual runs by 10-100x with near-idle load (VM-level
+  * throttling a cluster never sees; see VARIANCE_r8.md): with a
+  * per-run stall probability p, best-of-2 reports a stalled number with
+  * probability p^2, best-of-3 with p^3 — and the extra run costs only
+  * ~20 s of wall clock across the whole suite.
   *
   * Output discipline: the driver captures only the tail of stdout, so the
   * JSON line must stay short. Query keys are shortened to their `qNN`
@@ -45,7 +49,7 @@ object Bench {
           catch { case _: Throwable => -1.0 }
         }
         once() // untimed warm run (result discarded; failures surface below)
-        val times = Seq(once(), once())
+        val times = Seq(once(), once(), once())
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -9,6 +9,7 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    sys.env.get("BENCH_LOG").foreach(spark.sparkContext.setLogLevel)
     val runs = sys.env.getOrElse("BENCH_RUNS", "3").toInt
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
