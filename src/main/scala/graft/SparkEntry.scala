@@ -233,6 +233,8 @@ object SparkEntry {
       Curation.simhashMd5Pairs(s, d).orderBy("id_a", "id_b")),
     "q87_ann_ivf_exact" -> ((s, d) =>
       Similarity.annIvf(s, d, nprobe = 16)),
+    "q88_cosine_pairs_exact" -> ((s, d) =>
+      Similarity.cosinePairsExact(s, d).orderBy("id_a", "id_b")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1038,6 +1040,22 @@ object SparkEntry {
         |  FROM p)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "q88_cosine_pairs_exact" ->
+      """SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE)
+        |           * CAST(b.embedding[i] AS DOUBLE)))
+        |      / nullif(
+        |          sqrt(list_sum(list_transform(a.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(b.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+        |          CAST(0.0 AS DOUBLE)),
+        |      6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        |WHERE cosine >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q85_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         |d AS (SELECT DISTINCT b.vec_id

@@ -25,20 +25,46 @@ object DocKernels {
       runs: Seq[(String, Boolean)]) extends DocxBlock
   final case class DocxPara(runs: Seq[(String, Boolean)]) extends DocxBlock
   final case class DocxTable(rows: Seq[Seq[String]]) extends DocxBlock
+  /** An embedded raster image with its declared size in points. */
+  final case class DocxImage(data: Array[Byte], widthPt: Double,
+      heightPt: Double) extends DocxBlock
 
-  private def documentXml(docx: Array[Byte]): String = {
+  /** The zip entries a render needs: document.xml, the relationship
+    * map (rId -> media path), and the media bytes — one zip pass. */
+  private final case class DocxParts(xml: String,
+      rels: Map[String, String], media: Map[String, Array[Byte]])
+
+  private def docxParts(docx: Array[Byte]): DocxParts = {
     val zis = new ZipInputStream(new ByteArrayInputStream(docx))
-    var xml: String = null
+    var xml = ""
+    var relsXml = ""
+    val media = Map.newBuilder[String, Array[Byte]]
     try {
       var e = zis.getNextEntry
-      while (e != null && xml == null) {
-        if (e.getName == "word/document.xml") {
-          xml = new String(zis.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      while (e != null) {
+        e.getName match {
+          case "word/document.xml" =>
+            xml = new String(zis.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+          case "word/_rels/document.xml.rels" =>
+            relsXml = new String(zis.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+          case n if n.startsWith("word/media/") =>
+            media += (n -> zis.readAllBytes())
+          case _ => ()
         }
         e = zis.getNextEntry
       }
     } finally zis.close()
-    if (xml == null) "" else xml
+    // attribute order varies across producers: pull Id and Target
+    // independently per <Relationship .../> tag
+    val rels = "<Relationship\\s[^>]*>".r.findAllIn(relsXml).flatMap { tag =>
+      for {
+        id <- "\\bId=\"([^\"]+)\"".r.findFirstMatchIn(tag).map(_.group(1))
+        t <- "\\bTarget=\"([^\"]+)\"".r.findFirstMatchIn(tag).map(_.group(1))
+      } yield id -> t
+    }.toMap
+    DocxParts(xml, rels, media.result())
   }
 
   private val blockRe =
@@ -50,13 +76,32 @@ object DocKernels {
   private val rowRe = "(?s)<w:tr[ >].*?</w:tr>".r
   private val cellRe = "(?s)<w:tc[ >].*?</w:tc>".r
   private val paraRe = "(?s)<w:p[ >].*?</w:p>|<w:p/>".r
+  private val drawingRe = "(?s)<w:drawing>.*?</w:drawing>".r
+  private val extentRe = "<wp:extent[^>]*\\bcx=\"(\\d+)\"[^>]*\\bcy=\"(\\d+)\"".r
+  private val blipRe = "<a:blip\\s[^>]*\\br:embed=\"([^\"]+)\"".r
+  private val EmuPerPoint = 12700.0
 
   /** DOCX -> structured blocks. The scanning regex consumes whole
     * tables first, so cell paragraphs never leak as top-level
-    * paragraphs; WMF/EMF and all other non-text content is dropped
-    * entirely, the P21 semantic (scraper_glostrup.py:69-74). */
+    * paragraphs. Raster images (PNG/JPEG drawings) become
+    * [[DocxImage]] blocks after their paragraph's text, sized from the
+    * declared wp:extent (EMU -> pt); WMF/EMF and all other non-text,
+    * non-raster content is dropped entirely, the P21 semantic
+    * (scraper_glostrup.py:69-74). */
   def docxToBlocks(docx: Array[Byte]): Seq[DocxBlock] = {
-    val xml = documentXml(docx)
+    val parts = docxParts(docx)
+    val xml = parts.xml
+    def imagesOf(p: String): Seq[DocxImage] =
+      drawingRe.findAllIn(p).flatMap { dr =>
+        for {
+          blip <- blipRe.findFirstMatchIn(dr).map(_.group(1))
+          target <- parts.rels.get(blip)
+          bytes <- parts.media.get("word/" + target)
+          ext <- extentRe.findFirstMatchIn(dr)
+        } yield DocxImage(bytes,
+          ext.group(1).toLong / EmuPerPoint,
+          ext.group(2).toLong / EmuPerPoint)
+      }.toSeq
     def runs(p: String): Seq[(String, Boolean)] = {
       val rs = runRe.findAllIn(p).map { r =>
         val bold = boldRe.findFirstIn(r)
@@ -71,9 +116,9 @@ object DocKernels {
         case (acc, r) => acc :+ r
       }
     }
-    blockRe.findAllMatchIn(xml).map { m =>
+    blockRe.findAllMatchIn(xml).flatMap { m =>
       if (m.group(1) != null) {
-        DocxTable(rowRe.findAllIn(m.group(1)).map { tr =>
+        Seq(DocxTable(rowRe.findAllIn(m.group(1)).map { tr =>
           cellRe.findAllIn(tr).map { tc =>
             // paragraph-per-paragraph, joined with a space: two cell
             // paragraphs "Budget" / "2024" read "Budget 2024", not
@@ -86,13 +131,21 @@ object DocKernels {
             else textRe.findAllMatchIn(tc)
               .map(x => HtmlParser.unescape(x.group(1))).mkString
           }.toSeq
-        }.toSeq)
+        }.toSeq))
       } else {
         val p = m.group(2)
-        headingRe.findFirstMatchIn(p) match {
-          case Some(h) => DocxHeading(h.group(1).toInt, runs(p))
-          case None => DocxPara(runs(p))
+        val text = headingRe.findFirstMatchIn(p) match {
+          case Some(h) => Seq(DocxHeading(h.group(1).toInt, runs(p)))
+          case None =>
+            val rs = runs(p)
+            if (rs.nonEmpty) Seq(DocxPara(rs)) else Seq.empty
         }
+        val imgs = imagesOf(p)
+        // preserve empty paragraphs only when they carry no image
+        // (vertical rhythm), matching the old output byte-for-byte on
+        // image-free documents
+        if (text.isEmpty && imgs.isEmpty) Seq(DocxPara(Seq.empty))
+        else text ++ imgs
       }
     }.toSeq
   }
@@ -105,33 +158,68 @@ object DocKernels {
       case DocxHeading(_, runs) => Seq(runs.map(_._1).mkString)
       case DocxPara(runs) => Seq(runs.map(_._1).mkString)
       case DocxTable(rows) => rows.map(_.mkString(" | "))
+      case DocxImage(_, _, _) => Seq.empty // text extraction: skip
     }.mkString("\n")
 
-  /** B1: DOCX -> PDF with minimal structure fidelity toward the
+  /** B1: DOCX -> PDF with structure fidelity toward the
     * mammoth+WeasyPrint render (scraper_glostrup.py:42-100): headings
     * become larger bold lines with leading space, bold runs keep
     * their weight inside wrapped paragraphs, table rows render as
-    * pipe-joined lines. */
+    * pipe-joined lines, and embedded PNG/JPEG drawings render as
+    * image XObjects at their declared size (downscaled to the text
+    * column; formats [[ImageCodec]] can't decode are dropped, the old
+    * behavior). Pagination is incremental: an image consumes its
+    * height in line slots and never straddles a page break. */
   def docxToPdf(docx: Array[Byte]): Array[Byte] = {
-    val lines = scala.collection.mutable.ArrayBuffer[MiniPdf.StyledLine]()
+    val startY = 770
+    val leading = 16
+    val pages = scala.collection.mutable.ArrayBuffer[MiniPdf.StyledPage]()
+    var lines = Vector.empty[MiniPdf.StyledLine]
+    var images = Vector.empty[MiniPdf.PlacedImage]
+    def flush(): Unit =
+      if (lines.nonEmpty || images.nonEmpty) {
+        pages += MiniPdf.StyledPage(lines, images = images)
+        lines = Vector.empty
+        images = Vector.empty
+      }
+    def addLine(l: MiniPdf.StyledLine): Unit = {
+      if (lines.size >= LinesPerPage) flush()
+      lines :+= l
+    }
     docxToBlocks(docx).foreach {
       case DocxHeading(level, runs) =>
-        if (lines.nonEmpty) lines += MiniPdf.StyledLine(Seq.empty)
+        if (lines.nonEmpty || pages.nonEmpty)
+          addLine(MiniPdf.StyledLine(Seq.empty))
         val size = math.max(15 - level, 12)
         wrapSegs(runs.map { case (t, _) => (t, true) }).foreach(segs =>
-          lines += MiniPdf.StyledLine(segs, fontSize = size))
+          addLine(MiniPdf.StyledLine(segs, fontSize = size)))
       case DocxPara(runs) =>
-        wrapSegs(runs).foreach(segs => lines += MiniPdf.StyledLine(segs))
+        wrapSegs(runs).foreach(segs => addLine(MiniPdf.StyledLine(segs)))
       case DocxTable(rows) =>
         rows.foreach { r =>
           wrapSegs(Seq((r.mkString(" | "), false))).foreach(segs =>
-            lines += MiniPdf.StyledLine(segs))
+            addLine(MiniPdf.StyledLine(segs)))
+        }
+      case DocxImage(data, w0, h0) =>
+        ImageCodec.decode(data).foreach { img =>
+          val maxW = 451.0 // text column width
+          val maxH = (LinesPerPage - 2).toDouble * leading
+          val wDecl = if (w0 > 0) w0 else img.width.toDouble
+          val hDecl = if (h0 > 0) h0 else img.height.toDouble
+          val sc = math.min(1.0, math.min(maxW / wDecl, maxH / hDecl))
+          val w = wDecl * sc
+          val h = hDecl * sc
+          val slots = math.ceil(h / leading).toInt + 1
+          if (lines.size + slots > LinesPerPage) flush()
+          val yBottom = startY - (lines.size + slots - 1) * leading
+          images :+= MiniPdf.PlacedImage(img, 72.0, yBottom, w, h)
+          lines ++= Vector.fill(slots)(MiniPdf.StyledLine(Seq.empty))
         }
     }
-    val ls = if (lines.isEmpty) Seq(MiniPdf.StyledLine(Seq.empty))
-      else lines.toSeq
-    MiniPdf.makeStyledPdf(
-      ls.grouped(LinesPerPage).map(g => MiniPdf.StyledPage(g.toSeq)).toSeq)
+    flush()
+    if (pages.isEmpty)
+      pages += MiniPdf.StyledPage(Seq(MiniPdf.StyledLine(Seq.empty)))
+    MiniPdf.makeStyledPdf(pages.toSeq)
   }
 
   /** Greedy column-budget wrap that preserves run boundaries (and so

@@ -1,0 +1,226 @@
+package graft.doc
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Raster decode for the two formats DOCX embeds in practice, targeting
+  * PDF image XObjects (no imaging libraries exist on this classpath, so
+  * the engine carries the minimal codecs itself):
+  *
+  *  - JPEG passes through verbatim: PDF's DCTDecode filter IS baseline
+  *    JPEG, so only the dimensions/components are sniffed from the SOF
+  *    marker.
+  *  - PNG is decoded (IDAT inflate + per-row defilter) to raw samples
+  *    and re-deflated for a FlateDecode XObject. 8-bit gray/RGB/RGBA,
+  *    non-interlaced — the space every Word-embedded screenshot/logo
+  *    lives in; RGBA drops alpha (PDF images have no alpha channel
+  *    without an SMask, and agenda documents never need one).
+  *
+  * Anything else (CMYK JPEG, 16-bit or palette or interlaced PNG, WMF/
+  * EMF) returns None and the caller drops the image — the pre-round-8
+  * behavior, now the exception instead of the rule.
+  * Reference analog: mammoth carries DOCX images into HTML and
+  * WeasyPrint rasterizes them (scraper_glostrup.py:42-100).
+  */
+object ImageCodec {
+
+  /** A decoded image ready to embed: `bytes` is the XObject stream,
+    * `filter` its PDF filter (None = raw samples). */
+  final case class PdfImage(bytes: Array[Byte], width: Int, height: Int,
+      colorSpace: String, bitsPerComponent: Int, filter: Option[String])
+
+  def decode(data: Array[Byte]): Option[PdfImage] =
+    if (data == null || data.length < 8) None
+    else if ((data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
+      decodeJpeg(data)
+    else if ((data(0) & 0xFF) == 0x89 && data(1) == 'P' && data(2) == 'N' &&
+      data(3) == 'G') decodePng(data)
+    else None
+
+  // ------------------------------------------------------------ JPEG
+
+  /** Walk the marker stream to the first SOF0/1/2; the JPEG itself is
+    * embedded untouched (DCTDecode). */
+  private def decodeJpeg(d: Array[Byte]): Option[PdfImage] = {
+    var i = 2
+    while (i + 9 < d.length) {
+      if ((d(i) & 0xFF) != 0xFF) return None // desynced marker stream
+      val marker = d(i + 1) & 0xFF
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+      else if (marker == 0x01 || marker == 0xFF) i += 2
+      else {
+        val len = ((d(i + 2) & 0xFF) << 8) | (d(i + 3) & 0xFF)
+        if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+          val h = ((d(i + 5) & 0xFF) << 8) | (d(i + 6) & 0xFF)
+          val w = ((d(i + 7) & 0xFF) << 8) | (d(i + 8) & 0xFF)
+          val comps = d(i + 9) & 0xFF
+          val cs = comps match {
+            case 1 => "DeviceGray"
+            case 3 => "DeviceRGB"
+            case _ => return None // CMYK needs a Decode array; drop
+          }
+          return Some(PdfImage(d, w, h, cs, 8, Some("DCTDecode")))
+        }
+        if (marker == 0xDA) return None // hit scan data before any SOF
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  // ------------------------------------------------------------- PNG
+
+  private def be32(d: Array[Byte], i: Int): Int =
+    ((d(i) & 0xFF) << 24) | ((d(i + 1) & 0xFF) << 16) |
+      ((d(i + 2) & 0xFF) << 8) | (d(i + 3) & 0xFF)
+
+  private def decodePng(d: Array[Byte]): Option[PdfImage] = {
+    // chunk walk: IHDR is mandatory-first; IDATs concatenate
+    if (d.length < 33) return None
+    var i = 8
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    var interlace = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIhdr = false
+    while (i + 8 <= d.length) {
+      val len = be32(d, i)
+      val typ = new String(d, i + 4, 4, "US-ASCII")
+      val dataAt = i + 8
+      if (dataAt + len > d.length) return None
+      typ match {
+        case "IHDR" =>
+          width = be32(d, dataAt); height = be32(d, dataAt + 4)
+          bitDepth = d(dataAt + 8) & 0xFF; colorType = d(dataAt + 9) & 0xFF
+          interlace = d(dataAt + 12) & 0xFF
+          sawIhdr = true
+        case "IDAT" => idat.write(d, dataAt, len)
+        case _ => ()
+      }
+      i = dataAt + len + 4 // skip CRC
+    }
+    if (!sawIhdr || width <= 0 || height <= 0) return None
+    if (bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1 // gray
+      case 2 => 3 // rgb
+      case 6 => 4 // rgba
+      case _ => return None // palette / gray+alpha: out of scope
+    }
+    val stride = width * channels
+    val raw = inflate(idat.toByteArray, (stride + 1) * height)
+      .getOrElse(return None)
+    if (raw.length < (stride + 1) * height) return None
+    // defilter in place into the output sample buffer
+    val out = new Array[Byte](stride * height)
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (stride + 1)) & 0xFF
+      val src = r * (stride + 1) + 1
+      val dst = r * stride
+      var c = 0
+      while (c < stride) {
+        val x = raw(src + c) & 0xFF
+        val a = if (c >= channels) out(dst + c - channels) & 0xFF else 0
+        val b = if (r > 0) out(dst - stride + c) & 0xFF else 0
+        val cc = if (r > 0 && c >= channels)
+          out(dst - stride + c - channels) & 0xFF else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, cc)
+          case _ => return None
+        }
+        out(dst + c) = (v & 0xFF).toByte
+        c += 1
+      }
+      r += 1
+    }
+    // drop alpha: PDF image XObjects carry no alpha channel
+    val samples = if (channels == 4) {
+      val rgb = new Array[Byte](width * height * 3)
+      var p = 0; var q = 0
+      while (p < out.length) {
+        rgb(q) = out(p); rgb(q + 1) = out(p + 1); rgb(q + 2) = out(p + 2)
+        p += 4; q += 3
+      }
+      rgb
+    } else out
+    val cs = if (channels == 1) "DeviceGray" else "DeviceRGB"
+    Some(PdfImage(deflate(samples), width, height, cs, 8,
+      Some("FlateDecode")))
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](expected)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off == expected) Some(out) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  private[doc] def deflate(data: Array[Byte]): Array[Byte] = {
+    val defl = new Deflater()
+    try {
+      defl.setInput(data); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      out.toByteArray
+    } finally defl.end()
+  }
+
+  /** Minimal PNG ENCODER (tests + fixtures): 8-bit RGB, filter 0 rows.
+    * Lives here so specs can fabricate real decodable PNGs without any
+    * imaging library. */
+  def encodePngRgb(width: Int, height: Int,
+      rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb buffer size")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new CRC32(); crc.update(body)
+      val c = crc.getValue.toInt
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    chunk("IHDR", ihdr.array())
+    val stride = width * 3
+    val filtered = new Array[Byte]((stride + 1) * height)
+    var r = 0
+    while (r < height) {
+      filtered(r * (stride + 1)) = 0 // filter type None
+      System.arraycopy(rgb, r * stride, filtered, r * (stride + 1) + 1, stride)
+      r += 1
+    }
+    chunk("IDAT", deflate(filtered))
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+}

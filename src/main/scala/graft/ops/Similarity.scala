@@ -223,6 +223,27 @@ object Similarity {
     cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.2)
 
+  /** Exact cosine near-dup pairs — the all-pairs baseline the SRP-LSH
+    * path ([[cosineNearDupPairs]]) approximates, and its oracled twin:
+    * every SRP pair must appear here (soundness, asserted in
+    * SimilaritySpec), and the pair scores hash-match a DuckDB mirror of
+    * the same double-precision fold. The O(N^2) self-join is the
+    * correctness anchor only; at corpus scale the SRP/IVF paths are the
+    * operators — the same exact-vs-approximate pairing as q42/q43. */
+  def cosinePairsExact(s: SparkSession, d: String,
+      threshold: Double = 0.2): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(nativeCosine(s, col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** SemDeDup-style semantic dedup: within each coarse cluster, drop
     * every vector whose cosine similarity to some LOWER-id vector in
     * the same cluster is >= `threshold` (the upper-triangular sweep of

@@ -5,7 +5,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import org.apache.spark.sql.functions._
 
-import graft.doc.{DocKernels, MiniPdf}
+import graft.doc.{DocKernels, ImageCodec, MiniPdf}
 
 /** Golden tests for the document kernels (B1-B5, A5/A6) per
   * FIXTURES.md §5: page counts, merge order, cover fields. */
@@ -209,6 +209,105 @@ class DocSpec extends SparkTestBase {
     assert(MiniPdf.pageCount(pdf) == 1)
     val t = MiniPdf.extractText(pdf).mkString(" ")
     assert(t.contains("Punkt 1: Budget") && t.contains("Punkt 2: Plan"))
+  }
+
+  // ------------------------------------------------ B1 image fidelity
+
+  /** DOCX with one text paragraph and one embedded drawing: document
+    * body references rId7, the rels part maps it to word/media, and
+    * the declared extent is 72pt x 48pt (914400 x 609600 EMU). */
+  private def imageDocx(img: Array[Byte], ext: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    zos.putNextEntry(new ZipEntry("word/document.xml"))
+    val body =
+      "<w:p><w:r><w:t>Figur 1</w:t></w:r></w:p>" +
+        "<w:p><w:r><w:drawing><wp:inline>" +
+        "<wp:extent cx=\"914400\" cy=\"609600\"/>" +
+        "<a:blip r:embed=\"rId7\"/>" +
+        "</wp:inline></w:drawing></w:r></w:p>"
+    zos.write(s"<w:document><w:body>$body</w:body></w:document>"
+      .getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("word/_rels/document.xml.rels"))
+    zos.write(("<Relationships><Relationship " +
+      s"""Target="media/image1.$ext" Id="rId7"/></Relationships>""")
+      .getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry(s"word/media/image1.$ext"))
+    zos.write(img)
+    zos.closeEntry()
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Minimal baseline JPEG: SOI + SOF0 carrying the dimensions + EOI —
+    * enough for the DCTDecode passthrough path, which only sniffs. */
+  private def tinyJpeg(w: Int, h: Int): Array[Byte] =
+    (Array(0xFF, 0xD8,
+      0xFF, 0xC0, 0x00, 0x11, 0x08,
+      (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF, 0x03,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1,
+      0xFF, 0xD9)).map(_.toByte)
+
+  test("ImageCodec decodes its own PNG output back to raw samples") {
+    val rgb = Array.tabulate(18)(i => (i * 7).toByte)
+    val png = ImageCodec.encodePngRgb(3, 2, rgb)
+    val img = ImageCodec.decode(png).get
+    assert(img.width == 3 && img.height == 2)
+    assert(img.colorSpace == "DeviceRGB")
+    assert(img.filter.contains("FlateDecode"))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(img.bytes)
+    val out = new Array[Byte](18)
+    assert(inf.inflate(out) == 18 && inf.finished())
+    assert(out.sameElements(rgb))
+  }
+
+  test("docxToPdf embeds a PNG drawing as an image XObject (B1)") {
+    val png = ImageCodec.encodePngRgb(3, 2,
+      Array.tabulate(18)(i => (i * 11).toByte))
+    val pdf = DocKernels.docxToPdf(imageDocx(png, "png"))
+    assert(MiniPdf.pageCount(pdf) == 1)
+    assert(MiniPdf.imageCount(pdf) == 1)
+    assert(MiniPdf.imageInfos(pdf) ==
+      Seq((3, 2, "DeviceRGB", "FlateDecode")))
+    // the paragraph text still renders, and the content stream places
+    // the image at its declared 72x48 pt size
+    assert(MiniPdf.extractText(pdf).contains("Figur 1"))
+    val s = new String(pdf, "ISO-8859-1")
+    assert(s.contains("72.00 0 0 48.00") && s.contains("/Im0 Do"))
+  }
+
+  test("docxToPdf embeds a JPEG drawing via DCTDecode passthrough (B1)") {
+    val jpg = tinyJpeg(40, 30)
+    val pdf = DocKernels.docxToPdf(imageDocx(jpg, "jpg"))
+    assert(MiniPdf.imageInfos(pdf) ==
+      Seq((40, 30, "DeviceRGB", "DCTDecode")))
+    // passthrough: the JPEG bytes ride inside the PDF verbatim
+    assert(new String(pdf, "ISO-8859-1")
+      .contains(new String(jpg, "ISO-8859-1")))
+  }
+
+  test("undecodable image formats are dropped, not fatal (B1/P21)") {
+    val wmf = Array.tabulate(64)(_.toByte) // not a PNG/JPEG signature
+    val pdf = DocKernels.docxToPdf(imageDocx(wmf, "wmf"))
+    assert(MiniPdf.imageCount(pdf) == 0)
+    assert(MiniPdf.extractText(pdf).contains("Figur 1"))
+  }
+
+  test("merge carries image XObjects with page-local names (B5+B1)") {
+    val png = ImageCodec.encodePngRgb(3, 2,
+      Array.tabulate(18)(i => (i * 3).toByte))
+    val imgDoc = DocKernels.docxToPdf(imageDocx(png, "png"))
+    val cover = MiniPdf.makeCover("Cover", "2025-01-01", Seq("A"))
+    val merged = MiniPdf.merge(Seq(cover, imgDoc))
+    assert(MiniPdf.pageCount(merged) == 2)
+    assert(MiniPdf.imageCount(merged) == 1)
+    assert(MiniPdf.imageInfos(merged) ==
+      Seq((3, 2, "DeviceRGB", "FlateDecode")))
+    val text = MiniPdf.extractText(merged)
+    assert(text.indexOf("Cover") < text.indexOf("Figur 1"))
   }
 
   test("binaryFile scan reads documents as (path, content) rows (S13)") {

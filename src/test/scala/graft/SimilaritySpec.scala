@@ -70,6 +70,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs(0).getDouble(2) == 1.0)
   }
 
+  test("SRP near-dup pairs are a subset of the exact cosine pairs") {
+    val srp = Similarity.cosineNearDupQuery(spark, sf("embeddings"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.cosinePairsExact(spark, sf("embeddings"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(srp.nonEmpty)
+    // soundness: every SRP-verified pair is an exact pair with the SAME
+    // score (the verification cosine is the exact cosine)
+    srp.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"pair $k: srp=$c exact=${exact.get(k)}")
+    }
+  }
+
   test("IVF with full probe equals brute force; partial probe is a subset") {
     val brute = Similarity.knnBruteForce(spark, sf("embeddings"), 0L, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
