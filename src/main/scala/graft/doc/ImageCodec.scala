@@ -175,7 +175,7 @@ object ImageCodec {
     } finally inf.end()
   }
 
-  private[doc] def deflate(data: Array[Byte]): Array[Byte] = {
+  private[graft] def deflate(data: Array[Byte]): Array[Byte] = {
     val defl = new Deflater()
     try {
       defl.setInput(data); defl.finish()

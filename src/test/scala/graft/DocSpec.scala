@@ -264,6 +264,94 @@ class DocSpec extends SparkTestBase {
     assert(out.sameElements(rgb))
   }
 
+  /** Assemble a PNG from pre-filtered scanline bytes — lets the specs
+    * exercise decode filters 1-4, which libpng-produced (real Word)
+    * images always use and the filter-0-only encoder never emits. */
+  private def pngFromFiltered(w: Int, h: Int, colorType: Int,
+      filtered: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val body = typ.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      val c = crc.getValue.toInt
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", ImageCodec.deflate(filtered))
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  test("PNG decode handles Sub/Up/Average/Paeth filtered rows") {
+    // 2x4 RGB image, known pixels; forward-filter each row with a
+    // different filter type per the PNG spec, then decode must
+    // reconstruct the original samples
+    val w = 2; val ch = 3; val stride = w * ch
+    val px = Array.tabulate(4 * stride)(i => ((i * 37 + 11) % 251).toByte)
+    def p(r: Int, c: Int): Int = px(r * stride + c) & 0xFF
+    val filtered = new Array[Byte](4 * (stride + 1))
+    val types = Array(1, 2, 3, 4) // Sub, Up, Average, Paeth
+    for (r <- 0 until 4) {
+      filtered(r * (stride + 1)) = types(r).toByte
+      for (c <- 0 until stride) {
+        val a = if (c >= ch) p(r, c - ch) else 0
+        val b = if (r > 0) p(r - 1, c) else 0
+        val cc = if (r > 0 && c >= ch) p(r - 1, c - ch) else 0
+        val paeth = {
+          val q = a + b - cc
+          val pa = math.abs(q - a); val pb = math.abs(q - b)
+          val pc = math.abs(q - cc)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+        }
+        val pred = types(r) match {
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth
+        }
+        filtered(r * (stride + 1) + 1 + c) = ((p(r, c) - pred) & 0xFF).toByte
+      }
+    }
+    val img = ImageCodec.decode(pngFromFiltered(w, 4, 2, filtered)).get
+    assert(img.width == 2 && img.height == 4)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(img.bytes)
+    val got = new Array[Byte](px.length)
+    assert(inf.inflate(got) == px.length)
+    assert(got.sameElements(px))
+  }
+
+  test("PNG decode: RGBA drops alpha, grayscale maps to DeviceGray") {
+    // 1x2 RGBA (filter 0): pixels (10,20,30,255) and (40,50,60,128)
+    val rgba = pngFromFiltered(1, 2, 6, Array[Byte](
+      0, 10, 20, 30, 255.toByte,
+      0, 40, 50, 60, 128.toByte))
+    val ia = ImageCodec.decode(rgba).get
+    assert(ia.colorSpace == "DeviceRGB")
+    val inf = new java.util.zip.Inflater(); inf.setInput(ia.bytes)
+    val got = new Array[Byte](6)
+    assert(inf.inflate(got) == 6)
+    assert(got.sameElements(Array[Byte](10, 20, 30, 40, 50, 60)))
+    // 2x1 grayscale (filter 1/Sub: 7, then delta 5 -> 12)
+    val gray = pngFromFiltered(2, 1, 0, Array[Byte](1, 7, 5))
+    val ig = ImageCodec.decode(gray).get
+    assert(ig.colorSpace == "DeviceGray")
+    val inf2 = new java.util.zip.Inflater(); inf2.setInput(ig.bytes)
+    val got2 = new Array[Byte](2)
+    assert(inf2.inflate(got2) == 2)
+    assert(got2.sameElements(Array[Byte](7, 12)))
+  }
+
   test("docxToPdf embeds a PNG drawing as an image XObject (B1)") {
     val png = ImageCodec.encodePngRgb(3, 2,
       Array.tabulate(18)(i => (i * 11).toByte))
