@@ -369,9 +369,17 @@ object Similarity {
     * buckets recovers recall WITHOUT growing the index. The candidate
     * set stays (numPlanes+1) x tables buckets; the extra comparisons
     * are codegen'd predicates on the broadcast query row, not extra
-    * joins. */
+    * joins.
+    *
+    * Default geometry (6 planes x 8 tables): for ~60-degree cosine
+    * neighbors (what top-10 looks like in an unstructured corpus) the
+    * per-table collision rate is (1 - theta/pi)^planes, so FEWER
+    * planes per table and MORE tables buys recall at the cost of
+    * candidate volume — 6x8 measures ~5x the recall of the old 8x4 at
+    * sf0.01 (SimilaritySpec prints the numbers). Scale the plane count
+    * with corpus size to keep per-bucket occupancy bounded. */
   def annLsh(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      numPlanes: Int = 8, tables: Int = 4, dim: Int = 64,
+      numPlanes: Int = 6, tables: Int = 8, dim: Int = 64,
       multiProbe: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // Materialized index: the query probe and the corpus scan both read

@@ -131,10 +131,11 @@ class SimilaritySpec extends SparkTestBase {
     // probing Hamming-1 neighbor buckets only ADDS candidates, and the
     // exact re-rank keeps ordering — recall is monotone
     assert(multi >= single)
-    // deterministic seed: measured 0.06 -> 0.36 (6x); gaussians have
-    // no cluster structure and buckets hold ~2 vectors, so absolute
-    // recall is inherently modest at this corpus size
-    assert(multi >= 0.25, f"multi-probe recall $multi%.2f below floor")
+    // deterministic seed: measured 0.38 single -> 0.78 multi-probe at
+    // the 6-plane x 8-table default geometry; gaussians have no
+    // cluster structure, the hostile case for LSH, so this is the
+    // recall floor not the ceiling
+    assert(multi >= 0.6, f"multi-probe recall $multi%.2f below floor")
   }
 
   test("srpBucket is deterministic across invocations") {
