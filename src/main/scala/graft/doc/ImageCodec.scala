@@ -10,14 +10,15 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *    JPEG, so only the dimensions/components are sniffed from the SOF
   *    marker.
   *  - PNG is decoded (IDAT inflate + per-row defilter) to raw samples
-  *    and re-deflated for a FlateDecode XObject. 8-bit gray/RGB/RGBA,
-  *    non-interlaced — the space every Word-embedded screenshot/logo
-  *    lives in; RGBA drops alpha (PDF images have no alpha channel
-  *    without an SMask, and agenda documents never need one).
+  *    and re-deflated for a FlateDecode XObject. 8-bit gray/RGB/RGBA/
+  *    palette, non-interlaced — the space every Word-embedded
+  *    screenshot/logo lives in; RGBA drops alpha (PDF images have no
+  *    alpha channel without an SMask, and agenda documents never need
+  *    one), palette indexes expand through PLTE to plain RGB.
   *
-  * Anything else (CMYK JPEG, 16-bit or palette or interlaced PNG, WMF/
-  * EMF) returns None and the caller drops the image — the pre-round-8
-  * behavior, now the exception instead of the rule.
+  * Anything else (CMYK JPEG, 16-bit or sub-byte-depth or interlaced
+  * PNG, WMF/EMF) returns None and the caller drops the image — the
+  * pre-round-8 behavior, now the exception instead of the rule.
   * Reference analog: mammoth carries DOCX images into HTML and
   * WeasyPrint rasterizes them (scraper_glostrup.py:42-100).
   */
@@ -80,6 +81,7 @@ object ImageCodec {
     var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
     var interlace = 0
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var sawIhdr = false
     while (i + 8 <= d.length) {
       val len = be32(d, i)
@@ -93,6 +95,8 @@ object ImageCodec {
           interlace = d(dataAt + 12) & 0xFF
           sawIhdr = true
         case "IDAT" => idat.write(d, dataAt, len)
+        case "PLTE" => palette = java.util.Arrays.copyOfRange(d, dataAt,
+          dataAt + len)
         case _ => ()
       }
       i = dataAt + len + 4 // skip CRC
@@ -102,8 +106,9 @@ object ImageCodec {
     val channels = colorType match {
       case 0 => 1 // gray
       case 2 => 3 // rgb
+      case 3 => if (palette == null) return None else 1 // palette index
       case 6 => 4 // rgba
-      case _ => return None // palette / gray+alpha: out of scope
+      case _ => return None // gray+alpha, 16-bit: out of scope
     }
     val stride = width * channels
     val raw = inflate(idat.toByteArray, (stride + 1) * height)
@@ -136,17 +141,32 @@ object ImageCodec {
       }
       r += 1
     }
-    // drop alpha: PDF image XObjects carry no alpha channel
-    val samples = if (channels == 4) {
-      val rgb = new Array[Byte](width * height * 3)
-      var p = 0; var q = 0
-      while (p < out.length) {
-        rgb(q) = out(p); rgb(q + 1) = out(p + 1); rgb(q + 2) = out(p + 2)
-        p += 4; q += 3
-      }
-      rgb
-    } else out
-    val cs = if (channels == 1) "DeviceGray" else "DeviceRGB"
+    // drop alpha (PDF image XObjects carry no alpha channel); expand
+    // palette indexes through PLTE to plain RGB
+    val samples =
+      if (channels == 4) {
+        val rgb = new Array[Byte](width * height * 3)
+        var p = 0; var q = 0
+        while (p < out.length) {
+          rgb(q) = out(p); rgb(q + 1) = out(p + 1); rgb(q + 2) = out(p + 2)
+          p += 4; q += 3
+        }
+        rgb
+      } else if (colorType == 3) {
+        val rgb = new Array[Byte](width * height * 3)
+        var p = 0
+        while (p < out.length) {
+          val ix = (out(p) & 0xFF) * 3
+          if (ix + 2 >= palette.length) return None // index past PLTE
+          rgb(p * 3) = palette(ix)
+          rgb(p * 3 + 1) = palette(ix + 1)
+          rgb(p * 3 + 2) = palette(ix + 2)
+          p += 1
+        }
+        rgb
+      } else out
+    val cs = if (channels == 1 && colorType != 3) "DeviceGray"
+      else "DeviceRGB"
     Some(PdfImage(deflate(samples), width, height, cs, 8,
       Some("FlateDecode")))
   }

@@ -268,7 +268,7 @@ class DocSpec extends SparkTestBase {
     * exercise decode filters 1-4, which libpng-produced (real Word)
     * images always use and the filter-0-only encoder never emits. */
   private def pngFromFiltered(w: Int, h: Int, colorType: Int,
-      filtered: Array[Byte]): Array[Byte] = {
+      filtered: Array[Byte], plte: Array[Byte] = null): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
       .map(_.toByte))
@@ -287,9 +287,25 @@ class DocSpec extends SparkTestBase {
       .put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte)
     chunk("IHDR", ihdr.array())
+    if (plte != null) chunk("PLTE", plte)
     chunk("IDAT", ImageCodec.deflate(filtered))
     chunk("IEND", Array.empty)
     out.toByteArray
+  }
+
+  test("PNG decode expands palette (colorType 3) through PLTE to RGB") {
+    // 2x1, two palette entries: index 1 = (200,100,50), index 0 = (1,2,3)
+    val plte = Array[Byte](1, 2, 3, 200.toByte, 100, 50)
+    val png = pngFromFiltered(2, 1, 3, Array[Byte](0, 1, 0), plte)
+    val img = ImageCodec.decode(png).get
+    assert(img.colorSpace == "DeviceRGB" && img.width == 2)
+    val inf = new java.util.zip.Inflater(); inf.setInput(img.bytes)
+    val got = new Array[Byte](6)
+    assert(inf.inflate(got) == 6)
+    assert(got.sameElements(Array[Byte](200.toByte, 100, 50, 1, 2, 3)))
+    // an index past the palette is malformed -> dropped, not a crash
+    assert(ImageCodec.decode(
+      pngFromFiltered(2, 1, 3, Array[Byte](0, 5, 0), plte)).isEmpty)
   }
 
   test("PNG decode handles Sub/Up/Average/Paeth filtered rows") {
