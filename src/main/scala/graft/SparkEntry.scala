@@ -841,10 +841,16 @@ object SparkEntry {
          |  SELECT doc_id, simhash60, c.chunk,
          |    (simhash60 >> (c.chunk * 15)) & 32767 AS ckey
          |  FROM sk, (SELECT CAST(unnest(range(4)) AS INT) AS chunk) c),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, simhash60, chunk, ckey,
+         |      COUNT(*) OVER (PARTITION BY chunk, ckey) AS bsz
+         |    FROM chunks) s
+         |  WHERE bsz <= 1000),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    a.simhash60 AS sh_a, b.simhash60 AS sh_b
-         |  FROM chunks a JOIN chunks b
+         |  FROM kept a JOIN kept b
          |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b,
          |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming

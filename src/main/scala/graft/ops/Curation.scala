@@ -327,15 +327,23 @@ object Curation {
     * corpus) like the other sketch indexes and released by
     * [[Dedup.clearLshCache]]. */
   def simhashMd5Pairs(s: SparkSession, d: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val raw = simhashMd5(s, d)
     val sk = IndexMemo.getOrBuild[DataFrame]("simhash60Idx", "",
       Seq(raw)) { val idx = raw.persist(); (idx, Seq(idx)) }
+    // the same degenerate-bucket cap as [[Dedup.simHashNearDups]] —
+    // and because the cap is plain windowed arithmetic, the DuckDB
+    // oracle mirrors IT too, so the scale guard itself is hash-checked
+    // (at sf0.01 no bucket approaches the cap; results are identical
+    // to the uncapped join)
     val chunked = sk.select(col("doc_id"), col("simhash60"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("simhash60"), c * 15)
           .bitwiseAND(0x7FFF)))
         .as(Seq("chunk", "ckey")))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("chunk"), col("ckey"))))
+      .filter(col("bsz") <= maxBucketSize)
     val l = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_a"), col("simhash60").as("sh_a"))
     val r = chunked.select(col("chunk"), col("ckey"),
