@@ -820,14 +820,20 @@ object SparkEntry {
         |          min(md5('4|' || g)) AS s4, min(md5('5|' || g)) AS s5,
         |          min(md5('6|' || g)) AS s6, min(md5('7|' || g)) AS s7
         |        FROM grams GROUP BY doc_id),
-        |banded AS (
+        |banded0 AS (
         |  SELECT doc_id, 0 AS band, md5('0' || '|' || s0 || '|' || s1) AS bkey FROM sig
         |  UNION ALL
         |  SELECT doc_id, 1, md5('1' || '|' || s2 || '|' || s3) FROM sig
         |  UNION ALL
         |  SELECT doc_id, 2, md5('2' || '|' || s4 || '|' || s5) FROM sig
         |  UNION ALL
-        |  SELECT doc_id, 3, md5('3' || '|' || s6 || '|' || s7) FROM sig)
+        |  SELECT doc_id, 3, md5('3' || '|' || s6 || '|' || s7) FROM sig),
+        |banded AS (
+        |  SELECT doc_id, band, bkey FROM (
+        |    SELECT doc_id, band, bkey,
+        |      COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+        |    FROM banded0) s
+        |  WHERE bsz <= 1000)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
         |FROM banded a
         |JOIN banded b ON a.band = b.band AND a.bkey = b.bkey

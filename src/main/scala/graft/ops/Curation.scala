@@ -225,17 +225,24 @@ object Curation {
     * join moves only (doc_id, band, key): fixed-width rows, shuffle
     * volume independent of document size. */
   def bandedMd5Pairs(s: SparkSession, d: String, numHashes: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val raw = minhashMd5(s, d, numHashes)
     val sig = IndexMemo.getOrBuild[DataFrame]("md5SigIdx", s"$numHashes",
       Seq(raw)) { val idx = raw.persist(); (idx, Seq(idx)) }
     val bands = numHashes / rowsPerBand
+    // the production path's degenerate-bucket cap
+    // ([[Dedup.lshNearDupPairsFromHashes]]), mirrored in the DuckDB
+    // oracle so the guard itself is hash-checked; no sf0.01 bucket
+    // approaches it, so the oracle result is the uncapped one
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|",
           lit(b.toString) +:
             (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
       }: _*)).as(Seq("band", "bkey")))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bsz") <= maxBucketSize)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

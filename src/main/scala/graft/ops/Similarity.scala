@@ -183,7 +183,7 @@ object Similarity {
     * MinHash-LSH dedup: equi-join on (table, bucket), never all-pairs. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 12, tables: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val buckets = srpBucketsDf(emb, idCol, vecCol, numPlanes, tables,
       dim, 4242L)
@@ -191,13 +191,23 @@ object Similarity {
     // bucket table instead of re-running the 32-dot-product pass.
     // Memoized per (context, input plan, banding params) so repeat
     // calls probe the cache and the copy has an owner
-    // ([[Dedup.clearLshCache]]).
+    // ([[Dedup.clearLshCache]]). Buckets above `maxBucketSize` are
+    // dropped at build time (the degenerate-bucket cap every banded
+    // self-join in this engine carries — a bucket of B members is
+    // B^2/2 candidate pairs); members still pair through their other
+    // tables.
     val bucketed = IndexMemo.getOrBuild[DataFrame]("srpPairIdx",
-      s"$idCol,$vecCol,$numPlanes,$tables,$dim", Seq(emb)) {
+      s"$idCol,$vecCol,$numPlanes,$tables,$dim,$maxBucketSize",
+      Seq(emb)) {
       val idx = vecs.join(buckets, "id")
         .select(col("id"), col("v"),
           posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
             .as(Seq("tbl", "bucket")))
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("tbl"), col("bucket"))))
+        .filter(col("bsz") <= maxBucketSize)
+        .select(col("id"), col("v"), col("tbl"), col("bucket"))
         .persist()
       (idx, Seq(idx))
     }
