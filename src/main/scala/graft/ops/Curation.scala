@@ -227,22 +227,29 @@ object Curation {
   def bandedMd5Pairs(s: SparkSession, d: String, numHashes: Int = 8,
       rowsPerBand: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
     val raw = minhashMd5(s, d, numHashes)
-    val sig = IndexMemo.getOrBuild[DataFrame]("md5SigIdx", s"$numHashes",
-      Seq(raw)) { val idx = raw.persist(); (idx, Seq(idx)) }
     val bands = numHashes / rowsPerBand
-    // the production path's degenerate-bucket cap
-    // ([[Dedup.lshNearDupPairsFromHashes]]), mirrored in the DuckDB
-    // oracle so the guard itself is hash-checked; no sf0.01 bucket
-    // approaches it, so the oracle result is the uncapped one
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        md5(concat_ws("|",
-          lit(b.toString) +:
-            (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
-      }: _*)).as(Seq("band", "bkey")))
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bkey"))))
-      .filter(col("bsz") <= maxBucketSize)
+    // Memoized CAPPED banded key table: the signatures, the band keys,
+    // and the degenerate-bucket cap ([[Dedup.lshNearDupPairsFromHashes]]'s
+    // guard — a bucket of B members is B^2/2 candidate pairs) are all
+    // build-once work; per-call cost is just the equi-join over the
+    // cached fixed-width keys. The cap is mirrored in the DuckDB
+    // oracle, so the guard itself is hash-checked; no sf0.01 bucket
+    // approaches it, so the oracle result is the uncapped one.
+    val banded = IndexMemo.getOrBuild[DataFrame]("md5BandIdx",
+      s"$numHashes,$rowsPerBand,$maxBucketSize", Seq(raw)) {
+      val idx = raw.select(col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          md5(concat_ws("|",
+            lit(b.toString) +:
+              (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
+        }: _*)).as(Seq("band", "bkey")))
+        .withColumn("bsz", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("bkey"))))
+        .filter(col("bsz") <= maxBucketSize)
+        .select(col("doc_id"), col("band"), col("bkey"))
+        .persist()
+      (idx, Seq(idx))
+    }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -336,21 +343,28 @@ object Curation {
   def simhashMd5Pairs(s: SparkSession, d: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val raw = simhashMd5(s, d)
-    val sk = IndexMemo.getOrBuild[DataFrame]("simhash60Idx", "",
-      Seq(raw)) { val idx = raw.persist(); (idx, Seq(idx)) }
-    // the same degenerate-bucket cap as [[Dedup.simHashNearDups]] —
-    // and because the cap is plain windowed arithmetic, the DuckDB
-    // oracle mirrors IT too, so the scale guard itself is hash-checked
-    // (at sf0.01 no bucket approaches the cap; results are identical
-    // to the uncapped join)
-    val chunked = sk.select(col("doc_id"), col("simhash60"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("simhash60"), c * 15)
-          .bitwiseAND(0x7FFF)))
-        .as(Seq("chunk", "ckey")))
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("chunk"), col("ckey"))))
-      .filter(col("bsz") <= maxBucketSize)
+    // Memoized CAPPED chunk table: sketching, chunk explosion, and the
+    // degenerate-bucket cap (the same guard as
+    // [[Dedup.simHashNearDups]]) happen once; per-call cost is the
+    // equi-join over cached fixed-width keys plus the popcount filter.
+    // Because the cap is plain windowed arithmetic, the DuckDB oracle
+    // mirrors IT too, so the scale guard itself is hash-checked (at
+    // sf0.01 no bucket approaches the cap; results are identical to
+    // the uncapped join).
+    val chunked = IndexMemo.getOrBuild[DataFrame]("simhash60Chunks",
+      s"$maxBucketSize", Seq(raw)) {
+      val idx = raw.select(col("doc_id"), col("simhash60"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          c => call_function("shiftright", col("simhash60"), c * 15)
+            .bitwiseAND(0x7FFF)))
+          .as(Seq("chunk", "ckey")))
+        .withColumn("bsz", count(lit(1)).over(
+          Window.partitionBy(col("chunk"), col("ckey"))))
+        .filter(col("bsz") <= maxBucketSize)
+        .select(col("doc_id"), col("simhash60"), col("chunk"), col("ckey"))
+        .persist()
+      (idx, Seq(idx))
+    }
     val l = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_a"), col("simhash60").as("sh_a"))
     val r = chunked.select(col("chunk"), col("ckey"),
