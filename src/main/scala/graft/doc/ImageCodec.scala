@@ -18,11 +18,34 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   * Anything else (CMYK JPEG, 16-bit or sub-byte-depth or interlaced
   * PNG, WMF/EMF) returns None and the caller drops the image — the
-  * pre-round-8 behavior, now the exception instead of the rule.
+  * pre-round-8 behavior, now the exception instead of the rule — with
+  * the drop counted in [[unsupportedDrops]] and logged with its reason.
   * Reference analog: mammoth carries DOCX images into HTML and
   * WeasyPrint rasterizes them (scraper_glostrup.py:42-100).
   */
 object ImageCodec {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Cap on decoded PNG sample bytes (256 MiB). Hostile IHDR dimensions
+    * otherwise overflow `(stride + 1) * height` in Int — a negative
+    * allocation size — or demand a multi-GB buffer; either way the task
+    * dies instead of the image being dropped. */
+  private val MaxDecodedBytes = 1L << 28
+
+  /** Images dropped because the format is recognized but out of scope
+    * (interlaced/16-bit/sub-byte PNG, CMYK JPEG): the counted, logged
+    * drop every lossy path in the engine carries, so a corpus full of
+    * such images degrades visibly rather than silently. Per-JVM (i.e.
+    * per-executor) count; the warn log carries the reason. */
+  private[graft] val unsupportedDrops =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def dropUnsupported(reason: String): None.type = {
+    unsupportedDrops.incrementAndGet()
+    log.warn(s"ImageCodec: dropping image, unsupported format ($reason)")
+    None
+  }
 
   /** A decoded image ready to embed: `bytes` is the XObject stream,
     * `filter` its PDF filter (None = raw samples). */
@@ -30,12 +53,18 @@ object ImageCodec {
       colorSpace: String, bitsPerComponent: Int, filter: Option[String])
 
   def decode(data: Array[Byte]): Option[PdfImage] =
-    if (data == null || data.length < 8) None
-    else if ((data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
-      decodeJpeg(data)
-    else if ((data(0) & 0xFF) == 0x89 && data(1) == 'P' && data(2) == 'N' &&
-      data(3) == 'G') decodePng(data)
-    else None
+    try {
+      if (data == null || data.length < 8) None
+      else if ((data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
+        decodeJpeg(data)
+      else if ((data(0) & 0xFF) == 0x89 && data(1) == 'P' && data(2) == 'N' &&
+        data(3) == 'G') decodePng(data)
+      else None
+    } catch {
+      // drop-not-crash: a corrupt or hostile image inside a scraped DOCX
+      // must never fail the task, whatever the decode path threw
+      case scala.util.control.NonFatal(_) => None
+    }
 
   // ------------------------------------------------------------ JPEG
 
@@ -57,7 +86,8 @@ object ImageCodec {
           val cs = comps match {
             case 1 => "DeviceGray"
             case 3 => "DeviceRGB"
-            case _ => return None // CMYK needs a Decode array; drop
+            // CMYK needs a Decode array; counted drop
+            case _ => return dropUnsupported(s"JPEG with $comps components")
           }
           return Some(PdfImage(d, w, h, cs, 8, Some("DCTDecode")))
         }
@@ -87,7 +117,10 @@ object ImageCodec {
       val len = be32(d, i)
       val typ = new String(d, i + 4, 4, "US-ASCII")
       val dataAt = i + 8
-      if (dataAt + len > d.length) return None
+      // len is attacker-controlled: negative (high bit set) would leave
+      // `i` un-advanced — an infinite loop — and a huge positive value
+      // overflows `dataAt + len` in Int, so compare in Long
+      if (len < 0 || dataAt.toLong + len > d.length) return None
       typ match {
         case "IHDR" =>
           width = be32(d, dataAt); height = be32(d, dataAt + 4)
@@ -102,15 +135,18 @@ object ImageCodec {
       i = dataAt + len + 4 // skip CRC
     }
     if (!sawIhdr || width <= 0 || height <= 0) return None
-    if (bitDepth != 8 || interlace != 0) return None
+    if (bitDepth != 8) return dropUnsupported(s"PNG bit depth $bitDepth")
+    if (interlace != 0) return dropUnsupported("interlaced (Adam7) PNG")
     val channels = colorType match {
       case 0 => 1 // gray
       case 2 => 3 // rgb
       case 3 => if (palette == null) return None else 1 // palette index
       case 6 => 4 // rgba
-      case _ => return None // gray+alpha, 16-bit: out of scope
+      case t => return dropUnsupported(s"PNG color type $t")
     }
-    val stride = width * channels
+    val strideL = width.toLong * channels
+    if ((strideL + 1L) * height > MaxDecodedBytes) return None
+    val stride = strideL.toInt
     val raw = inflate(idat.toByteArray, (stride + 1) * height)
       .getOrElse(return None)
     if (raw.length < (stride + 1) * height) return None

@@ -85,15 +85,17 @@ private[graft] object IndexMemo {
     } else value // collision raced back in; serve our build unmemoized
   }
 
-  /** Enforce [[MaxPerTag]] after inserting `key` under `tag`. The queue
-    * may hold keys already evicted from the cache by the collision path
-    * (their re-inserted twin appears later in the queue) — a stale key's
-    * `cache.remove` returns null and is skipped. Unpersists run outside
-    * the queue lock. */
+  /** Enforce [[MaxPerTag]] after inserting `key` under `tag`. A key can
+    * re-enter after the collision path evicted its first incarnation;
+    * the stale queue occurrence is removed before re-appending, else it
+    * would later `cache.remove` the LIVE re-inserted entry — a premature
+    * unpersist that silently shrinks the tag's effective capacity.
+    * Unpersists run outside the queue lock. */
   private def boundTag(tag: String, key: String): Unit = {
     val q = tagQueues.computeIfAbsent(tag,
       _ => new java.util.ArrayDeque[String])
     val evicted = q.synchronized {
+      q.remove(key) // drop any stale occurrence from a collision eviction
       q.addLast(key)
       val out = Seq.newBuilder[Entry]
       while (q.size > MaxPerTag) {

@@ -436,4 +436,33 @@ class DocSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(counts == Map("a" -> 1, "b" -> 2))
   }
+
+  test("hostile PNG with negative chunk length is dropped, not a hang") {
+    // chunk len 0xFFFFFFF4 = -12 over an ancillary type: the pre-fix walk
+    // left `i` un-advanced (dataAt + len + 4 == i), an infinite loop
+    val evil = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A,
+      0x0A, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xF4.toByte,
+      't', 'E', 'X', 't')
+    assert(ImageCodec.decode(evil).isEmpty)
+    // and a huge positive len must not wrap dataAt + len past the array
+    val wrap = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A,
+      0x0A, 0x7F.toByte, 0xFF.toByte, 0xFF.toByte, 0xF0.toByte,
+      'I', 'D', 'A', 'T')
+    assert(ImageCodec.decode(wrap).isEmpty)
+  }
+
+  test("hostile IHDR dimensions are dropped, not an overflow crash") {
+    // width 2^29 x height 8 RGB: stride*height overflows Int to a
+    // negative allocation size pre-fix (NegativeArraySizeException)
+    val png = pngFromFiltered(0x20000000, 8, 2, Array[Byte](0))
+    assert(ImageCodec.decode(png).isEmpty)
+  }
+
+  test("interlaced PNG is a counted, logged drop") {
+    val png = pngFromFiltered(2, 1, 0, Array[Byte](0, 7, 9))
+    png(28) = 1 // IHDR interlace byte -> Adam7 (decoder ignores CRC)
+    val before = ImageCodec.unsupportedDrops.get
+    assert(ImageCodec.decode(png).isEmpty)
+    assert(ImageCodec.unsupportedDrops.get == before + 1)
+  }
 }
