@@ -235,6 +235,18 @@ object SparkEntry {
       Similarity.annIvf(s, d, nprobe = 16)),
     "q88_cosine_pairs_exact" -> ((s, d) =>
       Similarity.cosinePairsExact(s, d).orderBy("id_a", "id_b")),
+    // q89: annLsh through degenerate geometry — 1 plane per table, and
+    // multi-probe flips that one bit, so BOTH buckets of the only table
+    // are probed: the candidate set is provably the whole corpus and the
+    // exact re-rank must equal brute force (the nprobe=nlist trick of
+    // q87, applied to the LSH path — hash-matched, not rows-only)
+    "q89_ann_lsh_exact" -> ((s, d) =>
+      Similarity.annLsh(s, d, numPlanes = 1, tables = 1,
+        multiProbe = true)),
+    "q90_ann_recall" -> ((s, d) => Similarity.annRecallQuery(s, d)),
+    // md5 twin of q41's normalize-then-fingerprint shape (hash-matched)
+    "q91_fingerprint_md5" -> ((s, d) =>
+      TextOps.fingerprintMd5Query(s, d).orderBy("doc_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -807,6 +819,33 @@ object SparkEntry {
     // the brute-force top-10 exactly — ANN-vs-exact agreement as a
     // hash-match, not just a ScalaTest invariant
     "q87_ann_ivf_exact" -> bruteForceTop10Sql,
+    // annLsh with 1 plane x 1 table + multi-probe probes both buckets of
+    // the only table — an exhaustive candidate set by construction, so
+    // the LSH machinery (SRP bucketing pass, memoized index, multi-probe
+    // predicate, exact re-rank) must reproduce brute force exactly
+    "q89_ann_lsh_exact" -> bruteForceTop10Sql,
+    // golden-value oracle: recall@10 of the production-geometry
+    // multi-probe annLsh vs brute force is a deterministic function of
+    // the seeded hyperplanes and the synthetic table — measured 8/10 at
+    // BOTH sf0.001 and sf0.01 (the iteration and gate scales). A
+    // regression in bucketing, probing, or re-ranking moves this number;
+    // SimilaritySpec's recall-floor test bounds it from below, this row
+    // hash-checks it exactly
+    "q90_ann_recall" ->
+      "SELECT CAST(8 AS BIGINT) AS hits, CAST(0.8 AS DOUBLE) AS recall_at_10",
+    // q41's md5 twin: same normalization, nibble-decoded 60-bit key
+    "q91_fingerprint_md5" -> {
+      val terms = (0 until 15).map { i =>
+        val nib = s"substr(h, ${i + 1}, 1)"
+        s"CAST(ascii($nib) - CASE WHEN $nib <= '9' THEN 48 ELSE 87 END" +
+          s" AS BIGINT) * ${1L << (4 * (14 - i))}"
+      }.mkString(" +\n        ")
+      s"""WITH n AS (SELECT doc_id,
+         |  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST($terms AS BIGINT) AS fp60
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
     "q71_lsh_banded_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |              FROM documents),

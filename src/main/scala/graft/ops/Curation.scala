@@ -38,14 +38,61 @@ object Curation {
 
   /** Per-source token-stream layout: each document's token span start
     * (`cum_before`) in a deterministic md5(doc_id)-ordered stream — the
-    * shared substrate of [[budgetFill]] and [[packSequences]]. One
-    * shuffle on source + in-partition sort. */
-  private def tokenStream(s: SparkSession, d: String): DataFrame = {
+    * shared substrate of [[budgetFill]] and [[packSequences]].
+    *
+    * TWO-LEVEL window: a single per-source window serializes a giant
+    * source (one partition sorts the whole source — the 100 TB
+    * bottleneck), so the stream is cut within SUBSPLITS first and
+    * corrected after. The subsplit is the first two hex chars of the
+    * md5 order key — a PREFIX of the key, so ordering by (sub, k)
+    * IS ordering by k and the decomposition is exact:
+    *
+    *   cum_before(doc) = cum_in_sub(doc) + sub_offset(source, sub)
+    *
+    * where cum_in_sub comes from a window over (source, sub) — 256-way
+    * parallel per source — and sub_offset (tokens in all lower
+    * subsplits of the source) comes from a window over the tiny
+    * per-(source, sub) subtotal table, broadcast back. Equality with
+    * the single-window formulation is property-tested at sf0.01
+    * (CurationSpec). Costs one extra map-side-combined aggregation pass
+    * for the subtotals; buys the heavy sort 256x the parallelism. */
+  private def tokenStream(s: SparkSession, d: String): DataFrame =
+    tokenStreamOf(Tables.documents(s, d))
+
+  private[graft] def tokenStreamOf(docs: DataFrame): DataFrame = {
+    val tok = TextOps.tokenCount(col("text")).cast("long")
+    val key = md5(col("doc_id").cast("string"))
+    val base = docs
+      .select(col("doc_id"), col("source"), tok.as("n_tok"), key.as("k"))
+      .withColumn("sub", substring(col("k"), 1, 2))
+    val wSub = Window.partitionBy(col("source"), col("sub"))
+      .orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inSub = base.withColumn("cum_in_sub",
+      coalesce(sum(col("n_tok")).over(wSub), lit(0L)))
+    // subtotal table: sources x <=256 rows; its window is trivial
+    val wOff = Window.partitionBy(col("source")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("source"), col("sub"))
+      .agg(sum(col("n_tok")).as("sub_tok"))
+      .withColumn("sub_offset",
+        coalesce(sum(col("sub_tok")).over(wOff), lit(0L)))
+      .select(col("source"), col("sub"), col("sub_offset"))
+    inSub.join(broadcast(offsets), Seq("source", "sub"))
+      .withColumn("cum_before", col("sub_offset") + col("cum_in_sub"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("k"),
+        col("cum_before"))
+  }
+
+  /** The single-window formulation of [[tokenStreamOf]] — the
+    * correctness reference the two-level decomposition is
+    * property-tested against; not used in any query path. */
+  private[graft] def tokenStreamSingleWindow(docs: DataFrame): DataFrame = {
     val tok = TextOps.tokenCount(col("text")).cast("long")
     val key = md5(col("doc_id").cast("string"))
     val w = Window.partitionBy(col("source")).orderBy(col("k"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("source"), tok.as("n_tok"), key.as("k"))
       .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
   }
@@ -58,12 +105,9 @@ object Curation {
     * kept iff the budget was not yet exhausted when it starts, so every
     * source overshoots by at most one document.
     *
-    * Scale shape: one shuffle on source + an in-partition sort for the
-    * running sum — the minimal cost for an order-dependent cut. At 100 TB
-    * a single giant source would serialize its own window; the standard
-    * remedy is a two-level pass (cut within hash-subsplits, then a small
-    * per-source correction on the subtotal table), which preserves the
-    * same keep-set because the md5 order is global. */
+    * Scale shape: the two-level subsplit window of [[tokenStreamOf]] —
+    * an order-dependent cut whose heavy sort runs 256-way parallel per
+    * source, so one giant source can no longer serialize the pass. */
   def budgetFill(s: SparkSession, d: String,
       budgetTokens: Long = 3000L): DataFrame =
     tokenStream(s, d)

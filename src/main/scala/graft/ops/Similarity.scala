@@ -27,6 +27,8 @@ case class Scored(id: Long, score: Double)
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Dot product of two ARRAY<numeric> columns, folded in order. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
@@ -177,50 +179,101 @@ object Similarity {
     dots.select(col("id") +: buckets: _*)
   }
 
+  /** The memoized artifacts of one SRP banding pass: the (id, v)
+    * vector table the verify join reads back, the deduplicated
+    * candidate-pair list, and the exact pre-distinct pair bound that
+    * gates broadcasting — the SRP twin of [[Dedup]]'s LshPairIndex. */
+  private final case class SrpPairIndex(vecs: DataFrame, pairs: DataFrame,
+      pairBound: Long)
+
+  /** Candidate pairs from a capped (id, tbl, bucket) membership table.
+    * Fixed-width rows only: the banded self-join shuffles (tbl, bucket,
+    * id) triples, NEVER the vectors — with real 1024-dim embeddings the
+    * id-only shuffle moves ~2 orders of magnitude fewer bytes, the same
+    * discipline as the text-LSH path. Asserted by plan in
+    * SimilaritySpec (no array column below the join's exchanges). */
+  private[graft] def bandedCandidatePairs(banded: DataFrame): DataFrame =
+    banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
   /** Embedding-cosine near-duplicate pairs: SRP-LSH bucketed self-join
     * (docs sharing a bucket in >= 1 hash table become candidates),
     * verified with exact cosine >= threshold. Same scale shape as
-    * MinHash-LSH dedup: equi-join on (table, bucket), never all-pairs. */
+    * MinHash-LSH dedup end to end: the banded self-join moves only
+    * (tbl, bucket, id) triples, the (small) deduplicated pair list
+    * joins the vectors back by id from the cached index for exact
+    * verification, and the pair side broadcasts only while the
+    * measured pre-distinct candidate bound stays under
+    * `maxBroadcastPairs`. Buckets above `maxBucketSize` are dropped at
+    * build time with a logged count (a bucket of B members is B^2/2
+    * candidate pairs); members still pair through their other tables.
+    * The vector table and pair list are memoized per (context, input
+    * plan, banding params) — build once, probe many, released by
+    * [[Dedup.clearLshCache]]. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 12, tables: Int = 4,
-      dim: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val buckets = srpBucketsDf(emb, idCol, vecCol, numPlanes, tables,
-      dim, 4242L)
-    // Materialized LSH index: both self-join sides read the cached
-    // bucket table instead of re-running the 32-dot-product pass.
-    // Memoized per (context, input plan, banding params) so repeat
-    // calls probe the cache and the copy has an owner
-    // ([[Dedup.clearLshCache]]). Buckets above `maxBucketSize` are
-    // dropped at build time (the degenerate-bucket cap every banded
-    // self-join in this engine carries — a bucket of B members is
-    // B^2/2 candidate pairs); members still pair through their other
-    // tables.
-    val bucketed = IndexMemo.getOrBuild[DataFrame]("srpPairIdx",
+      dim: Int = 64, maxBucketSize: Int = 1000,
+      maxBroadcastPairs: Long = 2000000L): DataFrame = {
+    // threshold and the broadcast bound shape only the per-call verify
+    // join below, not the built index — kept out of the memo key
+    val e = IndexMemo.getOrBuild[SrpPairIndex]("srpPairIdx",
       s"$idCol,$vecCol,$numPlanes,$tables,$dim,$maxBucketSize",
       Seq(emb)) {
-      val idx = vecs.join(buckets, "id")
-        .select(col("id"), col("v"),
+      val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .persist()
+      val sized = srpBucketsDf(emb, idCol, vecCol, numPlanes, tables,
+        dim, 4242L)
+        .select(col("id"),
           posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
             .as(Seq("tbl", "bucket")))
         .withColumn("bsz", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("tbl"), col("bucket"))))
-        .filter(col("bsz") <= maxBucketSize)
-        .select(col("id"), col("v"), col("tbl"), col("bucket"))
         .persist()
-      (idx, Seq(idx))
+      var pairs: DataFrame = null
+      // a throw before the memo takes ownership would lose the handles
+      // and pin the blocks for the session lifetime
+      def releaseOnFailure[T](body: => T): T =
+        try body catch { case t: Throwable =>
+          Seq(Option(vecs), Option(sized), Option(pairs)).flatten.foreach {
+            df => try df.unpersist() catch { case _: Throwable => () } }
+          throw t
+        }
+      releaseOnFailure {
+        // one aggregation over the cached membership table yields both
+        // the overflow count (for the log) and an exact pre-distinct
+        // bound on candidate pairs: a kept bucket of size B contributes
+        // B rows of (B-1)/2 each = B(B-1)/2 pairs
+        val st = sized.agg(
+          sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L))
+            .as("dropped"),
+          sum(when(col("bsz") <= maxBucketSize, col("bsz") - 1L)
+            .otherwise(0L)).as("pair_bound_x2")).head()
+        val dropped = Option(st.get(0)).fold(0L)(_.asInstanceOf[Long])
+        val pairBound = Option(st.get(1)).fold(0L)(_.asInstanceOf[Long]) / 2
+        if (dropped > 0)
+          log.warn(s"srp: dropped $dropped (doc, bucket) memberships in " +
+            s"buckets larger than $maxBucketSize; members can still " +
+            "pair through their other tables")
+        pairs = bandedCandidatePairs(sized.filter(col("bsz") <= maxBucketSize)
+          .select(col("tbl"), col("bucket"), col("id")))
+          .persist()
+        pairs.count() // materialize, then drop the membership table
+        sized.unpersist()
+        (SrpPairIndex(vecs, pairs, pairBound), Seq(vecs, pairs))
+      }
     }
-    val l = bucketed.select(col("tbl"), col("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val r = bucketed.select(col("tbl"), col("bucket"),
-      col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
-      .dropDuplicates("id_a", "id_b")
+    def probeSide(df: DataFrame): DataFrame =
+      if (e.pairBound <= maxBroadcastPairs) df.hint("broadcast") else df
+    probeSide(probeSide(e.pairs)
+      .join(e.vecs, col("id_a") === col("id"))
+      .select(col("id_a"), col("id_b"), col("v").as("v_a")))
+      .join(e.vecs, col("id_b") === col("id"))
       .withColumn("cosine",
-        round(nativeCosine(emb.sparkSession, col("v_a"), col("v_b")), 6))
+        round(nativeCosine(emb.sparkSession, col("v_a"), col("v")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -424,5 +477,21 @@ object Similarity {
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Recall@k of the multi-probe SRP-LSH ANN ([[annLsh]], production
+    * geometry) against the exact brute-force top-k, as ONE scalar row —
+    * the ANN-quality number the ScalaTest recall-floor tests bound,
+    * surfaced as a driver-checkable query. Deterministic: seeded
+    * hyperplanes, fixed data, exact re-rank. `hits` is the intersection
+    * size (BIGINT), `recall_at_10` the ratio. */
+  def annRecallQuery(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val ann = annLsh(s, d, queryId, k, multiProbe = true)
+      .select(col("vec_id"))
+    knnBruteForce(s, d, queryId, k)
+      .join(ann, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"),
+        (count(lit(1)) / lit(k.toDouble)).as("recall_at_10"))
   }
 }

@@ -143,10 +143,27 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
-  /** Fingerprints (xxhash64 has no DuckDB mirror -> rows-only check). */
+  /** Fingerprints (xxhash64 has no DuckDB mirror -> rows-only check;
+    * [[fingerprintMd5Query]] is the hash-matched twin of this shape). */
   def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Oracle-checkable fingerprint: the SAME normalization as
+    * [[fingerprint]] (trim + collapse whitespace runs) keyed by the
+    * first 15 hex nibbles of md5(normalized text) decoded to a 60-bit
+    * integer — the nibble arithmetic of [[Curation.simhashMd5]], so a
+    * DuckDB oracle reproduces the key bit-for-bit. The md5 twin that
+    * hash-checks q41's normalize-then-hash shape end to end. */
+  def fingerprintMd5Query(s: SparkSession, d: String): DataFrame = {
+    val h = md5(regexp_replace(trim(col("text")), "\\s+", " "))
+    val fp = (0 until 15).map { i =>
+      val nib = substring(h, i + 1, 1)
+      (ascii(nib) - when(nib <= "9", 48).otherwise(87)).cast("long") *
+        (1L << (4 * (14 - i)))
+    }.reduce(_ + _)
+    Tables.documents(s, d).select(col("doc_id"), fp.as("fp60"))
+  }
 
   /** Fixed-window document chunking with stride overlap — the
     * sequence-packing prep step of a pre-training pipeline: chunk i

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Curation, Skew}
+import graft.Tables
 
 /** Corpus-curation operators: sampling determinism, normalization,
   * PII masking, contamination, tf-idf, md5 MinHash. */
@@ -146,5 +147,26 @@ class CurationSpec extends SparkTestBase {
         assert(bins(b) == 256L, s"$src bin $b not full: ${bins(b)}") }
       assert(bins(maxBin) <= 256L && bins(maxBin) > 0L, s"$src last bin")
     }
+  }
+
+  test("two-level token stream equals the single-window formulation (sf0.01)") {
+    // the subsplit decomposition must be EXACT: same cum_before for
+    // every document, so every budget cut / bin boundary is identical
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"cum_before")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = layout(Curation.tokenStreamOf(docs))
+    val one = layout(Curation.tokenStreamSingleWindow(docs))
+    assert(two.size == one.size && two.size > 0)
+    one.foreach { case (id, cum) =>
+      assert(two(id) == cum, s"doc $id: two-level ${two(id)} != $cum") }
+    // and the keep-set of a budget cut through the two-level path is
+    // stable across repeated evaluation (retry-stability)
+    val a = Curation.budgetFill(spark, "/root/testdata/sf0.01", 500L)
+      .collect().map(_.getLong(0)).sorted
+    val b = Curation.budgetFill(spark, "/root/testdata/sf0.01", 500L)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.sameElements(b))
   }
 }

@@ -70,6 +70,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs(0).getDouble(2) == 1.0)
   }
 
+  test("SRP banded self-join shuffles no array column (ids only)") {
+    // the candidate join must move (tbl, bucket, id) triples, never the
+    // vectors — the 100 TB shuffle-volume discipline. AQE off so the
+    // pre-execution physical plan exposes its exchanges to collect().
+    val emb = Tables.embeddings(spark, sf("embeddings"))
+    val banded = Similarity.bandedCandidatePairs(
+      emb.select($"vec_id".as("id"), ($"vec_id" % 16).as("tbl"),
+        ($"vec_id" % 32).as("bucket")))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exchanges = banded.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected a shuffled candidate join")
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"banded join shuffles array columns: ${arrays.mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("SRP near-dup pairs are a subset of the exact cosine pairs") {
     val srp = Similarity.cosineNearDupQuery(spark, sf("embeddings"))
       .collect()
