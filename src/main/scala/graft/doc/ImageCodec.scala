@@ -11,15 +11,17 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *    marker.
   *  - PNG is decoded (IDAT inflate + per-row defilter) to raw samples
   *    and re-deflated for a FlateDecode XObject. 8-bit gray/RGB/RGBA/
-  *    palette, non-interlaced — the space every Word-embedded
-  *    screenshot/logo lives in; RGBA drops alpha (PDF images have no
-  *    alpha channel without an SMask, and agenda documents never need
-  *    one), palette indexes expand through PLTE to plain RGB.
+  *    palette, sequential AND Adam7-interlaced — the space every
+  *    Word-embedded screenshot/logo lives in; RGBA drops alpha (PDF
+  *    images have no alpha channel without an SMask, and agenda
+  *    documents never need one), palette indexes expand through PLTE
+  *    to plain RGB, interlaced passes defilter independently and
+  *    scatter into the full raster.
   *
-  * Anything else (CMYK JPEG, 16-bit or sub-byte-depth or interlaced
-  * PNG, WMF/EMF) returns None and the caller drops the image — the
-  * pre-round-8 behavior, now the exception instead of the rule — with
-  * the drop counted in [[unsupportedDrops]] and logged with its reason.
+  * Anything else (CMYK JPEG, 16-bit or sub-byte-depth PNG, WMF/EMF)
+  * returns None and the caller drops the image — the pre-round-8
+  * behavior, now the exception instead of the rule — with the drop
+  * counted in [[unsupportedDrops]] and logged with its reason.
   * Reference analog: mammoth carries DOCX images into HTML and
   * WeasyPrint rasterizes them (scraper_glostrup.py:42-100).
   */
@@ -136,7 +138,7 @@ object ImageCodec {
     }
     if (!sawIhdr || width <= 0 || height <= 0) return None
     if (bitDepth != 8) return dropUnsupported(s"PNG bit depth $bitDepth")
-    if (interlace != 0) return dropUnsupported("interlaced (Adam7) PNG")
+    if (interlace != 0 && interlace != 1) return None // invalid IHDR
     val channels = colorType match {
       case 0 => 1 // gray
       case 2 => 3 // rgb
@@ -147,35 +149,45 @@ object ImageCodec {
     val strideL = width.toLong * channels
     if ((strideL + 1L) * height > MaxDecodedBytes) return None
     val stride = strideL.toInt
-    val raw = inflate(idat.toByteArray, (stride + 1) * height)
+    // expected inflated size: one filter byte per scanline — per image
+    // row when sequential, per sub-image row of each Adam7 pass when
+    // interlaced (pass geometry below)
+    val expected: Long =
+      if (interlace == 0) (strideL + 1L) * height
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        val wp = passExtent(width, x0, dx); val hp = passExtent(height, y0, dy)
+        if (wp > 0 && hp > 0) hp.toLong * (1L + wp.toLong * channels) else 0L
+      }.sum
+    if (expected <= 0 || expected > MaxDecodedBytes) return None
+    val raw = inflate(idat.toByteArray, expected.toInt)
       .getOrElse(return None)
-    if (raw.length < (stride + 1) * height) return None
-    // defilter in place into the output sample buffer
+    if (raw.length < expected) return None
     val out = new Array[Byte](stride * height)
-    var r = 0
-    while (r < height) {
-      val ft = raw(r * (stride + 1)) & 0xFF
-      val src = r * (stride + 1) + 1
-      val dst = r * stride
-      var c = 0
-      while (c < stride) {
-        val x = raw(src + c) & 0xFF
-        val a = if (c >= channels) out(dst + c - channels) & 0xFF else 0
-        val b = if (r > 0) out(dst - stride + c) & 0xFF else 0
-        val cc = if (r > 0 && c >= channels)
-          out(dst - stride + c - channels) & 0xFF else 0
-        val v = ft match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + b
-          case 3 => x + (a + b) / 2
-          case 4 => x + paeth(a, b, cc)
-          case _ => return None
+    if (interlace == 0) {
+      if (!defilterInto(raw, 0, width, height, channels, out)) return None
+    } else {
+      // Adam7: each pass is an independently-filtered sub-image; defilter
+      // it, then scatter its pixels to their (y0 + r*dy, x0 + x*dx) cells
+      var off = 0
+      for ((x0, y0, dx, dy) <- Adam7) {
+        val wp = passExtent(width, x0, dx)
+        val hp = passExtent(height, y0, dy)
+        if (wp > 0 && hp > 0) {
+          val sub = new Array[Byte](wp * channels * hp)
+          if (!defilterInto(raw, off, wp, hp, channels, sub)) return None
+          var r = 0
+          while (r < hp) {
+            var x = 0
+            while (x < wp) {
+              System.arraycopy(sub, (r * wp + x) * channels, out,
+                ((y0 + r * dy) * width + (x0 + x * dx)) * channels, channels)
+              x += 1
+            }
+            r += 1
+          }
+          off += hp * (1 + wp * channels)
         }
-        out(dst + c) = (v & 0xFF).toByte
-        c += 1
       }
-      r += 1
     }
     // drop alpha (PDF image XObjects carry no alpha channel); expand
     // palette indexes through PLTE to plain RGB
@@ -205,6 +217,52 @@ object ImageCodec {
       else "DeviceRGB"
     Some(PdfImage(deflate(samples), width, height, cs, 8,
       Some("FlateDecode")))
+  }
+
+  /** Adam7 pass geometry: (x_start, y_start, x_step, y_step), per the
+    * PNG spec's starting_col/starting_row/col_increment/row_increment
+    * tables. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Pixels a pass covers along one axis: ceil((total - start) / step). */
+  private def passExtent(total: Int, start: Int, step: Int): Int =
+    math.max(0, (total - start + step - 1) / step)
+
+  /** Undo PNG adaptive filtering for one (sub-)image of `w` x `h`
+    * pixels whose filtered scanlines start at `rawOff` (each row: one
+    * filter-type byte + w*channels sample bytes), writing raw samples
+    * into `out` (sized w*channels*h). False on an unknown filter type. */
+  private def defilterInto(raw: Array[Byte], rawOff: Int, w: Int, h: Int,
+      channels: Int, out: Array[Byte]): Boolean = {
+    val stride = w * channels
+    var r = 0
+    while (r < h) {
+      val ft = raw(rawOff + r * (stride + 1)) & 0xFF
+      val src = rawOff + r * (stride + 1) + 1
+      val dst = r * stride
+      var c = 0
+      while (c < stride) {
+        val x = raw(src + c) & 0xFF
+        val a = if (c >= channels) out(dst + c - channels) & 0xFF else 0
+        val b = if (r > 0) out(dst - stride + c) & 0xFF else 0
+        val cc = if (r > 0 && c >= channels)
+          out(dst - stride + c - channels) & 0xFF else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, cc)
+          case _ => return false
+        }
+        out(dst + c) = (v & 0xFF).toByte
+        c += 1
+      }
+      r += 1
+    }
+    true
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {

@@ -268,7 +268,8 @@ class DocSpec extends SparkTestBase {
     * exercise decode filters 1-4, which libpng-produced (real Word)
     * images always use and the filter-0-only encoder never emits. */
   private def pngFromFiltered(w: Int, h: Int, colorType: Int,
-      filtered: Array[Byte], plte: Array[Byte] = null): Array[Byte] = {
+      filtered: Array[Byte], plte: Array[Byte] = null,
+      interlace: Int = 0): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
       .map(_.toByte))
@@ -285,7 +286,7 @@ class DocSpec extends SparkTestBase {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
       .put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte)
     chunk("IHDR", ihdr.array())
     if (plte != null) chunk("PLTE", plte)
     chunk("IDAT", ImageCodec.deflate(filtered))
@@ -458,11 +459,45 @@ class DocSpec extends SparkTestBase {
     assert(ImageCodec.decode(png).isEmpty)
   }
 
-  test("interlaced PNG is a counted, logged drop") {
+  test("16-bit PNG is a counted, logged drop") {
     val png = pngFromFiltered(2, 1, 0, Array[Byte](0, 7, 9))
-    png(28) = 1 // IHDR interlace byte -> Adam7 (decoder ignores CRC)
+    png(24) = 16 // IHDR bit-depth byte (decoder ignores CRC)
     val before = ImageCodec.unsupportedDrops.get
     assert(ImageCodec.decode(png).isEmpty)
     assert(ImageCodec.unsupportedDrops.get == before + 1)
+  }
+
+  test("PNG decode reassembles an Adam7-interlaced image exactly") {
+    // 5x3 grayscale: small enough that several passes are empty (pass 3
+    // starts at row 4) and ragged (pass 2 covers only column 4), which
+    // is exactly where a wrong pass table or offset bookkeeping shows.
+    // Scanlines are generated from the spec's starting/increment tables
+    // independently of the decoder's own pass geometry.
+    val w = 5; val h = 3
+    val px = Array.tabulate(h * w)(i => ((i * 29 + 3) % 251).toByte)
+    val startCol = Array(0, 4, 0, 2, 0, 1, 0)
+    val startRow = Array(0, 0, 4, 0, 2, 0, 1)
+    val colInc = Array(8, 8, 4, 4, 2, 2, 1)
+    val rowInc = Array(8, 8, 8, 4, 4, 2, 2)
+    val idat = new ByteArrayOutputStream()
+    for (p <- 0 until 7) {
+      val ys = startRow(p) until h by rowInc(p)
+      val xs = startCol(p) until w by colInc(p)
+      if (ys.nonEmpty && xs.nonEmpty) ys.foreach { y =>
+        val row = xs.map(x => px(y * w + x) & 0xFF)
+        if (p == 6) { // Sub-filter the last pass: defilter state must be
+          idat.write(1) // per pass, not per image
+          row.foldLeft(0) { (last, v) => idat.write((v - last) & 0xFF); v }
+        } else { idat.write(0); row.foreach(idat.write) }
+      }
+    }
+    val png = pngFromFiltered(w, h, 0, idat.toByteArray, interlace = 1)
+    val img = ImageCodec.decode(png).get
+    assert(img.width == w && img.height == h)
+    assert(img.colorSpace == "DeviceGray")
+    val inf = new java.util.zip.Inflater(); inf.setInput(img.bytes)
+    val got = new Array[Byte](h * w)
+    assert(inf.inflate(got) == h * w)
+    assert(got.sameElements(px))
   }
 }
