@@ -247,6 +247,11 @@ object SparkEntry {
     // md5 twin of q41's normalize-then-fingerprint shape (hash-matched)
     "q91_fingerprint_md5" -> ((s, d) =>
       TextOps.fingerprintMd5Query(s, d).orderBy("doc_id")),
+    // Count-Min sketch estimates for the exact top-20 terms: the md5
+    // row hashes make every matrix cell DuckDB-reproducible, so CMS's
+    // one-sided error (n_cms >= n_exact) is hash-checked end to end
+    "q92_cms_estimate" -> ((s, d) =>
+      graft.ops.Sketches.cmsEstimateQuery(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -833,6 +838,31 @@ object SparkEntry {
     // hash-checks it exactly
     "q90_ann_recall" ->
       "SELECT CAST(8 AS BIGINT) AS hits, CAST(0.8 AS DOUBLE) AS recall_at_10",
+    // Count-Min matrix + probe, cell-for-cell: the nibble decode of
+    // md5('j|' || term) addresses the same (j, bucket) cells as the
+    // Spark side, estimates are min over the term's 4 cells
+    "q92_cms_estimate" -> {
+      val nibbleSum = (1 to 8).map { i =>
+        s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
+          s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
+      }.mkString(" + ")
+      val branches = (0 until 4).map(j =>
+        s"SELECT term, $j AS j, md5('$j|' || term) AS h FROM toks")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |hx AS (
+         |  $branches),
+         |hb AS (SELECT term, j, ($nibbleSum) % 256 AS bucket FROM hx),
+         |matrix AS (SELECT j, bucket, count(*) AS c FROM hb GROUP BY 1, 2),
+         |top AS (SELECT term, count(*) AS n_exact FROM toks GROUP BY 1
+         |        ORDER BY n_exact DESC, term LIMIT 20),
+         |pb AS (SELECT DISTINCT term, j, bucket FROM hb)
+         |SELECT t.term, t.n_exact, CAST(min(m.c) AS BIGINT) AS n_cms
+         |FROM top t JOIN pb p USING (term) JOIN matrix m USING (j, bucket)
+         |GROUP BY t.term, t.n_exact
+         |ORDER BY t.n_exact DESC, t.term""".stripMargin
+    },
     // q41's md5 twin: same normalization, nibble-decoded 60-bit key
     "q91_fingerprint_md5" -> {
       val terms = (0 until 15).map { i =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,107 @@ object Sketches {
       .select(new MisraGries(k).toColumn)
       .head()
   }
+
+  // ------------------------------------------------------ Count-Min
+
+  /** Row hash shared by [[CountMinAgg]] and [[cmsEstimateQuery]] (and
+    * mirrored in the q92 DuckDB oracle): the first 8 hex nibbles of
+    * md5("j|term") as a non-negative long in [0, 2^32). */
+  private[graft] def md5Hash32(seed: Int, term: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest((s"$seed|" + term).getBytes("UTF-8"))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** Column form of [[md5Hash32]] mod `width` — the same ascii nibble
+    * arithmetic as [[graft.ops.Curation]]'s md5 draws, codegen'd. */
+  private[graft] def md5BucketCol(seed: Int, term: Column,
+      width: Int): Column = {
+    val h = md5(concat(lit(s"$seed|"), term))
+    val v = (1 to 8).map { i =>
+      val d = substring(h, i, 1)
+      (ascii(d) - when(d <= "9", 48).otherwise(87)).cast("long") *
+        (1L << (4 * (8 - i)))
+    }.reduce(_ + _)
+    pmod(v, lit(width.toLong))
+  }
+
+  /** Count-Min sketch as a typed Aggregator: the buffer is the flat
+    * depth x width counter matrix, reduce increments one cell per row
+    * (row j addressed by [[md5Hash32]](j, term)), merge is cell-wise
+    * addition — the mergeable-summary shape of [[MisraGriesOf]] with
+    * the opposite error sign: a point estimate (min over rows,
+    * [[cmEstimate]]) is NEVER below the true count, and exceeds it by
+    * more than 2N/width with probability < 2^-depth (Cormode &
+    * Muthukrishnan 2005). Map-side partial matrices, one fixed-size
+    * shuffle, never a vocabulary-wide exchange. */
+  class CountMinAgg[I](depth: Int, width: Int, term: I => String)
+      extends Aggregator[I, Array[Long], Array[Long]] {
+    require(depth > 0 && width > 0, "CountMin needs depth, width > 0")
+    def zero: Array[Long] = new Array[Long](depth * width)
+    def reduce(m: Array[Long], in: I): Array[Long] = {
+      val t = term(in)
+      var j = 0
+      while (j < depth) {
+        m(j * width + (md5Hash32(j, t) % width).toInt) += 1L
+        j += 1
+      }
+      m
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(m: Array[Long]): Array[Long] = m
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  }
+
+  /** Point estimate from a finished [[CountMinAgg]] matrix. */
+  def cmEstimate(matrix: Array[Long], depth: Int, width: Int,
+      term: String): Long = {
+    var best = Long.MaxValue
+    var j = 0
+    while (j < depth) {
+      val c = matrix(j * width + (md5Hash32(j, term) % width).toInt)
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
+
+  /** Driver-checkable CMS estimates: frequencies of the exact top-k
+    * terms read back from the Count-Min matrix, next to their exact
+    * counts. The matrix is computed RELATIONALLY here — one (j, bucket)
+    * aggregation with map-side combine, depth x width output rows,
+    * broadcast for the probe join — with the same [[md5Hash32]] row
+    * hashes as the Aggregator (cross-checked in SketchesSpec), so the
+    * DuckDB oracle reproduces every cell and estimate bit-for-bit.
+    * CMS's defining one-sided error (n_cms >= n_exact, always) is
+    * thereby hash-checked, not just property-tested. */
+  def cmsEstimatesOf(docs: DataFrame, textCol: String, depth: Int,
+      width: Int, k: Int): DataFrame = {
+    val toks = docs.select(explode(split(col(textCol), " ")).as("term"))
+    def withBuckets(df: DataFrame): DataFrame =
+      df.select(df.columns.map(col).toIndexedSeq :+
+        posexplode(array((0 until depth).map(j =>
+          md5BucketCol(j, col("term"), width)): _*)).as(Seq("j", "bucket")): _*)
+    val matrix = withBuckets(toks).groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term")).limit(k)
+    withBuckets(top).join(broadcast(matrix), Seq("j", "bucket"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("c")).as("n_cms"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
+  /** [[cmsEstimatesOf]] over the documents table (q92). */
+  def cmsEstimateQuery(s: SparkSession, d: String, depth: Int = 4,
+      width: Int = 256, k: Int = 20): DataFrame =
+    cmsEstimatesOf(graft.Tables.documents(s, d), "text", depth, width, k)
 
   /** Per-group heavy hitters: one MG summary per key — per-language /
     * per-source frequent terms with per-stratum N_g/k bounds. Shuffle

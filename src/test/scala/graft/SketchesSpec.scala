@@ -71,4 +71,49 @@ class SketchesSpec extends SparkTestBase {
     // the heavy tail survives identically regardless of partitioning
     (1 to 2).foreach(i => assert(a.contains(s"x$i") && b.contains(s"x$i")))
   }
+
+  test("CMS never underestimates; merge equals sequential, any split") {
+    val rnd = new scala.util.Random(11)
+    val items = Seq.fill(2000)(s"t${rnd.nextInt(80)}")
+    val depth = 4; val width = 64
+    val agg = new Sketches.CountMinAgg[String](depth, width, identity)
+    val seqM = items.foldLeft(agg.zero)(agg.reduce)
+    val exact = items.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    exact.foreach { case (t, c) =>
+      val est = Sketches.cmEstimate(seqM, depth, width, t)
+      assert(est >= c, s"$t underestimated: $est < $c")
+      // CM error bound: overshoot <= 2N/width w.h.p.; with this seed
+      // the deterministic stream must respect it for every item
+      assert(est <= c + 2L * items.length / width,
+        s"$t overshoot: $est vs $c")
+    }
+    // mergeability: cell-wise identical to the sequential matrix for
+    // arbitrary partition splits (buffers are mutable - rebuild per run)
+    Seq(1, 3, 7, 200).foreach { nparts =>
+      val whole = items.foldLeft(agg.zero)(agg.reduce)
+      val merged = items.grouped(math.max(1, items.size / nparts))
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(merged.sameElements(whole), s"nparts $nparts")
+    }
+  }
+
+  test("CMS Aggregator and the relational q92 matrix agree cell-for-cell") {
+    val depth = 4; val width = 256
+    val docs = Tables.documents(spark, sf("documents"))
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+      .as[String].collect()
+    val agg = new Sketches.CountMinAgg[String](depth, width, identity)
+    val matrix = toks.foldLeft(agg.zero)(agg.reduce)
+    val out = Sketches.cmsEstimateQuery(spark, sf("documents")).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (term, nExact, nCms) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nCms >= nExact, s"$term: CMS $nCms < exact $nExact")
+      assert(nCms == Sketches.cmEstimate(matrix, depth, width, term),
+        s"$term: relational $nCms != aggregator estimate")
+    }
+  }
 }
