@@ -10,17 +10,21 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *    JPEG, so only the dimensions/components are sniffed from the SOF
   *    marker.
   *  - PNG is decoded (IDAT inflate + per-row defilter) to raw samples
-  *    and re-deflated for a FlateDecode XObject. 8-bit gray/RGB/RGBA/
-  *    palette, sequential AND Adam7-interlaced — the space every
-  *    Word-embedded screenshot/logo lives in; RGBA drops alpha (PDF
-  *    images have no alpha channel without an SMask, and agenda
-  *    documents never need one), palette indexes expand through PLTE
-  *    to plain RGB, interlaced passes defilter independently and
-  *    scatter into the full raster.
+  *    and re-deflated for a FlateDecode XObject. 8- and 16-bit
+  *    gray/RGB/RGBA/palette, sequential AND Adam7-interlaced — the
+  *    space every Word-embedded screenshot/logo lives in; RGBA drops
+  *    alpha (PDF images have no alpha channel without an SMask, and
+  *    agenda documents never need one), palette indexes expand through
+  *    PLTE to plain RGB, 16-bit samples keep their high byte,
+  *    interlaced passes defilter independently and scatter into the
+  *    full raster.
+  *  - 4-component (CMYK/YCCK) JPEG embeds as DeviceCMYK DCTDecode,
+  *    with the Adobe-APP14 inverted-sample convention expressed as a
+  *    PDF /Decode array.
   *
-  * Anything else (CMYK JPEG, 16-bit or sub-byte-depth PNG, WMF/EMF)
-  * returns None and the caller drops the image — the pre-round-8
-  * behavior, now the exception instead of the rule — with the drop
+  * Anything else (sub-byte-depth PNG, WMF/EMF) returns None and the
+  * caller drops the image — the pre-round-8 behavior, now the
+  * exception instead of the rule — with the drop
   * counted in [[unsupportedDrops]] and logged with its reason.
   * Reference analog: mammoth carries DOCX images into HTML and
   * WeasyPrint rasterizes them (scraper_glostrup.py:42-100).
@@ -36,7 +40,7 @@ object ImageCodec {
   private val MaxDecodedBytes = 1L << 28
 
   /** Images dropped because the format is recognized but out of scope
-    * (interlaced/16-bit/sub-byte PNG, CMYK JPEG): the counted, logged
+    * (sub-byte-depth PNG, >4-component JPEG): the counted, logged
     * drop every lossy path in the engine carries, so a corpus full of
     * such images degrades visibly rather than silently. Per-JVM (i.e.
     * per-executor) count; the warn log carries the reason. */
@@ -50,9 +54,11 @@ object ImageCodec {
   }
 
   /** A decoded image ready to embed: `bytes` is the XObject stream,
-    * `filter` its PDF filter (None = raw samples). */
+    * `filter` its PDF filter (None = raw samples), `decode` an optional
+    * /Decode array literal (Adobe CMYK JPEGs store inverted samples). */
   final case class PdfImage(bytes: Array[Byte], width: Int, height: Int,
-      colorSpace: String, bitsPerComponent: Int, filter: Option[String])
+      colorSpace: String, bitsPerComponent: Int, filter: Option[String],
+      decode: Option[String] = None)
 
   def decode(data: Array[Byte]): Option[PdfImage] =
     try {
@@ -71,9 +77,13 @@ object ImageCodec {
   // ------------------------------------------------------------ JPEG
 
   /** Walk the marker stream to the first SOF0/1/2; the JPEG itself is
-    * embedded untouched (DCTDecode). */
+    * embedded untouched (DCTDecode). 4-component (CMYK/YCCK) JPEGs embed
+    * as DeviceCMYK; when the Adobe APP14 marker is present the samples
+    * are stored inverted (Adobe convention), which PDF expresses with a
+    * /Decode [1 0 ...] array rather than a pixel rewrite. */
   private def decodeJpeg(d: Array[Byte]): Option[PdfImage] = {
     var i = 2
+    var adobeApp14 = false
     while (i + 9 < d.length) {
       if ((d(i) & 0xFF) != 0xFF) return None // desynced marker stream
       val marker = d(i + 1) & 0xFF
@@ -81,17 +91,21 @@ object ImageCodec {
       else if (marker == 0x01 || marker == 0xFF) i += 2
       else {
         val len = ((d(i + 2) & 0xFF) << 8) | (d(i + 3) & 0xFF)
+        if (marker == 0xEE && len >= 7 && i + 9 <= d.length &&
+          d(i + 4) == 'A' && d(i + 5) == 'd' && d(i + 6) == 'o' &&
+          d(i + 7) == 'b' && d(i + 8) == 'e') adobeApp14 = true
         if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
           val h = ((d(i + 5) & 0xFF) << 8) | (d(i + 6) & 0xFF)
           val w = ((d(i + 7) & 0xFF) << 8) | (d(i + 8) & 0xFF)
           val comps = d(i + 9) & 0xFF
-          val cs = comps match {
-            case 1 => "DeviceGray"
-            case 3 => "DeviceRGB"
-            // CMYK needs a Decode array; counted drop
+          val (cs, dec) = comps match {
+            case 1 => ("DeviceGray", None)
+            case 3 => ("DeviceRGB", None)
+            case 4 => ("DeviceCMYK",
+              if (adobeApp14) Some("[1 0 1 0 1 0 1 0]") else None)
             case _ => return dropUnsupported(s"JPEG with $comps components")
           }
-          return Some(PdfImage(d, w, h, cs, 8, Some("DCTDecode")))
+          return Some(PdfImage(d, w, h, cs, 8, Some("DCTDecode"), dec))
         }
         if (marker == 0xDA) return None // hit scan data before any SOF
         i += 2 + len
@@ -137,16 +151,22 @@ object ImageCodec {
       i = dataAt + len + 4 // skip CRC
     }
     if (!sawIhdr || width <= 0 || height <= 0) return None
-    if (bitDepth != 8) return dropUnsupported(s"PNG bit depth $bitDepth")
+    if (bitDepth != 8 && bitDepth != 16)
+      return dropUnsupported(s"PNG bit depth $bitDepth")
     if (interlace != 0 && interlace != 1) return None // invalid IHDR
     val channels = colorType match {
       case 0 => 1 // gray
       case 2 => 3 // rgb
-      case 3 => if (palette == null) return None else 1 // palette index
+      case 3 => if (palette == null || bitDepth == 16) return None
+        else 1 // palette index (16-bit palette is invalid per spec)
       case 6 => 4 // rgba
       case t => return dropUnsupported(s"PNG color type $t")
     }
-    val strideL = width.toLong * channels
+    // filtering operates on BYTES: 16-bit samples double the row stride
+    // and the filter's "previous pixel" byte distance
+    val sampleBytes = bitDepth / 8
+    val bpp = channels * sampleBytes
+    val strideL = width.toLong * bpp
     if ((strideL + 1L) * height > MaxDecodedBytes) return None
     val stride = strideL.toInt
     // expected inflated size: one filter byte per scanline — per image
@@ -156,7 +176,7 @@ object ImageCodec {
       if (interlace == 0) (strideL + 1L) * height
       else Adam7.map { case (x0, y0, dx, dy) =>
         val wp = passExtent(width, x0, dx); val hp = passExtent(height, y0, dy)
-        if (wp > 0 && hp > 0) hp.toLong * (1L + wp.toLong * channels) else 0L
+        if (wp > 0 && hp > 0) hp.toLong * (1L + wp.toLong * bpp) else 0L
       }.sum
     if (expected <= 0 || expected > MaxDecodedBytes) return None
     val raw = inflate(idat.toByteArray, expected.toInt)
@@ -164,7 +184,7 @@ object ImageCodec {
     if (raw.length < expected) return None
     val out = new Array[Byte](stride * height)
     if (interlace == 0) {
-      if (!defilterInto(raw, 0, width, height, channels, out)) return None
+      if (!defilterInto(raw, 0, width, height, bpp, out)) return None
     } else {
       // Adam7: each pass is an independently-filtered sub-image; defilter
       // it, then scatter its pixels to their (y0 + r*dy, x0 + x*dx) cells
@@ -173,38 +193,46 @@ object ImageCodec {
         val wp = passExtent(width, x0, dx)
         val hp = passExtent(height, y0, dy)
         if (wp > 0 && hp > 0) {
-          val sub = new Array[Byte](wp * channels * hp)
-          if (!defilterInto(raw, off, wp, hp, channels, sub)) return None
+          val sub = new Array[Byte](wp * bpp * hp)
+          if (!defilterInto(raw, off, wp, hp, bpp, sub)) return None
           var r = 0
           while (r < hp) {
             var x = 0
             while (x < wp) {
-              System.arraycopy(sub, (r * wp + x) * channels, out,
-                ((y0 + r * dy) * width + (x0 + x * dx)) * channels, channels)
+              System.arraycopy(sub, (r * wp + x) * bpp, out,
+                ((y0 + r * dy) * width + (x0 + x * dx)) * bpp, bpp)
               x += 1
             }
             r += 1
           }
-          off += hp * (1 + wp * channels)
+          off += hp * (1 + wp * bpp)
         }
       }
     }
+    // 16-bit -> 8-bit: keep each big-endian sample's high byte (the PDF
+    // page renders at 8 bits; agenda scans never need the low byte)
+    val out8 = if (sampleBytes == 2) {
+      val o = new Array[Byte](width * height * channels)
+      var k = 0
+      while (k < o.length) { o(k) = out(2 * k); k += 1 }
+      o
+    } else out
     // drop alpha (PDF image XObjects carry no alpha channel); expand
     // palette indexes through PLTE to plain RGB
     val samples =
       if (channels == 4) {
         val rgb = new Array[Byte](width * height * 3)
         var p = 0; var q = 0
-        while (p < out.length) {
-          rgb(q) = out(p); rgb(q + 1) = out(p + 1); rgb(q + 2) = out(p + 2)
+        while (p < out8.length) {
+          rgb(q) = out8(p); rgb(q + 1) = out8(p + 1); rgb(q + 2) = out8(p + 2)
           p += 4; q += 3
         }
         rgb
       } else if (colorType == 3) {
         val rgb = new Array[Byte](width * height * 3)
         var p = 0
-        while (p < out.length) {
-          val ix = (out(p) & 0xFF) * 3
+        while (p < out8.length) {
+          val ix = (out8(p) & 0xFF) * 3
           if (ix + 2 >= palette.length) return None // index past PLTE
           rgb(p * 3) = palette(ix)
           rgb(p * 3 + 1) = palette(ix + 1)
@@ -212,7 +240,7 @@ object ImageCodec {
           p += 1
         }
         rgb
-      } else out
+      } else out8
     val cs = if (channels == 1 && colorType != 3) "DeviceGray"
       else "DeviceRGB"
     Some(PdfImage(deflate(samples), width, height, cs, 8,
@@ -232,11 +260,13 @@ object ImageCodec {
 
   /** Undo PNG adaptive filtering for one (sub-)image of `w` x `h`
     * pixels whose filtered scanlines start at `rawOff` (each row: one
-    * filter-type byte + w*channels sample bytes), writing raw samples
-    * into `out` (sized w*channels*h). False on an unknown filter type. */
+    * filter-type byte + w*bpp sample bytes, where `bpp` is bytes per
+    * pixel — channels x bytes-per-sample, the spec's filter distance),
+    * writing raw samples into `out` (sized w*bpp*h). False on an
+    * unknown filter type. */
   private def defilterInto(raw: Array[Byte], rawOff: Int, w: Int, h: Int,
-      channels: Int, out: Array[Byte]): Boolean = {
-    val stride = w * channels
+      bpp: Int, out: Array[Byte]): Boolean = {
+    val stride = w * bpp
     var r = 0
     while (r < h) {
       val ft = raw(rawOff + r * (stride + 1)) & 0xFF
@@ -245,10 +275,10 @@ object ImageCodec {
       var c = 0
       while (c < stride) {
         val x = raw(src + c) & 0xFF
-        val a = if (c >= channels) out(dst + c - channels) & 0xFF else 0
+        val a = if (c >= bpp) out(dst + c - bpp) & 0xFF else 0
         val b = if (r > 0) out(dst - stride + c) & 0xFF else 0
-        val cc = if (r > 0 && c >= channels)
-          out(dst - stride + c - channels) & 0xFF else 0
+        val cc = if (r > 0 && c >= bpp)
+          out(dst - stride + c - bpp) & 0xFF else 0
         val v = ft match {
           case 0 => x
           case 1 => x + a

@@ -97,11 +97,12 @@ object MiniPdf {
 
   private def imageObject(id: Int, img: ImageCodec.PdfImage): Array[Byte] = {
     val filter = img.filter.fold("")(f => s"/Filter /$f ")
+    val decode = img.decode.fold("")(d => s"/Decode $d ")
     val head = s"$id 0 obj\n<< /Type /XObject /Subtype /Image " +
       s"/Width ${img.width} /Height ${img.height} " +
       s"/ColorSpace /${img.colorSpace} " +
       s"/BitsPerComponent ${img.bitsPerComponent} " +
-      s"$filter/Length ${img.bytes.length} >>\nstream\n"
+      s"$filter$decode/Length ${img.bytes.length} >>\nstream\n"
     head.getBytes(StandardCharsets.ISO_8859_1) ++ img.bytes ++
       "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
   }
@@ -249,7 +250,9 @@ object MiniPdf {
         .map(_.group(1))
     } yield ImageCodec.PdfImage(
       stream.getBytes(StandardCharsets.ISO_8859_1), w, h, cs, bpc,
-      "/Filter\\s*/(\\w+)".r.findFirstMatchIn(dict).map(_.group(1)))
+      "/Filter\\s*/(\\w+)".r.findFirstMatchIn(dict).map(_.group(1)),
+      "/Decode\\s*(\\[[\\d\\s]+\\])".r.findFirstMatchIn(dict)
+        .map(_.group(1)))
   }
 
   /** Pages of a PDF as (content stream, image XObjects), in appearance

@@ -269,7 +269,7 @@ class DocSpec extends SparkTestBase {
     * images always use and the filter-0-only encoder never emits. */
   private def pngFromFiltered(w: Int, h: Int, colorType: Int,
       filtered: Array[Byte], plte: Array[Byte] = null,
-      interlace: Int = 0): Array[Byte] = {
+      interlace: Int = 0, bitDepth: Int = 8): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
       .map(_.toByte))
@@ -285,7 +285,7 @@ class DocSpec extends SparkTestBase {
         (c >>> 8).toByte, c.toByte))
     }
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(colorType.toByte)
+      .put(bitDepth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(interlace.toByte)
     chunk("IHDR", ihdr.array())
     if (plte != null) chunk("PLTE", plte)
@@ -459,12 +459,72 @@ class DocSpec extends SparkTestBase {
     assert(ImageCodec.decode(png).isEmpty)
   }
 
-  test("16-bit PNG is a counted, logged drop") {
-    val png = pngFromFiltered(2, 1, 0, Array[Byte](0, 7, 9))
-    png(24) = 16 // IHDR bit-depth byte (decoder ignores CRC)
+  test("sub-byte-depth PNG is a counted, logged drop") {
+    val png = pngFromFiltered(2, 1, 0, Array[Byte](0, 0x79), bitDepth = 4)
     val before = ImageCodec.unsupportedDrops.get
     assert(ImageCodec.decode(png).isEmpty)
     assert(ImageCodec.unsupportedDrops.get == before + 1)
+  }
+
+  test("16-bit gray PNG decodes, keeping each sample's high byte") {
+    // 2x1 gray16, filter 0: samples 0xFF01, 0x00FE -> 8-bit 0xFF, 0x00
+    val png = pngFromFiltered(2, 1, 0,
+      Array[Byte](0, 0xFF.toByte, 0x01, 0x00, 0xFE.toByte), bitDepth = 16)
+    val img = ImageCodec.decode(png).get
+    assert(img.width == 2 && img.height == 1)
+    assert(img.colorSpace == "DeviceGray" && img.bitsPerComponent == 8)
+    val inf = new java.util.zip.Inflater(); inf.setInput(img.bytes)
+    val got = new Array[Byte](2)
+    assert(inf.inflate(got) == 2)
+    assert(got.sameElements(Array[Byte](0xFF.toByte, 0x00)))
+  }
+
+  test("16-bit RGB PNG defilters at the doubled byte distance (Sub)") {
+    // 2x1 rgb16 under filter 1 (Sub): the filter's `a` byte sits bpp=6
+    // bytes back, not 3 — an 8-bit-only defilter reconstructs garbage
+    val p0 = Array(0x12, 0x34, 0x56, 0x78, 0x9A, 0xBC)
+    val p1 = Array(0x22, 0x44, 0x60, 0xAA, 0xA0, 0xFF)
+    val row = Array(1) ++ p0 ++ p1.zip(p0).map { case (x, a) => (x - a) & 0xFF }
+    val png = pngFromFiltered(2, 1, 2, row.map(_.toByte), bitDepth = 16)
+    val img = ImageCodec.decode(png).get
+    assert(img.colorSpace == "DeviceRGB" && img.bitsPerComponent == 8)
+    val inf = new java.util.zip.Inflater(); inf.setInput(img.bytes)
+    val got = new Array[Byte](6)
+    assert(inf.inflate(got) == 6)
+    // high bytes of (0x1234,0x5678,0x9ABC), (0x2244,0x60AA,0xA0FF)
+    assert(got.sameElements(Array(0x12, 0x56, 0x9A, 0x22, 0x60, 0xA0)
+      .map(_.toByte)))
+  }
+
+  /** Minimal 4-component JPEG: SOI + optional Adobe APP14 + SOF0. */
+  private def tinyCmykJpeg(w: Int, h: Int, adobe: Boolean): Array[Byte] = {
+    val app14 = if (!adobe) Array.empty[Int] else
+      Array(0xFF, 0xEE, 0x00, 0x0E, 'A'.toInt, 'd'.toInt, 'o'.toInt,
+        'b'.toInt, 'e'.toInt, 0, 100, 0, 0, 0, 0, 2)
+    (Array(0xFF, 0xD8) ++ app14 ++
+      Array(0xFF, 0xC0, 0x00, 0x14, 0x08,
+        (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF, 0x04,
+        1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1,
+        0xFF, 0xD9)).map(_.toByte)
+  }
+
+  test("Adobe CMYK JPEG embeds as DeviceCMYK with an inverted Decode") {
+    val img = ImageCodec.decode(tinyCmykJpeg(20, 10, adobe = true)).get
+    assert(img.colorSpace == "DeviceCMYK" && img.width == 20)
+    assert(img.filter.contains("DCTDecode"))
+    assert(img.decode.contains("[1 0 1 0 1 0 1 0]"))
+    // non-Adobe 4-component: plain DeviceCMYK, samples not inverted
+    val plain = ImageCodec.decode(tinyCmykJpeg(20, 10, adobe = false)).get
+    assert(plain.colorSpace == "DeviceCMYK" && plain.decode.isEmpty)
+    // the Decode array survives the PDF writer and a merge round-trip
+    val pdf = DocKernels.docxToPdf(
+      imageDocx(tinyCmykJpeg(20, 10, adobe = true), "jpg"))
+    assert(new String(pdf, "ISO-8859-1").contains("/Decode [1 0 1 0 1 0 1 0]"))
+    val merged = MiniPdf.merge(Seq(pdf))
+    assert(new String(merged, "ISO-8859-1")
+      .contains("/Decode [1 0 1 0 1 0 1 0]"))
+    assert(MiniPdf.imageInfos(merged) ==
+      Seq((20, 10, "DeviceCMYK", "DCTDecode")))
   }
 
   test("PNG decode reassembles an Adam7-interlaced image exactly") {
