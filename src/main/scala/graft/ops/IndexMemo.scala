@@ -48,6 +48,13 @@ private[graft] object IndexMemo {
   /** Live entry count (test hook). */
   private[graft] def size: Int = cache.size
 
+  /** Plan-hash provider for memo keys. A test seam: real plans cannot
+    * fabricate a 32-bit `semanticHash` collision on demand, so the
+    * collision-path spec swaps in a constant; production always uses
+    * the analyzed plan's semantic hash. */
+  @volatile private[graft] var planHash: DataFrame => Int =
+    _.semanticHash()
+
   private def release(dfs: Seq[DataFrame]): Unit =
     dfs.foreach(df => try df.unpersist() catch { case _: Throwable => () })
 
@@ -68,7 +75,7 @@ private[graft] object IndexMemo {
     require(inputs.nonEmpty, "memo key needs at least one input plan")
     val appId = inputs.head.sparkSession.sparkContext.applicationId
     val key = s"$appId#$tag#$params#" +
-      inputs.map(_.semanticHash()).mkString(",")
+      inputs.map(planHash(_)).mkString(",")
     val hit = cache.get(key)
     if (hit != null && sameInputs(hit, inputs))
       return hit.value.asInstanceOf[T]

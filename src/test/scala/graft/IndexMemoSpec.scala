@@ -108,6 +108,56 @@ class IndexMemoSpec extends SparkTestBase {
     Dedup.clearLshCache()
   }
 
+  test("semanticHash collision degrades to a rebuild, never a wrong answer") {
+    import graft.ops.IndexMemo
+    import org.apache.spark.sql.DataFrame
+    IndexMemo.clear()
+    val saved = IndexMemo.planHash
+    try {
+      // two DIFFERENT plans forced onto the same 32-bit key
+      IndexMemo.planHash = _ => 42
+      val a = Seq(1).toDF("x"); val b = Seq(2).toDF("x")
+      var builds = 0
+      def build(v: String): (String, Seq[DataFrame]) = { builds += 1; (v, Nil) }
+      assert(IndexMemo.getOrBuild("tCol", "p", Seq(a))(build("A")) == "A")
+      assert(IndexMemo.getOrBuild("tCol", "p", Seq(a))(build("A")) == "A")
+      assert(builds == 1, "second identical-plan call must be a memo hit")
+      // same key, different plan: sameSemantics unmasks the collision ->
+      // evict the stale entry and serve a fresh CORRECT build
+      assert(IndexMemo.getOrBuild("tCol", "p", Seq(b))(build("B")) == "B")
+      assert(builds == 2)
+      // the displaced plan rebuilds (degraded) but never gets B's index
+      assert(IndexMemo.getOrBuild("tCol", "p", Seq(a))(build("A")) == "A")
+      assert(builds == 3)
+    } finally { IndexMemo.planHash = saved; IndexMemo.clear() }
+  }
+
+  test("collision re-insert holds one tag-queue slot, not two") {
+    // The r8 fix: a collision eviction re-inserts the same key string;
+    // without dropping the stale queue occurrence first, bounding later
+    // pops the stale duplicate and cache.remove()s the LIVE entry
+    import graft.ops.IndexMemo
+    import org.apache.spark.sql.DataFrame
+    IndexMemo.clear()
+    val saved = IndexMemo.planHash
+    try {
+      IndexMemo.planHash = _ => 7 // params distinguish keys below
+      var builds = 0
+      def build(v: String): (String, Seq[DataFrame]) = { builds += 1; (v, Nil) }
+      val a = Seq(1).toDF("x"); val b = Seq(2).toDF("x")
+      IndexMemo.getOrBuild("tQ", "k", Seq(a))(build("A"))
+      IndexMemo.getOrBuild("tQ", "k", Seq(b))(build("B")) // collision re-insert
+      assert(builds == 2)
+      // fill the tag to its bound (8): with the stale duplicate dropped,
+      // the re-inserted key is 1 of 8 and must survive untouched
+      (1 to 7).foreach(i =>
+        IndexMemo.getOrBuild("tQ", s"f$i", Seq(a))(build(s"F$i")))
+      assert(builds == 9)
+      assert(IndexMemo.getOrBuild("tQ", "k", Seq(b))(build("B")) == "B")
+      assert(builds == 9, "live re-inserted entry was prematurely evicted")
+    } finally { IndexMemo.planHash = saved; IndexMemo.clear() }
+  }
+
   test("knnJoin survives zero-norm vectors (cosine NULL is filtered)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
