@@ -10,22 +10,23 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *    JPEG, so only the dimensions/components are sniffed from the SOF
   *    marker.
   *  - PNG is decoded (IDAT inflate + per-row defilter) to raw samples
-  *    and re-deflated for a FlateDecode XObject. 8- and 16-bit
-  *    gray/RGB/RGBA/palette, sequential AND Adam7-interlaced — the
-  *    space every Word-embedded screenshot/logo lives in; RGBA drops
-  *    alpha (PDF images have no alpha channel without an SMask, and
-  *    agenda documents never need one), palette indexes expand through
-  *    PLTE to plain RGB, 16-bit samples keep their high byte,
+  *    and re-deflated for a FlateDecode XObject: every depth/color
+  *    combination the spec allows (1/2/4/8/16-bit; gray, RGB, palette,
+  *    gray+alpha, RGBA), sequential AND Adam7-interlaced. Alpha drops
+  *    (PDF images have no alpha channel without an SMask, and agenda
+  *    documents never need one), palette indexes expand through PLTE
+  *    to plain RGB, sub-byte samples unpack MSB-first and gray ones
+  *    scale to 8-bit range, 16-bit samples keep their high byte,
   *    interlaced passes defilter independently and scatter into the
   *    full raster.
   *  - 4-component (CMYK/YCCK) JPEG embeds as DeviceCMYK DCTDecode,
   *    with the Adobe-APP14 inverted-sample convention expressed as a
   *    PDF /Decode array.
   *
-  * Anything else (sub-byte-depth PNG, WMF/EMF) returns None and the
-  * caller drops the image — the pre-round-8 behavior, now the
-  * exception instead of the rule — with the drop
-  * counted in [[unsupportedDrops]] and logged with its reason.
+  * Anything else (WMF/EMF, exotic JPEG component counts) returns None
+  * and the caller drops the image — the pre-round-8 behavior, now the
+  * exception instead of the rule — with recognized-but-out-of-scope
+  * formats counted in [[unsupportedDrops]] and logged with a reason.
   * Reference analog: mammoth carries DOCX images into HTML and
   * WeasyPrint rasterizes them (scraper_glostrup.py:42-100).
   */
@@ -40,7 +41,7 @@ object ImageCodec {
   private val MaxDecodedBytes = 1L << 28
 
   /** Images dropped because the format is recognized but out of scope
-    * (sub-byte-depth PNG, >4-component JPEG): the counted, logged
+    * (e.g. a JPEG with an exotic component count): the counted, logged
     * drop every lossy path in the engine carries, so a corpus full of
     * such images degrades visibly rather than silently. Per-JVM (i.e.
     * per-executor) count; the warn log carries the reason. */
@@ -151,23 +152,32 @@ object ImageCodec {
       i = dataAt + len + 4 // skip CRC
     }
     if (!sawIhdr || width <= 0 || height <= 0) return None
-    if (bitDepth != 8 && bitDepth != 16)
-      return dropUnsupported(s"PNG bit depth $bitDepth")
     if (interlace != 0 && interlace != 1) return None // invalid IHDR
     val channels = colorType match {
       case 0 => 1 // gray
       case 2 => 3 // rgb
-      case 3 => if (palette == null || bitDepth == 16) return None
-        else 1 // palette index (16-bit palette is invalid per spec)
+      case 3 => if (palette == null) return None else 1 // palette index
+      case 4 => 2 // gray + alpha
       case 6 => 4 // rgba
-      case t => return dropUnsupported(s"PNG color type $t")
+      case _ => return None // invalid color type
     }
+    // every depth/color combination the PNG spec allows is decoded;
+    // anything else is a malformed file, not an unsupported format
+    val depthOk = colorType match {
+      case 0 => Seq(1, 2, 4, 8, 16).contains(bitDepth)
+      case 3 => Seq(1, 2, 4, 8).contains(bitDepth)
+      case _ => bitDepth == 8 || bitDepth == 16
+    }
+    if (!depthOk) return None
     // filtering operates on BYTES: 16-bit samples double the row stride
-    // and the filter's "previous pixel" byte distance
-    val sampleBytes = bitDepth / 8
-    val bpp = channels * sampleBytes
-    val strideL = width.toLong * bpp
-    if ((strideL + 1L) * height > MaxDecodedBytes) return None
+    // and the filter's "previous pixel" distance; sub-byte depths pack
+    // several pixels per byte with the distance floored at one byte
+    val bitsPerPixel = bitDepth * channels
+    def rowBytesOf(w: Int): Long = (w.toLong * bitsPerPixel + 7) / 8
+    val bpp = math.max(1, bitsPerPixel / 8)
+    val strideL = rowBytesOf(width)
+    if ((strideL + 1L) * height > MaxDecodedBytes ||
+      width.toLong * height * channels > MaxDecodedBytes) return None
     val stride = strideL.toInt
     // expected inflated size: one filter byte per scanline — per image
     // row when sequential, per sub-image row of each Adam7 pass when
@@ -176,47 +186,52 @@ object ImageCodec {
       if (interlace == 0) (strideL + 1L) * height
       else Adam7.map { case (x0, y0, dx, dy) =>
         val wp = passExtent(width, x0, dx); val hp = passExtent(height, y0, dy)
-        if (wp > 0 && hp > 0) hp.toLong * (1L + wp.toLong * bpp) else 0L
+        if (wp > 0 && hp > 0) hp.toLong * (1L + rowBytesOf(wp)) else 0L
       }.sum
     if (expected <= 0 || expected > MaxDecodedBytes) return None
     val raw = inflate(idat.toByteArray, expected.toInt)
       .getOrElse(return None)
     if (raw.length < expected) return None
-    val out = new Array[Byte](stride * height)
+    // gray sub-byte samples scale to the full 8-bit range (1->255,
+    // 2->85, 4->17); palette indexes pass through untouched
+    val scale =
+      if (colorType == 0 && bitDepth < 8) 255 / ((1 << bitDepth) - 1) else 1
+    // out8: the defiltered, unpacked, high-byte raster — one byte per
+    // sample, `channels` samples per pixel
+    val out8 = new Array[Byte](width * height * channels)
     if (interlace == 0) {
-      if (!defilterInto(raw, 0, width, height, bpp, out)) return None
+      val packed = new Array[Byte](stride * height)
+      if (!defilterInto(raw, 0, stride, height, bpp, packed)) return None
+      unpackInto(packed, stride, width, height, bitDepth, channels, scale,
+        out8)
     } else {
       // Adam7: each pass is an independently-filtered sub-image; defilter
-      // it, then scatter its pixels to their (y0 + r*dy, x0 + x*dx) cells
+      // and unpack it, then scatter its pixels to their
+      // (y0 + r*dy, x0 + x*dx) cells
       var off = 0
       for ((x0, y0, dx, dy) <- Adam7) {
         val wp = passExtent(width, x0, dx)
         val hp = passExtent(height, y0, dy)
         if (wp > 0 && hp > 0) {
-          val sub = new Array[Byte](wp * bpp * hp)
-          if (!defilterInto(raw, off, wp, hp, bpp, sub)) return None
+          val strideP = rowBytesOf(wp).toInt
+          val sub = new Array[Byte](strideP * hp)
+          if (!defilterInto(raw, off, strideP, hp, bpp, sub)) return None
+          val subPix = new Array[Byte](wp * hp * channels)
+          unpackInto(sub, strideP, wp, hp, bitDepth, channels, scale, subPix)
           var r = 0
           while (r < hp) {
             var x = 0
             while (x < wp) {
-              System.arraycopy(sub, (r * wp + x) * bpp, out,
-                ((y0 + r * dy) * width + (x0 + x * dx)) * bpp, bpp)
+              System.arraycopy(subPix, (r * wp + x) * channels, out8,
+                ((y0 + r * dy) * width + (x0 + x * dx)) * channels, channels)
               x += 1
             }
             r += 1
           }
-          off += hp * (1 + wp * bpp)
+          off += hp * (1 + strideP)
         }
       }
     }
-    // 16-bit -> 8-bit: keep each big-endian sample's high byte (the PDF
-    // page renders at 8 bits; agenda scans never need the low byte)
-    val out8 = if (sampleBytes == 2) {
-      val o = new Array[Byte](width * height * channels)
-      var k = 0
-      while (k < o.length) { o(k) = out(2 * k); k += 1 }
-      o
-    } else out
     // drop alpha (PDF image XObjects carry no alpha channel); expand
     // palette indexes through PLTE to plain RGB
     val samples =
@@ -228,6 +243,11 @@ object ImageCodec {
           p += 4; q += 3
         }
         rgb
+      } else if (channels == 2) { // gray + alpha -> gray
+        val g = new Array[Byte](width * height)
+        var p = 0; var q = 0
+        while (p < out8.length) { g(q) = out8(p); p += 2; q += 1 }
+        g
       } else if (colorType == 3) {
         val rgb = new Array[Byte](width * height * 3)
         var p = 0
@@ -241,7 +261,7 @@ object ImageCodec {
         }
         rgb
       } else out8
-    val cs = if (channels == 1 && colorType != 3) "DeviceGray"
+    val cs = if (colorType == 0 || colorType == 4) "DeviceGray"
       else "DeviceRGB"
     Some(PdfImage(deflate(samples), width, height, cs, 8,
       Some("FlateDecode")))
@@ -258,15 +278,14 @@ object ImageCodec {
   private def passExtent(total: Int, start: Int, step: Int): Int =
     math.max(0, (total - start + step - 1) / step)
 
-  /** Undo PNG adaptive filtering for one (sub-)image of `w` x `h`
-    * pixels whose filtered scanlines start at `rawOff` (each row: one
-    * filter-type byte + w*bpp sample bytes, where `bpp` is bytes per
-    * pixel — channels x bytes-per-sample, the spec's filter distance),
-    * writing raw samples into `out` (sized w*bpp*h). False on an
-    * unknown filter type. */
-  private def defilterInto(raw: Array[Byte], rawOff: Int, w: Int, h: Int,
-      bpp: Int, out: Array[Byte]): Boolean = {
-    val stride = w * bpp
+  /** Undo PNG adaptive filtering for one (sub-)image of `h` scanlines
+    * of `stride` packed bytes each, starting at `rawOff` (each raw row:
+    * one filter-type byte + `stride` bytes), writing defiltered packed
+    * bytes into `out` (sized stride*h). `bpp` is the spec's filter
+    * distance — bytes per pixel, floored at 1 for sub-byte depths.
+    * False on an unknown filter type. */
+  private def defilterInto(raw: Array[Byte], rawOff: Int, stride: Int,
+      h: Int, bpp: Int, out: Array[Byte]): Boolean = {
     var r = 0
     while (r < h) {
       val ft = raw(rawOff + r * (stride + 1)) & 0xFF
@@ -293,6 +312,34 @@ object ImageCodec {
       r += 1
     }
     true
+  }
+
+  /** Expand a defiltered packed (sub-)image to one byte per sample:
+    * sub-byte rows unpack MSB-first (times `scale` for gray), 8-bit
+    * rows copy through, 16-bit rows keep each big-endian sample's high
+    * byte (the PDF page renders at 8 bits). Sub-byte depths only occur
+    * with channels == 1 (gray or palette index). */
+  private def unpackInto(packed: Array[Byte], stride: Int, w: Int, h: Int,
+      bitDepth: Int, channels: Int, scale: Int, out: Array[Byte]): Unit = {
+    if (bitDepth == 8) System.arraycopy(packed, 0, out, 0, stride * h)
+    else if (bitDepth == 16) {
+      var k = 0
+      while (k < out.length) { out(k) = packed(2 * k); k += 1 }
+    } else {
+      val mask = (1 << bitDepth) - 1
+      var r = 0
+      while (r < h) {
+        var x = 0
+        while (x < w) {
+          val bit = x * bitDepth
+          val b = packed(r * stride + (bit >> 3)) & 0xFF
+          val shift = 8 - bitDepth - (bit & 7)
+          out(r * w + x) = ((((b >> shift) & mask) * scale) & 0xFF).toByte
+          x += 1
+        }
+        r += 1
+      }
+    }
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {

@@ -459,11 +459,74 @@ class DocSpec extends SparkTestBase {
     assert(ImageCodec.decode(png).isEmpty)
   }
 
-  test("sub-byte-depth PNG is a counted, logged drop") {
-    val png = pngFromFiltered(2, 1, 0, Array[Byte](0, 0x79), bitDepth = 4)
+  private def inflated(img: ImageCodec.PdfImage, n: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(); inf.setInput(img.bytes)
+    val got = new Array[Byte](n)
+    assert(inf.inflate(got) == n)
+    got
+  }
+
+  test("1-bit gray PNG unpacks MSB-first across byte boundaries") {
+    // 10px row spans two packed bytes: 1011 0010 | 11xx xxxx
+    val px = Array(1, 0, 1, 1, 0, 0, 1, 0, 1, 1)
+    val png = pngFromFiltered(10, 1, 0,
+      Array[Byte](0, 0xB2.toByte, 0xC0.toByte), bitDepth = 1)
+    val img = ImageCodec.decode(png).get
+    assert(img.colorSpace == "DeviceGray" && img.bitsPerComponent == 8)
+    // gray scales to full range: 1 -> 255
+    assert(inflated(img, 10).sameElements(px.map(v => (v * 255).toByte)))
+  }
+
+  test("4-bit palette PNG unpacks indexes unscaled through PLTE") {
+    // 3px = indexes 1,0,2 packed as 0x10 0x20
+    val plte = Array[Byte](1, 2, 3, 40, 50, 60, 70, 80, 90)
+    val png = pngFromFiltered(3, 1, 3, Array[Byte](0, 0x10, 0x20),
+      plte = plte, bitDepth = 4)
+    val img = ImageCodec.decode(png).get
+    assert(img.colorSpace == "DeviceRGB")
+    assert(inflated(img, 9).sameElements(
+      Array[Byte](40, 50, 60, 1, 2, 3, 70, 80, 90)))
+  }
+
+  test("gray+alpha PNG (colorType 4) drops alpha to DeviceGray") {
+    val png = pngFromFiltered(2, 1, 4,
+      Array[Byte](0, 10, 200.toByte, 20, 100))
+    val img = ImageCodec.decode(png).get
+    assert(img.colorSpace == "DeviceGray" && img.width == 2)
+    assert(inflated(img, 2).sameElements(Array[Byte](10, 20)))
+    // spec-invalid combos (4-bit RGB) are malformed -> None, uncounted
     val before = ImageCodec.unsupportedDrops.get
-    assert(ImageCodec.decode(png).isEmpty)
-    assert(ImageCodec.unsupportedDrops.get == before + 1)
+    assert(ImageCodec.decode(
+      pngFromFiltered(2, 1, 2, Array[Byte](0, 0x12, 0x34, 0x56),
+        bitDepth = 4)).isEmpty)
+    assert(ImageCodec.unsupportedDrops.get == before)
+  }
+
+  test("Adam7-interlaced 1-bit PNG defilters per pass at packed stride") {
+    // 5x3 1-bit gray, interlaced: pass rows pack their OWN widths
+    val w = 5; val h = 3
+    val px = Array.tabulate(h * w)(i => (i * 5 + 1) % 3 min 1)
+    val startCol = Array(0, 4, 0, 2, 0, 1, 0)
+    val startRow = Array(0, 0, 4, 0, 2, 0, 1)
+    val colInc = Array(8, 8, 4, 4, 2, 2, 1)
+    val rowInc = Array(8, 8, 8, 4, 4, 2, 2)
+    val idat = new ByteArrayOutputStream()
+    for (p <- 0 until 7) {
+      val ys = startRow(p) until h by rowInc(p)
+      val xs = startCol(p) until w by colInc(p)
+      if (ys.nonEmpty && xs.nonEmpty) ys.foreach { y =>
+        idat.write(0)
+        val bits = xs.map(x => px(y * w + x))
+        bits.grouped(8).foreach { g =>
+          idat.write(g.zipWithIndex.map { case (b, i) => b << (7 - i) }.sum)
+        }
+      }
+    }
+    val png = pngFromFiltered(w, h, 0, idat.toByteArray, interlace = 1,
+      bitDepth = 1)
+    val img = ImageCodec.decode(png).get
+    assert(img.width == w && img.height == h)
+    assert(inflated(img, h * w).sameElements(px.map(v => (v * 255).toByte)))
   }
 
   test("16-bit gray PNG decodes, keeping each sample's high byte") {
