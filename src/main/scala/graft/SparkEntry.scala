@@ -252,6 +252,10 @@ object SparkEntry {
     // one-sided error (n_cms >= n_exact) is hash-checked end to end
     "q92_cms_estimate" -> ((s, d) =>
       graft.ops.Sketches.cmsEstimateQuery(s, d)),
+    // Bloom-pruned anti join vs the PLAIN anti join oracle: pruning
+    // must be invisible in the result
+    "q93_bloom_anti" -> ((s, d) =>
+      Relational.bloomAntiNeverBulkShipped(s, d).orderBy("p_partkey")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -348,6 +352,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // the PLAIN anti join: the Spark side routes through the Bloom
+    // pre-filter, and pruning must not change a single row
+    "q93_bloom_anti" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
     "q10_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -95,6 +95,48 @@ object Relational {
         "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
+  /** J1 at inventory scale: left-anti join behind a Bloom pre-filter.
+    *
+    * [[graft.pipeline.GenericIngest]]'s K5 guard broadcasts its sink
+    * inventory — right while the inventory fits an executor. Once it
+    * doesn't (years of crawls, billions of keys), the plain anti join
+    * shuffles EVERY candidate row; but at that scale almost all
+    * candidates are genuinely new, and a Bloom filter over the existing
+    * keys proves it for a few bits per key. Rows the filter cannot
+    * contain bypass the shuffle entirely; only the might-contain sliver
+    * (true dupes + the fpp fraction) pays the exact anti join, which
+    * resolves false positives — so the result is row-for-row identical
+    * to `big.join(existing, key, "left_anti")`, independent of `fpp`.
+    *
+    * Two passes over `existing` (count to size the filter, then the
+    * aggregate that builds it); keys compare as strings so the filter
+    * side-steps numeric-width mismatches, while the exact join keeps
+    * the original column type. Null keys never match an equi anti join
+    * and are kept, same as the plain formulation. */
+  def bloomAntiJoin(big: DataFrame, existing: DataFrame, key: String,
+      fpp: Double = 0.03): DataFrame = {
+    val keys = existing.select(col(key).cast("string").as(key)).na.drop()
+    val bloom = keys.stat.bloomFilter(key, math.max(1L, keys.count()), fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((k: String) => k != null && bc.value.mightContainString(k))
+    val definitelyNew = big.filter(!mightContain(col(key).cast("string")))
+    val maybe = big.filter(mightContain(col(key).cast("string")))
+      .join(existing.select(col(key)), Seq(key), "left_anti")
+    definitelyNew.unionByName(maybe)
+  }
+
+  /** q93: parts that never shipped in bulk (quantity > 45) — the J1
+    * anti-join shape routed through [[bloomAntiJoin]]. The oracle is the
+    * PLAIN anti join in SQL, so the gate hash-checks the operator's
+    * defining property: bloom pruning must not change the result. */
+  def bloomAntiNeverBulkShipped(s: SparkSession, d: String): DataFrame =
+    bloomAntiJoin(
+      Tables.part(s, d).select(col("p_partkey"), col("p_name")),
+      Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+        .select(col("l_partkey").as("p_partkey")),
+      "p_partkey")
+
   /** J4 existence semi-join — reference run_scrapers.py:29-51. */
   def semiJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)

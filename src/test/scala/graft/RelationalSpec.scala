@@ -37,6 +37,26 @@ class RelationalSpec extends SparkTestBase {
     assert(out.map(_._1).sameElements((2 to 20 by 2).map(_.toLong)))
   }
 
+  test("bloomAntiJoin is row-identical to plain left_anti, any fpp") {
+    val rnd = new scala.util.Random(23)
+    // dup keys on both sides, a null key (anti joins keep it), and a
+    // 30% fpp so bloom false positives certainly occur and must be
+    // resolved by the exact join
+    val big = (Seq.fill(300)((rnd.nextInt(200).toLong: java.lang.Long,
+      rnd.nextInt(5))) :+ ((null: java.lang.Long), 9))
+      .toDF("k", "payload")
+    val existing = Seq.fill(80)(
+      (rnd.nextInt(200).toLong + 100L, "x")).toDF("k", "v")
+    for (fpp <- Seq(0.3, 0.01)) {
+      val got = Relational.bloomAntiJoin(big, existing, "k", fpp)
+        .collect().map(r => (String.valueOf(r.get(0)), r.getInt(1))).sorted
+      val want = big.join(existing.select("k"), Seq("k"), "left_anti")
+        .collect().map(r => (String.valueOf(r.get(0)), r.getInt(1))).sorted
+      assert(got.sameElements(want), s"fpp=$fpp diverged")
+      assert(got.exists(_._1 == "null"), "null-key row must be kept")
+    }
+  }
+
   test("anti-join returns exactly the not-yet-ingested candidates (J1/K5)") {
     val candidates = Seq("a.pdf", "b.pdf", "c.pdf", "d.pdf").toDF("filename")
     val inventory = Seq("b.pdf", "d.pdf", "zz.pdf").toDF("filename")
