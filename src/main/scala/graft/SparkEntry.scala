@@ -256,6 +256,10 @@ object SparkEntry {
     // must be invisible in the result
     "q93_bloom_anti" -> ((s, d) =>
       Relational.bloomAntiNeverBulkShipped(s, d).orderBy("p_partkey")),
+    // HLL++ distinct vs exact: the oracle pins the rounded ratio to
+    // 1.0, hash-checking the sketch's accuracy bound
+    "q94_hll_distinct" -> ((s, d) =>
+      graft.ops.Sketches.hllDistinctQuery(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -359,6 +363,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
         |ORDER BY p_partkey""".stripMargin,
+    // golden-ratio oracle (the q90 pattern): HLL++ at rsd 0.01 is
+    // within a fraction of a percent of exact on this key space at
+    // both gate SFs, so round(approx/exact, 1) must be exactly 1.0
+    "q94_hll_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  CAST(1.0 AS DOUBLE) AS hll_ratio FROM orders""".stripMargin,
     "q10_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

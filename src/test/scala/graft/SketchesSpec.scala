@@ -116,4 +116,18 @@ class SketchesSpec extends SparkTestBase {
         s"$term: relational $nCms != aggregator estimate")
     }
   }
+
+  test("HLL++ distinct tracks exact within the rsd bound (q94 shape)") {
+    // 5k distinct keys seen 4x each, spread over partitions so sketch
+    // merge is exercised
+    val df = (1 to 20000).map(i => (i % 5000).toLong).toDF("k")
+      .repartition(8)
+    val r = df.agg(approx_count_distinct($"k", 0.01).as("a"),
+      countDistinct($"k").as("e")).head
+    val (a, e) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(a - e).toDouble / e < 0.05, s"approx $a vs exact $e")
+    // and the oracled query shape lands exactly on ratio 1.0
+    val out = Sketches.hllDistinctQuery(spark, sf("")).head
+    assert(out.getDouble(1) == 1.0, s"ratio ${out.getDouble(1)}")
+  }
 }
