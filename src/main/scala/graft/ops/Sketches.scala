@@ -153,9 +153,10 @@ object Sketches {
 
   /** Driver-checkable CMS estimates: frequencies of the exact top-k
     * terms read back from the Count-Min matrix, next to their exact
-    * counts. The matrix is computed RELATIONALLY here — one (j, bucket)
-    * aggregation with map-side combine, depth x width output rows,
-    * broadcast for the probe join — with the same [[md5Hash32]] row
+    * counts. The matrix is computed RELATIONALLY here — term counts
+    * first, then one (j, bucket) aggregation over the vocabulary with
+    * map-side combine, depth x width output rows, broadcast for the
+    * probe join — with the same [[md5Hash32]] row
     * hashes as the Aggregator (cross-checked in SketchesSpec), so the
     * DuckDB oracle reproduces every cell and estimate bit-for-bit.
     * CMS's defining one-sided error (n_cms >= n_exact, always) is
@@ -167,9 +168,13 @@ object Sketches {
       df.select(df.columns.map(col).toIndexedSeq :+
         posexplode(array((0 until depth).map(j =>
           md5BucketCol(j, col("term"), width)): _*)).as(Seq("j", "bucket")): _*)
-    val matrix = withBuckets(toks).groupBy(col("j"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+    // hash each DISTINCT term once and weight by its count: the cells
+    // are identical to hashing every occurrence, but the depth md5s run
+    // at vocabulary cost, not corpus cost
+    val termCounts = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+    val matrix = withBuckets(termCounts).groupBy(col("j"), col("bucket"))
+      .agg(sum(col("n_exact")).as("c"))
+    val top = termCounts
       .orderBy(col("n_exact").desc, col("term")).limit(k)
     withBuckets(top).join(broadcast(matrix), Seq("j", "bucket"))
       .groupBy(col("term"), col("n_exact"))
