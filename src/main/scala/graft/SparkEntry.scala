@@ -260,6 +260,11 @@ object SparkEntry {
     // 1.0, hash-checking the sketch's accuracy bound
     "q94_hll_distinct" -> ((s, d) =>
       graft.ops.Sketches.hllDistinctQuery(s, d)),
+    // A-ES weighted sampling without replacement: priorities are pure
+    // md5 arithmetic, so the selected per-stratum set hash-matches the
+    // DuckDB mirror exactly
+    "q95_weighted_sample" -> ((s, d) =>
+      graft.ops.Curation.weightedSample(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1008,6 +1013,30 @@ object SparkEntry {
           }.mkString(" + ")
         + """) AS DOUBLE) / 4294967296.0 < rate
           |ORDER BY doc_id""".stripMargin).stripMargin,
+    // A-ES weighted sample: the ln(u)/w priority mirrors the Spark
+    // side's md5-decoded 32-bit uniform bit-for-bit; the priority is
+    // window-internal (never output), so the hash compares the
+    // selected SET, not last-ulp libm values
+    "q95_weighted_sample" ->
+      ("""WITH h AS (SELECT doc_id, lang, n_chars,
+         |        md5('ws|' || CAST(doc_id AS VARCHAR)) AS hh
+         |      FROM documents),
+         |p AS (SELECT doc_id, lang, n_chars,
+         |        ln(CAST(("""
+        + (1 to 8).map { i =>
+            val d = s"substr(hh, $i, 1)"
+            s"CAST(ascii($d) - CASE WHEN $d <= '9' THEN 48 ELSE 87 END " +
+              s"AS BIGINT) * ${1L << (4 * (8 - i))}"
+          }.mkString(" + ")
+        + """) AS DOUBLE) / 4294967296.0)
+          |          / CAST(greatest(n_chars, 1) AS DOUBLE) AS pri
+          |      FROM h),
+          |r AS (SELECT doc_id, lang, n_chars,
+          |        row_number() OVER (PARTITION BY lang
+          |          ORDER BY pri DESC, doc_id) AS rn
+          |      FROM p)
+          |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 5
+          |ORDER BY lang, doc_id""".stripMargin).stripMargin,
     "q78_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |              FROM documents),

@@ -342,6 +342,39 @@ object Curation {
       .select(col("doc_id"), col(byCol))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spiraki A-ES
+    * keys): each document draws a deterministic uniform u from
+    * md5("ws|" || id) and gets priority ln(u) / w — the monotone
+    * transform of the classic u^(1/w) key, so the k largest priorities
+    * per stratum are EXACTLY a weighted sample without replacement with
+    * inclusion probability proportional to w (here w = n_chars: longer
+    * documents are proportionally likelier, the "sample by token mass"
+    * step of a corpus mixer).
+    *
+    * Deterministic end to end — the draw is pure md5 arithmetic both
+    * engines share, so the selected SET is oracle-checkable in DuckDB
+    * and stable under re-runs and task retries. Scale shape: one scan
+    * computes the priority (codegen'd hash + arithmetic, no RNG
+    * state), one shuffle on the stratum key for the per-stratum top-k
+    * window; the priority column never leaves the window (the output
+    * is the selected rows only), so a last-ulp libm divergence between
+    * JVM log and C ln could only flip a selection at a rank BOUNDARY —
+    * probability ~2^-30 per stratum on 32-bit draws. */
+  def weightedSample(s: SparkSession, d: String, k: Int = 5,
+      byCol: String = "lang"): DataFrame = {
+    val priority = log(md5Frac32(concat(lit("ws|"),
+      col("doc_id").cast("string")))) /
+      greatest(col("n_chars"), lit(1L)).cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col(byCol), col("n_chars"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(byCol))
+          .orderBy(priority.desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col(byCol), col("n_chars"))
+      .orderBy(col(byCol), col("doc_id"))
+  }
+
   /** Oracle-checkable SimHash: a 60-bit sketch whose bits come from
     * the first 15 hex nibbles of md5(token) — the same per-bit
     * majority vote as [[Dedup.simHashDf]], with a hash both engines
