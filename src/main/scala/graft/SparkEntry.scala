@@ -265,6 +265,14 @@ object SparkEntry {
     // DuckDB mirror exactly
     "q95_weighted_sample" -> ((s, d) =>
       graft.ops.Curation.weightedSample(s, d)),
+    // PQ ANN with a corpus-covering refine budget: encode + ADC scan +
+    // exact re-rank must reproduce brute force exactly (q87/q89 role)
+    "q96_ann_pq_exact" -> ((s, d) =>
+      graft.ops.Pq.annPq(s, d, refineFactor = 100000)),
+    // golden-value oracle (q90 pattern): recall@10 of the production
+    // PQ operating point is a deterministic 0.9 at both gate SFs
+    "q97_ann_pq_recall" -> ((s, d) =>
+      graft.ops.Pq.annPqRecallQuery(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -864,6 +872,15 @@ object SparkEntry {
     // hash-checks it exactly
     "q90_ann_recall" ->
       "SELECT CAST(8 AS BIGINT) AS hits, CAST(0.8 AS DOUBLE) AS recall_at_10",
+    // PQ exact twin: a refine budget covering the corpus makes the
+    // encode + ADC + re-rank pipeline exhaustive by construction
+    "q96_ann_pq_exact" -> bruteForceTop10Sql,
+    // golden-value oracle: recall@10 of the refineFactor=16 PQ probe
+    // (deterministic md5-sampled training, seeded Lloyd, exact
+    // re-rank) measured 9/10 at BOTH sf0.001 and sf0.01; a regression
+    // in training, encoding, the ADC kernel, or refinement moves it
+    "q97_ann_pq_recall" ->
+      "SELECT CAST(9 AS BIGINT) AS hits, CAST(0.9 AS DOUBLE) AS recall_at_10",
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

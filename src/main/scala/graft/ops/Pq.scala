@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): the
+  * third leg of the similarity-search family next to SRP-LSH
+  * ([[Similarity.annLsh]]) and IVF ([[Similarity.annIvf]]), and the
+  * one that changes the SCAN ECONOMICS rather than the candidate set:
+  * each 64-float embedding compresses to m=8 one-byte centroid codes,
+  * so the ANN scan reads ~16x fewer bytes and scores a candidate with
+  * 8 table lookups instead of 64 multiply-adds. At 100 TB of raw
+  * embeddings the code table is ~6 TB — the difference between an
+  * index that fits hot storage and one that doesn't.
+  *
+  * Scale shape: codebooks are TRAINED on a deterministic md5-ordered
+  * sample (bounded collect — codebooks are index metadata exactly like
+  * IVF centroids), the corpus is ENCODED in one codegen'd projection
+  * (no shuffle), and a query probe is: broadcast a 128-double lookup
+  * table, scan codes, TakeOrderedAndProject the top k*refine, then
+  * re-rank that bounded candidate set with exact cosine against the
+  * full vectors (fetched by id — the only rows whose floats ever move).
+  * Everything is seeded/deterministic: re-runs, retried tasks, and the
+  * DuckDB-anchored exact twin (q96) see identical results.
+  */
+object Pq {
+
+  /** Trained codebooks: flat row-major [m][ksub][dsub] centroid
+    * matrix — ~`m * ksub * dsub` doubles of driver-side metadata
+    * (8 KiB at the defaults), broadcast into codegen as a literal. */
+  final case class PqModel(m: Int, ksub: Int, dim: Int,
+      flat: Array[Double])
+
+  /** A built PQ index: the persisted (vec_id, code, norm) table plus
+    * its model. `norm` keeps the exact vector norm next to the code so
+    * the ADC score can approximate COSINE (quantized dot / exact
+    * norms), not just inner product. */
+  final case class PqIndex(codes: DataFrame, model: PqModel)
+
+  /** Deterministic Lloyd k-means per subspace, seeded by the first
+    * `ksub` DISTINCT subvectors in sample order — no RNG state, so
+    * training is reproducible bit-for-bit on any cluster layout.
+    * Empty clusters keep their previous centroid; ties in assignment
+    * pick the lowest centroid index (same rule as
+    * [[graft.expr.PqEncode]], so encoding the training set with the
+    * trained model is self-consistent). */
+  private[graft] def trainCodebooks(vecs: Array[Array[Double]], m: Int,
+      ksub: Int, iters: Int = 12): PqModel = {
+    require(vecs.nonEmpty, "PQ training needs at least one vector")
+    val dim = vecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val flat = new Array[Double](m * ksub * dsub)
+    var mm = 0
+    while (mm < m) {
+      val pts: Array[Array[Double]] =
+        vecs.map(v => java.util.Arrays.copyOfRange(v, mm * dsub,
+          (mm + 1) * dsub))
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      var i = 0
+      while (init.length < ksub && i < pts.length) {
+        val key = pts(i).toSeq
+        if (!seen(key)) { seen += key; init += pts(i) }
+        i += 1
+      }
+      // fewer distinct subvectors than centroids: duplicate — the
+      // lowest-index tie rule means duplicates are simply never chosen
+      while (init.length < ksub) init += init(0)
+      var centroids = init.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        var p = 0
+        while (p < pts.length) {
+          val pt = pts(p)
+          var best = 0
+          var bestD = Double.MaxValue
+          var kk = 0
+          while (kk < ksub) {
+            var acc = 0.0
+            var j = 0
+            while (j < dsub) {
+              val e = pt(j) - centroids(kk)(j); acc += e * e; j += 1
+            }
+            if (acc < bestD) { bestD = acc; best = kk }
+            kk += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += pt(j); j += 1 }
+          p += 1
+        }
+        centroids = Array.tabulate(ksub) { kk =>
+          if (counts(kk) == 0) centroids(kk)
+          else sums(kk).map(_ / counts(kk))
+        }
+        it += 1
+      }
+      var kk = 0
+      while (kk < ksub) {
+        System.arraycopy(centroids(kk), 0, flat,
+          (mm * ksub + kk) * dsub, dsub)
+        kk += 1
+      }
+      mm += 1
+    }
+    PqModel(m, ksub, dim, flat)
+  }
+
+  /** Deterministic bounded training sample: the `maxTrain` vectors
+    * whose md5("pq|" || id) sorts first — a seeded uniform draw that
+    * is identical at any partitioning and any scale factor, fetched
+    * with TakeOrderedAndProject (never a full collect). */
+  private def trainingSample(emb: DataFrame,
+      maxTrain: Int): Array[Array[Double]] =
+    emb.select(col("embedding"),
+      md5(concat(lit("pq|"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"))
+      .limit(maxTrain)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** One-time PQ index build, memoized per (context, corpus plan,
+    * params) like the LSH/IVF indexes: train codebooks on the bounded
+    * sample, then encode the corpus in ONE codegen'd projection —
+    * (vec_id, m-byte code, exact norm) — and persist it. Build once,
+    * probe many. */
+  def buildPqIndex(s: SparkSession, d: String, m: Int = 8,
+      ksub: Int = 16, maxTrain: Int = 2048): PqIndex = {
+    val emb = Tables.embeddings(s, d)
+    IndexMemo.getOrBuild[PqIndex]("pqIdx", s"$m,$ksub,$maxTrain",
+      Seq(emb)) {
+      graft.parse.GraftFunctions.register(s)
+      val model = trainCodebooks(trainingSample(emb, maxTrain), m, ksub)
+      val codes = emb.select(col("vec_id"),
+        call_function("pq_encode", col("embedding"), lit(model.flat),
+          lit(m), lit(ksub)).as("code"),
+        sqrt(call_function("dot_product", col("embedding"),
+          col("embedding"))).as("norm"))
+        .persist()
+      codes.count() // materialize the index
+      (PqIndex(codes, model), Seq(codes))
+    }
+  }
+
+  /** PQ ANN probe: build the query's [m][ksub] lookup table of
+    * subspace dot products (driver-side math on index metadata, like
+    * the IVF probe-list ranking), scan the CODE table scoring each
+    * candidate with [[graft.expr.PqAdc]] — quantized dot over exact
+    * norms approximates cosine — take the ADC top `k * refineFactor`
+    * (TakeOrderedAndProject, bounded), and re-rank those candidates
+    * with exact cosine on the real vectors, joined back by id. With a
+    * refineFactor whose candidate budget covers the corpus the result
+    * EQUALS brute force (the q96 anchor, same role as q87/q89); at the
+    * production operating point (refineFactor=16, a 160-candidate
+    * budget independent of corpus size) recall is pinned by the q97
+    * golden — measured 0.9 at BOTH gate scale factors. */
+  def annPq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      m: Int = 8, ksub: Int = 16, refineFactor: Int = 16): DataFrame = {
+    val index = buildPqIndex(s, d, m, ksub)
+    val emb = Tables.embeddings(s, d)
+    val qVec: Array[Double] = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val dsub = qVec.length / m
+    val lut = new Array[Double](m * ksub)
+    var mm = 0
+    while (mm < m) {
+      var kk = 0
+      while (kk < ksub) {
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          acc += qVec(mm * dsub + j) *
+            index.model.flat((mm * ksub + kk) * dsub + j)
+          j += 1
+        }
+        lut(mm * ksub + kk) = acc
+        kk += 1
+      }
+      mm += 1
+    }
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val cands = index.codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        (call_function("pq_adc", col("code"), lit(lut), lit(ksub)) /
+          (col("norm") * lit(qNorm))).as("adc_cos"))
+      .orderBy(col("adc_cos").desc, col("vec_id"))
+      .limit(k * refineFactor)
+      .select(col("vec_id"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.join(cands, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(Similarity.nativeCosine(s, col("embedding"),
+          col("q_embedding")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@k of the production-geometry PQ probe against the exact
+    * brute-force top-k as ONE scalar row — the q90 pattern: a
+    * deterministic quality constant the driver hash-checks. */
+  def annPqRecallQuery(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val ann = annPq(s, d, queryId, k).select(col("vec_id"))
+    Similarity.knnBruteForce(s, d, queryId, k)
+      .join(ann, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"),
+        (count(lit(1)) / lit(k.toDouble)).as("recall_at_10"))
+  }
+}

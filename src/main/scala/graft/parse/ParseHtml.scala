@@ -67,8 +67,10 @@ case class ParseHtml(html: Expression, selector: Expression)
   * (idempotent — re-registration replaces the same builders). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    // guard on the NEWEST function so a session registered by an older
+    // build of this object still picks up later additions
     if (spark.sessionState.functionRegistry
-      .functionExists(FunctionIdentifier("cosine_sim"))) return
+      .functionExists(FunctionIdentifier("pq_adc"))) return
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("parse_html"),
       new ExpressionInfo(classOf[ParseHtml].getName, "parse_html"),
@@ -83,5 +85,15 @@ object GraftFunctions {
         "cosine_sim"),
       (exprs: Seq[Expression]) =>
         graft.expr.CosineSimilarity(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[graft.expr.PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) =>
+        graft.expr.PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[graft.expr.PqAdc].getName, "pq_adc"),
+      (exprs: Seq[Expression]) =>
+        graft.expr.PqAdc(exprs(0), exprs(1), exprs(2)))
   }
 }

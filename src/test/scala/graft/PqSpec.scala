@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pq, Similarity}
+
+/** Product-quantization tests: deterministic training, lossless
+  * round-trip on representable data (ADC == exact dot), exact-twin
+  * agreement with brute force, and the production recall floor. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("trainCodebooks is deterministic and shaped [m][ksub][dsub]") {
+    val vecs = Array.tabulate(50)(i =>
+      Array.tabulate(16)(j => ((i * 31 + j * 7) % 13).toDouble))
+    val a = Pq.trainCodebooks(vecs, 4, 8)
+    val b = Pq.trainCodebooks(vecs, 4, 8)
+    assert(a.m == 4 && a.ksub == 8 && a.dim == 16)
+    assert(a.flat.length == 4 * 8 * 4)
+    assert(a.flat.sameElements(b.flat))
+  }
+
+  test("on representable data ADC reproduces the exact dot product") {
+    // every subvector is one of ksub distinct patterns, so Lloyd's
+    // converges to exactly those patterns and quantization is LOSSLESS:
+    // pq_adc(code, lut) must equal dot(q, v) up to fp summation order
+    val m = 4; val ksub = 4; val dsub = 2
+    val patterns = Array(Array(1.0, 2.0), Array(-3.0, 0.5),
+      Array(0.0, 0.0), Array(4.0, -1.0))
+    val vecs = Array.tabulate(64) { i =>
+      (0 until m).flatMap(mm => patterns((i + mm) % ksub)).toArray
+    }
+    val model = Pq.trainCodebooks(vecs, m, ksub)
+    val q = Array.tabulate(m * dsub)(j => 0.5 + 0.25 * j)
+    val lut = new Array[Double](m * ksub)
+    for (mm <- 0 until m; kk <- 0 until ksub) {
+      lut(mm * ksub + kk) = (0 until dsub).map(j =>
+        q(mm * dsub + j) * model.flat((mm * ksub + kk) * dsub + j)).sum
+    }
+    graft.parse.GraftFunctions.register(spark)
+    val df = vecs.toSeq.map(v => Tuple1(v.map(_.toFloat).toSeq))
+      .toDF("vec")
+    val out = df.select(
+      call_function("pq_adc",
+        call_function("pq_encode", col("vec"), lit(model.flat),
+          lit(m), lit(ksub)),
+        lit(lut), lit(ksub)).as("adc"))
+      .collect().map(_.getDouble(0))
+    vecs.zip(out).foreach { case (v, adc) =>
+      val exact = v.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(adc - exact) < 1e-9,
+        s"adc $adc vs exact $exact")
+    }
+  }
+
+  test("pq_encode emits one byte per subspace, every code < ksub") {
+    val idx = Pq.buildPqIndex(spark, sf("embeddings"), m = 8, ksub = 16)
+    val codes = idx.codes.select(col("code")).collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(codes.nonEmpty)
+    assert(codes.forall(_.length == 8))
+    assert(codes.forall(_.forall(b => (b & 0xff) < 16)))
+  }
+
+  test("annPq with a corpus-covering refine budget equals brute force") {
+    val brute = Similarity.knnBruteForce(spark, sf("embeddings"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val pq = Pq.annPq(spark, sf("embeddings"), refineFactor = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pq.toSeq == brute.toSeq)
+  }
+
+  test("measured PQ recall@10 at the production operating point clears a floor") {
+    val queries = Seq(0L, 7L, 13L, 21L, 42L)
+    val recalls = queries.map { q =>
+      val brute = Similarity.knnBruteForce(spark, sf("embeddings"), q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ann = Pq.annPq(spark, sf("embeddings"), q, 10)
+        .collect().map(_.getLong(0)).toSet
+      (brute & ann).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    info(s"PQ recall@10 refine=16: $mean (per-query: $recalls)")
+    assert(mean >= 0.7, s"mean PQ recall $mean below floor")
+  }
+}
