@@ -273,6 +273,13 @@ object SparkEntry {
     // PQ operating point is a deterministic 0.9 at both gate SFs
     "q97_ann_pq_recall" -> ((s, d) =>
       graft.ops.Pq.annPqRecallQuery(s, d)),
+    // SQ8 int8 quantization: pure min-max arithmetic, so every code
+    // cell hash-matches the DuckDB mirror
+    "q98_sq8_codes" -> ((s, d) => graft.ops.Pq.sq8Codes(s, d)),
+    // per-source quota cap on a deterministic md5 draw; the kept set
+    // hash-matches the DuckDB mirror exactly
+    "q99_domain_cap" -> ((s, d) =>
+      graft.ops.Curation.domainCap(s, d, cap = 15)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -881,6 +888,32 @@ object SparkEntry {
     // in training, encoding, the ADC kernel, or refinement moves it
     "q97_ann_pq_recall" ->
       "SELECT CAST(9 AS BIGINT) AS hits, CAST(0.9 AS DOUBLE) AS recall_at_10",
+    // SQ8 cell-for-cell: per-dim min/max then the identical
+    // floor((v-mn)/(mx-mn)*255 + 0.5) in exact IEEE double arithmetic
+    "q98_sq8_codes" ->
+      """WITH ix AS (SELECT vec_id, embedding,
+        |        unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM embeddings),
+        |e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |      FROM ix),
+        |s AS (SELECT i, min(v) AS mn, max(v) AS mx FROM e GROUP BY i)
+        |SELECT e.vec_id, CAST(e.i - 1 AS BIGINT) AS dim,
+        |  CAST(CASE WHEN mx = mn THEN 0
+        |       ELSE least(255, greatest(0,
+        |         floor((v - mn) / (mx - mn) * 255 + 0.5))) END
+        |    AS BIGINT) AS code
+        |FROM e JOIN s USING (i)
+        |ORDER BY vec_id, dim""".stripMargin,
+    // domain cap: the md5 hex string IS the order key (fixed-width
+    // lowercase hex sorts identically in both engines)
+    "q99_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('dc|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 15
+        |ORDER BY source, doc_id""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

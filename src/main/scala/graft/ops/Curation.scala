@@ -375,6 +375,26 @@ object Curation {
       .orderBy(col(byCol), col("doc_id"))
   }
 
+  /** Per-source quota cap (the domain-cap step of a corpus mixer: no
+    * single domain may contribute more than `cap` documents, however
+    * large its crawl). Which documents survive is decided by a
+    * deterministic md5 draw — not arrival order — so the kept set is
+    * unbiased within the source, identical across re-runs/retries, and
+    * exactly mirrorable in DuckDB (the order key is the md5 HEX STRING
+    * itself: fixed-width lowercase hex compares identically in both
+    * engines, no decode needed). One shuffle on the source key; the
+    * rank column never leaves the window. */
+  def domainCap(s: SparkSession, d: String, cap: Int = 50): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          md5(concat(lit("dc|"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
   /** Oracle-checkable SimHash: a 60-bit sketch whose bits come from
     * the first 15 hex nibbles of md5(token) — the same per-bit
     * majority vote as [[Dedup.simHashDf]], with a hash both engines

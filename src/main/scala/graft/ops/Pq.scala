@@ -215,4 +215,38 @@ object Pq {
       .agg(count(lit(1)).as("hits"),
         (count(lit(1)) / lit(k.toDouble)).as("recall_at_10"))
   }
+
+  /** SQ8 scalar quantization — the STORAGE-side companion of PQ:
+    * min-max-normalize each dimension over the corpus and round to an
+    * 8-bit level, the int8 embedding compression vector stores serve
+    * from (4x smaller than float32, decode is two flops). Unlike PQ
+    * (whose codebooks come from iterative training), the SQ8 encode is
+    * PURE ARITHMETIC — per-dim min/max then
+    * floor((v - mn) / (mx - mn) * 255 + 0.5) — every step of which
+    * DuckDB reproduces bit-for-bit, so the code table is hash-checked
+    * cell-for-cell (q98), giving the quantization family an exactly
+    * oracled anchor next to PQ's twin (q96) and golden (q97).
+    *
+    * Scale shape: the stats pass is a map-side-combined min/max over
+    * at most `dim` groups (64 rows of metadata), broadcast back; the
+    * encode is then a map-only projection. Output is one
+    * (vec_id, dim, code) row per cell — integer-typed end to end so
+    * the driver's stringified hash compare is format-proof. */
+  def sq8Codes(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v0")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v0").cast("double").as("v"))
+    val stats = e.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    e.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((col("v") - col("mn")) / (col("mx") - col("mn"))
+              * 255 + 0.5))))
+          .cast("long").as("code"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
 }

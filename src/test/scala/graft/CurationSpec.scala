@@ -169,4 +169,30 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  test("weightedSample favors heavy documents and is deterministic") {
+    val out = Curation.weightedSample(spark, sf("documents"), k = 5).collect()
+    val again = Curation.weightedSample(spark, sf("documents"), k = 5).collect()
+    assert(out.nonEmpty && out.sameElements(again))
+    // per-stratum cap holds
+    val perLang = out.groupBy(_.getString(1)).values.map(_.length)
+    assert(perLang.forall(_ <= 5))
+    // A-ES with w = n_chars: the sampled mean length should sit above
+    // the corpus mean (weighting by mass pulls long docs in)
+    val sampleMean = out.map(_.getLong(2)).sum.toDouble / out.length
+    val corpusMean = Tables.documents(spark, sf("documents"))
+      .agg(avg($"n_chars")).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("domainCap keeps at most cap docs per source, deterministically") {
+    val out = Curation.domainCap(spark, sf("documents"), cap = 7).collect()
+    val again = Curation.domainCap(spark, sf("documents"), cap = 7).collect()
+    assert(out.nonEmpty && out.sameElements(again))
+    val per = out.groupBy(_.getString(1)).values.map(_.length)
+    assert(per.forall(_ <= 7))
+    // sf sources hold 25 docs each, so the cap must actually bite
+    assert(per.exists(_ == 7))
+  }
 }

@@ -83,4 +83,39 @@ class PqSpec extends SparkTestBase {
     info(s"PQ recall@10 refine=16: $mean (per-query: $recalls)")
     assert(mean >= 0.7, s"mean PQ recall $mean below floor")
   }
+
+  test("the ADC candidate scan reads codes and norms, never vectors") {
+    val idx = Pq.buildPqIndex(spark, sf("embeddings"))
+    // the scanned index is (bigint id, m-byte code, double norm) —
+    // no array column ever enters the candidate-selection scan
+    assert(idx.codes.schema.map(_.dataType.simpleString).sorted ==
+      Seq("bigint", "binary", "double"))
+    val plan = Pq.annPq(spark, sf("embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "candidate selection should be a bounded top-k, not a global sort")
+  }
+
+  test("SQ8 codes are within-range and reconstruct within half a step") {
+    val codes = Pq.sq8Codes(spark, sf("embeddings")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(codes.nonEmpty)
+    assert(codes.forall { case (_, _, c) => c >= 0 && c <= 255 })
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    val byDim = emb.values.toSeq.flatMap(_.zipWithIndex)
+      .groupBy(_._2).map { case (dim, vs) =>
+        dim -> (vs.map(_._1).min, vs.map(_._1).max)
+      }
+    codes.foreach { case (id, dim, c) =>
+      val (mn, mx) = byDim(dim.toInt)
+      val v = emb(id)(dim.toInt)
+      val step = (mx - mn) / 255.0
+      val decoded = mn + c * step
+      assert(math.abs(decoded - v) <= step / 2 + 1e-9,
+        s"vec $id dim $dim: |$decoded - $v| > ${step / 2}")
+    }
+  }
 }
