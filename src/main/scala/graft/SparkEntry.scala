@@ -280,6 +280,13 @@ object SparkEntry {
     // hash-matches the DuckDB mirror exactly
     "q99_domain_cap" -> ((s, d) =>
       graft.ops.Curation.domainCap(s, d, cap = 15)),
+    // end-to-end funnel: quality gate -> sha256 keep-first -> md5
+    // domain cap, the whole DAG hash-matched stage-composed
+    "q100_pipeline_funnel" -> ((s, d) =>
+      graft.ops.Curation.pipelineFunnel(s, d, cap = 10)),
+    // per-stage survivor counts for the same funnel
+    "q101_funnel_counts" -> ((s, d) =>
+      graft.ops.Curation.funnelCounts(s, d, cap = 10)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -327,6 +334,37 @@ object SparkEntry {
       |  6) AS cosine
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Shared CTE chain for the q100/q101 funnel: the q36 quality score
+    * (same expression, same round-6), sha256 keep-first, md5 'pf|'
+    * domain cap at 10 — each stage the exact mirror of the Spark DAG in
+    * [[graft.ops.Curation.pipelineFunnel]]. */
+  private val funnelCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, lang, text, round(
+      |    CAST(0.4 AS DOUBLE) * least(
+      |      CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE)
+      |        / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+      |    + CAST(0.3 AS DOUBLE) *
+      |      (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE))
+      |    + CAST(0.3 AS DOUBLE) * least(
+      |      (CAST(len(list_filter(string_split(text, ' '),
+      |          x -> list_contains(['the','a','and','of','to','in'], x)))
+      |        AS DOUBLE)
+      |        / CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE))
+      |        * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+      |    6) AS quality
+      |  FROM documents),
+      |g AS (SELECT * FROM t WHERE quality >= 0.5),
+      |d AS (SELECT doc_id, source, lang, quality,
+      |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id)
+      |      AS rn FROM g),
+      |u AS (SELECT doc_id, source, lang, quality FROM d WHERE rn = 1),
+      |c AS (SELECT doc_id, source, lang, quality,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('pf|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS rk FROM u)""".stripMargin
 
   /** DuckDB-dialect oracle SQL per query (omitted -> rows-only check). */
   def oracleSql: Map[String, String] = Map(
@@ -914,6 +952,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 15
         |ORDER BY source, doc_id""".stripMargin,
+    // the composed funnel: quality CTE (q36's exact formula) ->
+    // sha256 keep-first (q32's shape) -> md5 cap (q99's shape)
+    "q100_pipeline_funnel" ->
+      s"""$funnelCtes
+         |SELECT doc_id, source, lang, quality FROM c WHERE rk <= 10
+         |ORDER BY doc_id""".stripMargin,
+    "q101_funnel_counts" ->
+      s"""$funnelCtes
+         |SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+         |  (SELECT COUNT(*) FROM g) AS n_quality,
+         |  (SELECT COUNT(*) FROM u) AS n_unique,
+         |  (SELECT COUNT(*) FROM c WHERE rk <= 10) AS n_capped""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

@@ -395,6 +395,68 @@ object Curation {
       .select(col("doc_id"), col("source"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** End-to-end curation funnel, every stage exactly mirrorable: the
+    * quality gate of [[TextOps.qualityScore]] (map-only projection, so
+    * it prunes BEFORE any shuffle), then exact dedup keep-first on
+    * sha256 (one shuffle, on the digest), then the md5 domain cap (one
+    * shuffle, on the source). Composing the three turns three green
+    * unit oracles (q36/q32/q99) into one hash-checked DAG — the check a
+    * real pipeline needs, because stage composition is where silent
+    * breakage hides (a filter reordered past a window changes the kept
+    * set without failing any unit test).
+    *
+    * Stage order IS the 100 TB design: the cheap projection gate runs
+    * at scan time and cuts shuffle input; dedup must precede the cap
+    * (duplicates would otherwise eat a domain's quota); the cap's
+    * window ranks only dedup survivors. */
+  def pipelineFunnel(s: SparkSession, d: String, cap: Int = 10): DataFrame = {
+    val gated = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
+      .filter(col("quality") >= 0.5)
+    val deduped = gated
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    deduped
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          md5(concat(lit("pf|"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Funnel observability: one row of per-stage survivor counts for
+    * [[pipelineFunnel]] — the numbers an operator watches to catch a
+    * stage suddenly eating the corpus. Computed as three cheap
+    * aggregates over the same shared plan (Catalyst reuses the scan),
+    * all integer, so the row hash-matches the DuckDB mirror. */
+  def funnelCounts(s: SparkSession, d: String, cap: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val gated = docs
+      .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
+      .filter(col("quality") >= 0.5)
+    val deduped = gated
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val capped = deduped
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          md5(concat(lit("pf|"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .filter(col("rk") <= cap)
+    docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(gated.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(deduped.agg(count(lit(1)).as("n_unique")))
+      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+  }
+
   /** Oracle-checkable SimHash: a 60-bit sketch whose bits come from
     * the first 15 hex nibbles of md5(token) — the same per-bit
     * majority vote as [[Dedup.simHashDf]], with a hash both engines

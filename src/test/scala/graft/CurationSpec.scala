@@ -186,6 +186,22 @@ class CurationSpec extends SparkTestBase {
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("pipelineFunnel composes gate, dedup and cap consistently") {
+    val out = Curation.pipelineFunnel(spark, sf("documents"), cap = 6).collect()
+    val again = Curation.pipelineFunnel(spark, sf("documents"), cap = 6).collect()
+    assert(out.nonEmpty && out.sameElements(again))
+    // every survivor passed the gate and the per-source cap
+    assert(out.forall(_.getDouble(3) >= 0.5))
+    val per = out.groupBy(_.getString(1)).values.map(_.length)
+    assert(per.forall(_ <= 6))
+    // funnel counts agree with the funnel itself and are monotone
+    val c = Curation.funnelCounts(spark, sf("documents"), cap = 6).collect()(0)
+    val (nt, nq, nu, nc) =
+      (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+    assert(nt >= nq && nq >= nu && nu >= nc)
+    assert(nc == out.length)
+  }
+
   test("domainCap keeps at most cap docs per source, deterministically") {
     val out = Curation.domainCap(spark, sf("documents"), cap = 7).collect()
     val again = Curation.domainCap(spark, sf("documents"), cap = 7).collect()
