@@ -287,6 +287,16 @@ object SparkEntry {
     // per-stage survivor counts for the same funnel
     "q101_funnel_counts" -> ((s, d) =>
       graft.ops.Curation.funnelCounts(s, d, cap = 10)),
+    // exact substring-dedup signal: per-doc duplicated 8-gram
+    // positions and span-union token coverage
+    "q102_dup_spans" -> ((s, d) =>
+      graft.ops.Curation.dupSpans(s, d, k = 8)),
+    // BM25 top-20 for a literal query; fixed-order float arithmetic
+    // so the rounded scores hash-match
+    "q103_bm25" -> ((s, d) => graft.ops.Retrieval.bm25TopK(s, d)),
+    // inverted index with full df and a capped ordered postings string
+    "q104_inverted_index" -> ((s, d) =>
+      graft.ops.Retrieval.invertedIndex(s, d, maxPostings = 25)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -964,6 +974,77 @@ object SparkEntry {
          |  (SELECT COUNT(*) FROM g) AS n_quality,
          |  (SELECT COUNT(*) FROM u) AS n_unique,
          |  (SELECT COUNT(*) FROM c WHERE rk <= 10) AS n_capped""".stripMargin,
+    // duplicated spans over gram STRINGS (the Spark side keys on the
+    // 64-bit lead-window hash; equal counts because gram equality is
+    // preserved — the q60 equivalence); positions are 1-based here and
+    // 0-based in Spark, which no count can see
+    "q102_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents),
+        |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS pos
+        |      FROM toks WHERE len(tk) >= 8),
+        |g2 AS (SELECT doc_id, pos,
+        |         array_to_string(tk[pos:pos+7], ' ') AS g
+        |       FROM p),
+        |dup AS (SELECT g FROM g2 GROUP BY g
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g2 JOIN dup USING (g)),
+        |counts AS (SELECT doc_id, COUNT(*) AS n_dup_grams
+        |           FROM dp GROUP BY doc_id),
+        |cov AS (SELECT doc_id, COUNT(DISTINCT pos + j) AS n_cov_tokens
+        |        FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS j
+        |              FROM dp) e
+        |        GROUP BY doc_id),
+        |ntok AS (SELECT doc_id, len(tk) AS n_tokens FROM toks)
+        |SELECT doc_id, n_dup_grams, n_cov_tokens,
+        |  round(CAST(n_cov_tokens AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
+        |FROM counts JOIN cov USING (doc_id) JOIN ntok USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // BM25: constants are spelled as the same IEEE operations the
+    // Scala side compiles (1.2 + 1.0, not a 2.2 literal) so every
+    // double matches; ln's last ulp is absorbed by round-6 (q61)
+    "q103_bm25" -> {
+      val terms = Seq("spark", "hash", "window")
+      val contribs = terms.zipWithIndex.map { case (t, i) =>
+        s"""ln((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE)
+           |      + CAST(0.5 AS DOUBLE))
+           |    / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           |    + CAST(1.0 AS DOUBLE))
+           |  * (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+           |    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+           |  / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+           |    + CAST(1.2 AS DOUBLE)
+           |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+           |        * (CAST(dl AS DOUBLE)
+           |          / (CAST(sum_dl AS DOUBLE)
+           |            / CAST(n_docs AS DOUBLE)))))""".stripMargin
+      }
+      val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(",\n  ")
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         |  $dfAggs
+         |  FROM docs)
+         |SELECT doc_id, bm25 FROM (
+         |  SELECT doc_id, round(
+         |    ${contribs.mkString("\n  + ")}, 6) AS bm25
+         |  FROM docs CROSS JOIN stats) t
+         |WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q104_inverted_index" ->
+      """WITH pairs AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |r AS (SELECT term, doc_id, row_number() OVER (
+        |    PARTITION BY term ORDER BY doc_id) AS rn FROM pairs)
+        |SELECT term, COUNT(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    FILTER (WHERE rn <= 25) AS postings
+        |FROM r GROUP BY term ORDER BY term""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

@@ -184,18 +184,21 @@ object Curation {
     * are equal iff their token sequences are (modulo 2^-64
     * collisions), so set arithmetic over these keys matches set
     * arithmetic over gram strings. */
-  private def gramHashes(df: DataFrame, k: Int): DataFrame = {
+  private def posGramHashes(df: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     df.select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
       .select(col("doc_id"), col("pos"), xxhash64(col("t")).as("h"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pos"),
         xxhash64((0 until k).map(j => lead(col("h"), j).over(w)): _*)
           .as("gh"),
         lead(col("h"), k - 1).over(w).as("tl"))
       .filter(col("tl").isNotNull) // docs shorter than k tokens drop out
-      .select(col("doc_id"), col("gh"))
+      .select(col("doc_id"), col("pos"), col("gh"))
   }
+
+  private def gramHashes(df: DataFrame, k: Int): DataFrame =
+    posGramHashes(df, k).select(col("doc_id"), col("gh"))
 
   def contamination(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -208,6 +211,41 @@ object Curation {
       .join(broadcast(benchGrams), "gh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_shared_grams"))
+  }
+
+  /** Cross-document duplicated-substring signal (the exact substring
+    * dedup statistic of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): for each document, how many of its
+    * token k-gram positions carry a gram that also occurs in at least
+    * one OTHER document, and what fraction of the document's tokens the
+    * union of those duplicated spans covers — the per-doc number a
+    * substring-dedup pass thresholds on.
+    *
+    * Scale shape: one gram-hash scan (the codegen'd lead-window combine
+    * above — 64-bit keys, no gram strings), one aggregation to find
+    * cross-doc grams, one SHUFFLE equi-join back (the duplicated-gram
+    * set grows with the corpus, so it is deliberately not broadcast),
+    * then a bounded k-fold explode for span-union coverage. No
+    * self-join of the corpus at any point. */
+  def dupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = posGramHashes(docs.select(col("doc_id"), col("text")), k)
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val dp = grams.join(dup, "gh")
+    val counts = dp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"))
+    val cov = dp.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("cp"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("cp")).as("n_cov_tokens"))
+    val ntok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    counts.join(cov, "doc_id").join(ntok, "doc_id")
+      .select(col("doc_id"), col("n_dup_grams"), col("n_cov_tokens"),
+        round(col("n_cov_tokens") / col("n_tokens"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-document most-salient term by tf-idf. One exploded-token
@@ -431,30 +469,38 @@ object Curation {
 
   /** Funnel observability: one row of per-stage survivor counts for
     * [[pipelineFunnel]] — the numbers an operator watches to catch a
-    * stage suddenly eating the corpus. Computed as three cheap
-    * aggregates over the same shared plan (Catalyst reuses the scan),
-    * all integer, so the row hash-matches the DuckDB mirror. */
+    * stage suddenly eating the corpus. Counts are collected as
+    * `Observation` metrics on a SINGLE pass of the funnel DAG (the A2
+    * pattern): one scan, the funnel's own two shuffles, zero extra
+    * jobs — where four separate `agg`s would re-scan the corpus four
+    * times at 100 TB. The capped count is the terminal action itself. */
   def funnelCounts(s: SparkSession, d: String, cap: Int = 10): DataFrame = {
-    val docs = Tables.documents(s, d)
+    import org.apache.spark.sql.Observation
+    val oTotal = Observation()
+    val oQuality = Observation()
+    val oUnique = Observation()
+    val capped = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"))
-    val gated = docs
+      .observe(oTotal, count(lit(1)).as("n"))
       .withColumn("quality", round(TextOps.qualityScore(col("text")), 6))
       .filter(col("quality") >= 0.5)
-    val deduped = gated
+      .observe(oQuality, count(lit(1)).as("n"))
       .withColumn("h", sha2(col("text"), 256))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
-    val capped = deduped
+      .observe(oUnique, count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source")).orderBy(
           md5(concat(lit("pf|"), col("doc_id").cast("string"))),
           col("doc_id"))))
       .filter(col("rk") <= cap)
-    docs.agg(count(lit(1)).as("n_total"))
-      .crossJoin(gated.agg(count(lit(1)).as("n_quality")))
-      .crossJoin(deduped.agg(count(lit(1)).as("n_unique")))
-      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+    val nCapped = capped.count()
+    import s.implicits._
+    Seq((oTotal.get("n").asInstanceOf[Long],
+      oQuality.get("n").asInstanceOf[Long],
+      oUnique.get("n").asInstanceOf[Long], nCapped))
+      .toDF("n_total", "n_quality", "n_unique", "n_capped")
   }
 
   /** Oracle-checkable SimHash: a 60-bit sketch whose bits come from

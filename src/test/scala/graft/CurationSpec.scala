@@ -202,6 +202,42 @@ class CurationSpec extends SparkTestBase {
     assert(nc == out.length)
   }
 
+  test("dupSpans matches an in-memory brute-force mirror") {
+    val k = 8
+    val out = Curation.dupSpans(spark, sf("documents"), k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.nonEmpty)
+    // brute force over gram STRINGS (the engine keys on 64-bit hashes)
+    val texts = Tables.documents(spark, sf("documents"))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val gramsOf = texts.map { case (id, toks) =>
+      id -> toks.sliding(k).filter(_.length == k).map(_.mkString(" "))
+        .zipWithIndex.toSeq
+    }.toMap
+    val crossDoc = gramsOf.toSeq
+      .flatMap { case (id, gs) => gs.map(g => (g._1, id)) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2).keySet
+    val expected = texts.flatMap { case (id, toks) =>
+      val hits = gramsOf(id).filter(g => crossDoc(g._1))
+      if (hits.isEmpty) None
+      else {
+        val covered = hits.flatMap { case (_, p) => p until (p + k) }
+          .distinct.length
+        Some(id -> ((hits.length.toLong, covered.toLong,
+          BigDecimal(covered.toDouble / toks.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)))
+      }
+    }.toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (id, (ng, nc, frac)) =>
+      val (g2, c2, f2) = out(id)
+      assert(g2 == ng && c2 == nc, s"doc $id: ($g2,$c2) vs ($ng,$nc)")
+      assert(math.abs(f2 - frac) < 1e-9, s"doc $id frac $f2 vs $frac")
+    }
+  }
+
   test("domainCap keeps at most cap docs per source, deterministically") {
     val out = Curation.domainCap(spark, sf("documents"), cap = 7).collect()
     val again = Curation.domainCap(spark, sf("documents"), cap = 7).collect()
