@@ -297,6 +297,13 @@ object SparkEntry {
     // inverted index with full df and a capped ordered postings string
     "q104_inverted_index" -> ((s, d) =>
       graft.ops.Retrieval.invertedIndex(s, d, maxPostings = 25)),
+    // the removal transform for q102: duplicated spans dropped, text
+    // rebuilt in token order, byte-identical to the DuckDB rebuild
+    "q105_substring_dedup" -> ((s, d) =>
+      graft.ops.Curation.dedupSubstrings(s, d, k = 8)),
+    // corpus-unigram mean NLL per doc, summed in token-position order
+    // so the doubles hash-match
+    "q106_unigram_nll" -> ((s, d) => graft.ops.TextOps.unigramNll(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1045,6 +1052,48 @@ object SparkEntry {
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
         |    FILTER (WHERE rn <= 25) AS postings
         |FROM r GROUP BY term ORDER BY term""".stripMargin,
+    // span removal over gram STRINGS; 1-based positions, Spark's are
+    // 0-based — invisible to the rebuilt text
+    "q105_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents),
+        |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS pos
+        |      FROM toks WHERE len(tk) >= 8),
+        |g2 AS (SELECT doc_id, pos,
+        |         array_to_string(tk[pos:pos+7], ' ') AS g
+        |       FROM p),
+        |dup AS (SELECT g FROM g2 GROUP BY g
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS cp
+        |        FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS j
+        |              FROM g2 JOIN dup USING (g)) e),
+        |tok AS (SELECT doc_id, unnest(tk) AS t,
+        |          unnest(range(1, len(tk) + 1)) AS pos
+        |        FROM toks),
+        |kept AS (SELECT tok.doc_id,
+        |    string_agg(t, ' ' ORDER BY pos) AS clean_text
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.cp
+        |  WHERE cov.doc_id IS NULL
+        |  GROUP BY tok.doc_id)
+        |SELECT d.doc_id, coalesce(kept.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // ordered per-doc fold: list(nlp ORDER BY pos) then list_sum is
+    // the same left-to-right accumulation as Spark's aggregate()
+    "q106_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+        |total AS (SELECT COUNT(*) AS total FROM tok)
+        |SELECT doc_id, round(
+        |    list_sum(list(-ln(CAST(cnt AS DOUBLE)
+        |      / CAST(total AS DOUBLE)) ORDER BY pos))
+        |    / COUNT(*), 6) AS mean_nll
+        |FROM tok JOIN vocab USING (t) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

@@ -248,6 +248,43 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The REMOVAL transform [[dupSpans]] is the statistic for: rewrite
+    * each document with every token covered by a cross-document
+    * duplicated k-gram span dropped (Lee et al.'s ExactSubstr dedup,
+    * reshaped to token spans). Documents that lose nothing pass through
+    * unchanged; a fully-duplicated document survives as an empty string
+    * rather than vanishing, so downstream row counts are stable.
+    *
+    * Same scale shape as the statistic — gram-hash scan, one agg, one
+    * shuffle join back, bounded k-fold explode — plus one
+    * reassembly aggregation whose concat is ordered by token position
+    * (sort_array over (pos, token) structs), so the rebuilt text is
+    * deterministic and the DuckDB mirror (string_agg ORDER BY pos)
+    * matches byte-for-byte. */
+  def dedupSubstrings(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "t")))
+    val grams = posGramHashes(docs.select(col("doc_id"), col("text")), k)
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val covered = grams.join(dup, "gh")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("t")))),
+          st => st.getField("t"))).as("clean_text"))
+    docs.select(col("doc_id")).join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document most-salient term by tf-idf. One exploded-token
     * aggregation for tf, one term aggregation for df, a shuffled
     * equi-join on `term` to score (raw web vocabulary — typos, URLs,

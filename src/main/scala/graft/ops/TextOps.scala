@@ -233,6 +233,44 @@ object TextOps {
 
   /** Per-doc top-2-gram fraction over docs with at least one 2-gram
     * (oracle-checked against a DuckDB unnest+group mirror). */
+  /** Corpus-unigram LM score per document (the CCNet-style perplexity
+    * filter, with the trained LM replaced by the corpus's own unigram
+    * model): mean negative log-likelihood
+    *   nll(doc) = -(1/dl) * SUM_pos ln(count(tok) / total_tokens)
+    * Low = boilerplate-like (all common tokens), high = rare-token
+    * soup; pipelines keep the middle band.
+    *
+    * Determinism: the per-doc sum runs in TOKEN-POSITION order — each
+    * doc's (pos, ln p) pairs are collected, sorted, and folded
+    * left-to-right with `aggregate`, exactly the ordered list_sum the
+    * DuckDB mirror computes — because a groupBy float sum has
+    * data-dependent order and would wobble past round-6 on 99-term
+    * docs. Scale shape: one exploded count agg for the vocabulary
+    * (map-side combined), a shuffle join of tokens to their counts on
+    * the term key, and one per-doc aggregation; vocabulary stays
+    * distributed (never broadcast — at 100 TB it is large), docs fold
+    * in-row. */
+  def unigramNll(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "t")))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(vocab, "t").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"),
+        (-log(col("cnt").cast("double") / col("total").cast("double")))
+          .as("nlp"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("nlp")))),
+            st => st.getField("nlp")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6)
+        .as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   def repetitionQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       // split semantics, not regexp tokenCount: the gram array is built

@@ -238,6 +238,34 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("dedupSubstrings drops exactly the tokens dupSpans says it covers") {
+    val spans = Curation.dupSpans(spark, sf("documents"), k = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val orig = Tables.documents(spark, sf("documents"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clean = Curation.dedupSubstrings(spark, sf("documents"), k = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean.keySet == orig.keySet, "row count must be stable")
+    orig.foreach { case (id, text) =>
+      val nOrig = text.split(" ").length
+      val nClean = clean(id) match {
+        case "" => 0
+        case t  => t.split(" ").length
+      }
+      assert(nOrig - nClean == spans.getOrElse(id, 0L),
+        s"doc $id: removed ${nOrig - nClean}, spans say ${spans.getOrElse(id, 0L)}")
+      // untouched docs pass through byte-identical
+      if (!spans.contains(id)) assert(clean(id) == text)
+      // kept tokens appear in original order
+      else {
+        val it = text.split(" ").iterator
+        assert(clean(id).split(" ").filter(_.nonEmpty)
+          .forall(tok => it.contains(tok)), s"doc $id order broken")
+      }
+    }
+  }
+
   test("domainCap keeps at most cap docs per source, deterministically") {
     val out = Curation.domainCap(spark, sf("documents"), cap = 7).collect()
     val again = Curation.domainCap(spark, sf("documents"), cap = 7).collect()

@@ -8,6 +8,28 @@ import graft.ops.TextOps
 class TextOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("unigramNll matches an in-memory ordered-fold mirror") {
+    val out = TextOps.unigramNll(spark, sf("documents")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val docs = Tables.documents(spark, sf("documents"))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toDouble
+    }
+    val total = docs.map(_._2.length).sum.toDouble
+    assert(out.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, toks) =>
+      val sum = toks.map(t => -math.log(counts(t) / total))
+        .foldLeft(0.0)(_ + _)
+      val mean = BigDecimal(sum / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(id) - mean) < 1e-9,
+        s"doc $id nll ${out(id)} vs $mean")
+      assert(out(id) > 0)
+    }
+  }
+
   private def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
     Seq(text).toDF("text").select(c($"text").as("r")).collect()(0).get(0)
 
