@@ -227,22 +227,41 @@ object Curation {
     * set grows with the corpus, so it is deliberately not broadcast),
     * then a bounded k-fold explode for span-union coverage. No
     * self-join of the corpus at any point. */
+  /** Memoized duplicated-gram positions (doc_id, pos): the gram-hash
+    * window, the cross-doc frequency aggregation, and the join back are
+    * all build-once work shared by [[dupSpans]] and [[dedupSubstrings]]
+    * (statistic and transform over the SAME table) — without the memo
+    * each DataFrame reuse re-runs the most expensive stage, the
+    * per-doc gram window, because Catalyst does not share subplans
+    * across branches. Same ownership rules as the banded indexes:
+    * one persisted copy per (app, input plan, k), FIFO-bounded,
+    * released by [[Dedup.clearLshCache]]. */
+  private def dupGramPositions(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    IndexMemo.getOrBuild[DataFrame]("dupGramPos", k.toString, Seq(docs)) {
+      val grams = posGramHashes(docs, k)
+      val dup = grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("gh"))
+      val dp = grams.join(dup, "gh")
+        .select(col("doc_id"), col("pos")).persist()
+      (dp, Seq(dp))
+    }
+  }
+
   def dupSpans(s: SparkSession, d: String, k: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val grams = posGramHashes(docs.select(col("doc_id"), col("text")), k)
-    val dup = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("gh"))
-    val dp = grams.join(dup, "gh")
-    val counts = dp.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_grams"))
-    val cov = dp.select(col("doc_id"),
+    val dp = dupGramPositions(s, d, k)
+    // one pass: gram positions are unique per doc, so the gram count is
+    // a distinct-count too, and both distincts share one aggregation
+    val agg = dp.select(col("doc_id"), col("pos"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("cp"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("cp")).as("n_cov_tokens"))
-    val ntok = docs.select(col("doc_id"),
+      .agg(countDistinct(col("pos")).as("n_dup_grams"),
+        countDistinct(col("cp")).as("n_cov_tokens"))
+    val ntok = Tables.documents(s, d).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    counts.join(cov, "doc_id").join(ntok, "doc_id")
+    agg.join(ntok, "doc_id")
       .select(col("doc_id"), col("n_dup_grams"), col("n_cov_tokens"),
         round(col("n_cov_tokens") / col("n_tokens"), 6).as("dup_frac"))
       .orderBy(col("doc_id"))
@@ -266,11 +285,7 @@ object Curation {
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
-    val grams = posGramHashes(docs.select(col("doc_id"), col("text")), k)
-    val dup = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("gh"))
-    val covered = grams.join(dup, "gh")
+    val covered = dupGramPositions(s, d, k)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
       .distinct()
