@@ -304,6 +304,11 @@ object SparkEntry {
     // corpus-unigram mean NLL per doc, summed in token-position order
     // so the doubles hash-match
     "q106_unigram_nll" -> ((s, d) => graft.ops.TextOps.unigramNll(s, d)),
+    // top adjacent-pair frequencies: the first BPE merge round
+    "q107_bpe_pairs" -> ((s, d) =>
+      graft.ops.TextOps.bpePairMining(s, d, topK = 20)),
+    // join-key skew order statistics with exact rank-based percentiles
+    "q108_skew_profile" -> ((s, d) => graft.ops.Skew.skewProfile(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1094,6 +1099,36 @@ object SparkEntry {
         |    / COUNT(*), 6) AS mean_nll
         |FROM tok JOIN vocab USING (t) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q107_bpe_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents)
+        |SELECT t1.t AS a, t2.t AS b, COUNT(*) AS cnt
+        |FROM tok t1 JOIN tok t2
+        |  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        |GROUP BY t1.t, t2.t
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+    // rank-based percentiles: "count at rank ceil(q*n) in (cnt, key)
+    // order" is the same integer in both engines, unlike interpolated
+    // quantiles whose rules differ
+    "q108_skew_profile" ->
+      """WITH counts AS (SELECT l_suppkey, COUNT(*) AS cnt
+        |                FROM lineitem GROUP BY l_suppkey),
+        |r AS (SELECT cnt, row_number() OVER (
+        |    ORDER BY cnt, l_suppkey) AS rn FROM counts),
+        |n AS (SELECT COUNT(*) AS nk, MAX(cnt) AS mx FROM counts)
+        |SELECT nk AS n_keys, mx AS max_cnt,
+        |  (SELECT cnt FROM r, n
+        |   WHERE rn = CAST(ceil(0.5 * CAST(nk AS DOUBLE)) AS BIGINT))
+        |    AS p50_cnt,
+        |  (SELECT cnt FROM r, n
+        |   WHERE rn = CAST(ceil(0.99 * CAST(nk AS DOUBLE)) AS BIGINT))
+        |    AS p99_cnt,
+        |  round(CAST(mx AS DOUBLE) / CAST((SELECT cnt FROM r, n
+        |    WHERE rn = CAST(ceil(0.5 * CAST(nk AS DOUBLE)) AS BIGINT))
+        |    AS DOUBLE), 6) AS skew_ratio
+        |FROM n""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

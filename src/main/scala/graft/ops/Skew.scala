@@ -68,4 +68,37 @@ object Skew {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(dec)).cast("double").as("total_value"))
   }
+
+  /** Join-key skew profile — the diagnostic that decides WHETHER to
+    * salt: per-key cardinalities reduced to one row of order statistics
+    * (key count, max, exact rank-based p50/p99, max/p50 ratio). Exact
+    * ranks instead of interpolating percentiles because the two
+    * engines' interpolation rules differ while "the count at rank
+    * ceil(q*n) in (cnt, key) order" is the same integer everywhere.
+    *
+    * Scale shape: the corpus-sized work is the map-side-combined
+    * per-key count; everything after runs on the KEY table (vocabulary-
+    * sized, not corpus-sized) — the one global-order window is over
+    * that reduced table, and the rank probes join against a broadcast
+    * single-row stats table. */
+  def skewProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("nk"), max(col("cnt")).as("mx"))
+    val ranked = counts
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt"), col("l_suppkey"))))
+      .crossJoin(broadcast(stats))
+    def atRank(q: Double, name: String): DataFrame =
+      ranked.filter(col("rn") ===
+          ceil(lit(q) * col("nk").cast("double")).cast("long"))
+        .select(col("cnt").as(name))
+    stats.crossJoin(broadcast(atRank(0.5, "p50_cnt")))
+      .crossJoin(broadcast(atRank(0.99, "p99_cnt")))
+      .select(col("nk").as("n_keys"), col("mx").as("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"),
+        round(col("mx").cast("double") / col("p50_cnt").cast("double"), 6)
+          .as("skew_ratio"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -269,6 +270,29 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6)
         .as("mean_nll"))
       .orderBy(col("doc_id"))
+  }
+
+  /** BPE merge-candidate mining: the top adjacent-token pairs by
+    * corpus frequency — the statistic the first byte-pair-encoding
+    * merge round is chosen from (and each later round re-runs on the
+    * merged stream). One exploded scan, a lead-window pair within each
+    * doc, one count aggregation, and a bounded top-k with a total
+    * (cnt DESC, a, b) order so the selected set is deterministic in
+    * both engines. Scale shape: the pair key space is vocabulary², not
+    * corpus-sized; counting is map-side combined; selection is
+    * TakeOrderedAndProject, never a global sort. */
+  def bpePairMining(s: SparkSession, d: String, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t").as("a"),
+        lead(col("t"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(topK)
   }
 
   def repetitionQuery(s: SparkSession, d: String): DataFrame =

@@ -8,6 +8,19 @@ import graft.ops.TextOps
 class TextOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("bpePairMining returns the exact top adjacent pairs") {
+    val out = TextOps.bpePairMining(spark, sf("documents"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 10)
+    val docs = Tables.documents(spark, sf("documents"))
+      .select($"text").collect().map(_.getString(0).split(" ").toSeq)
+    val brute = docs.flatMap(toks => toks.zip(toks.drop(1)))
+      .groupBy(identity).map { case ((a, b), xs) =>
+        (a, b, xs.length.toLong)
+      }.toSeq.sortBy { case (a, b, c) => (-c, a, b) }.take(10)
+    assert(out.toSeq == brute)
+  }
+
   test("unigramNll matches an in-memory ordered-fold mirror") {
     val out = TextOps.unigramNll(spark, sf("documents")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
