@@ -309,6 +309,12 @@ object SparkEntry {
       graft.ops.TextOps.bpePairMining(s, d, topK = 20)),
     // join-key skew order statistics with exact rank-based percentiles
     "q108_skew_profile" -> ((s, d) => graft.ops.Skew.skewProfile(s, d)),
+    // prefix-vs-full recall as an exact set intersection
+    "q109_mrl_recall" -> ((s, d) =>
+      Similarity.mrlRecallQuery(s, d, dims = 16, k = 10)),
+    // Matryoshka 16-dim prefix cosine top-10, oracled exactly
+    "q110_mrl_prefix_knn" -> ((s, d) =>
+      Similarity.mrlPrefixTopK(s, d, dims = 16)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -349,6 +355,24 @@ object SparkEntry {
       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
       |  / nullif(
       |      sqrt(list_sum(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(qe,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      CAST(0.0 AS DOUBLE)),
+      |  6) AS cosine
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** 16-dim-prefix variant of [[bruteForceTop10Sql]] (q109/q110): same
+    * one-pass arithmetic over the sliced lists. */
+  private val prefixTop10Sql: String =
+    """WITH q AS (SELECT embedding[1:16] AS qe FROM embeddings
+      |           WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |  / nullif(
+      |      sqrt(list_sum(list_transform(embedding[1:16],
       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |      * sqrt(list_sum(list_transform(qe,
       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
@@ -1129,6 +1153,13 @@ object SparkEntry {
         |    WHERE rn = CAST(ceil(0.5 * CAST(nk AS DOUBLE)) AS BIGINT))
         |    AS DOUBLE), 6) AS skew_ratio
         |FROM n""".stripMargin,
+    "q109_mrl_recall" ->
+      s"""WITH full10 AS ($bruteForceTop10Sql),
+         |pre10 AS ($prefixTop10Sql)
+         |SELECT COUNT(*) AS hits,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall_at_k
+         |FROM pre10 JOIN full10 USING (vec_id)""".stripMargin,
+    "q110_mrl_prefix_knn" -> prefixTop10Sql,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

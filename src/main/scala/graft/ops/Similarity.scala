@@ -111,6 +111,39 @@ object Similarity {
         col("nn.id").as("vec_id"), col("nn.score").as("cosine"))
   }
 
+  /** Matryoshka-style prefix retrieval: rank by cosine over only the
+    * first `dims` dimensions of the embedding (MRL-trained embeddings
+    * concentrate signal in the prefix, so a 16-of-64 scan reads 4x
+    * less vector data per candidate — the cheap first pass of a
+    * coarse-to-fine retrieval cascade). Same plan as the full
+    * brute-force scan: 1-row broadcast query, codegen'd one-pass
+    * cosine over the sliced arrays, bounded top-k. */
+  def mrlPrefixTopK(s: SparkSession, d: String, dims: Int = 16,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), slice(col("embedding"), 1, dims).as("pe"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("pe").as("qe"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(nativeCosine(s, col("pe"), col("qe")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Prefix-vs-full recall@k as an EXACT set intersection (both
+    * rankings are deterministic, so the overlap is a hash-checkable
+    * integer, not a golden constant). */
+  def mrlRecallQuery(s: SparkSession, d: String, dims: Int = 16,
+      k: Int = 10): DataFrame = {
+    val pre = mrlPrefixTopK(s, d, dims, 0L, k).select(col("vec_id"))
+    val full = knnBruteForce(s, d, 0L, k).select(col("vec_id"))
+    pre.join(full, "vec_id")
+      .agg(count(lit(1)).as("hits"),
+        (count(lit(1)) / lit(k.toDouble)).as("recall_at_k"))
+  }
+
   /** Per-vector norms (oracle-checked: mirrors as list_transform +
     * list_sum in DuckDB). */
   def normsQuery(s: SparkSession, d: String): DataFrame =

@@ -189,6 +189,21 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("mrlRecallQuery equals the intersection of the two rankings") {
+    val pre = Similarity.mrlPrefixTopK(spark, sf("embeddings"), dims = 16)
+      .collect().map(_.getLong(0)).toSet
+    val full = Similarity.knnBruteForce(spark, sf("embeddings"))
+      .collect().map(_.getLong(0)).toSet
+    assert(pre.size == 10 && full.size == 10)
+    val r = Similarity.mrlRecallQuery(spark, sf("embeddings")).collect()(0)
+    assert(r.getLong(0) == pre.intersect(full).size.toLong)
+    assert(math.abs(r.getDouble(1) - pre.intersect(full).size / 10.0) < 1e-9)
+    // determinism of the prefix ranking
+    val again = Similarity.mrlPrefixTopK(spark, sf("embeddings"), dims = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == pre)
+  }
+
   test("knnJoin matches a per-query brute-force ranking") {
     val out = Similarity.knnJoin(spark, sf("embeddings"), numQueries = 5, k = 3)
       .collect()
