@@ -315,6 +315,9 @@ object SparkEntry {
     // Matryoshka 16-dim prefix cosine top-10, oracled exactly
     "q110_mrl_prefix_knn" -> ((s, d) =>
       Similarity.mrlPrefixTopK(s, d, dims = 16)),
+    // prefix-candidates -> full-cosine rerank, oracled end-to-end
+    "q111_mrl_cascade" -> ((s, d) =>
+      Similarity.mrlCascadeTopK(s, d, dims = 16, candidates = 50)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -363,23 +366,26 @@ object SparkEntry {
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
-  /** 16-dim-prefix variant of [[bruteForceTop10Sql]] (q109/q110): same
+  /** 16-dim-prefix variant of [[bruteForceTop10Sql]] (q109/q110, and
+    * at limit=50 the candidate stage of the q111 cascade): same
     * one-pass arithmetic over the sliced lists. */
-  private val prefixTop10Sql: String =
-    """WITH q AS (SELECT embedding[1:16] AS qe FROM embeddings
-      |           WHERE vec_id = 0)
-      |SELECT vec_id, round(
-      |  list_sum(list_transform(range(1, 17),
-      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
-      |  / nullif(
-      |      sqrt(list_sum(list_transform(embedding[1:16],
-      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |      * sqrt(list_sum(list_transform(qe,
-      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
-      |      CAST(0.0 AS DOUBLE)),
-      |  6) AS cosine
-      |FROM embeddings, q WHERE vec_id <> 0
-      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  private def prefixTopSql(limit: Int): String =
+    s"""WITH q AS (SELECT embedding[1:16] AS qe FROM embeddings
+       |           WHERE vec_id = 0)
+       |SELECT vec_id, round(
+       |  list_sum(list_transform(range(1, 17),
+       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+       |  / nullif(
+       |      sqrt(list_sum(list_transform(embedding[1:16],
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(qe,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+       |      CAST(0.0 AS DOUBLE)),
+       |  6) AS cosine
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY cosine DESC, vec_id LIMIT $limit""".stripMargin
+
+  private val prefixTop10Sql: String = prefixTopSql(10)
 
   /** Shared CTE chain for the q100/q101 funnel: the q36 quality score
     * (same expression, same round-6), sha256 keep-first, md5 'pf|'
@@ -1160,6 +1166,21 @@ object SparkEntry {
          |  CAST(COUNT(*) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall_at_k
          |FROM pre10 JOIN full10 USING (vec_id)""".stripMargin,
     "q110_mrl_prefix_knn" -> prefixTop10Sql,
+    "q111_mrl_cascade" ->
+      s"""WITH cand AS (SELECT vec_id FROM (${prefixTopSql(50)}) c),
+         |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(
+         |  list_sum(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+         |  / nullif(
+         |      sqrt(list_sum(list_transform(embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |      * sqrt(list_sum(list_transform(qe,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+         |      CAST(0.0 AS DOUBLE)),
+         |  6) AS cosine
+         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qf
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

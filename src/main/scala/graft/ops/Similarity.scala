@@ -132,6 +132,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Coarse-to-fine cascade: take `candidates` by prefix cosine, then
+    * re-rank just those with the FULL-dimension cosine and keep top-k.
+    * The production retrieval shape prefix ranking exists for — the
+    * expensive full-width scan touches only `candidates` rows instead
+    * of the corpus. Both stages are deterministic bounded top-ks, so
+    * the cascade output is exactly oracle-able end-to-end. */
+  def mrlCascadeTopK(s: SparkSession, d: String, dims: Int = 16,
+      candidates: Int = 50, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val cand = mrlPrefixTopK(s, d, dims, queryId, candidates)
+      .select(col("vec_id"))
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(nativeCosine(s, col("embedding"), col("q_embedding")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Prefix-vs-full recall@k as an EXACT set intersection (both
     * rankings are deterministic, so the overlap is a hash-checkable
     * integer, not a golden constant). */

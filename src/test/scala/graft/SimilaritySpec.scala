@@ -204,6 +204,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == pre)
   }
 
+  test("mrlCascadeTopK reranks prefix candidates with full cosine") {
+    val cascade = Similarity.mrlCascadeTopK(spark, sf("embeddings"),
+      dims = 16, candidates = 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(cascade.length == 10)
+    // the cascade's members must all come from the prefix candidates
+    val cand = Similarity.mrlPrefixTopK(spark, sf("embeddings"),
+      dims = 16, k = 50).collect().map(_.getLong(0)).toSet
+    assert(cascade.forall { case (id, _) => cand(id) })
+    // and their scores must equal the full-cosine brute-force scores
+    val full = Similarity.knnBruteForce(spark, sf("embeddings"), k = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cascade.foreach { case (id, c) =>
+      assert(math.abs(full(id) - c) < 1e-9, s"vec $id score $c")
+    }
+    // cascade recall vs exact top-10 is at least the prefix's own
+    val exact10 = Similarity.knnBruteForce(spark, sf("embeddings"))
+      .collect().map(_.getLong(0)).toSet
+    val pre10 = Similarity.mrlPrefixTopK(spark, sf("embeddings"), dims = 16)
+      .collect().map(_.getLong(0)).toSet
+    val cascadeHits = cascade.map(_._1).count(exact10)
+    assert(cascadeHits >= pre10.intersect(exact10).size)
+  }
+
   test("knnJoin matches a per-query brute-force ranking") {
     val out = Similarity.knnJoin(spark, sf("embeddings"), numQueries = 5, k = 3)
       .collect()
