@@ -108,4 +108,44 @@ object StreamOps {
           }
       }
   }
+
+  final case class TermRow(key: String, term: String)
+  final case class HeavyHit(key: String, term: String, count: Long)
+
+  /** Misra-Gries update: k counters regardless of stream length —
+    * the state-store entry stays O(k) forever. Same semantics as the
+    * batch [[graft.ops.Sketches.MisraGries]] Aggregator's reduce. */
+  private def mgAdd(m: Map[String, Long], t: String,
+      k: Int): Map[String, Long] =
+    if (m.contains(t)) m.updated(t, m(t) + 1L)
+    else if (m.size < k) m.updated(t, 1L)
+    else m.collect { case (x, c) if c > 1L => x -> (c - 1L) }
+
+  /** Streaming heavy hitters: a Misra-Gries summary maintained as
+    * keyed state across micro-batches. Emits each group's CURRENT
+    * summary every batch (update mode), largest counters first. The
+    * classic guarantee survives streaming because MG is
+    * insertion-incremental: after any prefix of the stream, every term
+    * with true frequency > N/k is present, with estimate in
+    * [true - N/k, true].
+    *
+    * At scale: one shuffle on the group key per batch; state is O(k)
+    * per key (never the term vocabulary), so the state store is
+    * bounded by keys x k — the property that lets this run forever on
+    * an unbounded stream. */
+  def streamingHeavyHitters(rows: Dataset[TermRow],
+      k: Int = 8): Dataset[HeavyHit] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[Map[String, Long], HeavyHit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[TermRow],
+            state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach(r => m = mgAdd(m, r.term, k))
+          state.update(m)
+          m.toSeq.sortBy { case (t, c) => (-c, t) }
+            .map { case (t, c) => HeavyHit(key, t, c) }.iterator
+      }
+  }
 }

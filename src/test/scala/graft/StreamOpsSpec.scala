@@ -123,6 +123,39 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingHeavyHitters keeps MG guarantees across micro-batches") {
+    import graft.streaming.StreamOps.{HeavyHit, TermRow}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TermRow]
+    val hh = StreamOps.streamingHeavyHitters(in.toDS(), k = 4)
+    val q = hh.writeStream.format("memory").queryName("hhstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: "hot" dominates; batch 2 continues the skew
+      val b1 = Seq.fill(12)("hot") ++ Seq("a", "b", "c", "d", "e")
+      val b2 = Seq.fill(8)("hot") ++ Seq("f", "g", "warm", "warm", "warm")
+      in.addData(b1.map(TermRow("s1", _)): _*)
+      q.processAllAvailable()
+      in.addData(b2.map(TermRow("s1", _)): _*)
+      q.processAllAvailable()
+      // last batch's emitted summary for s1
+      val batches = spark.table("hhstream").as[HeavyHit].collect()
+      val last = batches.groupBy(_.term).map { case (t, xs) =>
+        t -> xs.map(_.count).max
+      }
+      val n = (b1 ++ b2).length.toDouble
+      val trueHot = (b1 ++ b2).count(_ == "hot").toLong
+      // classic guarantee: freq > N/k must be present, estimate within
+      // [true - N/k, true]
+      assert(trueHot > n / 4)
+      val est = last.getOrElse("hot", 0L)
+      assert(est <= trueHot && est >= trueHot - (n / 4).ceil.toLong,
+        s"hot estimate $est vs true $trueHot")
+      // state never exceeds k counters: two batches emit at most 2k rows
+      assert(batches.length <= 2 * 4)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState dedups keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedRow]
