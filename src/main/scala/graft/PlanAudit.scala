@@ -14,7 +14,9 @@ object PlanAudit {
         "q42_knn_brute", "q53_sessionize", "q54_asof_join", "q55_range_join",
         "q56_salted_join", "q60_contamination", "q63_dedup_clusters",
         "q65_rollup_revenue", "q78_repetition", "q79_budget_fill",
-        "q80_pack_sequences", "q82_zorder_key", "q84_knn_join")
+        "q80_pack_sequences", "q82_zorder_key", "q84_knn_join",
+        "q100_pipeline_funnel", "q102_dup_spans", "q103_bm25",
+        "q108_skew_profile", "q111_mrl_cascade", "q112_source_overlap")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     // PLAN_EXEC=1 executes each query first so the explain shows the

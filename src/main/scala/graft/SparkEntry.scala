@@ -318,6 +318,9 @@ object SparkEntry {
     // prefix-candidates -> full-cosine rerank, oracled end-to-end
     "q111_mrl_cascade" -> ((s, d) =>
       Similarity.mrlCascadeTopK(s, d, dims = 16, candidates = 50)),
+    // pairwise source-vocabulary Jaccard (mirror-domain diagnostic)
+    "q112_source_overlap" -> ((s, d) =>
+      graft.ops.Curation.sourceOverlap(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1181,6 +1184,21 @@ object SparkEntry {
          |  6) AS cosine
          |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qf
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q112_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+        |sh AS (SELECT a.source AS s1, b.source AS s2,
+        |    COUNT(*) AS shared
+        |  FROM st a JOIN st b
+        |    ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, shared,
+        |  round(CAST(shared AS DOUBLE)
+        |    / CAST(z1.n + z2.n - shared AS DOUBLE), 6) AS jaccard
+        |FROM sh JOIN sz z1 ON s1 = z1.source
+        |  JOIN sz z2 ON s2 = z2.source
+        |ORDER BY s1, s2""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

@@ -300,6 +300,35 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source vocabulary overlap: pairwise Jaccard similarity of
+    * the sources' distinct-term sets — the diagnostic a corpus mixer
+    * reads to spot near-identical domains (mirror sites, syndicated
+    * feeds) before weighting them as independent. The self-join is on
+    * the TERM key, so cost is one (source, term) distinct shuffle plus
+    * per-term source pairing — bounded by vocabulary x sources², never
+    * documents²; the number of sources in a corpus mix is O(100) by
+    * construction, so the pair fan-out per term is small and the
+    * output matrix tiny. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = st.as("a").join(st.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), "s2")
+      .select(col("s1"), col("s2"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Per-document most-salient term by tf-idf. One exploded-token
     * aggregation for tf, one term aggregation for df, a shuffled
     * equi-join on `term` to score (raw web vocabulary — typos, URLs,

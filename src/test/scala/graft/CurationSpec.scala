@@ -266,6 +266,35 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("sourceOverlap matches brute-force pairwise Jaccard") {
+    val out = Curation.sourceOverlap(spark, sf("documents")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    val vocab = Tables.documents(spark, sf("documents"))
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.flatMap(_.getString(1).split(" ")).toSet
+      }
+    out.foreach { case (s1, s2, shared, j) =>
+      assert(s1 < s2)
+      val (v1, v2) = (vocab(s1), vocab(s2))
+      assert(shared == v1.intersect(v2).size.toLong)
+      val expect = BigDecimal(
+        v1.intersect(v2).size.toDouble / v1.union(v2).size.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(j - expect) < 1e-9, s"$s1/$s2 $j vs $expect")
+    }
+    // every source pair with any shared term is present
+    val srcs = vocab.keys.toSeq.sorted
+    val expectPairs = for {
+      a <- srcs; b <- srcs if a < b
+      if vocab(a).intersect(vocab(b)).nonEmpty
+    } yield (a, b)
+    assert(out.map(t => (t._1, t._2)).toSet == expectPairs.toSet)
+  }
+
   test("domainCap keeps at most cap docs per source, deterministically") {
     val out = Curation.domainCap(spark, sf("documents"), cap = 7).collect()
     val again = Curation.domainCap(spark, sf("documents"), cap = 7).collect()
