@@ -321,6 +321,9 @@ object SparkEntry {
     // pairwise source-vocabulary Jaccard (mirror-domain diagnostic)
     "q112_source_overlap" -> ((s, d) =>
       graft.ops.Curation.sourceOverlap(s, d)),
+    // minimum-variance stratified budget split, Hamilton-rounded
+    "q113_neyman_alloc" -> ((s, d) =>
+      graft.ops.Curation.neymanAllocation(s, d, budget = 1000)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1199,6 +1202,33 @@ object SparkEntry {
         |FROM sh JOIN sz z1 ON s1 = z1.source
         |  JOIN sz z2 ON s2 = z2.source
         |ORDER BY s1, s2""".stripMargin,
+    // N_h*S_h = sqrt(n*sx2 - sx^2): exact BIGINT argument, correctly-
+    // rounded sqrt in both engines; the cross-strata weight total
+    // folds in lang order (the q106 device)
+    "q113_neyman_alloc" ->
+      """WITH m AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
+        |           FROM documents),
+        |s AS (SELECT lang, COUNT(*) AS n_h, SUM(x) AS sx,
+        |        SUM(x * x) AS sx2
+        |      FROM m GROUP BY lang),
+        |w AS (SELECT lang, n_h,
+        |        sqrt(CAST(sx2 * n_h - sx * sx AS DOUBLE)) AS w
+        |      FROM s),
+        |t AS (SELECT list_sum(list(w ORDER BY lang)) AS sw FROM w),
+        |f AS (SELECT lang, n_h, w,
+        |        CAST(1000.0 AS DOUBLE) * w / sw AS share
+        |      FROM w, t),
+        |b AS (SELECT lang, n_h, w, share,
+        |        CAST(floor(share) AS BIGINT) AS base,
+        |        share - floor(share) AS rem
+        |      FROM f),
+        |bs AS (SELECT SUM(base) AS bsum FROM b),
+        |r AS (SELECT lang, n_h, w, base, rem, row_number() OVER (
+        |        ORDER BY rem DESC, lang) AS rk FROM b)
+        |SELECT lang, n_h, round(w, 6) AS weight,
+        |  base + CASE WHEN rk <= 1000 - bsum
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alloc
+        |FROM r, bs ORDER BY lang""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

@@ -300,6 +300,50 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Neyman allocation: split a sampling budget across strata
+    * proportionally to N_h * S_h (stratum size x std dev of the target
+    * variable) — the minimum-variance allocation for a stratified
+    * estimate, and the statistically-principled way to mix corpus
+    * strata. Integerized by largest-remainder (Hamilton) rounding so
+    * allocations sum to the budget exactly.
+    *
+    * Exactly oracle-able because the float work is minimal BY
+    * CONSTRUCTION: N_h * S_h simplifies to sqrt(N_h*Σx² - (Σx)²),
+    * whose argument is exact BIGINT arithmetic and whose sqrt is
+    * IEEE-correctly-rounded in both engines (unlike ln); the only
+    * order-sensitive sum — total weight across strata — folds in lang
+    * order (the q106 device). Scale shape: one map-side-combined
+    * moment aggregation over the corpus; everything after runs on the
+    * strata table (a handful of rows). */
+  def neymanAllocation(s: SparkSession, d: String,
+      budget: Int = 1000): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars").cast("long").as("x"))
+    val strata = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_h"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      .withColumn("w", sqrt(
+        (col("sx2") * col("n_h") - col("sx") * col("sx")).cast("double")))
+    val tot = strata.agg(
+      aggregate(
+        transform(sort_array(collect_list(struct(col("lang"), col("w")))),
+          st => st.getField("w")),
+        lit(0.0), (a, x) => a + x).as("sw"))
+    val based = strata.crossJoin(broadcast(tot))
+      .withColumn("share", lit(budget.toDouble) * col("w") / col("sw"))
+      .withColumn("base", floor(col("share")))
+      .withColumn("rem", col("share") - col("base"))
+    val baseSum = based.agg(sum(col("base")).as("bs"))
+    based.crossJoin(broadcast(baseSum))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+      .select(col("lang"), col("n_h"), round(col("w"), 6).as("weight"),
+        (col("base") + when(col("rk") <= lit(budget.toLong) - col("bs"),
+          lit(1L)).otherwise(lit(0L))).as("alloc"))
+      .orderBy(col("lang"))
+  }
+
   /** Cross-source vocabulary overlap: pairwise Jaccard similarity of
     * the sources' distinct-term sets — the diagnostic a corpus mixer
     * reads to spot near-identical domains (mirror sites, syndicated

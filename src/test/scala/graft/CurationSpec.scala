@@ -266,6 +266,44 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("neymanAllocation sums to the budget and matches brute force") {
+    val budget = 1000
+    val out = Curation.neymanAllocation(spark, sf("documents"), budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._4).sum == budget.toLong, "allocs must sum to budget")
+    // brute force: w_h = sqrt(n*sx2 - sx^2), Hamilton rounding
+    val docs = Tables.documents(spark, sf("documents"))
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val strata = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sx2 = xs.map(x => x._2 * x._2).sum
+      (l, n, math.sqrt((sx2 * n - sx * sx).toDouble))
+    }
+    val sw = strata.map(_._3).foldLeft(0.0)(_ + _)
+    val shares = strata.map { case (l, n, w) =>
+      (l, n, w, budget.toDouble * w / sw)
+    }
+    val bases = shares.map { case (l, n, w, sh) =>
+      (l, n, w, math.floor(sh).toLong, sh - math.floor(sh))
+    }
+    val leftover = budget - bases.map(_._4).sum
+    val bump = bases.sortBy { case (l, _, _, _, rem) => (-rem, l) }
+      .take(leftover.toInt).map(_._1).toSet
+    val expect = bases.map { case (l, n, w, b, _) =>
+      (l, n, b + (if (bump(l)) 1L else 0L))
+    }
+    assert(out.map(t => (t._1, t._2, t._4)).toSeq == expect)
+    // weights agree to round-6
+    out.zip(strata).foreach { case ((_, _, wGot, _), (_, _, wExp)) =>
+      assert(math.abs(wGot - BigDecimal(wExp).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("sourceOverlap matches brute-force pairwise Jaccard") {
     val out = Curation.sourceOverlap(spark, sf("documents")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
