@@ -324,6 +324,13 @@ object SparkEntry {
     // minimum-variance stratified budget split, Hamilton-rounded
     "q113_neyman_alloc" -> ((s, d) =>
       graft.ops.Curation.neymanAllocation(s, d, budget = 1000)),
+    // UniMax water-filling: equal shares, epoch-capped per language
+    "q114_unimax_alloc" -> ((s, d) =>
+      graft.ops.Curation.unimaxAllocation(s, d,
+        budget = 250000L, epochCap = 2)),
+    // DSIR hashed-bigram importance log-weights vs the en target slice
+    "q115_dsir_weights" -> ((s, d) =>
+      graft.ops.Curation.dsirWeights(s, d, buckets = 256)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1229,6 +1236,68 @@ object SparkEntry {
         |  base + CASE WHEN rk <= 1000 - bsum
         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alloc
         |FROM r, bs ORDER BY lang""".stripMargin,
+    // water-filling closed form: saturation is prefix-monotone over
+    // capacity-sorted strata, so a running-min window finds the
+    // breakpoint; all comparisons exact BIGINT, two final divisions
+    "q114_unimax_alloc" ->
+      """WITH sz AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sz
+        |            FROM documents GROUP BY lang),
+        |c AS (SELECT lang, sz, sz * 2 AS cap,
+        |        (SELECT COUNT(*) FROM sz) AS m FROM sz),
+        |o AS (SELECT *, row_number() OVER (ORDER BY cap, lang) AS rk,
+        |        CAST(SUM(cap) OVER (ORDER BY cap, lang
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+        |      FROM c),
+        |f AS (SELECT *, CASE WHEN cap * (m - rk + 1)
+        |          <= 250000 - (prefix - cap)
+        |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |          AS satflag FROM o),
+        |g AS (SELECT *, MIN(satflag) OVER (ORDER BY rk
+        |        ROWS UNBOUNDED PRECEDING) AS sat FROM f),
+        |agg AS (SELECT CAST(SUM(sat) AS BIGINT) AS t,
+        |          CAST(SUM(sat * cap) AS BIGINT) AS capsum FROM g)
+        |SELECT lang, sz, cap, sat AS saturated,
+        |  round(CASE WHEN sat = 1 THEN CAST(cap AS DOUBLE)
+        |    ELSE CAST(250000 - capsum AS DOUBLE)
+        |      / CAST(m - t AS DOUBLE) END, 6) AS alloc,
+        |  round(CASE WHEN sat = 1 THEN CAST(cap AS DOUBLE)
+        |    ELSE CAST(250000 - capsum AS DOUBLE)
+        |      / CAST(m - t AS DOUBLE) END
+        |    / CAST(sz AS DOUBLE), 6) AS epochs
+        |FROM g, agg ORDER BY lang""".stripMargin,
+    // DSIR: hashed-bigram bucket models (exact BIGINT counts), one ln
+    // per bucket, per-doc sum folded in position order (q106 device)
+    "q115_dsir_weights" -> {
+      val nibbleSum = (1 to 8).map { i =>
+        s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
+          s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
+      }.mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS t,
+         |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+         |  FROM documents),
+         |g0 AS (SELECT t1.doc_id, t1.lang, t1.pos,
+         |         md5('0|' || t1.t || ' ' || t2.t) AS h
+         |       FROM tok t1 JOIN tok t2
+         |         ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+         |hb AS (SELECT doc_id, lang, pos, ($nibbleSum) % 256 AS b
+         |       FROM g0),
+         |tc AS (SELECT b, COUNT(*) AS ct FROM hb WHERE lang = 'en'
+         |       GROUP BY b),
+         |tt AS (SELECT COUNT(*) AS tt FROM hb WHERE lang = 'en'),
+         |qc AS (SELECT b, COUNT(*) AS cq FROM hb GROUP BY b),
+         |qt AS (SELECT COUNT(*) AS qt FROM hb),
+         |lr AS (SELECT q.b,
+         |         ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+         |            / CAST(tt + 256 AS DOUBLE))
+         |         - ln(CAST(cq + 1 AS DOUBLE)
+         |            / CAST(qt + 256 AS DOUBLE)) AS lrv
+         |       FROM qc q LEFT JOIN tc USING (b), tt, qt)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  round(list_sum(list(lrv ORDER BY pos)), 6) AS logw
+         |FROM hb JOIN lr USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

@@ -344,6 +344,107 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** UniMax budget allocation (water-filling): split a character budget
+    * across language strata so every language gets an equal share,
+    * except that no language is sampled past `epochCap` epochs of its
+    * data — the published remedy for proportional sampling starving
+    * low-resource languages and uniform sampling over-epoching them.
+    *
+    * The sequential "give the smallest language its cap, re-split the
+    * remainder" loop has a closed form over capacity-sorted strata:
+    * a stratum is saturated iff its cap times the number of strata at
+    * or after it (in ascending cap order) fits the budget left after
+    * all earlier caps; the unsaturated strata split the post-cap
+    * remainder equally. Saturation is prefix-monotone in that order,
+    * so a running-min flag over a window computes the breakpoint —
+    * every comparison is exact BIGINT; the only float ops are the two
+    * final divisions (level, epochs), identical single IEEE ops in
+    * both engines. Scale shape: one map-side-combined sum per
+    * language, then windows over the strata table (a handful of
+    * rows). */
+  def unimaxAllocation(s: SparkSession, d: String,
+      budget: Long = 250000L, epochCap: Int = 2): DataFrame = {
+    val caps = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("sz"))
+      .withColumn("cap", col("sz") * epochCap)
+    val w = Window.orderBy(col("cap"), col("lang"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = caps.agg(count(lit(1)).as("m"))
+    val flagged = caps.crossJoin(broadcast(m))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("prefix", sum(col("cap")).over(run))
+      .withColumn("satflag",
+        when(col("cap") * (col("m") - col("rk") + 1) <=
+          lit(budget) - (col("prefix") - col("cap")), 1L).otherwise(0L))
+      .withColumn("sat", min(col("satflag")).over(run))
+    val agg = flagged.agg(sum(col("sat")).as("t"),
+      sum(col("sat") * col("cap")).as("capsum"))
+    val level = (lit(budget) - col("capsum")).cast("double") /
+      (col("m") - col("t")).cast("double")
+    flagged.crossJoin(broadcast(agg))
+      .select(col("lang"), col("sz"), col("cap"),
+        col("sat").as("saturated"),
+        round(when(col("sat") === 1L, col("cap").cast("double"))
+          .otherwise(level), 6).as("alloc"),
+        round(when(col("sat") === 1L, col("cap").cast("double"))
+          .otherwise(level) / col("sz").cast("double"), 6).as("epochs"))
+      .orderBy(col("lang"))
+  }
+
+  /** DSIR-style importance weights: score every document by how much
+    * its hashed-bigram profile looks like a target slice versus the
+    * raw corpus (Data Selection via Importance Resampling). Bigrams
+    * hash into `buckets` cells via the oracle-mirrorable md5 nibble
+    * device ([[Sketches.md5BucketCol]]); the target (here lang='en')
+    * and raw corpora each induce an add-1-smoothed bucket unigram
+    * model; a document's log-weight is the sum over its bigrams of
+    * ln(p_target/p_raw) for the bigram's bucket.
+    *
+    * Oracle-able because the bucket models are exact BIGINT counts,
+    * each bucket's log-ratio is a single ln of a single division, and
+    * the per-document sum folds in position order (the q106 device) —
+    * round-6 absorbs ln ulp differences between engines. Scale shape:
+    * the bucket tables are `buckets` rows → broadcast; the gram stream
+    * is already hash-partitioned by doc_id from the lead window, so
+    * the per-document fold reuses that exchange. */
+  def dsirWeights(s: SparkSession, d: String,
+      buckets: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        concat_ws(" ", col("t"), lead(col("t"), 1).over(w)).as("g"),
+        lead(col("t"), 1).over(w).as("nx"))
+      .filter(col("nx").isNotNull)
+      .select(col("doc_id"), col("lang"), col("pos"),
+        Sketches.md5BucketCol(0, col("g"), buckets).as("b"))
+    val tCnt = grams.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tTot = grams.filter(col("lang") === "en")
+      .agg(count(lit(1)).as("tt"))
+    val qCnt = grams.groupBy(col("b")).agg(count(lit(1)).as("cq"))
+    val qTot = grams.agg(count(lit(1)).as("qt"))
+    val ratio = qCnt.join(tCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(qTot))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") /
+            (col("tt") + buckets).cast("double")) -
+          log((col("cq") + 1).cast("double") /
+            (col("qt") + buckets).cast("double"))).as("lrv"))
+    grams.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(aggregate(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("lrv")))),
+            st => st.getField("lrv")),
+          lit(0.0), (acc, x) => acc + x), 6).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-source vocabulary overlap: pairwise Jaccard similarity of
     * the sources' distinct-term sets — the diagnostic a corpus mixer
     * reads to spot near-identical domains (mirror sites, syndicated

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Skew}
+import graft.ops.{Curation, Sketches, Skew}
 import graft.Tables
 
 /** Corpus-curation operators: sampling determinism, normalization,
@@ -301,6 +301,82 @@ class CurationSpec extends SparkTestBase {
     out.zip(strata).foreach { case ((_, _, wGot, _), (_, _, wExp)) =>
       assert(math.abs(wGot - BigDecimal(wExp).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("unimaxAllocation matches iterative water-filling") {
+    val budget = 250000L
+    val k = 2
+    val out = Curation.unimaxAllocation(spark, sf("documents"), budget, k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // brute force: repeatedly saturate any language whose cap fits the
+    // equal share of what's left, then re-split
+    val caps = Tables.documents(spark, sf("documents"))
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("sz")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(1) * k))
+    assert(caps.map(_._3).sum >= budget, "test assumes a binding budget")
+    var remaining = budget.toDouble
+    var left = caps.sortBy(t => (t._3, t._1)).toList
+    val alloc = scala.collection.mutable.Map[String, Double]()
+    val saturated = scala.collection.mutable.Set[String]()
+    var settled = false
+    while (left.nonEmpty && !settled) {
+      val share = remaining / left.size
+      val (sat, rest) = left.partition(_._3 <= share)
+      if (sat.isEmpty) {
+        left.foreach(t => alloc(t._1) = share)
+        settled = true
+      } else {
+        sat.foreach { t =>
+          alloc(t._1) = t._3.toDouble
+          saturated += t._1
+          remaining -= t._3.toDouble
+        }
+        left = rest
+      }
+    }
+    assert(math.abs(out.map(_._5).sum - budget.toDouble) < 1e-3,
+      "allocations must exhaust a binding budget")
+    out.foreach { case (lang, sz, cap, satGot, allocGot, epochsGot) =>
+      val capExp = caps.find(_._1 == lang).get._3
+      assert(cap == capExp)
+      assert(satGot == (if (saturated(lang)) 1L else 0L), s"sat $lang")
+      assert(math.abs(allocGot - alloc(lang)) < 1e-5, s"alloc $lang")
+      assert(math.abs(epochsGot - alloc(lang) / sz) < 1e-5, s"epochs $lang")
+      assert(allocGot <= cap.toDouble + 1e-9, s"cap respected $lang")
+    }
+  }
+
+  test("dsirWeights matches a brute-force hashed-bigram model") {
+    val bk = 256
+    val out = Curation.dsirWeights(spark, sf("documents"), bk).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val docs = Tables.documents(spark, sf("documents"))
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val grams = docs.map { case (id, lang, text) =>
+      val ts = text.split(" ", -1)
+      (id, lang,
+        ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toArray)
+    }.filter(_._3.nonEmpty).sortBy(_._1)
+    def bucket(g: String): Int = (Sketches.md5Hash32(0, g) % bk).toInt
+    val allB = grams.flatMap(_._3.map(bucket))
+    val tgtB = grams.filter(_._2 == "en").flatMap(_._3.map(bucket))
+    val qCnt = allB.groupBy(identity).map { case (b, xs) => b -> xs.length }
+    val tCnt = tgtB.groupBy(identity).map { case (b, xs) => b -> xs.length }
+    val tT = tgtB.length.toLong
+    val qT = allB.length.toLong
+    def lrv(b: Int): Double =
+      math.log((tCnt.getOrElse(b, 0) + 1).toDouble / (tT + bk)) -
+        math.log((qCnt(b) + 1).toDouble / (qT + bk))
+    val expect = grams.map { case (id, _, gs) =>
+      (id, gs.length.toLong, gs.map(g => lrv(bucket(g))).foldLeft(0.0)(_ + _))
+    }
+    assert(out.map(t => (t._1, t._2)) == expect.map(t => (t._1, t._2)).toSeq)
+    out.zip(expect).foreach { case ((id, _, got), (_, _, exp)) =>
+      assert(math.abs(got - exp) < 1e-5, s"logw doc $id")
     }
   }
 
