@@ -331,6 +331,10 @@ object SparkEntry {
     // DSIR hashed-bigram importance log-weights vs the en target slice
     "q115_dsir_weights" -> ((s, d) =>
       graft.ops.Curation.dsirWeights(s, d, buckets = 256)),
+    // CCNet-style quality: bigram LM backed off to unigrams
+    "q116_bigram_nll" -> ((s, d) => graft.ops.TextOps.bigramNll(s, d)),
+    // Zipf rank-frequency OLS fit over the top-500 terms
+    "q117_zipf_fit" -> ((s, d) => graft.ops.TextOps.zipfFit(s, d, 500)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1298,6 +1302,52 @@ object SparkEntry {
          |FROM hb JOIN lr USING (b)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // bigram LM: exact counts, fixed parenthesization (explicit DOUBLE
+    // lambdas — bare 0.7 is DECIMAL in DuckDB), position-ordered fold
+    "q116_bigram_nll" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c1 FROM tok GROUP BY t),
+        |tot AS (SELECT COUNT(*) AS n FROM tok),
+        |pr AS (SELECT t1.doc_id, t1.pos, t1.t AS a, t2.t AS b
+        |       FROM tok t1 JOIN tok t2
+        |         ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |bi AS (SELECT a, b, COUNT(*) AS c2 FROM pr GROUP BY a, b)
+        |SELECT doc_id, round(list_sum(list(-ln(
+        |    CAST(0.7 AS DOUBLE)
+        |      * (CAST(c2 AS DOUBLE) / CAST(ua.c1 AS DOUBLE))
+        |    + CAST(0.3 AS DOUBLE)
+        |      * (CAST(ub.c1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |  ) ORDER BY pos)) / COUNT(*), 6) AS mean_nll
+        |FROM pr JOIN bi USING (a, b)
+        |  JOIN uni ua ON pr.a = ua.t
+        |  JOIN uni ub ON pr.b = ub.t
+        |  CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Zipf OLS on ln(rank)/ln(cnt) over a total-ordered top-K; all
+    // four sums fold in rank order, slope/intercept share one
+    // parenthesization with the Spark side
+    "q117_zipf_fit" ->
+      """WITH cnts AS (SELECT t, COUNT(*) AS cnt FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS t
+        |     FROM documents) GROUP BY t),
+        |top AS (SELECT t, cnt,
+        |          row_number() OVER (ORDER BY cnt DESC, t) AS rk
+        |        FROM cnts ORDER BY cnt DESC, t LIMIT 500),
+        |xy AS (SELECT rk, ln(CAST(rk AS DOUBLE)) AS x,
+        |         ln(CAST(cnt AS DOUBLE)) AS y FROM top),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+        |        list_sum(list(x ORDER BY rk)) AS sx,
+        |        list_sum(list(y ORDER BY rk)) AS sy,
+        |        list_sum(list(x * y ORDER BY rk)) AS sxy,
+        |        list_sum(list(x * x ORDER BY rk)) AS sxx FROM xy)
+        |SELECT CAST(k AS BIGINT) AS n_terms,
+        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+        |    / k, 6) AS intercept
+        |FROM s""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

@@ -295,6 +295,97 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Interpolated bigram-LM perplexity score — the CCNet-style quality
+    * signal: per-document mean negative log-likelihood under a corpus
+    * bigram model backed off to unigrams,
+    * p(w2|w1) = 0.7*c2(w1,w2)/c1(w1) + 0.3*c1(w2)/N.
+    * Extends [[unigramNll]] (q106) with bigram context; low scores are
+    * fluent-under-the-corpus, high scores are outliers.
+    *
+    * Oracle-able by the same devices: every count is exact BIGINT, the
+    * per-position probability is a fixed parenthesization of IEEE ops
+    * (both lambda literals are explicit doubles — DuckDB would
+    * otherwise parse 0.7 as DECIMAL and round differently), and the
+    * per-document fold runs in position order; round-6 absorbs ln ulp.
+    * Scale shape: counting is map-side combined on term keys; the
+    * per-doc fold reuses the lead-window's doc_id partitioning. */
+  def bigramNll(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "t")))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val bi = toks
+      .select(col("doc_id"), col("t").as("a"),
+        lead(col("t"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val pairs = toks
+      .select(col("doc_id"), col("pos"), col("t").as("a"),
+        lead(col("t"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+    val p =
+      lit(0.7) * (col("c2").cast("double") / col("c1a").cast("double")) +
+        lit(0.3) * (col("c1b").cast("double") / col("n").cast("double"))
+    pairs
+      .join(bi, Seq("a", "b"))
+      .join(uni.select(col("t").as("a"), col("c1").as("c1a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c1").as("c1b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"), (-log(p)).as("nlp"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("nlp")))),
+            st => st.getField("nlp")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6)
+        .as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zipf rank-frequency fit: OLS slope/intercept of ln(freq) against
+    * ln(rank) over the top-K vocabulary terms — the corpus-health
+    * diagnostic (natural text slopes near -1; boilerplate floods and
+    * truncated crawls bend the curve). Ranking is total-ordered
+    * (cnt DESC, term) so the selected set and every x value are
+    * deterministic; all four OLS sums fold in rank order over the
+    * bounded K-row list, so the float result is identical in both
+    * engines modulo ln ulp, absorbed by round-6. Scale shape:
+    * counting is map-side combined; selection is
+    * TakeOrderedAndProject; the fold touches K rows, never the
+    * corpus. */
+  def zipfFit(s: SparkSession, d: String, topK: Int = 500): DataFrame = {
+    val ranked = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t"))
+      .limit(topK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"), col("rk"))
+    def foldOrdered(v: Column): Column =
+      aggregate(
+        transform(sort_array(collect_list(struct(col("rk"), v.as("v")))),
+          st => st.getField("v")),
+        lit(0.0), (acc, x) => acc + x)
+    ranked.agg(
+        count(lit(1)).cast("double").as("k"),
+        foldOrdered(col("x")).as("sx"),
+        foldOrdered(col("y")).as("sy"),
+        foldOrdered(col("x") * col("y")).as("sxy"),
+        foldOrdered(col("x") * col("x")).as("sxx"))
+      .select(col("k").cast("long").as("n_terms"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("k"), 6).as("intercept"))
+  }
+
   def repetitionQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       // split semantics, not regexp tokenCount: the gram array is built

@@ -46,6 +46,51 @@ class TextOpsSpec extends SparkTestBase {
   private def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
     Seq(text).toDF("text").select(c($"text").as("r")).collect()(0).get(0)
 
+  test("bigramNll matches an in-memory interpolated-LM mirror") {
+    val out = TextOps.bigramNll(spark, sf("documents")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val docs = Tables.documents(spark, sf("documents"))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val uni = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toDouble }
+    val bi = docs.flatMap(_._2.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toDouble }
+    val n = docs.map(_._2.length).sum.toDouble
+    val multi = docs.filter(_._2.length >= 2)
+    assert(out.keySet == multi.map(_._1).toSet)
+    multi.foreach { case (id, toks) =>
+      val nlps = toks.sliding(2).filter(_.length == 2).map { p =>
+        -math.log(0.7 * (bi(p) / uni(p.head)) + 0.3 * (uni(p(1)) / n))
+      }.toSeq
+      val mean = BigDecimal(nlps.foldLeft(0.0)(_ + _) / nlps.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(id) - mean) < 1e-9,
+        s"doc $id bigram nll ${out(id)} vs $mean")
+      assert(out(id) > 0)
+    }
+  }
+
+  test("zipfFit recovers the slope of an exact power law") {
+    // synthetic corpus: term k appears floor(1000/k) times, k=1..50 —
+    // rank-frequency is a near-exact Zipf curve with slope ~ -1
+    val words = (1 to 50).flatMap(k => Seq.fill(1000 / k)(f"w$k%03d"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("zipf").toString
+    spark.createDataFrame(Seq((1L, words.mkString(" "), "en", "s", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.zipfFit(spark, dir, topK = 50).collect()(0)
+    assert(r.getLong(0) == 50L)
+    val slope = r.getDouble(1)
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope not ~ -1")
+    // and on the real corpus: one row, finite values
+    val real = TextOps.zipfFit(spark, sf("documents"), 500).collect()
+    assert(real.length == 1)
+    assert(!real(0).getDouble(1).isNaN && !real(0).getDouble(2).isNaN)
+    assert(real(0).getDouble(1) < 0, "frequency must fall with rank")
+  }
+
   test("tokenCount counts whitespace tokens, robust to multiple spaces") {
     assert(one("a b c", TextOps.tokenCount) == 3)
     assert(one("a  b", TextOps.tokenCount) == 2)
