@@ -335,6 +335,12 @@ object SparkEntry {
     "q116_bigram_nll" -> ((s, d) => graft.ops.TextOps.bigramNll(s, d)),
     // Zipf rank-frequency OLS fit over the top-500 terms
     "q117_zipf_fit" -> ((s, d) => graft.ops.TextOps.zipfFit(s, d, 500)),
+    // top collocations by PMI, ranked on the raw probability ratio
+    "q118_pmi_collocations" -> ((s, d) =>
+      graft.ops.TextOps.pmiCollocations(s, d, topK = 20, minCount = 5)),
+    // CCNet head/middle/tail from md5-sampled rank cutoffs
+    "q119_ppl_buckets" -> ((s, d) =>
+      graft.ops.Curation.perplexityBuckets(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1348,6 +1354,70 @@ object SparkEntry {
         |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
         |    / k, 6) AS intercept
         |FROM s""".stripMargin,
+    // PMI: ranking on the paired-division ratio (identical IEEE ops in
+    // both engines), ln only in the displayed round-6 pmi
+    "q118_pmi_collocations" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c1 FROM tok GROUP BY t),
+        |tot AS (SELECT COUNT(*) AS n FROM tok),
+        |bi AS (SELECT t1.t AS a, t2.t AS b, COUNT(*) AS c2
+        |       FROM tok t1 JOIN tok t2
+        |         ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        |       GROUP BY 1, 2),
+        |r AS (SELECT a, b, c2 AS cnt,
+        |        (CAST(c2 AS DOUBLE) / CAST(ua.c1 AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) / CAST(ub.c1 AS DOUBLE)) AS ratio
+        |      FROM bi JOIN uni ua ON bi.a = ua.t
+        |        JOIN uni ub ON bi.b = ub.t
+        |      CROSS JOIN tot WHERE c2 >= 5),
+        |top AS (SELECT * FROM r ORDER BY ratio DESC, a, b LIMIT 20)
+        |SELECT a, b, cnt, round(ln(ratio), 6) AS pmi
+        |FROM top ORDER BY pmi DESC, a, b""".stripMargin,
+    // CCNet buckets: q116's nll CTE, md5-sampled rank cutoffs (q108
+    // rank device on the ~25% sample), broadcast-compare labeling
+    "q119_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c1 FROM tok GROUP BY t),
+        |tot AS (SELECT COUNT(*) AS n FROM tok),
+        |pr AS (SELECT t1.doc_id, t1.pos, t1.t AS a, t2.t AS b
+        |       FROM tok t1 JOIN tok t2
+        |         ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+        |bi AS (SELECT a, b, COUNT(*) AS c2 FROM pr GROUP BY a, b),
+        |nll AS (SELECT doc_id, round(list_sum(list(-ln(
+        |      CAST(0.7 AS DOUBLE)
+        |        * (CAST(c2 AS DOUBLE) / CAST(ua.c1 AS DOUBLE))
+        |      + CAST(0.3 AS DOUBLE)
+        |        * (CAST(ub.c1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    ) ORDER BY pos)) / COUNT(*), 6) AS mean_nll
+        |  FROM pr JOIN bi USING (a, b)
+        |    JOIN uni ua ON pr.a = ua.t
+        |    JOIN uni ub ON pr.b = ub.t
+        |    CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |samp AS (SELECT * FROM nll
+        |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |           <= '3f'),
+        |rk AS (SELECT mean_nll, row_number() OVER (
+        |         ORDER BY mean_nll, doc_id) AS rn,
+        |         (SELECT COUNT(*) FROM samp) AS m FROM samp),
+        |cuts AS (SELECT
+        |    max(CASE WHEN rn = ceil(m / 3.0) THEN mean_nll END) AS c1,
+        |    max(CASE WHEN rn = ceil((m * 2) / 3.0) THEN mean_nll END)
+        |      AS c2 FROM rk),
+        |lab AS (SELECT d.lang,
+        |          CASE WHEN mean_nll <= c1 THEN 'head'
+        |               WHEN mean_nll <= c2 THEN 'middle'
+        |               ELSE 'tail' END AS bucket, mean_nll
+        |        FROM nll JOIN documents d USING (doc_id), cuts)
+        |SELECT lang, bucket, COUNT(*) AS n_docs,
+        |  MIN(mean_nll) AS min_nll, MAX(mean_nll) AS max_nll
+        |FROM lab GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

@@ -445,6 +445,44 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing: label every document
+    * head/middle/tail by its LM score ([[TextOps.bigramNll]]), with
+    * the two cutoffs computed from a deterministic md5 sample — the
+    * shape CCNet itself uses (cutoffs from a sampled histogram), and
+    * the shape that scales: bucket assignment is a broadcast-compare
+    * map-side `when`, never a global sort of the corpus. The sample
+    * is `hashKeep(doc_id, "3f")` (~25%); cutoffs are the sampled
+    * scores at ranks ceil(m/3) and ceil(2m/3) in (score, doc_id)
+    * order — the q108 rank device, so both engines pick the same two
+    * constants (scores are already round-6). Returns per
+    * (lang, bucket) counts with round-6 score min/max. */
+  def perplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val nll = graft.ops.TextOps.bigramNll(s, d)
+    val sample = nll.filter(hashKeep(col("doc_id"), lit("3f")))
+    val ranked = sample
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("mean_nll"), col("doc_id"))))
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("m"))))
+    val cuts = ranked.agg(
+      max(when(col("rn") === ceil(col("m") / lit(3.0)), col("mean_nll")))
+        .as("c1"),
+      max(when(col("rn") === ceil(col("m") * 2 / lit(3.0)),
+        col("mean_nll"))).as("c2"))
+    nll
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("mean_nll") <= col("c1"), "head")
+          .when(col("mean_nll") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("mean_nll")).as("min_nll"),
+        max(col("mean_nll")).as("max_nll"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** Cross-source vocabulary overlap: pairwise Jaccard similarity of
     * the sources' distinct-term sets — the diagnostic a corpus mixer
     * reads to spot near-identical domains (mirror sites, syndicated

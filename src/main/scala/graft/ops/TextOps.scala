@@ -386,6 +386,47 @@ object TextOps {
           col("k"), 6).as("intercept"))
   }
 
+  /** PMI collocation mining: the top word pairs by pointwise mutual
+    * information, min-count filtered — the classic collocation
+    * extractor ("New York" scores high; "of the" does not). The
+    * RANKING key is the raw probability ratio
+    * (c2/c1a)*(N/c1b), computed as the same two divisions and one
+    * multiply in both engines (identical IEEE ops → identical doubles
+    * → identical order; ties broken by (a, b)); ln enters only in the
+    * displayed round-6 pmi, never the order. The paired-division form
+    * also keeps every intermediate near the ratio's magnitude — the
+    * naive c2*N BIGINT product would overflow at corpus scale. Scale
+    * shape: pair counting is map-side combined over the vocabulary²
+    * key space; selection is TakeOrderedAndProject. */
+  def pmiCollocations(s: SparkSession, d: String,
+      topK: Int = 20, minCount: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "t")))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val ratio =
+      (col("c2").cast("double") / col("c1a").cast("double")) *
+        (col("n").cast("double") / col("c1b").cast("double"))
+    toks
+      .select(col("doc_id"), col("t").as("a"),
+        lead(col("t"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .join(uni.select(col("t").as("a"), col("c1").as("c1a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c1").as("c1b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c2").as("cnt"),
+        ratio.as("ratio"))
+      .orderBy(col("ratio").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("cnt"),
+        round(log(col("ratio")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+  }
+
   def repetitionQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       // split semantics, not regexp tokenCount: the gram array is built

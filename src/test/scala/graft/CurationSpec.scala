@@ -380,6 +380,47 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("perplexityBuckets covers every doc, cutoffs from the sample") {
+    val out = Curation.perplexityBuckets(spark, sf("documents")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    val nll = graft.ops.TextOps.bigramNll(spark, sf("documents"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // every scored doc lands in exactly one bucket
+    assert(out.map(_._3).sum == nll.length.toLong)
+    assert(out.map(_._2).toSet.subsetOf(Set("head", "middle", "tail")))
+    // brute-force cutoffs from the md5 ~25% sample
+    def keep(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.substring(0, 2) <= "3f"
+    }
+    val samp = nll.filter(t => keep(t._1)).sortBy(t => (t._2, t._1))
+    val m = samp.length
+    val c1 = samp(math.ceil(m / 3.0).toInt - 1)._2
+    val c2 = samp(math.ceil((m * 2) / 3.0).toInt - 1)._2
+    val expect = nll.map { case (id, v) =>
+      val b = if (v <= c1) "head" else if (v <= c2) "middle" else "tail"
+      id -> b
+    }
+    val langOf = Tables.documents(spark, sf("documents"))
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expCounts = expect.groupBy { case (id, b) => (langOf(id), b) }
+      .map { case (k, xs) => k -> xs.length.toLong }
+    out.foreach { case (lang, bucket, nDocs, mn, mx) =>
+      assert(expCounts((lang, bucket)) == nDocs, s"count $lang/$bucket")
+      assert(mn <= mx)
+    }
+    // global cutoffs: every head score <= c1 < every tail score
+    val heads = out.filter(_._2 == "head").map(_._5)
+    val tails = out.filter(_._2 == "tail").map(_._4)
+    if (heads.nonEmpty && tails.nonEmpty)
+      assert(heads.max <= tails.min, "head/tail ranges must not overlap")
+  }
+
   test("sourceOverlap matches brute-force pairwise Jaccard") {
     val out = Curation.sourceOverlap(spark, sf("documents")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

@@ -91,6 +91,38 @@ class TextOpsSpec extends SparkTestBase {
     assert(real(0).getDouble(1) < 0, "frequency must fall with rank")
   }
 
+  test("pmiCollocations matches a brute-force ratio ranking") {
+    val topK = 20
+    val minCount = 5
+    val out = TextOps.pmiCollocations(spark, sf("documents"),
+      topK, minCount).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val docs = Tables.documents(spark, sf("documents"))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getString(1).split(" ", -1).toSeq)
+    val uni = docs.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val n = docs.map(_.length).sum.toLong
+    val bi = docs.flatMap(_.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expect = bi.toSeq.filter(_._2 >= minCount).map { case (p, c2) =>
+      val ratio = (c2.toDouble / uni(p.head).toDouble) *
+        (n.toDouble / uni(p(1)).toDouble)
+      (p.head, p(1), c2, ratio)
+    }.sortBy { case (a, b, _, ratio) => (-ratio, a, b) }.take(topK)
+    assert(out.length == expect.length)
+    assert(out.map(t => (t._1, t._2, t._3)).toSet ==
+      expect.map(t => (t._1, t._2, t._3)).toSet)
+    val pmiOf = expect.map { case (a, b, _, r) =>
+      (a, b) -> BigDecimal(math.log(r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    out.foreach { case (a, b, _, pmi) =>
+      assert(math.abs(pmi - pmiOf((a, b))) < 1e-9, s"pmi ($a,$b)")
+    }
+  }
+
   test("tokenCount counts whitespace tokens, robust to multiple spaces") {
     assert(one("a b c", TextOps.tokenCount) == 3)
     assert(one("a  b", TextOps.tokenCount) == 2)
