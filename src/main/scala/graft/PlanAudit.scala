@@ -16,7 +16,8 @@ object PlanAudit {
         "q65_rollup_revenue", "q78_repetition", "q79_budget_fill",
         "q80_pack_sequences", "q82_zorder_key", "q84_knn_join",
         "q100_pipeline_funnel", "q102_dup_spans", "q103_bm25",
-        "q108_skew_profile", "q111_mrl_cascade", "q112_source_overlap")
+        "q108_skew_profile", "q111_mrl_cascade", "q112_source_overlap",
+        "q115_dsir_weights", "q116_bigram_nll", "q119_ppl_buckets")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     // PLAN_EXEC=1 executes each query first so the explain shows the

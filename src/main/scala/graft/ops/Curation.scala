@@ -420,15 +420,14 @@ object Curation {
       .filter(col("nx").isNotNull)
       .select(col("doc_id"), col("lang"), col("pos"),
         Sketches.md5BucketCol(0, col("g"), buckets).as("b"))
-    val tCnt = grams.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val tTot = grams.filter(col("lang") === "en")
-      .agg(count(lit(1)).as("tt"))
-    val qCnt = grams.groupBy(col("b")).agg(count(lit(1)).as("cq"))
-    val qTot = grams.agg(count(lit(1)).as("qt"))
-    val ratio = qCnt.join(tCnt, Seq("b"), "left")
-      .na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(qTot))
+    // both bucket models in ONE corpus aggregation (conditional count),
+    // totals from the buckets-row table — one model-building pass, not
+    // four, over a 100 TB gram stream
+    val cnt = grams.groupBy(col("b")).agg(
+      count(lit(1)).as("cq"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val tots = cnt.agg(sum(col("cq")).as("qt"), sum(col("ct")).as("tt"))
+    val ratio = cnt.crossJoin(broadcast(tots))
       .select(col("b"),
         (log((col("ct") + 1).cast("double") /
             (col("tt") + buckets).cast("double")) -
@@ -457,7 +456,14 @@ object Curation {
     * constants (scores are already round-6). Returns per
     * (lang, bucket) counts with round-6 score min/max. */
   def perplexityBuckets(s: SparkSession, d: String): DataFrame = {
-    val nll = graft.ops.TextOps.bigramNll(s, d)
+    // the LM score table feeds both the cutoff branch and the labeling
+    // branch; memoize one persisted copy (docs-sized, tiny next to the
+    // token stream it cost to compute) instead of scoring twice
+    val raw = graft.ops.TextOps.bigramNll(s, d)
+    val nll = IndexMemo.getOrBuild[DataFrame]("pplScores", "", Seq(raw)) {
+      val p = raw.persist()
+      (p, Seq(p))
+    }
     val sample = nll.filter(hashKeep(col("doc_id"), lit("3f")))
     val ranked = sample
       .withColumn("rn", row_number().over(

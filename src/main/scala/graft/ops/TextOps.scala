@@ -256,7 +256,8 @@ object TextOps {
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // N from the vocab table (sum of counts), not a second corpus scan
+    val total = vocab.agg(sum(col("cnt")).as("total"))
     toks.join(vocab, "t").crossJoin(broadcast(total))
       .select(col("doc_id"), col("pos"),
         (-log(col("cnt").cast("double") / col("total").cast("double")))
@@ -315,7 +316,8 @@ object TextOps {
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
     val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
-    val total = toks.agg(count(lit(1)).as("n"))
+    // N from the vocab table (sum of counts), not a second corpus scan
+    val total = uni.agg(sum(col("c1")).as("n"))
     val bi = toks
       .select(col("doc_id"), col("t").as("a"),
         lead(col("t"), 1).over(w).as("b"))
@@ -405,7 +407,8 @@ object TextOps {
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
     val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
-    val total = toks.agg(count(lit(1)).as("n"))
+    // N from the vocab table (sum of counts), not a second corpus scan
+    val total = uni.agg(sum(col("c1")).as("n"))
     val ratio =
       (col("c2").cast("double") / col("c1a").cast("double")) *
         (col("n").cast("double") / col("c1b").cast("double"))
