@@ -341,6 +341,18 @@ object SparkEntry {
     // CCNet head/middle/tail from md5-sampled rank cutoffs
     "q119_ppl_buckets" -> ((s, d) =>
       graft.ops.Curation.perplexityBuckets(s, d)),
+    // ordered funnel signup->view->click->purchase, strict succession
+    "q120_funnel_steps" -> ((s, d) =>
+      graft.ops.EventAnalytics.funnel(s, d)),
+    // KMV distinct sketch vs exact per event_type
+    "q121_kmv_distinct" -> ((s, d) =>
+      graft.ops.EventAnalytics.kmvDistinct(s, d, k = 32)),
+    // top event-type trigrams across user journeys
+    "q122_event_trigrams" -> ((s, d) =>
+      graft.ops.EventAnalytics.eventTrigrams(s, d, topK = 10)),
+    // first-seen cohorts x day offset activity matrix
+    "q123_retention" -> ((s, d) =>
+      graft.ops.EventAnalytics.retentionCohorts(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1418,6 +1430,67 @@ object SparkEntry {
         |SELECT lang, bucket, COUNT(*) AS n_docs,
         |  MIN(mean_nll) AS min_nll, MAX(mean_nll) AS max_nll
         |FROM lab GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    // funnel stages chain per-user min-ts aggregates; TIMESTAMP order
+    // in DuckDB == nanos-BIGINT order in Spark, both exact
+    "q120_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ts) AS t2 FROM e
+        |       JOIN t1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ts) AS t3 FROM e
+        |       JOIN t2 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+        |t4 AS (SELECT e.user_id, min(ts) AS t4 FROM e
+        |       JOIN t3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1)
+        |SELECT '1_signup' AS step, COUNT(*) AS n_users FROM t1
+        |UNION ALL SELECT '2_view', COUNT(*) FROM t2
+        |UNION ALL SELECT '3_click', COUNT(*) FROM t3
+        |UNION ALL SELECT '4_purchase', COUNT(*) FROM t4
+        |ORDER BY step""".stripMargin,
+    // KMV: k-th smallest md5-nibble fraction per group, (k-1)/r_k,
+    // exact-count fallback under k distinct values
+    "q121_kmv_distinct" -> {
+      val nibbleSum = (1 to 8).map { i =>
+        s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
+          s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
+      }.mkString(" + ")
+      s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         |f AS (SELECT event_type, user_id,
+         |        CAST(($nibbleSum) AS DOUBLE) / 4294967296.0 AS fr
+         |      FROM (SELECT event_type, user_id,
+         |              md5(CAST(user_id AS VARCHAR)) AS h FROM u)),
+         |r AS (SELECT event_type, user_id, fr, row_number() OVER (
+         |        PARTITION BY event_type ORDER BY fr, user_id) AS rn
+         |      FROM f),
+         |g AS (SELECT event_type, COUNT(*) AS n_exact,
+         |        max(CASE WHEN rn = 32 THEN fr END) AS rk
+         |      FROM r GROUP BY 1)
+         |SELECT event_type, n_exact,
+         |  round(CASE WHEN rk IS NULL THEN CAST(n_exact AS DOUBLE)
+         |    ELSE CAST(31 AS DOUBLE) / rk END, 6) AS kmv_est
+         |FROM g ORDER BY event_type""".stripMargin
+    },
+    "q122_event_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type AS a,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS c
+        |  FROM events)
+        |SELECT a, b, c, COUNT(*) AS cnt FROM s WHERE c IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY cnt DESC, a, b, c LIMIT 10""".stripMargin,
+    "q123_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day
+        |           FROM days GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM days JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

@@ -614,7 +614,7 @@ object Curation {
     * md5(id), decoded with the same ascii arithmetic both engines
     * share — the deterministic "random" draw behind oracle-checkable
     * sampling at arbitrary (non-hex-boundary) rates. */
-  private def md5Frac32(id: Column): Column = {
+  private[graft] def md5Frac32(id: Column): Column = {
     val h = md5(id.cast("string"))
     (1 to 8).map { i =>
       val d = substring(h, i, 1)

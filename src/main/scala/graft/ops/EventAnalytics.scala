@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: ordered-funnel
+  * completion, KMV distinct sketching, sequence mining, and retention
+  * cohorts — the product-analytics operator family (mirrors the
+  * reference's progress/counter reporting generalized to event data;
+  * cf. scraper.py's per-run counters).
+  *
+  * Timestamps arrive as exact nanosecond BIGINTs (the
+  * `nanosAsLong` read path), so every ordering and bucket boundary is
+  * integer arithmetic — `ts div N` here, `epoch_ns(ts) // N` in the
+  * DuckDB oracles — never a double of 1e18 magnitude, which would
+  * round past 2^53 and shift bucket edges.
+  */
+object EventAnalytics {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+
+  /** Ordered funnel: how many users completed each prefix of
+    * signup → view → click → purchase, where each step must occur
+    * strictly after the user's previous step. Stages chain through
+    * per-user min-timestamp aggregates; after the first shuffle on
+    * user_id every later join/aggregate is co-partitioned, so the
+    * funnel costs one corpus shuffle regardless of stage count. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    def stage(prev: DataFrame, prevCol: String, tpe: String,
+        out: String): DataFrame =
+      e.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = stage(t1.select(col("user_id"), col("t1")), "t1", "view", "t2")
+    val t3 = stage(t2.select(col("user_id"), col("t2")), "t2", "click", "t3")
+    val t4 = stage(t3.select(col("user_id"), col("t3")), "t3", "purchase",
+      "t4")
+    t1.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_signup").as("step"), col("n_users"))
+      .unionAll(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_view").as("step"), col("n_users")))
+      .unionAll(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_click").as("step"), col("n_users")))
+      .unionAll(t4.agg(count(lit(1)).as("n_users"))
+        .select(lit("4_purchase").as("step"), col("n_users")))
+      .orderBy(col("step"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per event_type,
+    * reported against the exact count: keep each group's k smallest
+    * md5-fraction draws over its distinct users; the estimate is
+    * (k-1) / r_k with r_k the k-th smallest fraction (exact count
+    * when the group holds fewer than k distinct values — the
+    * standard small-set fallback). Every draw is the md5-nibble
+    * fraction both engines decode identically, so the sketch is
+    * hash-checkable — unlike HLL, whose register layout is
+    * engine-private. Scale shape: the rank window runs over distinct
+    * (type, user) pairs — bounded by true cardinality, not event
+    * volume; a mergeable bounded top-k Aggregator is the streaming
+    * variant ([[Sketches]]). */
+  def kmvDistinct(s: SparkSession, d: String, k: Int = 32): DataFrame = {
+    val users = ev(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("fr", Curation.md5Frac32(col("user_id")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("fr"), col("user_id"))
+    users
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"),
+        max(when(col("rn") === k, col("fr"))).as("rk"))
+      .select(col("event_type"), col("n_exact"),
+        round(when(col("rk").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("rk")), 6)
+          .as("kmv_est"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sequence mining: the top event-type trigrams by frequency across
+    * user journeys, consecutive in (ts, event_id) order within each
+    * user. The lead-window device over the per-user stream; counting
+    * is map-side combined over the type³ key space; selection is a
+    * bounded top-k with a total (cnt DESC, a, b, c) order. */
+  def eventTrigrams(s: SparkSession, d: String,
+      topK: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("event_type").as("a"),
+        lead(col("event_type"), 1).over(w).as("b"),
+        lead(col("event_type"), 2).over(w).as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"), col("c"))
+      .limit(topK)
+  }
+
+  /** Retention cohorts: users grouped by first-seen day; for each
+    * (cohort day, day offset) the number of cohort users active that
+    * day. All integer nanosecond arithmetic; two shuffles (per-user
+    * min, then cohort-offset counts over distinct user-days). */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val days = ev(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.EventAnalytics
+
+class EventAnalyticsSpec extends SparkTestBase {
+
+  private def events() = Tables.events(spark, sf("events"))
+    .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    .collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+  test("funnel counts strictly-ordered stage completions") {
+    val out = EventAnalytics.funnel(spark, sf("events")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet ==
+      Set("1_signup", "2_view", "3_click", "4_purchase"))
+    // monotone: each stage is a subset of the previous
+    assert(out("1_signup") >= out("2_view"))
+    assert(out("2_view") >= out("3_click"))
+    assert(out("3_click") >= out("4_purchase"))
+    // brute force
+    val byUser = events().groupBy(_._1)
+    val t1 = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == "signup").map(_._3).minOption.map(u -> _)
+    }
+    def next(prev: Map[Long, Long], tpe: String): Map[Long, Long] =
+      prev.flatMap { case (u, t) =>
+        byUser(u).filter(e => e._2 == tpe && e._3 > t)
+          .map(_._3).minOption.map(u -> _)
+      }
+    val t2 = next(t1, "view")
+    val t3 = next(t2, "click")
+    val t4 = next(t3, "purchase")
+    assert(out("1_signup") == t1.size.toLong)
+    assert(out("2_view") == t2.size.toLong)
+    assert(out("3_click") == t3.size.toLong)
+    assert(out("4_purchase") == t4.size.toLong)
+    assert(out("1_signup") > 0, "synthetic data must exercise the funnel")
+  }
+
+  test("kmvDistinct estimates within 40% of exact, exact under k") {
+    val k = 32
+    val out = EventAnalytics.kmvDistinct(spark, sf("events"), k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (tpe, exact, est) =>
+      if (exact < k) assert(est == exact.toDouble, s"fallback $tpe")
+      else {
+        assert(est > 0)
+        assert(math.abs(est - exact) / exact < 0.4,
+          s"$tpe kmv $est vs exact $exact")
+      }
+    }
+    // brute force one group end-to-end
+    val (tpe, exact, est) = out.head
+    val users = events().filter(_._2 == tpe).map(_._1).distinct.sorted
+    assert(users.length.toLong == exact)
+    // md5Frac32 hashes CAST(user AS STRING) without a seed prefix:
+    // recompute with a plain md5 of the id string
+    def frac(u: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(u.toString.getBytes("UTF-8"))
+      val v = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+        ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+      v.toDouble / 4294967296.0
+    }
+    val sorted = users.map(u => (frac(u), u)).sorted
+    val expected =
+      if (users.length < k) users.length.toDouble
+      else (k - 1).toDouble / sorted(k - 1)._1
+    val rounded = BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(est - rounded) < 1e-9, s"$tpe est $est vs $rounded")
+  }
+
+  test("eventTrigrams matches a brute-force journey count") {
+    val topK = 10
+    val out = EventAnalytics.eventTrigrams(spark, sf("events"), topK)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val tri = events().groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._3, e._4)).map(_._2).sliding(3)
+        .filter(_.length == 3).map(s => (s(0), s(1), s(2)))
+    }
+    val expect = tri.groupBy(identity)
+      .map { case (t, xs) => (t._1, t._2, t._3, xs.length.toLong) }
+      .toSeq.sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(topK)
+    assert(out.toSeq == expect)
+  }
+
+  test("retentionCohorts: offset-0 row per cohort covers all its users") {
+    val out = EventAnalytics.retentionCohorts(spark, sf("events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0), "offsets are never negative")
+    // brute force
+    val dayNs = 86400000000000L
+    val days = events().map(e => (e._1, e._3 / dayNs)).distinct
+    val cohort = days.groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2).min }
+    val expect = days.groupBy { case (u, day) =>
+      (cohort(u), day - cohort(u))
+    }.map { case (k2, xs) => (k2._1, k2._2, xs.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expect)
+    // every user appears exactly once at offset 0
+    val zero = out.filter(_._2 == 0L).map(_._3).sum
+    assert(zero == cohort.size.toLong)
+  }
+}
