@@ -411,15 +411,26 @@ object Curation {
   def dsirWeights(s: SparkSession, d: String,
       buckets: Int = 256): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .select(col("doc_id"), col("lang"), col("pos"),
-        concat_ws(" ", col("t"), lead(col("t"), 1).over(w)).as("g"),
-        lead(col("t"), 1).over(w).as("nx"))
-      .filter(col("nx").isNotNull)
-      .select(col("doc_id"), col("lang"), col("pos"),
-        Sketches.md5BucketCol(0, col("g"), buckets).as("b"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // the hashed gram stream feeds BOTH the model aggregation and the
+    // scoring fold; memoize one persisted copy (same discipline as
+    // dupGramPositions) so the md5-per-bigram window runs once, not
+    // twice, per corpus
+    val grams = IndexMemo.getOrBuild[DataFrame]("dsirGrams",
+      buckets.toString, Seq(docs)) {
+      val g = docs
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+        .select(col("doc_id"), col("lang"), col("pos"),
+          concat_ws(" ", col("t"), lead(col("t"), 1).over(w)).as("g"),
+          lead(col("t"), 1).over(w).as("nx"))
+        .filter(col("nx").isNotNull)
+        .select(col("doc_id"), col("lang"), col("pos"),
+          Sketches.md5BucketCol(0, col("g"), buckets).as("b"))
+        .persist()
+      (g, Seq(g))
+    }
     // both bucket models in ONE corpus aggregation (conditional count),
     // totals from the buckets-row table — one model-building pass, not
     // four, over a 100 TB gram stream

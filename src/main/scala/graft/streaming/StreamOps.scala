@@ -148,4 +148,43 @@ object StreamOps {
             .map { case (t, c) => HeavyHit(key, t, c) }.iterator
       }
   }
+
+  final case class FunnelEvent(userId: Long, eventType: String, tsNs: Long)
+  final case class FunnelState(stage: Int, tsNs: Long)
+  final case class FunnelProgress(userId: Long, stage: Int,
+      stageName: String)
+
+  /** Streaming ordered funnel — the unbounded twin of
+    * [[graft.ops.EventAnalytics.funnel]]: per-user keyed state is the
+    * highest completed stage and its timestamp (two fields, O(1)
+    * forever); each batch advances the state machine over its events
+    * in timestamp order and emits the user's current stage (update
+    * mode). Within a batch, out-of-order events are handled by the
+    * sort; an event arriving in a LATER batch than a ts-later event
+    * it should have preceded is missed — the inherent tradeoff of
+    * O(1) state (buffering to the watermark is the alternative, at
+    * O(events-in-window) state per user). */
+  def streamingFunnel(events: Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val stageOf = stages.zipWithIndex.toMap
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          it.toSeq.sortBy(e => (e.tsNs, e.eventType)).foreach { e =>
+            if (st.stage < stages.length &&
+                stageOf.get(e.eventType).contains(st.stage) &&
+                (st.stage == 0 || e.tsNs > st.tsNs))
+              st = FunnelState(st.stage + 1, e.tsNs)
+          }
+          state.update(st)
+          if (st.stage == 0) Iterator.empty
+          else Iterator.single(
+            FunnelProgress(user, st.stage, stages(st.stage - 1)))
+      }
+  }
 }

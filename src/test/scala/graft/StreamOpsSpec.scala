@@ -156,6 +156,38 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingFunnel advances per-user stages across micro-batches") {
+    import graft.streaming.StreamOps.{FunnelEvent, FunnelProgress}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamOps.streamingFunnel(in.toDS())
+      .writeStream.format("memory").queryName("funnelstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 signs up and views (out of order in the batch);
+      // user 2 views without signing up (no progress)
+      in.addData(
+        FunnelEvent(1L, "view", 200L), FunnelEvent(1L, "signup", 100L),
+        FunnelEvent(2L, "view", 100L))
+      q.processAllAvailable()
+      val after1 = spark.table("funnelstream").as[FunnelProgress]
+        .collect()
+      assert(after1.toSet == Set(FunnelProgress(1L, 2, "view")))
+      // batch 2: user 1 clicks then purchases; user 2 finally signs up
+      // (the earlier view is gone — O(1) state, documented); a stale
+      // click at ts <= the view ts must NOT advance user 1 twice
+      in.addData(
+        FunnelEvent(1L, "click", 150L), FunnelEvent(1L, "click", 300L),
+        FunnelEvent(1L, "purchase", 400L), FunnelEvent(2L, "signup", 500L))
+      q.processAllAvailable()
+      val latest = spark.table("funnelstream").as[FunnelProgress]
+        .collect().groupBy(_.userId)
+        .map { case (u, xs) => u -> xs.maxBy(_.stage) }
+      assert(latest(1L) == FunnelProgress(1L, 4, "purchase"))
+      assert(latest(2L) == FunnelProgress(2L, 1, "signup"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState dedups keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedRow]
