@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
@@ -24,11 +26,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events` with `ts` normalized to a nanosecond BIGINT regardless of
+    * how the parquet writer encoded it. Generators have shipped the column
+    * both as physical INT64 nanos (read as LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as timestamp[us] (read as
+    * TIMESTAMP_NTZ); every downstream operator and DuckDB oracle does
+    * exact integer arithmetic on nanos (`ts div N` / `epoch_ns(ts) // N`),
+    * so the boundary pins one representation. The NTZ->LTZ cast is
+    * lossless because the session timezone is UTC (GraftSession). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp_ltz")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views (used by tests / ad-hoc SQL). */
+  /** Register all tables as temp views (used by tests / ad-hoc SQL).
+    * `events` goes through its normalizing loader so SQL sees the same
+    * nanosecond-BIGINT `ts` the DataFrame operators do. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
