@@ -353,6 +353,31 @@ object SparkEntry {
     // first-seen cohorts x day offset activity matrix
     "q123_retention" -> ((s, d) =>
       graft.ops.EventAnalytics.retentionCohorts(s, d)),
+    // exact scaled-BIGINT PageRank over the customer-supplier graph
+    "q124_pagerank" -> ((s, d) =>
+      graft.ops.Graph.pageRank(s, d, iters = 5, k = 20)),
+    // ANALYZE-style one-pass column statistics for lineitem
+    "q125_column_profile" -> ((s, d) =>
+      graft.ops.Profiling.columnProfile(s, d)),
+    // SCD2 change-history intervals from the event stream
+    "q126_scd2_intervals" -> ((s, d) =>
+      graft.ops.Temporal.scd2Intervals(s, d)
+        .orderBy("user_id", "version")),
+    // order-scoped part-pair co-occurrence (market basket)
+    "q127_basket_pairs" -> ((s, d) =>
+      graft.ops.Graph.basketPairs(s, d, k = 20)),
+    // per-rule Gopher quality table (rule columns, not a composite)
+    "q128_gopher_rules" -> ((s, d) =>
+      graft.ops.TextOps.gopherRules(s, d).orderBy("doc_id")),
+    // trade-graph degree histogram (the pre-PageRank skew diagnostic)
+    "q129_degree_profile" -> ((s, d) =>
+      graft.ops.Graph.degreeProfile(s, d)),
+    // exact self-join cardinality estimate per candidate key
+    "q130_join_size_est" -> ((s, d) =>
+      graft.ops.Profiling.joinSizeEstimate(s, d)),
+    // blocked fuzzy name matching (levenshtein within blocks)
+    "q131_fuzzy_pairs" -> ((s, d) =>
+      graft.ops.Linkage.fuzzyNamePairs(s, d, maxDist = 2, k = 50)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1491,6 +1516,91 @@ object SparkEntry {
         |  COUNT(*) AS n_users
         |FROM days JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // unrolled 5-iteration CTE chain with the same floor-division
+    // scaled-BIGINT arithmetic as the Spark loop
+    "q124_pagerank" -> graft.ops.Graph.pageRankSql(iters = 5, k = 20),
+    "q125_column_profile" -> graft.ops.Profiling.columnProfileSql,
+    "q126_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts,
+        |             event_id FROM events),
+        |f AS (SELECT user_id, event_type, ts, event_id,
+        |        CASE WHEN lag(event_type) OVER w IS NULL
+        |          OR lag(event_type) OVER w <> event_type
+        |        THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)),
+        |v AS (SELECT user_id, event_type, ts,
+        |        CAST(SUM(chg) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS BIGINT) AS version
+        |      FROM f),
+        |g AS (SELECT user_id, version, MIN(event_type) AS event_type,
+        |        MIN(ts) AS valid_from, COUNT(*) AS n_events
+        |      FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY version) AS valid_to,
+        |  n_events
+        |FROM g ORDER BY user_id, version""".stripMargin,
+    "q127_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |               FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  COUNT(*) AS n_orders
+        |FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // split-token semantics (len(string_split) counts empty tokens,
+    // matching Spark's split), unrounded mean in the rule predicate
+    "q128_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, tk, n_tokens,
+        |    CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      AS mean_raw,
+        |    CAST(len(list_filter(tk,
+        |        x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |      / CAST(n_tokens AS DOUBLE) AS alpha_frac,
+        |    len(list_intersect(list_distinct(tk),
+        |      ['the','and','of','to','in','a'])) AS n_stop_kinds
+        |  FROM t WHERE n_tokens >= 1)
+        |SELECT doc_id, n_tokens, round(mean_raw, 6) AS mean_wlen,
+        |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+        |  CAST(CASE WHEN mean_raw BETWEEN 3.0 AND 10.0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS r_wlen,
+        |  CAST(CASE WHEN alpha_frac >= 0.8
+        |    THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+        |  CAST(CASE WHEN n_stop_kinds >= 2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        |  CAST(CASE WHEN (CASE WHEN n_tokens BETWEEN 10 AND 100000
+        |      THEN 1 ELSE 0 END)
+        |    + (CASE WHEN mean_raw BETWEEN 3.0 AND 10.0
+        |      THEN 1 ELSE 0 END)
+        |    + (CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_stop_kinds >= 2 THEN 1 ELSE 0 END) = 4
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q130_join_size_est" -> graft.ops.Profiling.joinSizeEstimateSql,
+    "q131_fuzzy_pairs" ->
+      graft.ops.Linkage.fuzzyNamePairsSql(maxDist = 2, k = 50),
+    "q129_degree_profile" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cnode,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS snode
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT cnode AS src, snode AS dst FROM pairs
+        |  UNION ALL SELECT snode AS src, cnode AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1)
+        |SELECT substr(src, 1, 1) AS side, deg, COUNT(*) AS n_nodes
+        |FROM deg GROUP BY 1, 2 ORDER BY side, deg""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells

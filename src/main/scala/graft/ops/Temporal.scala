@@ -99,4 +99,31 @@ object Temporal {
       .groupBy(col("window_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
   }
+
+  /** SCD2 interval build (gaps-and-islands): collapse each user's
+    * event stream into change-history rows — one row per run of equal
+    * event_type, with [valid_from, valid_to) validity and a version
+    * number. The dimension-table maintenance shape: this is how you turn
+    * an event log into a slowly-changing dimension. Two windows and one
+    * groupBy, all partitioned by user_id, so after the first shuffle
+    * everything is co-partitioned — one corpus shuffle total. */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byVersion = Window.partitionBy(col("user_id"))
+      .orderBy(col("version"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg", when(lag(col("event_type"), 1).over(byUser)
+        .isNull.or(lag(col("event_type"), 1).over(byUser) =!=
+          col("event_type")), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(byUser))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
 }

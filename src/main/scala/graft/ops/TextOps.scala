@@ -439,4 +439,36 @@ object TextOps {
       .filter(size(tokens(col("text"))) >= 2)
       .select(col("doc_id"),
         topGramFraction(col("text")).as("dup2_frac"))
+
+  /** Gopher-style rule-table quality filter: unlike the composite
+    * [[qualityScore]] (q36), every rule is its own column so a curation
+    * run can report WHICH rule rejected each document — the
+    * repetition-rules table from Rae et al. 2021 ("Scaling Language
+    * Models", table A1) re-expressed as one codegen'd projection.
+    * Zero shuffles: scan -> project; the rule columns are 0/1 BIGINTs
+    * (not booleans) so the oracle hash is representation-stable. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "and", "of", "to", "in", "a")
+    val tk = tokens(col("text"))
+    val nTok = size(tk).cast("long")
+    // total non-space chars / token count == mean token length
+    val meanWlen = length(regexp_replace(col("text"), " ", ""))
+      .cast("double") / nTok.cast("double")
+    val alphaFrac = size(filter(tk, t => t.rlike("[a-zA-Z]")))
+      .cast("double") / nTok.cast("double")
+    val nStopKinds = size(array_intersect(array_distinct(tk),
+      array(stops.map(lit): _*))).cast("long")
+    def b(c: Column): Column = when(c, 1L).otherwise(0L)
+    Tables.documents(s, d)
+      .filter(nTok >= 1)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        round(meanWlen, 6).as("mean_wlen"),
+        b(nTok.between(10, 100000)).as("r_len"),
+        b(meanWlen.between(3.0, 10.0)).as("r_wlen"),
+        b(alphaFrac >= 0.8).as("r_alpha"),
+        b(nStopKinds >= 2).as("r_stop"))
+      .withColumn("keep",
+        b(col("r_len") + col("r_wlen") + col("r_alpha") + col("r_stop")
+          === 4L))
+  }
 }
