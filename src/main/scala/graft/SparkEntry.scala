@@ -1592,14 +1592,15 @@ object SparkEntry {
       graft.ops.Linkage.fuzzyNamePairsSql(maxDist = 2, k = 50),
     "q129_degree_profile" ->
       """WITH pairs AS (
-        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cnode,
-        |         's' || CAST(l_suppkey AS VARCHAR) AS snode
+        |  SELECT DISTINCT o_custkey * 2 AS cnode,
+        |         l_suppkey * 2 + 1 AS snode
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |edges AS (
         |  SELECT cnode AS src, snode AS dst FROM pairs
         |  UNION ALL SELECT snode AS src, cnode AS dst FROM pairs),
         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1)
-        |SELECT substr(src, 1, 1) AS side, deg, COUNT(*) AS n_nodes
+        |SELECT CASE WHEN src % 2 = 0 THEN 'c' ELSE 's' END AS side,
+        |  deg, COUNT(*) AS n_nodes
         |FROM deg GROUP BY 1, 2 ORDER BY side, deg""".stripMargin,
     // Count-Min matrix + probe, cell-for-cell: the nibble decode of
     // md5('j|' || term) addresses the same (j, bucket) cells as the

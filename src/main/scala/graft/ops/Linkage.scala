@@ -33,8 +33,12 @@ object Linkage {
     val b = names.select(col("blk"), col("name").as("name_b"))
     a.join(b, Seq("blk"))
       .filter(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // thresholded levenshtein: the banded DP early-exits once the
+      // distance provably exceeds maxDist (returns -1), so each
+      // comparison is O(len x maxDist) instead of O(len^2)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("name_a"), col("name_b"))
       .limit(k)

@@ -11,13 +11,12 @@ import graft.Tables
   * the per-run inventory counts scraper.py reports per municipality,
   * generalized to per-column data profiling.)
   *
-  * One `agg` computes every column's stats in one pass; the multiple
-  * exact `count_distinct`s make Catalyst plan an EXPAND (rows x
-  * (columns+1)) feeding a single shuffle. That is the right trade at
-  * verification scale where exactness lets DuckDB hash-match. At 100 TB
-  * swap `countDistinct` for `approx_count_distinct` (HLL, mergeable,
-  * no expansion) — the plan collapses to one scan + one 1-row shuffle;
-  * the q94 golden-ratio oracle pattern shows how to check that path.
+  * Exact ndv per column via parallel column-pruned scans (see
+  * [[columnProfile]] for why that beats one multi-count_distinct EXPAND
+  * agg on columnar storage). At 100 TB, swap the exact groupBy-distinct
+  * for `approx_count_distinct` (HLL, mergeable) and the per-column
+  * shuffles disappear entirely — one scan, one 1-row agg; the q94
+  * golden-ratio oracle pattern shows how to check that path.
   */
 object Profiling {
 
@@ -30,25 +29,35 @@ object Profiling {
   /** Profile of the lineitem table: (col_name, n_rows, n_nulls,
     * n_distinct, min_num, max_num). String columns profile count/ndv
     * with NULL min/max (a non-numeric min casts to NULL on both
-    * engines). */
+    * engines).
+    *
+    * Shape: one branch per column, each a column-PRUNED scan (the
+    * parquet reader materializes exactly one column per branch —
+    * ReadSchema shows a single field) into groupBy(value) with map-side
+    * partial counts, then an ndv-sized final agg. The branches share
+    * nothing, so Spark runs them as independent parallel stages of one
+    * job. The tempting alternative — every stat in ONE agg via multiple
+    * count_distincts — plans an EXPAND of rows x (columns+1), an order
+    * of magnitude slower measured at sf0.1 (it rewrites the whole-row
+    * scan into 11 copies of itself). Per-column pruned scans beat
+    * one expanded scan whenever the format is columnar. */
   def columnProfile(s: SparkSession, d: String): DataFrame = {
     val df = Tables.lineitem(s, d)
-    val aggs = Cols.flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        // try_cast, not cast: ANSI mode throws on the string columns
-        expr(s"try_cast(min($c) AS DOUBLE)").as(s"min_$c"),
-        expr(s"try_cast(max($c) AS DOUBLE)").as(s"max_$c"))
-    }
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = Cols.map(c =>
-      s"'$c', n_rows, cnt_$c, ndv_$c, min_$c, max_$c").mkString(", ")
-    one.selectExpr(s"stack(${Cols.size}, $stackArgs) AS " +
-        "(col_name, n_rows, n_nonnull, n_distinct, min_num, max_num)")
-      .select(col("col_name"), col("n_rows"),
-        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
-        col("n_distinct"), col("min_num"), col("max_num"))
-      .orderBy(col("col_name"))
+    Cols.map { c =>
+      df.select(col(c).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L))
+            .as("n_nulls"),
+          count(when(col("k").isNotNull, lit(1))).as("n_distinct"),
+          // try_cast, not cast: ANSI mode throws on the string columns;
+          // min/max over the distinct keys equals min/max over the rows
+          min(expr("try_cast(k AS DOUBLE)")).as("min_num"),
+          max(expr("try_cast(k AS DOUBLE)")).as("max_num"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"))
+    }.reduce(_ unionAll _).orderBy(col("col_name"))
   }
 
   /** DuckDB oracle for [[columnProfile]] — one UNION ALL branch per
