@@ -378,6 +378,12 @@ object SparkEntry {
     // blocked fuzzy name matching (levenshtein within blocks)
     "q131_fuzzy_pairs" -> ((s, d) =>
       graft.ops.Linkage.fuzzyNamePairs(s, d, maxDist = 2, k = 50)),
+    // degree-oriented triangle count on the co-purchase graph
+    "q132_triangles" -> ((s, d) =>
+      graft.ops.Graph.triangleCount(s, d)),
+    // exact equi-depth histogram without a global-sort window
+    "q133_equidepth_hist" -> ((s, d) =>
+      graft.ops.Profiling.equiDepthHistogram(s, d, buckets = 10)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1588,6 +1594,9 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
     "q130_join_size_est" -> graft.ops.Profiling.joinSizeEstimateSql,
+    "q132_triangles" -> graft.ops.Graph.triangleCountSql,
+    "q133_equidepth_hist" ->
+      graft.ops.Profiling.equiDepthHistogramSql(buckets = 10),
     "q131_fuzzy_pairs" ->
       graft.ops.Linkage.fuzzyNamePairsSql(maxDist = 2, k = 50),
     "q129_degree_profile" ->

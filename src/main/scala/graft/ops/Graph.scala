@@ -164,6 +164,64 @@ object Graph {
       .limit(k)
   }
 
+  /** Triangle count over the supplier co-purchase graph (suppliers are
+    * adjacent when they supply the same order). The classic distributed
+    * formulation: orient every edge from the lower-(degree, id) node to
+    * the higher — each node's out-neighborhood is then O(sqrt(E)) even
+    * for hubs — and count (a->b, b->c) wedges that close with an a->c
+    * edge. Two self-joins on an oriented edge list that is strictly
+    * smaller than the raw adjacency; no node ever enumerates a hub's
+    * full neighborhood. Emits one row: (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val e = li.select(col("l_orderkey"), col("l_suppkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    // orient low (degree, id) -> high: out-degrees stay O(sqrt(E))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+    val wedges = oriented.select(col("lo").as("x"), col("hi").as("y"))
+      .join(oriented.select(col("lo").as("y"), col("hi").as("z")), "y")
+    val tri = wedges
+      .join(oriented.select(col("lo").as("x"), col("hi").as("z")),
+        Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    counts.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** DuckDB oracle for [[triangleCount]] — the unoriented closed-wedge
+    * count a<b<c, which equals the oriented count. */
+  def triangleCountSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |      AND a.l_suppkey < b.l_suppkey),
+      |v AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT (SELECT COUNT(DISTINCT v) FROM v) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  n_triangles
+      |FROM tri""".stripMargin
+
   /** Degree profile of the trade graph: how many nodes have each
     * (side, degree) — the skew diagnostic you run before deciding the
     * PageRank partitioning. Reads the memoized degree table; the only

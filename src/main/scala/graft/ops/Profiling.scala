@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -90,6 +91,54 @@ object Profiling {
           col("est_pairs"), col("max_deg"))
     }.reduce(_ unionAll _).orderBy(col("join_key"))
   }
+
+  /** Equi-depth histogram of o_totalprice in `buckets` buckets —
+    * exact, WITHOUT a global single-partition window. The naive
+    * formulation (`ntile` / `row_number` with no PARTITION BY) drags
+    * every row through one partition; instead the global rank is
+    * decomposed the same way as `Curation.tokenStreamOf`: rows get a
+    * row_number within value-range SUBSPLITS (floor(price/step) — a
+    * prefix of the (price, orderkey) sort order, so the decomposition
+    * is exact), and each subsplit's global offset comes from a window
+    * over the tiny per-subsplit count table, broadcast back. Bucket
+    * assignment is then pure integer arithmetic: (rank-1)*B div n.
+    * Every heavy operation is partitioned; only the subsplit-count
+    * table (#subsplits rows) is sorted globally. */
+  def equiDepthHistogram(s: SparkSession, d: String,
+      buckets: Int = 10): DataFrame = {
+    val step = 32768.0
+    val base = Tables.orders(s, d)
+      .select(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+      .withColumn("sub", floor(col("p") / lit(step)).cast("long"))
+    val wSub = Window.partitionBy(col("sub")).orderBy(col("p"), col("k"))
+    val inSub = base.withColumn("rn", row_number().over(wSub))
+    val wOff = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("sub"))
+      .agg(count(lit(1)).as("sub_n"))
+      .withColumn("off", coalesce(sum(col("sub_n")).over(wOff), lit(0L)))
+      .select(col("sub"), col("off"))
+    val n = base.agg(count(lit(1)).as("n"))
+    inSub.join(broadcast(offsets), "sub")
+      .crossJoin(broadcast(n))
+      .withColumn("bucket",
+        expr(s"((off + rn - 1) * $buckets) DIV n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("p")).as("lo"),
+        max(col("p")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[equiDepthHistogram]] — the single-window
+    * formulation with identical bucket arithmetic. */
+  def equiDepthHistogramSql(buckets: Int = 10): String =
+    s"""WITH r AS (SELECT o_totalprice AS p,
+       |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+       |    COUNT(*) OVER () AS n
+       |  FROM orders)
+       |SELECT CAST(((rk - 1) * $buckets) // n AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_rows, MIN(p) AS lo, MAX(p) AS hi
+       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** DuckDB oracle for [[joinSizeEstimate]]. */
   def joinSizeEstimateSql: String =

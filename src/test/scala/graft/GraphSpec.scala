@@ -155,6 +155,43 @@ class GraphSpec extends SparkTestBase {
       brute.toSet)
   }
 
+  test("triangleCount matches a brute-force closed-wedge count") {
+    val d = sf("lineitem")
+    val row = graft.ops.Graph.triangleCount(spark, d).collect()(0)
+    val li = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val edges = byOrder.values.flatMap(ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        yield (ss(i), ss(j))).toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // yield the triple, not a constant: the inner generators are Sets
+    // and a constant would dedup across wedges
+    val brute = (for {
+      (a, bs) <- adj.toSeq; b <- bs; c <- adj.getOrElse(b, Set.empty)
+      if edges.contains((a, c))
+    } yield (a, b, c)).size
+    assert(row.getLong(0) == (edges.flatMap(e => Seq(e._1, e._2)).size))
+    assert(row.getLong(1) == edges.size)
+    assert(row.getLong(2) == brute)
+  }
+
+  test("equiDepthHistogram buckets differ by at most one row and tile") {
+    val d = sf("orders")
+    val rows = graft.ops.Profiling.equiDepthHistogram(spark, d, 10)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 10L))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sum == Tables.orders(spark, d).count())
+    // bucket value ranges are non-overlapping and ordered
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2))
+      case _ => ()
+    }
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
