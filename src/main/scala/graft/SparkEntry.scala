@@ -384,6 +384,9 @@ object SparkEntry {
     // exact equi-depth histogram without a global-sort window
     "q133_equidepth_hist" -> ((s, d) =>
       graft.ops.Profiling.equiDepthHistogram(s, d, buckets = 10)),
+    // 3-sigma hourly volume anomalies in cleared-denominator BIGINTs
+    "q134_anomaly_hours" -> ((s, d) =>
+      graft.ops.EventAnalytics.hourlyAnomalies(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1595,6 +1598,24 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
     "q130_join_size_est" -> graft.ops.Profiling.joinSizeEstimateSql,
     "q132_triangles" -> graft.ops.Graph.triangleCountSql,
+    // z^2 > 9 with denominators cleared: |c*n - total|^2 vs
+    // 9*(n*sumsq - total^2), all BIGINT, no float variance formula
+    "q134_anomaly_hours" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(cnt) AS BIGINT) AS total,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.cnt
+        |FROM hourly h JOIN stats s USING (event_type)
+        |WHERE s.n >= 2
+        |  AND (h.cnt * s.n - s.total) * (h.cnt * s.n - s.total)
+        |    > 9 * (s.n * s.sumsq - s.total * s.total)
+        |ORDER BY h.event_type, h.hour""".stripMargin,
     "q133_equidepth_hist" ->
       graft.ops.Profiling.equiDepthHistogramSql(buckets = 10),
     "q131_fuzzy_pairs" ->

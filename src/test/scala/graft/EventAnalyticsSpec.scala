@@ -111,4 +111,25 @@ class EventAnalyticsSpec extends SparkTestBase {
     val zero = out.filter(_._2 == 0L).map(_._3).sum
     assert(zero == cohort.size.toLong)
   }
+
+  test("hourlyAnomalies flags exactly the |z| > 3 hour buckets") {
+    val d = sf("events")
+    val flagged = EventAnalytics.hourlyAnomalies(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // brute force in doubles: population sigma per event type
+    val hourly = Tables.events(spark, d)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .groupBy(col("event_type"), col("hour")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = hourly.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val cs = rows.map(_._3.toDouble)
+      val n = cs.length
+      val mean = cs.sum / n
+      val sigma = math.sqrt(cs.map(c => (c - mean) * (c - mean)).sum / n)
+      rows.filter { case (_, _, c) =>
+        n >= 2 && math.abs(c - mean) > 3 * sigma
+      }.map(r => (tpe, r._2))
+    }.toSet
+    assert(flagged == brute)
+  }
 }
