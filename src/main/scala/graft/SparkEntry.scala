@@ -378,9 +378,10 @@ object SparkEntry {
     // blocked fuzzy name matching (levenshtein within blocks)
     "q131_fuzzy_pairs" -> ((s, d) =>
       graft.ops.Linkage.fuzzyNamePairs(s, d, maxDist = 2, k = 50)),
-    // degree-oriented triangle count on the co-purchase graph
+    // degree-oriented triangle count on the support-thresholded
+    // co-purchase graph
     "q132_triangles" -> ((s, d) =>
-      graft.ops.Graph.triangleCount(s, d)),
+      graft.ops.Graph.triangleCount(s, d, minSupport = 7)),
     // exact equi-depth histogram without a global-sort window
     "q133_equidepth_hist" -> ((s, d) =>
       graft.ops.Profiling.equiDepthHistogram(s, d, buckets = 10)),
@@ -1597,7 +1598,7 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
     "q130_join_size_est" -> graft.ops.Profiling.joinSizeEstimateSql,
-    "q132_triangles" -> graft.ops.Graph.triangleCountSql,
+    "q132_triangles" -> graft.ops.Graph.triangleCountSql(minSupport = 7),
     // z^2 > 9 with denominators cleared: |c*n - total|^2 vs
     // 9*(n*sumsq - total^2), all BIGINT, no float variance formula
     "q134_anomaly_hours" ->

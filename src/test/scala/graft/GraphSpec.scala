@@ -161,10 +161,19 @@ class GraphSpec extends SparkTestBase {
     val li = Tables.lineitem(spark, d)
       .select($"l_orderkey", $"l_suppkey").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
-    val edges = byOrder.values.flatMap(ss =>
-      for (i <- ss.indices; j <- i + 1 until ss.length)
-        yield (ss(i), ss(j))).toSet
+    val byOrder = li.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sorted
+    }
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.values.foreach { ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.length) {
+        val e = (ss(i), ss(j))
+        support(e) = support.getOrElse(e, 0) + 1
+      }
+    }
+    // keys.toSet, NOT collect{...=>key}: a tuple-valued collect on a
+    // Map rebuilds a Map, collapsing edges by their first endpoint
+    val edges = support.filter(_._2 >= 7).keys.toSet
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // yield the triple, not a constant: the inner generators are Sets
     // and a constant would dedup across wedges
