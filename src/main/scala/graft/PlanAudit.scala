@@ -17,7 +17,10 @@ object PlanAudit {
         "q80_pack_sequences", "q82_zorder_key", "q84_knn_join",
         "q100_pipeline_funnel", "q102_dup_spans", "q103_bm25",
         "q108_skew_profile", "q111_mrl_cascade", "q112_source_overlap",
-        "q115_dsir_weights", "q116_bigram_nll", "q119_ppl_buckets")
+        "q115_dsir_weights", "q116_bigram_nll", "q119_ppl_buckets",
+        "q124_pagerank", "q125_column_profile", "q126_scd2_intervals",
+        "q130_join_size_est", "q131_fuzzy_pairs", "q132_triangles",
+        "q133_equidepth_hist", "q134_anomaly_hours")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     // PLAN_EXEC=1 executes each query first so the explain shows the

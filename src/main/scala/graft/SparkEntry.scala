@@ -388,6 +388,9 @@ object SparkEntry {
     // 3-sigma hourly volume anomalies in cleared-denominator BIGINTs
     "q134_anomaly_hours" -> ((s, d) =>
       graft.ops.EventAnalytics.hourlyAnomalies(s, d)),
+    // chi-square independence of (lang, source), ordered cell fold
+    "q135_chi2_independence" -> ((s, d) =>
+      graft.ops.Profiling.chiSquareIndependence(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1599,6 +1602,8 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
     "q130_join_size_est" -> graft.ops.Profiling.joinSizeEstimateSql,
     "q132_triangles" -> graft.ops.Graph.triangleCountSql(minSupport = 7),
+    "q135_chi2_independence" ->
+      graft.ops.Profiling.chiSquareIndependenceSql,
     // z^2 > 9 with denominators cleared: |c*n - total|^2 vs
     // 9*(n*sumsq - total^2), all BIGINT, no float variance formula
     "q134_anomaly_hours" ->

@@ -140,6 +140,68 @@ object Profiling {
        |  COUNT(*) AS n_rows, MIN(p) AS lo, MAX(p) AS hi
        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Chi-square independence test between two categorical columns
+    * (documents.lang x documents.source) — the hypothesis-testing
+    * member of the profiling family: is the language mix independent
+    * of the source? Counts are one shuffle; marginals and N are
+    * cell-table-sized aggregations broadcast back; every per-cell term
+    * is a fixed-parenthesization double ((O·N − R·C)² / (N·R·C), all
+    * factors cast before multiplying), and the final sum folds over
+    * the cells in (lang, source) order via sort_array+aggregate — the
+    * q106 ordered-fold discipline — so the scalar hash-matches DuckDB.
+    * Emits one row: (n_cells, dof, chi2). */
+  def chiSquareIndependence(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val nT = cells.agg(sum(col("o")).as("n"),
+      count(lit(1)).as("n_cells"))
+    val dofT = rowT.agg(count(lit(1)).as("nr"))
+      .crossJoin(colT.agg(count(lit(1)).as("nc")))
+      .select(((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+    cells
+      .join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(nT))
+      .withColumn("dev",
+        col("o").cast("double") * col("n").cast("double")
+          - col("r").cast("double") * col("c").cast("double"))
+      .withColumn("term", col("dev") * col("dev")
+        / (col("n").cast("double") * col("r").cast("double")
+          * col("c").cast("double")))
+      .agg(max(col("n_cells")).as("n_cells"),
+        round(expr("aggregate(sort_array(collect_list(" +
+          "struct(lang, source, term))), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x.term)"), 6).as("chi2"))
+      .crossJoin(broadcast(dofT))
+      .select(col("n_cells"), col("dof"), col("chi2"))
+  }
+
+  /** DuckDB oracle for [[chiSquareIndependence]]. */
+  def chiSquareIndependenceSql: String =
+    """WITH cells AS (SELECT lang, source, COUNT(*) AS o
+      |               FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r
+      |       FROM cells GROUP BY 1),
+      |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c
+      |       FROM cells GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |t AS (SELECT lang, source,
+      |        (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |          - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) AS dev,
+      |        CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+      |          * CAST(c AS DOUBLE) AS denom
+      |      FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+      |      CROSS JOIN nt)
+      |SELECT (SELECT COUNT(*) FROM cells) AS n_cells,
+      |  CAST(((SELECT COUNT(*) FROM rt) - 1)
+      |    * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+      |  round(list_sum(list(dev * dev / denom
+      |    ORDER BY lang, source)), 6) AS chi2
+      |FROM t""".stripMargin
+
   /** DuckDB oracle for [[joinSizeEstimate]]. */
   def joinSizeEstimateSql: String =
     Seq("l_partkey", "l_suppkey", "l_orderkey").map { k =>

@@ -201,6 +201,27 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("chiSquareIndependence matches a driver-side computation") {
+    val d = sf("documents")
+    val row = graft.ops.Profiling.chiSquareIndependence(spark, d)
+      .collect()(0)
+    val docs = Tables.documents(spark, d)
+      .select($"lang", $"source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.length }
+    val rt = docs.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val ct = docs.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val n = docs.length.toDouble
+    val chi2 = cells.toSeq.sortBy(_._1).map { case ((l, src), o) =>
+      val dev = o * n - rt(l).toDouble * ct(src)
+      dev * dev / (n * rt(l) * ct(src))
+    }.sum
+    assert(row.getLong(0) == cells.size)
+    assert(row.getLong(1) == (rt.size - 1L) * (ct.size - 1L))
+    assert(math.abs(row.getDouble(2) - chi2) < 1e-4)
+    assert(row.getDouble(2) >= 0.0)
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
