@@ -187,4 +187,43 @@ object StreamOps {
             FunnelProgress(user, st.stage, stages(st.stage - 1)))
       }
   }
+
+  final case class BucketCount(key: String, bucket: Long, cnt: Long)
+  final case class AnomalyStats(n: Long, total: Long, sumsq: Long)
+  final case class AnomalyFlag(key: String, bucket: Long, cnt: Long,
+      nSoFar: Long)
+
+  /** Streaming volume-anomaly detection — the unbounded twin of
+    * [[graft.ops.EventAnalytics.hourlyAnomalies]]: per key the state
+    * is just (n, total, sumsq) — three longs, O(1) forever — updated
+    * as finalized bucket counts arrive; a bucket is flagged against
+    * the statistics of the buckets seen BEFORE it using the same
+    * cleared-denominator integer test as the batch operator
+    * (|c·n − total|² > 9·(n·sumsq − total²)). Emits flags in update
+    * mode; n >= 2 guards the degenerate start. Upstream, the bucket
+    * counts themselves come from a watermarked windowed count — the
+    * standard two-stage shape (window agg, then keyed state). */
+  def streamingAnomalies(buckets: Dataset[BucketCount])
+      : Dataset[AnomalyFlag] = {
+    import buckets.sparkSession.implicits._
+    buckets.groupByKey(_.key)
+      .flatMapGroupsWithState[AnomalyStats, AnomalyFlag](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[BucketCount],
+            state: GroupState[AnomalyStats]) =>
+          var st = state.getOption.getOrElse(AnomalyStats(0L, 0L, 0L))
+          val flags = scala.collection.mutable.ArrayBuffer.empty[AnomalyFlag]
+          // deterministic in-batch order: process buckets by id
+          it.toSeq.sortBy(b => (b.bucket, b.cnt)).foreach { b =>
+            val dev = b.cnt * st.n - st.total
+            if (st.n >= 2 &&
+                dev * dev > 9L * (st.n * st.sumsq - st.total * st.total))
+              flags += AnomalyFlag(key, b.bucket, b.cnt, st.n)
+            st = AnomalyStats(st.n + 1, st.total + b.cnt,
+              st.sumsq + b.cnt * b.cnt)
+          }
+          state.update(st)
+          flags.iterator
+      }
+  }
 }

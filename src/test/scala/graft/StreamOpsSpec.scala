@@ -188,6 +188,36 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingAnomalies flags a spike against prior-bucket stats only") {
+    import graft.streaming.StreamOps.{AnomalyFlag, BucketCount}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[BucketCount]
+    val q = StreamOps.streamingAnomalies(in.toDS())
+      .writeStream.format("memory").queryName("anomstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: a stable baseline - no flags possible for the first
+      // two buckets (n < 2 guard), none after (zero variance but every
+      // count equals the mean)
+      in.addData((1L to 6L).map(b => BucketCount("click", b, 10L)): _*)
+      q.processAllAvailable()
+      assert(spark.table("anomstream").as[AnomalyFlag].collect().isEmpty)
+      // batch 2: a 10x spike arrives - flagged against the stats of
+      // the six earlier buckets; the next normal bucket is NOT flagged
+      // even though the spike inflated the variance
+      in.addData(BucketCount("click", 7L, 100L),
+        BucketCount("click", 8L, 10L))
+      q.processAllAvailable()
+      val flags = spark.table("anomstream").as[AnomalyFlag].collect()
+      assert(flags.toSet == Set(AnomalyFlag("click", 7L, 100L, 6L)))
+      // independent keys keep independent state
+      in.addData(BucketCount("view", 1L, 1000L))
+      q.processAllAvailable()
+      assert(spark.table("anomstream").as[AnomalyFlag].collect().length
+        == 1) // n=0 for the new key: no flag
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState dedups keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedRow]
