@@ -391,6 +391,12 @@ object SparkEntry {
     // chi-square independence of (lang, source), ordered cell fold
     "q135_chi2_independence" -> ((s, d) =>
       graft.ops.Profiling.chiSquareIndependence(s, d)),
+    // signup->purchase latency, exact rank-at-ceil percentiles
+    "q136_conversion_latency" -> ((s, d) =>
+      graft.ops.EventAnalytics.conversionLatency(s, d)),
+    // EWMA level per event type, ordered fold at alpha=0.25
+    "q137_ewma_level" -> ((s, d) =>
+      graft.ops.EventAnalytics.ewmaLevel(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1604,6 +1610,39 @@ object SparkEntry {
     "q132_triangles" -> graft.ops.Graph.triangleCountSql(minSupport = 7),
     "q135_chi2_independence" ->
       graft.ops.Profiling.chiSquareIndependenceSql,
+    "q136_conversion_latency" ->
+      """WITH t1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |lat AS (SELECT e.user_id,
+        |          min(epoch_ns(ts) - t1) // 1000000000 AS lat_s
+        |        FROM events e JOIN t1 USING (user_id)
+        |        WHERE event_type = 'purchase' AND epoch_ns(ts) > t1
+        |        GROUP BY 1),
+        |r AS (SELECT lat_s, row_number() OVER (
+        |        ORDER BY lat_s, user_id) AS rn,
+        |        COUNT(*) OVER () AS n
+        |      FROM lat)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN lat_s END) AS p50_s,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |    THEN lat_s END) AS p90_s,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+        |    THEN lat_s END) AS p99_s
+        |FROM r""".stripMargin,
+    "q137_ewma_level" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |per AS (SELECT event_type,
+        |          list(CAST(cnt AS DOUBLE) ORDER BY hour) AS xs
+        |        FROM hourly GROUP BY 1)
+        |SELECT event_type, CAST(len(xs) AS INT) AS n_buckets,
+        |  round(list_reduce(xs, (acc, x) ->
+        |    CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc), 6)
+        |    AS ewma_level
+        |FROM per ORDER BY event_type""".stripMargin,
     // z^2 > 9 with denominators cleared: |c*n - total|^2 vs
     // 9*(n*sumsq - total^2), all BIGINT, no float variance formula
     "q134_anomaly_hours" ->

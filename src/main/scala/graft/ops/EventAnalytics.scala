@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,6 +121,56 @@ object EventAnalytics {
         (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Conversion latency percentiles: per user, the time from first
+    * signup to the first purchase strictly after it; p50/p90/p99 as
+    * EXACT rank-at-ceil(q·n) order statistics (the q108 discipline —
+    * interpolation rules differ between engines, ranks don't). The
+    * rank window runs over the per-user latency table, which is
+    * entity-sized, not event-sized; the heavy work (two min-aggs) is
+    * user-partitioned shuffles. One row: (n_converted, p50_s, p90_s,
+    * p99_s) in whole seconds (exact integer division of nanos). */
+  def conversionLatency(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts") - col("t1")).as("lat"))
+      .select(col("user_id"), expr("lat DIV 1000000000").as("lat_s"))
+    val w = Window.orderBy(col("lat_s"), col("user_id"))
+    val ranked = lat.withColumn("rn", row_number().over(w))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    def atRank(q: Double): Column =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("lat_s")))
+    ranked.crossJoin(broadcast(n))
+      .agg(max(col("n")).as("n_converted"),
+        atRank(0.5).as("p50_s"), atRank(0.9).as("p90_s"),
+        atRank(0.99).as("p99_s"))
+  }
+
+  /** EWMA smoothing level per event type over its hourly counts
+    * (alpha = 0.25 — an exact binary fraction, so each fold step is
+    * one IEEE multiply-add both engines reproduce bit-for-bit). The
+    * fold runs in hour order over the per-type bucket list via
+    * sort_array+aggregate seeded with the first bucket, mirroring
+    * DuckDB's list_reduce seeding. Hour-bucket lists are bounded by
+    * the time range, not event volume. */
+  def ewmaLevel(s: SparkSession, d: String): DataFrame = {
+    val hourly = ev(s, d)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    hourly.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hour"), col("cnt"))))
+        .as("xs"))
+      .select(col("event_type"), size(col("xs")).as("n_buckets"),
+        round(expr("aggregate(slice(xs, 2, size(xs) - 1), " +
+          "CAST(xs[0].cnt AS DOUBLE), " +
+          "(acc, x) -> CAST(0.25 AS DOUBLE) * CAST(x.cnt AS DOUBLE) " +
+          "+ CAST(0.75 AS DOUBLE) * acc)"), 6).as("ewma_level"))
+      .orderBy(col("event_type"))
   }
 
   /** Volume-anomaly detection: hour buckets whose event count sits

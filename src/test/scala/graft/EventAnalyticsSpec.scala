@@ -112,6 +112,47 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(zero == cohort.size.toLong)
   }
 
+  test("conversionLatency percentiles are exact order statistics") {
+    val d = sf("events")
+    val row = EventAnalytics.conversionLatency(spark, d).collect()(0)
+    // brute: per user first signup, first later purchase
+    val evs = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lats = evs.groupBy(_._1).flatMap { case (_, rows) =>
+      val sg = rows.filter(_._2 == "signup").map(_._3)
+      if (sg.isEmpty) None
+      else {
+        val t1 = sg.min
+        val pu = rows.filter(r => r._2 == "purchase" && r._3 > t1)
+        if (pu.isEmpty) None else Some((pu.map(_._3).min - t1) / 1000000000L)
+      }
+    }.toSeq.sorted
+    val n = lats.length
+    assert(row.getLong(0) == n)
+    def p(q: Double) = lats(math.ceil(q * n).toInt - 1)
+    assert(row.getLong(1) == p(0.5))
+    assert(row.getLong(2) == p(0.9))
+    assert(row.getLong(3) == p(0.99))
+  }
+
+  test("ewmaLevel equals a sequential fold over hour buckets") {
+    val d = sf("events")
+    val out = EventAnalytics.ewmaLevel(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val hourly = Tables.events(spark, d)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hour"))
+      .groupBy(col("event_type"), col("hour")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3.toDouble)
+      val expected = xs.tail.foldLeft(xs.head)((acc, x) =>
+        0.25 * x + 0.75 * acc)
+      assert(out(tpe)._1 == xs.length)
+      assert(math.abs(out(tpe)._2 - expected) < 1e-6 + 1e-9)
+    }
+  }
+
   test("hourlyAnomalies flags exactly the |z| > 3 hour buckets") {
     val d = sf("events")
     val flagged = EventAnalytics.hourlyAnomalies(spark, d).collect()
