@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Graph, Profiling, Temporal, TextOps}
 
 /** The round-9 analytics batch: PageRank invariants, column-profile
-  * exactness, SCD2 interval laws, basket-pair symmetry, Gopher rule
-  * consistency. (Each also has a DuckDB hash oracle, q124-q129; these
-  * tests pin the algebraic properties the hashes can't express.) */
+  * exactness, SCD2 interval laws, basket-pair symmetry, join-size
+  * estimator parity, fuzzy-blocking soundness, triangle counting,
+  * equi-depth tiling, chi-square, Gopher rule consistency. (Each also
+  * has a DuckDB hash oracle, q124-q135; these tests pin the algebraic
+  * properties the hashes can't express.) */
 class GraphSpec extends SparkTestBase {
   import spark.implicits._
 
