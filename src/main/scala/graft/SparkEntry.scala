@@ -397,6 +397,10 @@ object SparkEntry {
     // EWMA level per event type, ordered fold at alpha=0.25
     "q137_ewma_level" -> ((s, d) =>
       graft.ops.EventAnalytics.ewmaLevel(s, d)),
+    // winnowing fingerprint selection (MOSS sketch), k=3 w=4
+    "q138_winnowing" -> ((s, d) =>
+      graft.ops.TextOps.winnowingFingerprints(s, d, k = 3, w = 4)
+        .orderBy("doc_id")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1610,6 +1614,38 @@ object SparkEntry {
     "q132_triangles" -> graft.ops.Graph.triangleCountSql(minSupport = 7),
     "q135_chi2_independence" ->
       graft.ops.Profiling.chiSquareIndependenceSql,
+    // winnowing mirror: same md5-nibble gram hashes, per-window argmin
+    // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
+    "q138_winnowing" -> {
+      val nibbleSum = (1 to 8).map { i =>
+        s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
+          s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
+      }.mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS t,
+         |    unnest(range(0, len(string_split(text, ' ')))) AS p
+         |  FROM documents),
+         |g0 AS (SELECT t0.doc_id, t0.p,
+         |         md5(t0.t || ' ' || t1.t || ' ' || t2.t) AS h
+         |       FROM tok t0
+         |       JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+         |       JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2),
+         |grams AS (SELECT doc_id, p, ($nibbleSum) AS gh FROM g0),
+         |mx AS (SELECT doc_id, MAX(p) AS mp FROM grams GROUP BY 1),
+         |wins AS (SELECT g.doc_id, g.p AS start FROM grams g
+         |         JOIN mx USING (doc_id) WHERE g.p <= mp - 3),
+         |cand AS (SELECT w.doc_id, w.start, g.p, g.gh,
+         |           row_number() OVER (PARTITION BY w.doc_id, w.start
+         |             ORDER BY g.gh, g.p DESC) AS rn
+         |         FROM wins w JOIN grams g ON g.doc_id = w.doc_id
+         |           AND g.p BETWEEN w.start AND w.start + 3),
+         |sel AS (SELECT DISTINCT doc_id, p, gh FROM cand WHERE rn = 1),
+         |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1)
+         |SELECT s.doc_id, ng.n_grams, COUNT(*) AS n_selected,
+         |  CAST(SUM(gh) AS BIGINT) AS fp_checksum
+         |FROM sel s JOIN ng USING (doc_id)
+         |GROUP BY s.doc_id, ng.n_grams ORDER BY doc_id""".stripMargin
+    },
     "q136_conversion_latency" ->
       """WITH t1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),

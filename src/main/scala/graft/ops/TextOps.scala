@@ -440,6 +440,72 @@ object TextOps {
       .select(col("doc_id"),
         topGramFraction(col("text")).as("dup2_frac"))
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    * MOSS sketch): hash every k-token shingle, slide a w-gram window,
+    * and keep each window's minimum hash (rightmost on ties). The
+    * guarantee: any shared run of w+k-1 tokens between two documents
+    * yields at least one shared selected fingerprint, at a ~2/(w+1)
+    * selection density — the robust local sketch the q41 rolling
+    * fingerprint family lacks. Gram hashes are the oracle-mirrorable
+    * md5-nibble 32-bit decode; the per-window argmin is
+    * min(struct(hash, -pos)) — Spark's lexicographic struct-min IS
+    * "ORDER BY gh, pos DESC LIMIT 1". Everything is windows over
+    * doc-partitioned gram streams: one shuffle, no self-join. Emits
+    * (doc_id, n_grams, n_selected, fp_checksum) with the checksum an
+    * order-independent exact BIGINT sum of selected hashes. */
+  def winnowingFingerprints(s: SparkSession, d: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowingOf(Tables.documents(s, d), k, w)
+
+  /** The k-gram hash stream feeding winnowing: (doc_id, p, gh). */
+  private def winnowingGrams(docs: DataFrame, k: Int): DataFrame = {
+    val md5Long32: Column => Column = { c =>
+      val h = md5(c)
+      (1 to 8).map { i =>
+        val dg = substring(h, i, 1)
+        (ascii(dg) - when(dg <= "9", 48).otherwise(87)).cast("long") *
+          (1L << (4 * (8 - i)))
+      }.reduce(_ + _)
+    }
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("p", "t")))
+      .withColumn("gram", concat_ws(" ",
+        (0 until k).map(i => lead(col("t"), i).over(byPos)): _*))
+      .withColumn("cnt_k", count(lit(1)).over(
+        byPos.rowsBetween(0, k - 1)))
+      .filter(col("cnt_k") === k) // full k-gram exists at this position
+      .select(col("doc_id"), col("p"), md5Long32(col("gram")).as("gh"))
+  }
+
+  /** Selected fingerprints (doc_id, gh, p): each full w-window's
+    * minimum gram hash, rightmost on ties, deduplicated. */
+  private[graft] def winnowingSelections(docs: DataFrame,
+      k: Int, w: Int): DataFrame = {
+    val winW = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, w - 1)
+    winnowingGrams(docs, k)
+      .withColumn("cnt_w", count(lit(1)).over(winW))
+      .withColumn("m", min(struct(col("gh"), (-col("p")).as("np")))
+        .over(winW))
+      .filter(col("cnt_w") === w) // full windows only
+      .select(col("doc_id"), col("m.gh").as("gh"),
+        (-col("m.np")).as("p"))
+      .distinct()
+  }
+
+  private[graft] def winnowingOf(docs: DataFrame,
+      k: Int, w: Int): DataFrame = {
+    val nGrams = winnowingGrams(docs, k).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    winnowingSelections(docs, k, w).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("gh")).as("fp_checksum"))
+      .join(nGrams, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+        col("fp_checksum"))
+  }
+
   /** Gopher-style rule-table quality filter: unlike the composite
     * [[qualityScore]] (q36), every rule is its own column so a curation
     * run can report WHICH rule rejected each document — the

@@ -219,4 +219,35 @@ class TextOpsSpec extends SparkTestBase {
       assert(f > 0.0 && f <= 1.0, s"doc ${r.getLong(0)}: $f")
     }
   }
+
+  test("winnowing guarantee: shared w+k-1 token run shares a fingerprint") {
+    val k = 3; val w = 4
+    // two docs sharing a (w + k - 1) = 6-token run inside different
+    // surroundings MUST share at least one selected fingerprint
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (1L, s"one two three $shared nine ten eleven twelve"),
+      (2L, s"uno dos $shared tres cuatro cinco seis siete")
+    ).toDF("doc_id", "text")
+    val sel = graft.ops.TextOps.winnowingSelections(docs, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val common = sel(1L).map(_._2).toSet intersect sel(2L).map(_._2).toSet
+    assert(common.nonEmpty, "no shared fingerprint for a shared 6-run")
+    // density: selections are a fraction of grams, never more than
+    // the number of full windows
+    val out = graft.ops.TextOps.winnowingOf(docs, k, w).collect()
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) - (w - 1))
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
+  test("winnowing is deterministic and position-shift invariant on ties") {
+    // identical text => identical checksum regardless of doc id
+    val docs = Seq((10L, "a b c d e f g h i j"),
+      (20L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.winnowingOf(docs, 3, 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out.size == 1) // both docs produce the same sketch
+  }
 }
