@@ -401,6 +401,10 @@ object SparkEntry {
     "q138_winnowing" -> ((s, d) =>
       graft.ops.TextOps.winnowingFingerprints(s, d, k = 3, w = 4)
         .orderBy("doc_id")),
+    // winnowing near-dup candidates over capped fingerprint buckets
+    "q139_winnowing_pairs" -> ((s, d) =>
+      graft.ops.TextOps.winnowingNearDupPairs(s, d)
+        .orderBy("doc_a", "doc_b")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1614,6 +1618,8 @@ object SparkEntry {
     "q132_triangles" -> graft.ops.Graph.triangleCountSql(minSupport = 7),
     "q135_chi2_independence" ->
       graft.ops.Profiling.chiSquareIndependenceSql,
+    "q139_winnowing_pairs" ->
+      graft.ops.TextOps.winnowingNearDupPairsSql(),
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

@@ -480,20 +480,26 @@ object TextOps {
   }
 
   /** Selected fingerprints (doc_id, gh, p): each full w-window's
-    * minimum gram hash, rightmost on ties, deduplicated. */
+    * minimum gram hash, rightmost on ties, deduplicated. Memoized and
+    * pinned per (corpus plan, k, w) — the sketch query (q138) and the
+    * near-dup pair join (q139) both consume it, and the gram hashing
+    * plus double window is the expensive part. */
   private[graft] def winnowingSelections(docs: DataFrame,
-      k: Int, w: Int): DataFrame = {
-    val winW = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(0, w - 1)
-    winnowingGrams(docs, k)
-      .withColumn("cnt_w", count(lit(1)).over(winW))
-      .withColumn("m", min(struct(col("gh"), (-col("p")).as("np")))
-        .over(winW))
-      .filter(col("cnt_w") === w) // full windows only
-      .select(col("doc_id"), col("m.gh").as("gh"),
-        (-col("m.np")).as("p"))
-      .distinct()
-  }
+      k: Int, w: Int): DataFrame =
+    IndexMemo.getOrBuild[DataFrame]("winnowSel", s"$k,$w", Seq(docs)) {
+      val winW = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(0, w - 1)
+      val built = winnowingGrams(docs, k)
+        .withColumn("cnt_w", count(lit(1)).over(winW))
+        .withColumn("m", min(struct(col("gh"), (-col("p")).as("np")))
+          .over(winW))
+        .filter(col("cnt_w") === w) // full windows only
+        .select(col("doc_id"), col("m.gh").as("gh"),
+          (-col("m.np")).as("p"))
+        .distinct()
+        .persist()
+      (built, Seq(built))
+    }
 
   private[graft] def winnowingOf(docs: DataFrame,
       k: Int, w: Int): DataFrame = {
@@ -504,6 +510,74 @@ object TextOps {
       .join(nGrams, "doc_id")
       .select(col("doc_id"), col("n_grams"), col("n_selected"),
         col("fp_checksum"))
+  }
+
+  /** Winnowing-based near-dup candidates: documents sharing at least
+    * `minShared` selected fingerprints. The fingerprint buckets are
+    * CAPPED (`maxBucketSize`, same windowed-drop invariant as every
+    * banded self-join in Dedup/Similarity/Curation — a fingerprint
+    * shared by half the corpus is a stop-gram, not a dup signal), then
+    * equi-joined on the 8-byte hash with canonical a < b orientation.
+    * Shared-run guarantee inherited from winnowing: near-dups with a
+    * common w+k-1 token run always collide on >= 1 fingerprint. */
+  def winnowingNearDupPairs(s: SparkSession, d: String, k: Int = 3,
+      w: Int = 4, minShared: Int = 2,
+      maxBucketSize: Int = 64): DataFrame = {
+    // distinct (doc, gh): the same hash can be selected at several
+    // positions of one doc, but it is ONE fingerprint for matching
+    val sel = winnowingSelections(Tables.documents(s, d), k, w)
+      .select(col("doc_id"), col("gh")).distinct()
+    val capped = sel
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("doc_id"), col("gh"))
+    capped.select(col("gh"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("gh"), col("doc_id").as("doc_b")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB oracle for [[winnowingNearDupPairs]]: shares the q138 CTE
+    * chain through `sel`, then caps buckets and joins identically. */
+  def winnowingNearDupPairsSql(minShared: Int = 2,
+      maxBucketSize: Int = 64): String = {
+    val nibbleSum = (1 to 8).map { i =>
+      s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
+        s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS t,
+       |    unnest(range(0, len(string_split(text, ' ')))) AS p
+       |  FROM documents),
+       |g0 AS (SELECT t0.doc_id, t0.p,
+       |         md5(t0.t || ' ' || t1.t || ' ' || t2.t) AS h
+       |       FROM tok t0
+       |       JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+       |       JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2),
+       |grams AS (SELECT doc_id, p, ($nibbleSum) AS gh FROM g0),
+       |mx AS (SELECT doc_id, MAX(p) AS mp FROM grams GROUP BY 1),
+       |wins AS (SELECT g.doc_id, g.p AS start FROM grams g
+       |         JOIN mx USING (doc_id) WHERE g.p <= mp - 3),
+       |cand AS (SELECT w.doc_id, w.start, g.p, g.gh,
+       |           row_number() OVER (PARTITION BY w.doc_id, w.start
+       |             ORDER BY g.gh, g.p DESC) AS rn
+       |         FROM wins w JOIN grams g ON g.doc_id = w.doc_id
+       |           AND g.p BETWEEN w.start AND w.start + 3),
+       |sel AS (SELECT DISTINCT doc_id, gh
+       |        FROM (SELECT DISTINCT doc_id, p, gh FROM cand
+       |              WHERE rn = 1)),
+       |capped AS (SELECT doc_id, gh FROM (
+       |    SELECT doc_id, gh,
+       |      COUNT(*) OVER (PARTITION BY gh) AS bsz FROM sel)
+       |  WHERE bsz <= $maxBucketSize)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS n_shared
+       |FROM capped a JOIN capped b
+       |  ON a.gh = b.gh AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Gopher-style rule-table quality filter: unlike the composite

@@ -242,6 +242,34 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("winnowing pairs finds doc-level near-dups in the real corpus") {
+    val d = sf("documents")
+    val pairs = graft.ops.TextOps.winnowingNearDupPairs(spark, d)
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 2L)
+    }
+    // sanity vs the established sketch path: exact-duplicate texts
+    // (q31's sha256 groups) must appear among winnowing pairs too
+    val texts = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dupPairs = texts.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups share every fingerprint, so all must be found (any
+    // dropped stop-fingerprints are dropped for both docs alike)
+    val long = texts.filter(_._2.split(" ").length >= 9).map(_._1).toSet
+    dupPairs.filter(p => long(p._1) && long(p._2)).foreach { p =>
+      assert(found(p), s"exact dup pair $p missing")
+    }
+  }
+
   test("winnowing is deterministic and position-shift invariant on ties") {
     // identical text => identical checksum regardless of doc id
     val docs = Seq((10L, "a b c d e f g h i j"),
