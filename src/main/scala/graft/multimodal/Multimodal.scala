@@ -3,18 +3,22 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.doc.ImageCodec
+
 /** Multimodal columns for a training-data pipeline: image/audio/video
   * as opaque BINARY plus typed metadata, with decode / feature-extract
   * / frame-sample operators.
   *
   * The Spark-side plumbing is real — schema, partition-local batched
   * processing (mapPartitions with fixed batch shape), explode-based
-  * frame sampling, deterministic outputs. The codec layer is a STUB:
-  * this container has no image/audio libraries, so `decodeStub`
-  * derives features deterministically from the bytes. A production
-  * deployment replaces [[Codecs.decodeStub]] with a real decoder
-  * (javax.imageio / ffmpeg bindings) behind the same signature; every
-  * operator here is agnostic to that swap.
+  * frame sampling, deterministic outputs. The IMAGE path is real too:
+  * `kind = image` rows decode through the engine's from-scratch
+  * PNG/JPEG codec ([[graft.doc.ImageCodec]]) for true width / height /
+  * channel counts and pixel statistics. Only the AUDIO/VIDEO codec
+  * layer is a stub — this container has no ffmpeg — so those kinds
+  * take [[Codecs.decodeStub]], a deterministic content-derived
+  * descriptor behind the same signature a real decoder would use;
+  * every operator here is agnostic to that swap.
   */
 object Multimodal {
 
@@ -28,20 +32,109 @@ object Multimodal {
       duration_ms: Long, // audio/video
       fps: Double) // video
 
+  /** Decoded features. `decoded = true` means a real codec produced
+    * the row (images only, today); `img_width`/`img_height`/`channels`
+    * are then the AUTHORITATIVE decoded geometry — the Media metadata
+    * columns are advisory, as in any scraped corpus. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
       content_hash: Long,
+      decoded: Boolean,
+      img_width: Int,
+      img_height: Int,
+      channels: Int,
       feature: Array[Float]) // fixed 16-dim descriptor
 
-  /** STUB codec layer — deterministic fake in this container. */
+  /** Result of a real image decode: authoritative geometry + the
+    * 16-dim descriptor. */
+  final case class DecodedImage(width: Int, height: Int, channels: Int,
+      feature: Array[Float])
+
+  /** Codec layer. Images: real (delegates to [[ImageCodec]]).
+    * Audio/video: deterministic stub, documented swap seam. */
   object Codecs {
     val FeatureDim = 16
 
-    /** Stand-in for a real image/audio decode + feature extraction:
+    /** Real image decode + feature extraction over the from-scratch
+      * PNG/JPEG codec. The 16-dim descriptor is:
+      * {{{
+      * [0] width/65535   [1] height/65535  [2] channels/4  [3] bits/16
+      * [4] aspect w/(w+h)  [5] sample mean/255  [6] sample std/255
+      * [7] zero-byte fraction  [8..15] 8-bin byte histogram (fractions)
+      * }}}
+      * For PNGs the sample stats are over the decoded pixel samples
+      * (the codec hands back FlateDecode'd raw samples, re-inflated
+      * here). Baseline JPEGs embed as DCT streams — the codec sniffs
+      * geometry from SOF without a full IDCT — so their byte stats are
+      * over the compressed stream: deterministic and discriminative
+      * for dedup, documented as a proxy. Returns None for payloads the
+      * codec rejects (corrupt, hostile, or not an image at all). */
+    def decodeImage(content: Array[Byte]): Option[DecodedImage] =
+      ImageCodec.decode(content).map { img =>
+        val channels = img.colorSpace match {
+          case "DeviceGray" => 1
+          case "DeviceRGB" => 3
+          case _ => 4 // DeviceCMYK
+        }
+        val stats =
+          if (img.filter.contains("FlateDecode"))
+            inflateSamples(img.bytes,
+              img.width.toLong * img.height * channels)
+          else img.bytes // DCT stream: byte-stat proxy (see scaladoc)
+        val out = new Array[Float](FeatureDim)
+        out(0) = math.min(img.width, 65535) / 65535.0f
+        out(1) = math.min(img.height, 65535) / 65535.0f
+        out(2) = channels / 4.0f
+        out(3) = img.bitsPerComponent / 16.0f
+        out(4) = img.width.toFloat / (img.width + img.height)
+        if (stats.length > 0) {
+          var sum = 0.0; var sumSq = 0.0; var zeros = 0L
+          val hist = new Array[Long](8)
+          var i = 0
+          while (i < stats.length) {
+            val v = stats(i) & 0xff
+            sum += v; sumSq += v.toDouble * v
+            if (v == 0) zeros += 1
+            hist(v >>> 5) += 1
+            i += 1
+          }
+          val n = stats.length.toDouble
+          val mean = sum / n
+          out(5) = (mean / 255.0).toFloat
+          out(6) = (math.sqrt(math.max(0.0, sumSq / n - mean * mean))
+            / 255.0).toFloat
+          out(7) = (zeros / n).toFloat
+          var b = 0
+          while (b < 8) { out(8 + b) = (hist(b) / n).toFloat; b += 1 }
+        }
+        DecodedImage(img.width, img.height, channels, out)
+      }
+
+    /** Re-inflate the codec's FlateDecode sample stream (bounded: the
+      * codec already caps decoded size, mirrored here defensively). */
+    private def inflateSamples(deflated: Array[Byte], n: Long): Array[Byte] = {
+      if (n <= 0 || n > (1L << 28)) return Array.emptyByteArray
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(deflated)
+      val out = new Array[Byte](n.toInt)
+      var off = 0
+      try {
+        while (off < out.length && !inf.finished()) {
+          val got = inf.inflate(out, off, out.length - off)
+          if (got == 0 && inf.needsInput()) return Array.emptyByteArray
+          off += got
+        }
+        if (off == out.length) out else Array.emptyByteArray
+      } catch {
+        case _: java.util.zip.DataFormatException => Array.emptyByteArray
+      } finally inf.end()
+    }
+
+    /** Stand-in for a real AUDIO/VIDEO decode + feature extraction:
       * a seeded, content-derived descriptor. Deterministic so tests
-      * and re-runs are stable. */
+      * and re-runs are stable. Swap seam for ffmpeg-class bindings. */
     def decodeStub(content: Array[Byte]): Array[Float] = {
       var h = 1125899906842597L // FNV-ish fold over the payload
       var i = 0
@@ -65,10 +158,17 @@ object Multimodal {
     }
   }
 
+  /** Pixel edge of the synthetic PNGs below. */
+  val SyntheticImageEdge = 16
+
   /** A deterministic synthetic media table derived from the documents
-    * corpus (payload = utf-8 of text; kinds round-robin). */
+    * corpus (kinds round-robin). Image rows carry REAL PNG payloads —
+    * a content-seeded 16×16 RGB encoded by [[ImageCodec.encodePngRgb]]
+    * — so the decode path below exercises the actual codec end to end;
+    * audio/video rows carry the utf-8 text as an opaque stand-in. */
   def syntheticMediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
+    val edge = SyntheticImageEdge
     graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -76,11 +176,26 @@ object Multimodal {
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        Media(id, kind, text.getBytes("UTF-8"),
+        val payload =
+          if (kind == "image") {
+            // content-seeded pixels: same text -> same PNG bytes
+            var s = Codecs.contentHash(text.getBytes("UTF-8"))
+            val rgb = new Array[Byte](edge * edge * 3)
+            var i = 0
+            while (i < rgb.length) {
+              s = s * 6364136223846793005L + 1442695040888963407L
+              rgb(i) = (s >>> 40).toByte
+              i += 1
+            }
+            ImageCodec.encodePngRgb(edge, edge, rgb)
+          } else text.getBytes("UTF-8")
+        Media(id, kind, payload,
           format = kind match {
             case "image" => "png"; case "audio" => "wav"; case _ => "mp4" },
-          width = if (kind != "audio") 640 else 0,
-          height = if (kind != "audio") 480 else 0,
+          width = if (kind == "image") edge
+            else if (kind == "video") 640 else 0,
+          height = if (kind == "image") edge
+            else if (kind == "video") 480 else 0,
           duration_ms = if (kind == "image") 0L else 1000L + (id % 10) * 500L,
           fps = if (kind == "video") 25.0 else 0.0)
       }
@@ -93,14 +208,25 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition. One pass over
     * the binary column, no shuffle; at cluster scale this is the
-    * GPU/codec stage and parallelism = partitions. */
+    * GPU/codec stage and parallelism = partitions. Image rows take the
+    * real codec; a payload the codec rejects falls back to the
+    * content-derived descriptor with `decoded = false`, so a corrupt
+    * image degrades to hash-only dedup instead of failing the task. */
   def decodeFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
         batch.map { m =>
-          MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
-            Codecs.contentHash(m.content), Codecs.decodeStub(m.content))
+          val base = MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+            Codecs.contentHash(m.content), decoded = false,
+            img_width = 0, img_height = 0, channels = 0,
+            Codecs.decodeStub(m.content))
+          if (m.kind == "image")
+            Codecs.decodeImage(m.content).map(d =>
+              base.copy(decoded = true, img_width = d.width,
+                img_height = d.height, channels = d.channels,
+                feature = d.feature)).getOrElse(base)
+          else base
         }
       }
     }

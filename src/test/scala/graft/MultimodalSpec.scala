@@ -1,9 +1,10 @@
 package graft
 
+import graft.doc.ImageCodec
 import graft.multimodal.Multimodal
 
-/** Tests for the multimodal plumbing (schema, batched decode stub,
-  * frame sampling, dedup candidates). */
+/** Tests for the multimodal plumbing (schema, real image decode,
+  * batched audio/video stub, frame sampling, dedup candidates). */
 class MultimodalSpec extends SparkTestBase {
 
   private def media = Multimodal.syntheticMediaTable(spark, sf("documents"))
@@ -52,6 +53,65 @@ class MultimodalSpec extends SparkTestBase {
     assert(resized.filter(_.kind != "audio").forall(m =>
       m.width == 224 && m.height == 224))
     assert(resized.filter(_.kind == "audio").forall(_.width == 0))
+  }
+
+  test("image rows decode through the real PNG codec with true geometry") {
+    val edge = Multimodal.SyntheticImageEdge
+    val imgs = Multimodal.decodeFeatures(media)
+      .filter(_.kind == "image").collect()
+    assert(imgs.nonEmpty)
+    // every synthetic image row is a real PNG: decoded, 16x16 RGB
+    assert(imgs.forall(f => f.decoded && f.img_width == edge &&
+      f.img_height == edge && f.channels == 3))
+    // descriptor head encodes the decoded geometry, not metadata
+    assert(imgs.forall(f => f.feature(0) == edge / 65535.0f &&
+      f.feature(2) == 3 / 4.0f))
+    // pixel stats are real: histogram bins are fractions summing to ~1
+    assert(imgs.forall { f =>
+      val s = (8 until 16).map(f.feature(_)).sum
+      math.abs(s - 1.0f) < 1e-3
+    })
+    // audio/video stay on the stub path, undecoded
+    val rest = Multimodal.decodeFeatures(media)
+      .filter(_.kind != "image").collect()
+    assert(rest.forall(f => !f.decoded && f.img_width == 0))
+  }
+
+  test("JPEG payloads decode geometry from the SOF header") {
+    import spark.implicits._
+    // minimal baseline JPEG: SOI + SOF0 with dims + EOI (3 components)
+    val w = 40; val h = 30
+    val jpg = (Array(0xFF, 0xD8,
+      0xFF, 0xC0, 0x00, 0x11, 0x08,
+      (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF, 0x03,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1,
+      0xFF, 0xD9)).map(_.toByte)
+    val one = spark.createDataset(Seq(Multimodal.Media(
+      1L, "image", jpg, "jpg", 0, 0, 0L, 0.0)))
+    val f = Multimodal.decodeFeatures(one).head()
+    assert(f.decoded && f.img_width == w && f.img_height == h &&
+      f.channels == 3)
+  }
+
+  test("a corrupt image payload degrades to the stub, decoded=false") {
+    import spark.implicits._
+    val junk = "not an image at all".getBytes("UTF-8")
+    val one = spark.createDataset(Seq(Multimodal.Media(
+      2L, "image", junk, "png", 0, 0, 0L, 0.0)))
+    val f = Multimodal.decodeFeatures(one).head()
+    assert(!f.decoded && f.img_width == 0 && f.channels == 0)
+    assert(f.feature.length == Multimodal.Codecs.FeatureDim)
+  }
+
+  test("decodeImage pixel stats match a hand-computed PNG") {
+    // 2x1 RGB: pixels (0,0,0) and (255,255,255) -> mean 127.5, zeros 1/2
+    val rgb = Array[Byte](0, 0, 0, -1, -1, -1)
+    val png = ImageCodec.encodePngRgb(2, 1, rgb)
+    val d = Multimodal.Codecs.decodeImage(png).get
+    assert(d.width == 2 && d.height == 1 && d.channels == 3)
+    assert(math.abs(d.feature(5) - 0.5f) < 1e-3) // mean 127.5/255
+    assert(math.abs(d.feature(7) - 0.5f) < 1e-6) // half the bytes zero
+    assert(d.feature(8) == 0.5f && d.feature(15) == 0.5f) // hist ends
   }
 
   test("mediaNearDupCandidates groups identical payloads") {
