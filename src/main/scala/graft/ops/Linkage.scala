@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -15,22 +16,33 @@ import graft.Tables
   */
 object Linkage {
 
-  /** Near-identical customer-name pairs: block on the name's last two
-    * characters, compare within blocks with Levenshtein <= `maxDist`,
-    * canonical a < b orientation. Both engines define levenshtein as
-    * plain unit-cost edit distance, so the pair set hash-matches.
-    * Scale: the block join shuffles only (block, name) pairs; the edit
-    * distance — the expensive part — runs on the block-bounded
-    * candidates. At 100 TB you would widen the block key (e.g. 3-4
-    * trailing chars or a phonetic key) to keep buckets bounded, the
-    * same knob as the LSH band caps. */
-  def fuzzyNamePairs(s: SparkSession, d: String,
-      maxDist: Int = 2, k: Int = 50): DataFrame = {
-    val names = Tables.customer(s, d)
-      .select(col("c_name").as("name"),
-        substring(col("c_name"), -2, 2).as("blk"))
-    val a = names.select(col("blk"), col("name").as("name_a"))
-    val b = names.select(col("blk"), col("name").as("name_b"))
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Blocked fuzzy self-join over a `(blk, name)` table: compare within
+    * blocks with Levenshtein <= `maxDist`, canonical a < b orientation.
+    *
+    * Blocks are CAPPED: a block larger than `maxBucketSize` is dropped
+    * whole — with a logged count — before the self-join, the same
+    * windowed-drop invariant as every LSH band in Dedup/Similarity. On
+    * real name distributions (surname skew) a hot block otherwise
+    * degrades toward quadratic; the cap turns that into a visible,
+    * bounded loss instead of a runaway stage. At 100 TB you widen the
+    * block key (3-4 trailing chars, a phonetic key) to shrink buckets
+    * back under the cap rather than raising it. */
+  private[graft] def fuzzyPairs(names: DataFrame, maxDist: Int, k: Int,
+      maxBucketSize: Int): DataFrame = {
+    val sized = names
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("blk"))))
+    val dropped = sized.filter(col("bsz") > maxBucketSize)
+      .agg(count(lit(1)).as("n"), countDistinct(col("blk")).as("blks")).head()
+    if (dropped.getLong(0) > 0)
+      log.warn(s"linkage: dropped ${dropped.getLong(0)} names in " +
+        s"${dropped.getLong(1)} blocks larger than $maxBucketSize; widen " +
+        "the block key to recover them")
+    val capped = sized.filter(col("bsz") <= maxBucketSize)
+      .select(col("blk"), col("name"))
+    val a = capped.select(col("blk"), col("name").as("name_a"))
+    val b = capped.select(col("blk"), col("name").as("name_b"))
     a.join(b, Seq("blk"))
       .filter(col("name_a") < col("name_b"))
       // thresholded levenshtein: the banded DP early-exits once the
@@ -44,14 +56,33 @@ object Linkage {
       .limit(k)
   }
 
-  /** DuckDB oracle for [[fuzzyNamePairs]]. */
-  def fuzzyNamePairsSql(maxDist: Int = 2, k: Int = 50): String =
-    s"""WITH n AS (SELECT c_name AS name,
-       |             substr(c_name, len(c_name) - 1, 2) AS blk
-       |           FROM customer)
+  /** Near-identical customer-name pairs: block on the name's last two
+    * characters, fuzzy-match within capped blocks (see [[fuzzyPairs]]).
+    * Both engines define levenshtein as plain unit-cost edit distance,
+    * so the pair set hash-matches. Scale: the block join shuffles only
+    * (block, name) pairs; the edit distance — the expensive part —
+    * runs on the block-bounded candidates. */
+  def fuzzyNamePairs(s: SparkSession, d: String,
+      maxDist: Int = 2, k: Int = 50, maxBucketSize: Int = 1000): DataFrame =
+    fuzzyPairs(
+      Tables.customer(s, d)
+        .select(substring(col("c_name"), -2, 2).as("blk"),
+          col("c_name").as("name")),
+      maxDist, k, maxBucketSize)
+
+  /** DuckDB oracle for [[fuzzyNamePairs]]. `right(name, 2)` matches
+    * Spark's `substring(name, -2, 2)` for ALL lengths (DuckDB substr
+    * with a computed start index diverges on 1-char strings); the
+    * QUALIFY mirrors the block cap. */
+  def fuzzyNamePairsSql(maxDist: Int = 2, k: Int = 50,
+      maxBucketSize: Int = 1000): String =
+    s"""WITH n AS (SELECT c_name AS name, right(c_name, 2) AS blk
+       |           FROM customer),
+       |c AS (SELECT name, blk FROM n
+       |      QUALIFY COUNT(*) OVER (PARTITION BY blk) <= $maxBucketSize)
        |SELECT a.name AS name_a, b.name AS name_b,
        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-       |FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+       |FROM c a JOIN c b ON a.blk = b.blk AND a.name < b.name
        |WHERE levenshtein(a.name, b.name) <= $maxDist
        |ORDER BY name_a, name_b LIMIT $k""".stripMargin
 }
