@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Session factory carrying the engine's deployment posture, so every
   * entry point (and a user's own driver) runs with the same knobs:
@@ -40,11 +40,39 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
 
-  /** Local session on `cpus` threads (SPARK_GRAFT_CPUS, default 32). */
+  /** Local session on `cpus` threads (SPARK_GRAFT_CPUS, default 32).
+    * SPARK_GRAFT_CHECKPOINT_DIR, when set, switches the iterative
+    * operators to reliable checkpoints (see [[cut]]). */
   def local(cpus: String =
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(dir => enableReliableCheckpoints(s, dir))
     s
+  }
+
+  /** Deployment switch for the iterative plans (PageRank rounds,
+    * dup-cluster pointer jumping): point `dir` at a fault-tolerant
+    * store (HDFS/S3 on a cluster) and every [[cut]] call upgrades from
+    * `localCheckpoint` — executor-memory-resilient only — to a
+    * reliable `checkpoint` that survives executor loss mid-iteration.
+    * Reversible per session via the conf flag. */
+  def enableReliableCheckpoints(s: SparkSession, dir: String): Unit = {
+    s.sparkContext.setCheckpointDir(dir)
+    s.conf.set("spark.graft.reliableCheckpoints", "true")
+  }
+
+  /** Materialize a dataset and truncate its lineage — the per-round
+    * discipline of every iterative operator. Local (in-memory, fast)
+    * by default; reliable when [[enableReliableCheckpoints]] has
+    * configured a checkpoint dir, so a 1000-executor PageRank does not
+    * restart from round zero on one lost executor. */
+  def cut[T](ds: Dataset[T]): Dataset[T] = {
+    val s = ds.sparkSession
+    val reliable =
+      s.conf.getOption("spark.graft.reliableCheckpoints").contains("true") &&
+        s.sparkContext.getCheckpointDir.isDefined
+    if (reliable) ds.checkpoint() else ds.localCheckpoint()
   }
 }

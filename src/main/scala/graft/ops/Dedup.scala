@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{GraftSession, Tables}
 
 /** Deduplication operators for training-data pipelines, designed for the
   * 100 TB case:
@@ -500,10 +500,11 @@ object Dedup {
       // itself (every label IS a vertex id, so the lookup always hits).
       // The jump references the propagation result twice, which would
       // both DOUBLE the logical plan every round and recompute the
-      // edge-join per side — localCheckpoint materializes the
-      // propagation once and truncates lineage, keeping plans (and
-      // per-round work) constant across rounds.
-      val propM = prop.localCheckpoint(true)
+      // edge-join per side — the lineage cut (GraftSession.cut:
+      // localCheckpoint, or a reliable checkpoint under
+      // enableReliableCheckpoints) materializes the propagation once,
+      // keeping plans (and per-round work) constant across rounds.
+      val propM = GraftSession.cut(prop)
       val next = propM
         .join(propM.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("lbl") === col("jid"), "left")

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{GraftSession, Tables}
 
 /** Iterative graph analytics over the order graph — the rank-propagation
   * family that complements the pointer-jumping connected components in
@@ -80,19 +80,23 @@ object Graph {
     * mass to redistribute. Emits (node, rank_scaled) — rank_scaled is
     * the exact BIGINT the oracle CTE chain computes.
     *
-    * Each round ends in a `localCheckpoint`: the rank table is tiny
-    * (one row per node) and materializing it keeps the plan one
-    * join+agg deep regardless of iteration count, instead of an
-    * iters-deep lineage tower Catalyst must re-plan whole — the same
-    * per-round discipline as `Dedup.dupClusters`' pointer jumping. */
+    * Each round ends in a lineage cut ([[GraftSession.cut]] —
+    * localCheckpoint by default, a reliable checkpoint when
+    * [[GraftSession.enableReliableCheckpoints]] is on, so executor
+    * loss mid-iteration does not restart the job at cluster scale):
+    * the rank table is tiny (one row per node) and materializing it
+    * keeps the plan one join+agg deep regardless of iteration count,
+    * instead of an iters-deep lineage tower Catalyst must re-plan
+    * whole — the same per-round discipline as `Dedup.dupClusters`'
+    * pointer jumping. */
   def pageRank(s: SparkSession, d: String, iters: Int = 5,
       k: Int = 20): DataFrame = {
     val (edges, deg, nBox) = tradeGraph(s, d)
     val n = nBox.longValue()
     val init = RankScale / n
     val base = (15L * init) / 100L
-    var rank = deg.select(col("src").as("node"), lit(init).as("rank"))
-      .localCheckpoint()
+    var rank = GraftSession.cut(
+      deg.select(col("src").as("node"), lit(init).as("rank")))
     for (i <- 1 to iters) {
       // `DIV`, not `/`: Spark's Divide on longs returns DOUBLE, and a
       // double at 1e12 magnitude would drift from the oracle's floor div
@@ -106,7 +110,7 @@ object Graph {
       // materialize every second round (and the last): keeps lineage
       // <= 2 joins deep for Catalyst while halving the blocking
       // checkpoint jobs
-      if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
+      if (i % 2 == 0 || i == iters) rank = GraftSession.cut(rank)
     }
     rank.select(nodeLabel(col("node")).as("node"),
         col("rank").as("rank_scaled"))

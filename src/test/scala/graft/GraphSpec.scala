@@ -35,6 +35,30 @@ class GraphSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("pageRank under reliable checkpoints matches the local-cut run") {
+    val d = sf("orders")
+    val baseline = Graph.pageRank(spark, d, iters = 3, k = 10)
+      .collect().toSeq
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-ck").toString
+    GraftSession.enableReliableCheckpoints(spark, ckDir)
+    try {
+      val reliable = Graph.pageRank(spark, d, iters = 3, k = 10)
+        .collect().toSeq
+      assert(reliable == baseline)
+      // the reliable path actually wrote RDD checkpoint files
+      def anyFiles(p: java.io.File): Boolean = {
+        val kids = Option(p.listFiles()).getOrElse(Array.empty)
+        kids.exists(_.isFile) || kids.exists(anyFiles)
+      }
+      assert(anyFiles(new java.io.File(ckDir)),
+        "no checkpoint files written under the configured dir")
+    } finally {
+      // restore the default posture for every other suite
+      spark.conf.set("spark.graft.reliableCheckpoints", "false")
+    }
+  }
+
   test("degreeProfile node count equals distinct trade endpoints") {
     val d = sf("orders")
     val profiled = Graph.degreeProfile(spark, d)
