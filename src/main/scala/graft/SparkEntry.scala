@@ -135,10 +135,14 @@ object SparkEntry {
       Dedup.minHashPairsQuery(s, d).orderBy("id_a", "id_b")),
     "q39_ngram_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairsQuery(s, d).orderBy("id_a", "id_b")),
+    // seeded md5 SimHash (domain "sh|"): the same sketch/pair shapes as
+    // the xxhash64 originals (still API + ScalaTest-covered in Dedup),
+    // re-declared on oracle-expressible md5 arithmetic so the gate
+    // hash-checks them; q72/q86 pin the unseeded family
     "q40_simhash" -> ((s, d) =>
-      Dedup.simHashQuery(s, d).orderBy("doc_id")),
+      Curation.simhashMd5(s, d, seed = "sh|").orderBy("doc_id")),
     "q48_simhash_pairs" -> ((s, d) =>
-      Dedup.simHashNearDups(graft.Tables.documents(s, d), "text", "doc_id")
+      Curation.simhashMd5Pairs(s, d, seed = "sh|")
         .orderBy("id_a", "id_b")),
     // ---- training-data pipeline: text analysis
     "q33_text_stats" -> ((s, d) =>
@@ -149,8 +153,11 @@ object SparkEntry {
       TextOps.langIdQuery(s, d).orderBy("doc_id")),
     "q36_quality_gate" -> ((s, d) =>
       TextOps.qualityQuery(s, d).orderBy("doc_id")),
+    // seeded md5 fingerprint (domain "fp1|"): normalize-then-hash,
+    // re-declared on md5 arithmetic for a full hash-match (the
+    // xxhash64 fingerprint stays API + ScalaTest-covered)
     "q41_fingerprint" -> ((s, d) =>
-      TextOps.fingerprintQuery(s, d).orderBy("doc_id")),
+      TextOps.fingerprintMd5Query(s, d, seed = "fp1|").orderBy("doc_id")),
     "q49_token_budget" -> ((s, d) =>
       TextOps.tokenBudget(s, d).orderBy("source")),
     // ---- training-data pipeline: similarity
@@ -416,10 +423,11 @@ object SparkEntry {
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 
   /** Generated CTE chain for the 60-bit md5 SimHash sketch, ending in
-    * `sk(doc_id, simhash60)` — shared by the q72 sketch oracle and the
-    * q86 pigeonhole pair-join oracle. */
-  private val simhash60Ctes: String =
-    """toks AS (SELECT doc_id, md5(t) AS h FROM (
+    * `sk(doc_id, simhash60)` — shared by the q72/q40 sketch oracles and
+    * the q86/q48 pigeonhole pair-join oracles. `seed` mirrors
+    * [[graft.ops.Curation.simhashMd5]]'s domain separation. */
+  private def simhash60Ctes(seed: String = ""): String =
+    s"""toks AS (SELECT doc_id, md5('$seed' || t) AS h FROM (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
       |  FROM documents)),
       |votes AS (SELECT doc_id,
@@ -435,6 +443,45 @@ object SparkEntry {
         s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" + ") +
       " AS BIGINT) AS simhash60 FROM votes)"
+
+  /** Pigeonhole Hamming pair-join oracle over the 60-bit md5 sketch —
+    * shared by q86 (bare) and q48 (seeded "sh|"). */
+  private def simhashPairsSql(seed: String): String =
+    s"""WITH ${simhash60Ctes(seed)},
+       |chunks AS (
+       |  SELECT doc_id, simhash60, c.chunk,
+       |    (simhash60 >> (c.chunk * 15)) & 32767 AS ckey
+       |  FROM sk, (SELECT CAST(unnest(range(4)) AS INT) AS chunk) c),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, simhash60, chunk, ckey,
+       |      COUNT(*) OVER (PARTITION BY chunk, ckey) AS bsz
+       |    FROM chunks) s
+       |  WHERE bsz <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash60 AS sh_a, b.simhash60 AS sh_b
+       |  FROM kept a JOIN kept b
+       |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Seeded normalize-then-md5 fingerprint oracle (q91 bare, q41
+    * seeded): 15 hex nibbles decoded to a 60-bit BIGINT key. */
+  private def fingerprintMd5Sql(seed: String): String = {
+    val terms = (0 until 15).map { i =>
+      val nib = s"substr(h, ${i + 1}, 1)"
+      s"CAST(ascii($nib) - CASE WHEN $nib <= '9' THEN 48 ELSE 87 END" +
+        s" AS BIGINT) * ${1L << (4 * (14 - i))}"
+    }.mkString(" +\n        ")
+    s"""WITH n AS (SELECT doc_id,
+       |  md5('$seed' || regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h
+       |  FROM documents)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS fp60
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
 
   /** Brute-force cosine top-10 for query vector 0 — the oracle for both
     * the brute-force scan (q42) and the exhaustive IVF probe (q87). */
@@ -1686,7 +1733,8 @@ object SparkEntry {
         |    AS ewma_level
         |FROM per ORDER BY event_type""".stripMargin,
     // z^2 > 9 with denominators cleared: |c*n - total|^2 vs
-    // 9*(n*sumsq - total^2), all BIGINT, no float variance formula
+    // 9*(n*sumsq - total^2); quadratic terms in HUGEINT, mirroring
+    // the Spark side's DECIMAL(38,0) — both exact 128-bit paths
     "q134_anomaly_hours" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
@@ -1695,13 +1743,14 @@ object SparkEntry {
         |stats AS (
         |  SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(cnt) AS BIGINT) AS total,
-        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+        |    SUM(CAST(cnt AS HUGEINT) * cnt) AS sumsq
         |  FROM hourly GROUP BY 1)
         |SELECT h.event_type, h.hour, h.cnt
         |FROM hourly h JOIN stats s USING (event_type)
         |WHERE s.n >= 2
-        |  AND (h.cnt * s.n - s.total) * (h.cnt * s.n - s.total)
-        |    > 9 * (s.n * s.sumsq - s.total * s.total)
+        |  AND (CAST(h.cnt AS HUGEINT) * s.n - s.total)
+        |    * (CAST(h.cnt AS HUGEINT) * s.n - s.total)
+        |    > 9 * (s.n * s.sumsq - CAST(s.total AS HUGEINT) * s.total)
         |ORDER BY h.event_type, h.hour""".stripMargin,
     "q133_equidepth_hist" ->
       graft.ops.Profiling.equiDepthHistogramSql(buckets = 10),
@@ -1744,19 +1793,10 @@ object SparkEntry {
          |GROUP BY t.term, t.n_exact
          |ORDER BY t.n_exact DESC, t.term""".stripMargin
     },
-    // q41's md5 twin: same normalization, nibble-decoded 60-bit key
-    "q91_fingerprint_md5" -> {
-      val terms = (0 until 15).map { i =>
-        val nib = s"substr(h, ${i + 1}, 1)"
-        s"CAST(ascii($nib) - CASE WHEN $nib <= '9' THEN 48 ELSE 87 END" +
-          s" AS BIGINT) * ${1L << (4 * (14 - i))}"
-      }.mkString(" +\n        ")
-      s"""WITH n AS (SELECT doc_id,
-         |  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h
-         |  FROM documents)
-         |SELECT doc_id, CAST($terms AS BIGINT) AS fp60
-         |FROM n ORDER BY doc_id""".stripMargin
-    },
+    // normalize-then-hash fingerprint, nibble-decoded 60-bit key:
+    // q91 is the bare family, q41 the seeded ("fp1|") one
+    "q91_fingerprint_md5" -> fingerprintMd5Sql(""),
+    "q41_fingerprint" -> fingerprintMd5Sql("fp1|"),
     "q71_lsh_banded_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
         |              FROM documents),
@@ -1790,28 +1830,13 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     "q72_simhash_md5" ->
-      s"WITH $simhash60Ctes\nSELECT doc_id, simhash60 FROM sk ORDER BY doc_id",
-    "q86_simhash_md5_pairs" ->
-      s"""WITH $simhash60Ctes,
-         |chunks AS (
-         |  SELECT doc_id, simhash60, c.chunk,
-         |    (simhash60 >> (c.chunk * 15)) & 32767 AS ckey
-         |  FROM sk, (SELECT CAST(unnest(range(4)) AS INT) AS chunk) c),
-         |kept AS (
-         |  SELECT * FROM (
-         |    SELECT doc_id, simhash60, chunk, ckey,
-         |      COUNT(*) OVER (PARTITION BY chunk, ckey) AS bsz
-         |    FROM chunks) s
-         |  WHERE bsz <= 1000),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    a.simhash60 AS sh_a, b.simhash60 AS sh_b
-         |  FROM kept a JOIN kept b
-         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"WITH ${simhash60Ctes()}\nSELECT doc_id, simhash60 FROM sk ORDER BY doc_id",
+    // q40: the seeded sketch family (domain "sh|"), same CTE chain
+    "q40_simhash" ->
+      s"WITH ${simhash60Ctes("sh|")}\nSELECT doc_id, simhash60 FROM sk ORDER BY doc_id",
+    "q86_simhash_md5_pairs" -> simhashPairsSql(""),
+    // q48: pigeonhole pairs over the seeded sketch family
+    "q48_simhash_pairs" -> simhashPairsSql("sh|"),
     "q73_cube_status" ->
       s"""SELECT COALESCE(status, 'ALL') AS status,
          |  COALESCE(prio, 'ALL') AS prio,

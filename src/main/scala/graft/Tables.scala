@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, unix_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
@@ -38,8 +38,13 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df
-      case _ => df.withColumn("ts",
+      case TimestampType | TimestampNTZType => df.withColumn("ts",
         unix_micros(col("ts").cast("timestamp_ltz")) * 1000L)
+      // fail loudly at the boundary: a generator shipping ts as e.g.
+      // STRING or DOUBLE would otherwise cast-to-null downstream
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected INT64 nanos " +
+          "or timestamp[us]")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -790,14 +790,18 @@ object Curation {
     * share. Nibble value decodes arithmetically (ascii of the hex
     * char), so the whole sketch is plain integer arithmetic DuckDB
     * mirrors exactly; one explode + one aggregation, map-side
-    * partials, zero UDFs. */
-  def simhashMd5(s: SparkSession, d: String): DataFrame = {
+    * partials, zero UDFs. `seed` domain-separates the token hash
+    * (md5(seed || token)) so several sketch families can coexist in
+    * one pipeline without colliding — q40 runs the seeded variant,
+    * q72 the bare one; both hash-match their oracles. */
+  def simhashMd5(s: SparkSession, d: String, seed: String = ""): DataFrame = {
     // hash INSIDE the generator: explode(transform(..., md5)) makes h
     // a Generate output, so CollapseProject cannot inline the md5 into
     // all 60 vote aggregates (the expression-fanout trap)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(transform(split(col("text"), " "), t => md5(t))).as("h"))
+        explode(transform(split(col("text"), " "),
+          t => md5(concat(lit(seed), t)))).as("h"))
     // vote_j = sum over tokens of +-1 on bit j; bit j lives in hex
     // nibble j/4 (1-indexed substr), position j%4
     val voteAggs = (0 until 60).map { j =>
@@ -827,8 +831,9 @@ object Curation {
     * corpus) like the other sketch indexes and released by
     * [[Dedup.clearLshCache]]. */
   def simhashMd5Pairs(s: SparkSession, d: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val raw = simhashMd5(s, d)
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      seed: String = ""): DataFrame = {
+    val raw = simhashMd5(s, d, seed)
     // Memoized CAPPED chunk table: sketching, chunk explosion, and the
     // degenerate-bucket cap (the same guard as
     // [[Dedup.simHashNearDups]]) happen once; per-call cost is the
@@ -838,7 +843,7 @@ object Curation {
     // sf0.01 no bucket approaches the cap; results are identical to
     // the uncapped join).
     val chunked = IndexMemo.getOrBuild[DataFrame]("simhash60Chunks",
-      s"$maxBucketSize", Seq(raw)) {
+      s"$maxBucketSize,$seed", Seq(raw)) {
       val idx = raw.select(col("doc_id"), col("simhash60"),
         posexplode(transform(sequence(lit(0), lit(3)),
           c => call_function("shiftright", col("simhash60"), c * 15)

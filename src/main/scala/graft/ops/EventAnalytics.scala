@@ -176,26 +176,34 @@ object EventAnalytics {
   /** Volume-anomaly detection: hour buckets whose event count sits
     * more than 3 population standard deviations from the hour-bucket
     * mean of their event type. The z-score test is cross-multiplied
-    * into pure BIGINT arithmetic — |c·n − total|² > 9·(n·sumsq −
+    * into exact integer arithmetic — |c·n − total|² > 9·(n·sumsq −
     * total²) is z² > 9 with every division cleared — so the flagged
     * set hash-matches DuckDB exactly, with no float variance formula
-    * to disagree over. Scale shape: one shuffle to hourly counts
-    * (map-side combined), a per-type stats table of #types rows
-    * broadcast back; the quadratic terms stay within BIGINT as long
-    * as per-hour counts stay under ~3e9 — wildly past any real
-    * bucket. */
+    * to disagree over. The quadratic terms are computed in
+    * DECIMAL(38,0) here and HUGEINT in the oracle (both exact 128-bit
+    * paths): with H hour buckets of count ~c per type, the largest
+    * term is ~9·(c·H)², in range while c·H < 1e19 — wildly past any
+    * real corpus, and far past the BIGINT bound of c·H < 3e9 that the
+    * cleared form would otherwise hit (where ANSI engines abort the
+    * query rather than mis-flag). Scale shape: one shuffle to hourly
+    * counts (map-side combined), a per-type stats table of #types
+    * rows broadcast back. */
   def hourlyAnomalies(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val hourly = ev(s, d)
       .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour"))
       .agg(count(lit(1)).as("cnt"))
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("total"),
-        sum(col("cnt") * col("cnt")).as("sumsq"))
+        // cast-then-multiply: cnt² must not round-trip through BIGINT
+        sum(col("cnt").cast(dec) * col("cnt")).as("sumsq"))
     hourly.join(broadcast(stats), "event_type")
       .filter(col("n") >= lit(2L))
-      .withColumn("dev", col("cnt") * col("n") - col("total"))
+      .withColumn("dev",
+        col("cnt").cast(dec) * col("n") - col("total"))
       .filter(col("dev") * col("dev") >
-        lit(9L) * (col("n") * col("sumsq") - col("total") * col("total")))
+        lit(9L) * (col("n").cast(dec) * col("sumsq")
+          - col("total").cast(dec) * col("total")))
       .select(col("event_type"), col("hour"), col("cnt"))
       .orderBy(col("event_type"), col("hour"))
   }

@@ -62,14 +62,17 @@ object Profiling {
   }
 
   /** DuckDB oracle for [[columnProfile]] — one UNION ALL branch per
-    * column; TRY_CAST mirrors Spark's null-on-non-numeric cast. */
+    * column. MIN over TRY_CAST-ed values (not TRY_CAST of the string
+    * MIN) mirrors the Spark aggregation order: on a mixed-numeric
+    * string column the lexicographic min ('10' < '2') diverges from
+    * the numeric min. */
   def columnProfileSql: String =
     Cols.map { c =>
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
          |  COUNT(*) - COUNT($c) AS n_nulls,
          |  COUNT(DISTINCT $c) AS n_distinct,
-         |  TRY_CAST(MIN($c) AS DOUBLE) AS min_num,
-         |  TRY_CAST(MAX($c) AS DOUBLE) AS max_num
+         |  MIN(TRY_CAST($c AS DOUBLE)) AS min_num,
+         |  MAX(TRY_CAST($c AS DOUBLE)) AS max_num
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
 
@@ -198,8 +201,8 @@ object Profiling {
       |SELECT (SELECT COUNT(*) FROM cells) AS n_cells,
       |  CAST(((SELECT COUNT(*) FROM rt) - 1)
       |    * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
-      |  round(list_sum(list(dev * dev / denom
-      |    ORDER BY lang, source)), 6) AS chi2
+      |  round(list_reduce(list(dev * dev / denom
+      |    ORDER BY lang, source), (acc, x) -> acc + x), 6) AS chi2
       |FROM t""".stripMargin
 
   /** DuckDB oracle for [[joinSizeEstimate]]. */

@@ -154,10 +154,15 @@ object TextOps {
     * [[fingerprint]] (trim + collapse whitespace runs) keyed by the
     * first 15 hex nibbles of md5(normalized text) decoded to a 60-bit
     * integer — the nibble arithmetic of [[Curation.simhashMd5]], so a
-    * DuckDB oracle reproduces the key bit-for-bit. The md5 twin that
-    * hash-checks q41's normalize-then-hash shape end to end. */
-  def fingerprintMd5Query(s: SparkSession, d: String): DataFrame = {
-    val h = md5(regexp_replace(trim(col("text")), "\\s+", " "))
+    * DuckDB oracle reproduces the key bit-for-bit. `seed` domain-
+    * separates the key (md5(seed || normalized)) so several
+    * fingerprint families coexist without collisions: q41 runs the
+    * seeded variant, q91 the bare one — both hash-matched, pinning
+    * the normalize-then-hash shape end to end. */
+  def fingerprintMd5Query(s: SparkSession, d: String,
+      seed: String = ""): DataFrame = {
+    val h = md5(concat(lit(seed),
+      regexp_replace(trim(col("text")), "\\s+", " ")))
     val fp = (0 until 15).map { i =>
       val nib = substring(h, i + 1, 1)
       (ascii(nib) - when(nib <= "9", 48).otherwise(87)).cast("long") *
