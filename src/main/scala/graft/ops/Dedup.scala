@@ -287,8 +287,9 @@ object Dedup {
     s.read.parquet(path)
 
   /** Banded (band, bucket) keys for a signature index (id, sh, sig) —
-    * shared by the self-join and incremental paths. */
-  private def bandKeys(index: DataFrame, bands: Int, rowsPerBand: Int,
+    * shared by the self-join and incremental paths (package-visible so
+    * PlanShapeSpec can gate the banded-shuffle schema). */
+  private[graft] def bandKeys(index: DataFrame, bands: Int, rowsPerBand: Int,
       tag: String): DataFrame =
     index.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+import graft.ops.{Dedup, Graph}
+
+/** Plan-SHAPE regression gates: the scale invariants the verdict audits
+  * by hand — ids-not-payloads shuffles in the banded joins, bounded
+  * lineage on the iterative plans — expressed as asserts over the
+  * physical/optimized plans, so a future edit that quietly
+  * reintroduces a payload-carrying shuffle or an iters-deep join tower
+  * fails CI instead of surfacing as a 100x regression on a cluster. */
+class PlanShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Physical shuffles of a plan. AQE wraps the tree in an opaque
+    * AdaptiveSparkPlanExec, so the invariant is checked on the
+    * statically planned tree (the pruning being asserted is a static
+    * property): AQE goes off for the planning of this one df. */
+  private def shuffles(mk: => DataFrame): Seq[ShuffleExchangeExec] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("LSH banded self-join shuffles carry no array column") {
+    // the exact build chain of buildLshPairIndex: shingle -> signature
+    // -> band keys -> the build's (id, band, bucket) projection ->
+    // self-join; sig (array) and sh (array) must be pruned out of
+    // every exchange below the join
+    val docs = graft.Tables.documents(spark, sf(""))
+    val exploded =
+      Dedup.explodedCharShingleHashes(docs, "doc_id", "text", 5)
+    val index = Dedup.signatureIndex(exploded, 32)
+    val banded = Dedup.bandKeys(index, 8, 4, "planaudit")
+      .select($"id", $"band", $"bucket")
+    def joined = banded.select($"band", $"bucket", $"id".as("id_a"))
+      .join(banded.select($"band", $"bucket", $"id".as("id_b")),
+        Seq("band", "bucket"))
+      .filter($"id_a" < $"id_b")
+    val exs = shuffles(joined)
+    assert(exs.nonEmpty, "expected at least one shuffle in the banded join")
+    val offenders = exs.flatMap(_.output)
+      .filter(_.dataType.isInstanceOf[ArrayType])
+    assert(offenders.isEmpty,
+      s"banded shuffle ships array payloads: ${offenders.map(_.name)}")
+  }
+
+  test("simhash pigeonhole join shuffles carry only fixed-width columns") {
+    Dedup.clearLshCache()
+    // the memoized chunk index is built eagerly on first call; the
+    // remaining per-call plan (equi-join + popcount) must shuffle only
+    // fixed-width atomics
+    val exs = shuffles(graft.ops.Curation.simhashMd5Pairs(spark,
+      sf(""), seed = "planaudit|"))
+    assert(exs.nonEmpty,
+      "expected at least one shuffle in the pigeonhole pair plan")
+    val offenders = exs.flatMap(_.output)
+      .filter(a => a.dataType.isInstanceOf[ArrayType] ||
+        a.dataType.typeName == "string")
+    assert(offenders.isEmpty,
+      s"pigeonhole join ships wide payloads: ${offenders.map(_.name)}")
+    Dedup.clearLshCache()
+  }
+
+  test("pageRank's returned plan is cut: no join tower survives") {
+    // every round ends in GraftSession.cut; the df handed back must sit
+    // on materialized rank (LogicalRDD), not an iters-deep join chain.
+    // If a future edit drops the cuts, 5 rounds leak >= 5 joins here.
+    val ranked = Graph.pageRank(spark, sf(""), iters = 5, k = 10)
+    val joins = ranked.queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }
+    assert(joins.size <= 2,
+      s"pageRank output plan carries ${joins.size} joins — lineage not cut")
+  }
+
+  test("dupClusters' returned plan is cut: no per-round join chain") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val labels = Dedup.connectedComponents(edges, vertices)
+    val joins = labels.queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }
+    assert(joins.size <= 2,
+      s"dupClusters output plan carries ${joins.size} joins")
+  }
+}
