@@ -34,6 +34,17 @@ import scala.collection.mutable.ArrayBuffer
   * timings are rounded (3 decimals, degrading to 2 then 1 if the line
   * would exceed the budget), the total comes first, and a query that
   * throws is recorded as -1 rather than being timed to the exception.
+  *
+  * Cross-round comparability: hosts differ in uniform throughput between
+  * sessions (VARIANCE_r9.md measured a clean 1.5x on untouched code), so
+  * raw totals across rounds mislead. When a previous round's
+  * `BENCH_r*.json` is present in the working directory, the JSON line
+  * self-describes the comparison: `cal_ratio_vs_prev` (this session's
+  * calibration probe over the previous one — the host-speed normalizer)
+  * and `shared_ratio_calnorm` (the shared-clean-query time ratio divided
+  * by that normalizer; ~1.0 means same engine speed once host variance
+  * is removed). Stalled queries on either side are excluded from the
+  * shared set.
   */
 object Bench {
   private val LineBudget = 1900
@@ -82,6 +93,71 @@ object Bench {
     else Measured(raw.min, 0, stalled = true)
   }
 
+  private val QNum = "\"(q\\d+)\":(-?[0-9.]+)".r
+  private val CalField = "\"cal\":([0-9.]+)".r
+  private val StalledField = "\"stalled\":\\[([^\\]]*)\\]".r
+  private val SfField = "\"sf\":\"([^\"]+)\"".r
+
+  /** Parsed prior-round record: the bench line's own fields. */
+  private[graft] final case class PrevBench(name: String, sfDir: String,
+      cal: Double, stalled: Set[String], queries: Map[String, Double])
+
+  /** The latest committed `BENCH_r<N>.json` in `dir`. The driver wraps
+    * the bench line ESCAPED inside its own JSON (`"tail": "...\"cal\":
+    * ..."`), so `\"` unescapes before the field regexes run — they are
+    * enough because the inner line is machine-written, single-line,
+    * flat. None on any miss so the bench never fails over this. */
+  private[graft] def latestPrevBench(dir: String = ".")
+      : Option[PrevBench] =
+    try {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f))
+          case _ => None
+        })
+        .sortBy(-_._1).headOption.flatMap { case (_, f) =>
+          val s = scala.io.Source.fromFile(f)
+          val text = (try s.mkString finally s.close())
+            .replace("\\\"", "\"")
+          for {
+            cal <- CalField.findFirstMatchIn(text).map(_.group(1).toDouble)
+            sf <- SfField.findFirstMatchIn(text).map(_.group(1))
+          } yield {
+            val stalled = StalledField.findFirstMatchIn(text)
+              .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+                .stripSuffix("\"")).filter(_.nonEmpty).toSet)
+              .getOrElse(Set.empty[String])
+            val qs = QNum.findAllMatchIn(text)
+              .map(m2 => m2.group(1) -> m2.group(2).toDouble).toMap
+            PrevBench(f.getName, sf, cal, stalled, qs)
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The `,"prev":...` JSON fragment comparing this run to the previous
+    * round's record, cal-normalized; empty when no sound comparison
+    * exists (no prior file, different scale factor, zero shared clean
+    * queries). */
+  private[graft] def prevComparisonJson(cal: Double, sfDir: String,
+      results: Seq[(String, Measured)], dir: String = "."): String =
+    latestPrevBench(dir).map { p =>
+      val shared = results.collect {
+        case (n, m) if m.best >= 0 && !m.stalled => (shortKey(n), m.best)
+      }.filter { case (k, _) =>
+        p.queries.get(k).exists(_ > 0) && !p.stalled(k) }
+      val now = shared.map(_._2).sum
+      val before = shared.map { case (k, _) => p.queries(k) }.sum
+      if (p.sfDir == sfDir && shared.nonEmpty && before > 0 &&
+          p.cal > 0 && cal > 0) {
+        val calRatio = cal / p.cal
+        val norm = (now / before) / calRatio
+        s""","prev":"${p.name}","shared_q":${shared.size}""" +
+          s""","cal_ratio_vs_prev":${fmt(calRatio, 3)}""" +
+          s""","shared_ratio_calnorm":${fmt(norm, 3)}"""
+      } else ""
+    }.getOrElse("")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -125,11 +201,12 @@ object Bench {
     val total = results.collect { case (_, m) if m.best >= 0 => m.best }.sum
     val stalled = results.collect { case (n, m) if m.stalled => "\"" + shortKey(n) + "\"" }
       .mkString("[", ",", "]")
+    val prevCmp = prevComparisonJson(calibration, sfDir, results)
     def line(decimals: Int): String = {
       val qs = results.map { case (k, m) => "\"" + shortKey(k) + "\":" + fmt(m.best, decimals) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir"""" +
-        s""","cal":${fmt(calibration, 3)},"stalled":$stalled,"queries":$qs}"""
+        s""","cal":${fmt(calibration, 3)}$prevCmp,"stalled":$stalled,"queries":$qs}"""
     }
     // last resort keeps the line parseable NO MATTER WHAT: a recorded
     // total with an empty queries map beats a truncated-JSON round

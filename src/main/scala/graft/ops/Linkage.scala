@@ -31,15 +31,20 @@ object Linkage {
     * back under the cap rather than raising it. */
   private[graft] def fuzzyPairs(names: DataFrame, maxDist: Int, k: Int,
       maxBucketSize: Int): DataFrame = {
-    val sized = names
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("blk"))))
-    val dropped = sized.filter(col("bsz") > maxBucketSize)
-      .agg(count(lit(1)).as("n"), countDistinct(col("blk")).as("blks")).head()
+    // drop accounting runs on the block-size table (map-side-combined
+    // groupBy, #blocks rows), not a windowed pass over the full rows
+    val dropped = names.groupBy(col("blk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .agg(coalesce(sum(col("bsz")), lit(0L)).as("n"),
+        count(lit(1)).as("blks")).head()
     if (dropped.getLong(0) > 0)
       log.warn(s"linkage: dropped ${dropped.getLong(0)} names in " +
         s"${dropped.getLong(1)} blocks larger than $maxBucketSize; widen " +
         "the block key to recover them")
-    val capped = sized.filter(col("bsz") <= maxBucketSize)
+    val capped = names
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("bsz") <= maxBucketSize)
       .select(col("blk"), col("name"))
     val a = capped.select(col("blk"), col("name").as("name_a"))
     val b = capped.select(col("blk"), col("name").as("name_b"))

@@ -56,4 +56,84 @@ class BenchProtocolSpec extends AnyFunSuite {
     Bench.measure(run, () => false, wantClean = 3, maxAttempts = 6)
     assert(calls == 6)
   }
+
+  private def withBenchDir(files: (String, String)*)(
+      body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("bench-prev")
+    try {
+      files.foreach { case (n, c) =>
+        java.nio.file.Files.write(dir.resolve(n),
+          c.getBytes("UTF-8"))
+      }
+      body(dir.toString)
+    } finally {
+      files.foreach { case (n, _) =>
+        java.nio.file.Files.deleteIfExists(dir.resolve(n)) }
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  private val Sf = "/root/testdata/sf0.1"
+
+  test("latestPrevBench picks the highest round and parses its fields") {
+    val r8 = s"""{"metric":"total","value":10.0,"unit":"sec","sf":"$Sf",""" +
+      """"cal":0.2,"stalled":[],"queries":{"q1":0.5,"q2":0.5}}"""
+    val r9 = s"""{"metric":"total","value":12.0,"unit":"sec","sf":"$Sf",""" +
+      """"cal":0.3,"stalled":["q3"],"queries":{"q1":0.6,"q2":0.6,"q3":9.9}}"""
+    withBenchDir("BENCH_r08.json" -> r8, "BENCH_r09.json" -> r9) { dir =>
+      val Some(p) = Bench.latestPrevBench(dir)
+      assert(p.name == "BENCH_r09.json" && p.cal == 0.3 && p.sfDir == Sf)
+      assert(p.stalled == Set("q3"))
+      assert(p.queries == Map("q1" -> 0.6, "q2" -> 0.6, "q3" -> 9.9))
+    }
+  }
+
+  test("latestPrevBench unescapes the driver's wrapped tail form") {
+    // the committed BENCH_r*.json wraps the bench line escaped inside
+    // its own JSON: {"n":9,...,"tail":"...\"cal\":0.154..."}
+    val inner = s"""{\\"metric\\":\\"total\\",\\"value\\":12.0,""" +
+      s"""\\"sf\\":\\"$Sf\\",\\"cal\\":0.15,\\"stalled\\":[],""" +
+      """\"queries\":{\"q1\":0.6}}"""
+    val wrapped = s"""{"n": 9, "rc": 0, "sf": 0.1, "tail": "$inner"}"""
+    withBenchDir("BENCH_r09.json" -> wrapped) { dir =>
+      val Some(p) = Bench.latestPrevBench(dir)
+      assert(p.cal == 0.15 && p.sfDir == Sf)
+      assert(p.queries == Map("q1" -> 0.6))
+    }
+  }
+
+  test("prevComparisonJson normalizes by the calibration ratio") {
+    // prev: cal 0.2, q1+q2 = 1.0s. now: cal 0.4 (host 2x slower),
+    // q1+q2 = 2.0s -> raw ratio 2.0, cal ratio 2.0, normalized 1.0.
+    // q3 was stalled before and q4 is stalled now: both excluded.
+    val prev = s"""{"value":10.0,"sf":"$Sf","cal":0.2,"stalled":["q3"],""" +
+      """"queries":{"q1":0.5,"q2":0.5,"q3":9.9,"q4":0.1}}"""
+    withBenchDir("BENCH_r09.json" -> prev) { dir =>
+      val now = Seq(
+        "q1_a" -> Bench.Measured(1.0, 3, stalled = false),
+        "q2_b" -> Bench.Measured(1.0, 3, stalled = false),
+        "q3_c" -> Bench.Measured(0.2, 3, stalled = false),
+        "q4_d" -> Bench.Measured(7.0, 0, stalled = true),
+        "q9_new" -> Bench.Measured(0.3, 3, stalled = false))
+      val json = Bench.prevComparisonJson(0.4, Sf, now, dir)
+      assert(json.contains("\"prev\":\"BENCH_r09.json\""))
+      assert(json.contains("\"shared_q\":2"))
+      assert(json.contains("\"cal_ratio_vs_prev\":2"))
+      assert(json.contains("\"shared_ratio_calnorm\":1"))
+    }
+  }
+
+  test("prevComparisonJson is empty across scale factors or no prior") {
+    val prev = s"""{"value":10.0,"sf":"$Sf","cal":0.2,"stalled":[],""" +
+      """"queries":{"q1":0.5}}"""
+    val now = Seq("q1_a" -> Bench.Measured(1.0, 3, stalled = false))
+    withBenchDir("BENCH_r09.json" -> prev) { dir =>
+      // a local sf0.001 run must not compare itself to the sf0.1 record
+      assert(Bench.prevComparisonJson(0.4, "/root/testdata/sf0.001",
+        now, dir) == "")
+    }
+    withBenchDir() { dir =>
+      assert(Bench.prevComparisonJson(0.4, Sf, now, dir) == "")
+    }
+  }
 }
