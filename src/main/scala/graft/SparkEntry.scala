@@ -131,10 +131,14 @@ object SparkEntry {
       Dedup.exactDupGroups(s, d).orderBy("doc_id")),
     "q32_dedup_keep_first" -> ((s, d) =>
       Dedup.exactDedupKeepFirst(s, d).orderBy("doc_id")),
+    // full near-dup pipelines (banded MinHash candidates + exact
+    // Jaccard verify + threshold) re-declared on md5 arithmetic so the
+    // gate hash-checks them; the xxhash64 pipelines stay API +
+    // ScalaTest-covered in Dedup
     "q38_minhash_pairs" -> ((s, d) =>
-      Dedup.minHashPairsQuery(s, d).orderBy("id_a", "id_b")),
+      Curation.minhashVerifiedPairs(s, d).orderBy("id_a", "id_b")),
     "q39_ngram_jaccard_pairs" -> ((s, d) =>
-      Dedup.ngramJaccardPairsQuery(s, d).orderBy("id_a", "id_b")),
+      Curation.charJaccardVerifiedPairs(s, d).orderBy("id_a", "id_b")),
     // seeded md5 SimHash (domain "sh|"): the same sketch/pair shapes as
     // the xxhash64 originals (still API + ScalaTest-covered in Dedup),
     // re-declared on oracle-expressible md5 arithmetic so the gate
@@ -412,6 +416,16 @@ object SparkEntry {
     "q139_winnowing_pairs" -> ((s, d) =>
       graft.ops.TextOps.winnowingNearDupPairs(s, d)
         .orderBy("doc_a", "doc_b")),
+    // multimodal frame sampling: the explode-based plumbing over the
+    // synthetic media table, whose video geometry derives
+    // arithmetically from doc_id — so the one multimodal operator with
+    // DuckDB-expressible output is hash-checked end to end (the codec
+    // paths stay ScalaTest-covered; DuckDB cannot decode PNGs)
+    "q140_frame_sample" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.syntheticMediaTable(s, d))
+        .select(col("media_id"), col("ts_ms"), col("frame_idx"))
+        .orderBy("media_id", "ts_ms")),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). */
@@ -1667,6 +1681,21 @@ object SparkEntry {
       graft.ops.Profiling.chiSquareIndependenceSql,
     "q139_winnowing_pairs" ->
       graft.ops.TextOps.winnowingNearDupPairsSql(),
+    // frame sampling: video geometry is arithmetic on doc_id (kind =
+    // id%3 -> 2 is video; duration = 1000 + id%10*500, a multiple of
+    // the 500 ms stride, so DuckDB's end-exclusive range equals
+    // Spark's sequence(0, duration-1, 500)); frame_idx floors
+    // ts/1000*25 in exact-for-these-magnitudes doubles on both engines
+    "q140_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |             1000 + (doc_id % 10) * 500 AS duration_ms
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id,
+        |        unnest(range(0, duration_ms, 500)) AS ts_ms
+        |      FROM v)
+        |SELECT media_id, ts_ms,
+        |  CAST(floor(ts_ms / 1000.0 * 25.0) AS BIGINT) AS frame_idx
+        |FROM f ORDER BY media_id, ts_ms""".stripMargin,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {
@@ -1837,6 +1866,9 @@ object SparkEntry {
     "q86_simhash_md5_pairs" -> simhashPairsSql(""),
     // q48: pigeonhole pairs over the seeded sketch family
     "q48_simhash_pairs" -> simhashPairsSql("sh|"),
+    // q38/q39: banded-candidates + exact-Jaccard-verify pipelines
+    "q38_minhash_pairs" -> Curation.minhashVerifiedPairsSql,
+    "q39_ngram_jaccard_pairs" -> Curation.charJaccardVerifiedPairsSql,
     "q73_cube_status" ->
       s"""SELECT COALESCE(status, 'ALL') AS status,
          |  COALESCE(prio, 'ALL') AS prio,

