@@ -459,4 +459,71 @@ class CurationSpec extends SparkTestBase {
     // sf sources hold 25 docs each, so the cap must actually bite
     assert(per.exists(_ == 7))
   }
+
+  test("charGrams emits every k-substring at 1-based positions") {
+    import spark.implicits._
+    val grams = Curation.charGrams(spark, sf("documents"), 5)
+      .filter(col("doc_id") === 0L).select($"g").as[String].collect()
+    val text = Tables.documents(spark, sf("documents"))
+      .filter(col("doc_id") === 0L).select($"text").as[String].head()
+    val expect = (0 to text.length - 5).map(i => text.substring(i, i + 5))
+    assert(grams.toSeq == expect)
+  }
+
+  test("verified near-dup pipelines: jaccard semantics and determinism") {
+    graft.ops.Dedup.clearLshCache()
+    val out = Curation.minhashVerifiedPairs(spark, sf("documents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // canonical orientation, threshold respected, jaccard in (0, 1]
+    assert(out.forall { case (a, b, j) => a < b && j >= 0.5 && j <= 1.0 })
+    // exact verification: recompute jaccard over word-trigram sets
+    val gsets = Curation.tokenTrigramGrams(spark, sf("documents"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
+    out.take(20).foreach { case (a, b, j) =>
+      val (ga, gb) = (gsets(a), gsets(b))
+      val expect = BigDecimal(ga.intersect(gb).size.toDouble /
+        ga.union(gb).size.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(j - expect) < 1e-9, s"pair ($a,$b): $j vs $expect")
+    }
+    // memoized index: a second call returns identical pairs
+    val again = Curation.minhashVerifiedPairs(spark, sf("documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    graft.ops.Dedup.clearLshCache()
+  }
+
+  test("identical docs always survive banding and verify at jaccard 1") {
+    import spark.implicits._
+    graft.ops.Dedup.clearLshCache()
+    // two identical docs + one unrelated: identical gram sets yield
+    // identical signatures, hence the same bucket in EVERY band — LSH
+    // cannot miss them — and exact verification scores 1.0
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely different words in this unrelated document here"))
+      .toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "t")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), lead(col("t"), 1).over(w),
+          lead(col("t"), 2).over(w)).as("g"),
+        lead(col("t"), 2).over(w).as("tl"))
+      .filter(col("tl").isNotNull)
+      .select(col("doc_id"), col("g"))
+    val out = Curation.verifiedMd5NearDups(grams, "spec|",
+      numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+      maxBucketSize = 1000).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L &&
+      out(0).getDouble(2) == 1.0)
+    graft.ops.Dedup.clearLshCache()
+  }
 }
