@@ -202,15 +202,22 @@ object Bench {
     val stalled = results.collect { case (n, m) if m.stalled => "\"" + shortKey(n) + "\"" }
       .mkString("[", ",", "]")
     val prevCmp = prevComparisonJson(calibration, sfDir, results)
-    def line(decimals: Int): String = {
+    def line(decimals: Int, withPrev: Boolean): String = {
       val qs = results.map { case (k, m) => "\"" + shortKey(k) + "\":" + fmt(m.best, decimals) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir"""" +
-        s""","cal":${fmt(calibration, 3)}$prevCmp,"stalled":$stalled,"queries":$qs}"""
+        s""","cal":${fmt(calibration, 3)}${if (withPrev) prevCmp else ""}""" +
+        s""","stalled":$stalled,"queries":$qs}"""
     }
-    // last resort keeps the line parseable NO MATTER WHAT: a recorded
-    // total with an empty queries map beats a truncated-JSON round
-    val out = Seq(3, 2, 1).map(line).find(_.length <= LineBudget)
+    // degrade per-query decimals before dropping the prev-comparison
+    // fields (sub-2x deltas are noise per the reading rules, so 2
+    // decimals lose nothing a cross-round reader may act on, while the
+    // cal-normalized ratio is the record's whole point); last resort
+    // keeps the line parseable NO MATTER WHAT (a recorded total with an
+    // empty queries map beats truncated JSON)
+    val out = Seq((3, true), (2, true), (1, true), (3, false),
+      (2, false), (1, false))
+      .map { case (d, p) => line(d, p) }.find(_.length <= LineBudget)
       .getOrElse(s"""{"metric":"total","value":${fmt(total, 3)}""" +
         s""","unit":"sec","sf":"$sfDir","stalled":$stalled,"queries":{}}""")
     println(out)
