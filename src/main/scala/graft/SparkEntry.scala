@@ -428,7 +428,14 @@ object SparkEntry {
         .orderBy("media_id", "ts_ms")),
   )
 
-  /** Shared decimal-sum fragment (see Relational.dsum). */
+  /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
+    * inner cast is load-bearing beyond determinism: DuckDB's
+    * decimal->double cast goes through hugeint units and loses an ulp
+    * once sum*10^scale exceeds 2^53 (observed at sf0.1 with a scale-8
+    * product sum: ...0862 became ...086201), while a scale-4 sum stays
+    * exactly convertible on both engines well past any gate SF. Apply
+    * it to PRODUCTS too (dsumSql(discPriceSql)), never a bare
+    * CAST(SUM(product) AS DOUBLE). */
   private def dsumSql(c: String): String =
     s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
 
@@ -572,7 +579,7 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
          |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-         |  CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  ${dsumSql(discPriceSql)} AS sum_disc_price,
          |  ${dsumSql("l_quantity")} / COUNT(l_quantity) AS avg_qty,
          |  ${dsumSql("l_discount")} / COUNT(l_discount) AS avg_disc,
          |  COUNT(*) AS count_order
@@ -686,7 +693,7 @@ object SparkEntry {
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "q20_top_revenue_orders" ->
       s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-         |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+         |  ${dsumSql(discPriceSql)} AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey
@@ -698,7 +705,7 @@ object SparkEntry {
          |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
          |FROM orders GROUP BY 1 ORDER BY o_month""".stripMargin,
     "q22_region_revenue" ->
-      s"""SELECT n_name, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+      s"""SELECT n_name, ${dsumSql(discPriceSql)} AS revenue,
          |  COUNT(*) AS n_lineitems
          |FROM lineitem
          |JOIN supplier ON l_suppkey = s_suppkey

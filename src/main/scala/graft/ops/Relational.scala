@@ -224,9 +224,14 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(dec) *
+        // dsum rounds the product to scale 4 BEFORE summing: an
+        // 8-scale decimal sum exceeds 2^53 in hugeint units early
+        // (sum*1e8), where DuckDB's decimal->double cast is off by an
+        // ulp (observed at sf0.1: ...0862 vs ...086201); a scale-4 sum
+        // stays exactly convertible on both engines
+        dsum(col("l_extendedprice").cast(dec) *
           (lit(1).cast(dec) - col("l_discount").cast(dec)))
-          .cast("double").as("sum_disc_price"),
+          .as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -246,8 +251,11 @@ object Relational {
         col("o_orderdate").cast("date").as("o_date"))
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"),
+        // scale-4 product (see pricingSummary): keeps the decimal sum
+        // inside DuckDB's exactly-convertible range
         (col("l_extendedprice").cast(dec) *
-          (lit(1).cast(dec) - col("l_discount").cast(dec))).as("disc_price"))
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(dec)
+          .as("disc_price"))
     cust.join(ord, col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_date"))
@@ -268,8 +276,10 @@ object Relational {
       .select(col("s_suppkey"), col("n_name"))
     Tables.lineitem(s, d)
       .select(col("l_suppkey"),
+        // scale-4 product (see pricingSummary)
         (col("l_extendedprice").cast(dec) *
-          (lit(1).cast(dec) - col("l_discount").cast(dec))).as("disc_price"))
+          (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(dec)
+          .as("disc_price"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("disc_price")).cast("double").as("revenue"),
