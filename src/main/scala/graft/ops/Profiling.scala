@@ -81,7 +81,14 @@ object Profiling {
     * cf. Dedup's maxBucketSize gating) needs before committing to a
     * self-join. Cost: one map-side-combined count per key column over
     * one scan, then a few-row agg — the degree table is keys-sized,
-    * never rows-sized. Emits one row per candidate join key. */
+    * never rows-sized. Emits one row per candidate join key.
+    *
+    * Range: est_pairs = Σ deg² is exact BIGINT while it stays under
+    * ~9.2e18 — i.e. until a key set whose self-join would produce
+    * quintillions of rows, at which point the NUMBER is moot (the
+    * answer is "never run this join") but the column would wrap; at
+    * that scale swap the Σ deg² aggregate to DECIMAL(38,0) (the q134
+    * move) or estimate from the top-k degrees only. */
   def joinSizeEstimate(s: SparkSession, d: String): DataFrame = {
     val df = Tables.lineitem(s, d)
     val keys = Seq("l_partkey", "l_suppkey", "l_orderkey")
