@@ -1357,11 +1357,12 @@ object SparkEntry {
     "q113_neyman_alloc" ->
       """WITH m AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
         |           FROM documents),
-        |s AS (SELECT lang, COUNT(*) AS n_h, SUM(x) AS sx,
-        |        SUM(x * x) AS sx2
+        |s AS (SELECT lang, COUNT(*) AS n_h, CAST(SUM(x) AS BIGINT) AS sx,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sx2
         |      FROM m GROUP BY lang),
         |w AS (SELECT lang, n_h,
-        |        sqrt(CAST(sx2 * n_h - sx * sx AS DOUBLE)) AS w
+        |        sqrt(CAST(sx2 * n_h - CAST(sx AS HUGEINT) * sx
+        |          AS DOUBLE)) AS w
         |      FROM s),
         |t AS (SELECT list_sum(list(w ORDER BY lang)) AS sw FROM w),
         |f AS (SELECT lang, n_h, w,
@@ -1731,7 +1732,7 @@ object SparkEntry {
          |sel AS (SELECT DISTINCT doc_id, p, gh FROM cand WHERE rn = 1),
          |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1)
          |SELECT s.doc_id, ng.n_grams, COUNT(*) AS n_selected,
-         |  CAST(SUM(gh) AS BIGINT) AS fp_checksum
+         |  CAST(SUM(gh & 4294967295) AS BIGINT) AS fp_checksum
          |FROM sel s JOIN ng USING (doc_id)
          |GROUP BY s.doc_id, ng.n_grams ORDER BY doc_id""".stripMargin
     },

@@ -319,12 +319,17 @@ object Curation {
       budget: Int = 1000): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("lang"), col("n_chars").cast("long").as("x"))
+    // quadratic terms in DECIMAL(38,0) (HUGEINT in the oracle): with
+    // x ~ doc chars and web-scale strata, sx² crosses BIGINT max early
+    // (same exact-128-bit move as hourlyAnomalies)
+    val dec = "decimal(38,0)"
     val strata = docs.groupBy(col("lang")).agg(
         count(lit(1)).as("n_h"),
         sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sx2"))
+        sum(col("x").cast(dec) * col("x")).as("sx2"))
       .withColumn("w", sqrt(
-        (col("sx2") * col("n_h") - col("sx") * col("sx")).cast("double")))
+        (col("sx2") * col("n_h") - col("sx").cast(dec) * col("sx"))
+          .cast("double")))
     val tot = strata.agg(
       aggregate(
         transform(sort_array(collect_list(struct(col("lang"), col("w")))),

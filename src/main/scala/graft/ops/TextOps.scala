@@ -511,7 +511,13 @@ object TextOps {
     val nGrams = winnowingGrams(docs, k).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     winnowingSelections(docs, k, w).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_selected"), sum(col("gh")).as("fp_checksum"))
+      // checksum over the LOW 32 BITS of each fingerprint: summing raw
+      // 60-bit values crosses BIGINT max at ~16 selections per doc
+      // (Spark would wrap silently, an ANSI engine aborts); the masked
+      // sum stays exact to millions of selections and remains a
+      // content-sensitive check value on both engines
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("gh").bitwiseAND(lit(0xFFFFFFFFL))).as("fp_checksum"))
       .join(nGrams, "doc_id")
       .select(col("doc_id"), col("n_grams"), col("n_selected"),
         col("fp_checksum"))
