@@ -168,10 +168,17 @@ object SparkEntry {
     "q37_embed_norms" -> ((s, d) =>
       Similarity.normsQuery(s, d).orderBy("vec_id")),
     "q42_knn_brute" -> ((s, d) => Similarity.knnBruteForce(s, d)),
-    "q43_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    // md5-integer SRP / seeded-IVF re-declarations (the q38-q41 move
+    // applied to vectors): same index/probe/verify plans, bucket and
+    // list assignment in exact BIGINT arithmetic a DuckDB oracle
+    // reproduces bit-for-bit. The Gaussian-plane LSH and the
+    // KMeans-trained IVF stay API + ScalaTest covered (q90 pins the
+    // multi-probe recall, q87 pins the trained probe exhaustive ==
+    // brute force).
+    "q43_ann_lsh" -> ((s, d) => Similarity.annLshMd5(s, d)),
     "q44_embed_near_dup" -> ((s, d) =>
-      Similarity.cosineNearDupQuery(s, d).orderBy("id_a", "id_b")),
-    "q52_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+      Similarity.cosineNearDupMd5Query(s, d).orderBy("id_a", "id_b")),
+    "q52_ann_ivf" -> ((s, d) => Similarity.annIvfMd5(s, d)),
     // ---- temporal operators
     "q53_sessionize" -> ((s, d) =>
       Temporal.sessionize(s, d).orderBy("user_id", "session_start_us")),
@@ -1105,6 +1112,9 @@ object SparkEntry {
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q42_knn_brute" -> bruteForceTop10Sql,
+    "q43_ann_lsh" -> Similarity.annLshMd5Sql(),
+    "q44_embed_near_dup" -> Similarity.cosineNearDupMd5Sql(),
+    "q52_ann_ivf" -> Similarity.annIvfMd5Sql(),
     // annIvf with nprobe == nlist is exhaustive: the IVF machinery
     // (KMeans assignment, probe-list ranking, re-rank) must reproduce
     // the brute-force top-10 exactly — ANN-vs-exact agreement as a

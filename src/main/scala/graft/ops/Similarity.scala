@@ -234,6 +234,69 @@ object Similarity {
     dots.select(col("id") +: buckets: _*)
   }
 
+  // ---- md5-seeded INTEGER SRP family (oracle-expressible) ----
+  //
+  // The Gaussian-hyperplane SRP above ([[srpBucketsDf]]) draws planes
+  // from the JVM's Random — irreproducible outside the JVM, so the
+  // queries built on it can only be rows-checked by the driver. This
+  // family re-declares the same bucketing on arithmetic BOTH engines
+  // share bit-for-bit, the q38-q41 move applied to vectors:
+  //   - plane weights are integers in [-2^19, 2^19) derived from
+  //     md5("srp|table|plane|dim") — the same 15-nibble decode as the
+  //     MinHash oracle family (Curation.verifiedMd5NearDups);
+  //   - vectors are quantized to BIGINT (floor(x * 1e6): float->double
+  //     is exact, the multiply is one IEEE op, floor is unambiguous);
+  //   - dot products and sign bits are then EXACT BIGINT arithmetic —
+  //     fold-order-free, so groupBy partials can't flip a sign bit.
+  // Only the final re-rank/verify cosine is floating point, and that
+  // is the round-6 double fold q42/q88 already hash-match in DuckDB.
+  // The Gaussian family stays API + ScalaTest covered (q90 pins its
+  // multi-probe recall against exact brute force).
+
+  /** Driver-side md5 -> the 60-bit value of hex nibbles 1..15 — the
+    * Scala twin of the oracle's shared nibble decode ([[nibsSql]]). */
+  private[graft] def md5Nibs15(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Integer hyperplane weight for (table, plane, dim index): uniform
+    * in [-2^19, 2^19) from md5("srp|t|p|i"). Bound check: |weight| <
+    * 2^19, |quantized element| <~ 2^24 (floats are O(1) * 1e6), so a
+    * 64-dim dot is < 2^49 — exact BIGINT with headroom. */
+  private[graft] def md5PlaneWeight(t: Int, p: Int, i: Int): Long =
+    md5Nibs15(s"srp|$t|$p|$i") % 1048576L - 524288L
+
+  /** BIGINT-quantized copy of a float-array column: floor(x * 1e6)
+    * per element — the exact arithmetic the oracle mirrors with
+    * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT). */
+  private[graft] def quantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000000.0d)))
+
+  /** [[srpBucketsDf]] on the md5-integer family: same one-pass
+    * explode + sum-aggregate plan (order-free by construction here —
+    * the sums are BIGINT), same (id, b0..b{tables-1}) output. */
+  private[graft] def srpBucketsMd5Df(emb: DataFrame, idCol: String,
+      vecCol: String, numPlanes: Int, tables: Int, dim: Int): DataFrame = {
+    val exploded = emb.select(col(idCol).as("id"),
+      posexplode(quantized(col(vecCol))).as(Seq("i", "xq")))
+    val dotAggs = for (t <- 0 until tables; p <- 0 until numPlanes) yield {
+      val w = (0 until dim).map(i => md5PlaneWeight(t, p, i))
+      sum(col("xq") * element_at(array(w.map(lit): _*), col("i") + 1))
+        .as(s"dot_${t}_$p")
+    }
+    val dots = exploded.groupBy(col("id"))
+      .agg(dotAggs.head, dotAggs.tail: _*)
+    val buckets = (0 until tables).map { t =>
+      (0 until numPlanes).map(p =>
+        when(col(s"dot_${t}_$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"b$t")
+    }
+    dots.select(col("id") +: buckets: _*)
+  }
+
   /** The memoized artifacts of one SRP banding pass: the (id, v)
     * vector table the verify join reads back, the deduplicated
     * candidate-pair list, and the exact pre-distinct pair bound that
@@ -271,16 +334,40 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numPlanes: Int = 12, tables: Int = 4,
       dim: Int = 64, maxBucketSize: Int = 1000,
-      maxBroadcastPairs: Long = 2000000L): DataFrame = {
-    // threshold and the broadcast bound shape only the per-call verify
-    // join below, not the built index — kept out of the memo key
-    val e = IndexMemo.getOrBuild[SrpPairIndex]("srpPairIdx",
-      s"$idCol,$vecCol,$numPlanes,$tables,$dim,$maxBucketSize",
+      maxBroadcastPairs: Long = 2000000L): DataFrame =
+    verifiedNearDupsFromBuckets(emb, idCol, vecCol, threshold, tables,
+      maxBucketSize, maxBroadcastPairs, "srpPairIdx",
+      s"$idCol,$vecCol,$numPlanes,$tables,$dim,$maxBucketSize")(
+      srpBucketsDf(emb, idCol, vecCol, numPlanes, tables, dim, 4242L))
+
+  /** [[cosineNearDupPairs]] on the md5-integer SRP family — the same
+    * capped banded join and exact-cosine verify, with bucket bits the
+    * DuckDB oracle reproduces exactly ([[cosineNearDupMd5Sql]]). */
+  def cosineNearDupMd5Pairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numPlanes: Int = 12, tables: Int = 4,
+      dim: Int = 64, maxBucketSize: Int = 1000,
+      maxBroadcastPairs: Long = 2000000L): DataFrame =
+    verifiedNearDupsFromBuckets(emb, idCol, vecCol, threshold, tables,
+      maxBucketSize, maxBroadcastPairs, "srpMd5PairIdx",
+      s"$idCol,$vecCol,$numPlanes,$tables,$dim,$maxBucketSize")(
+      srpBucketsMd5Df(emb, idCol, vecCol, numPlanes, tables, dim))
+
+  /** The shared body of the SRP near-dup operators: band the (id,
+    * b0..b{tables-1}) bucket table, cap degenerate buckets, join the
+    * deduplicated candidate list back to the vectors, verify with
+    * exact round-6 cosine >= threshold. Index memoized per (context,
+    * corpus plan, banding params); threshold and the broadcast bound
+    * shape only the per-call verify join, not the built index — kept
+    * out of the memo key. */
+  private def verifiedNearDupsFromBuckets(emb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, tables: Int, maxBucketSize: Int,
+      maxBroadcastPairs: Long, memoName: String, memoKey: String)(
+      bucketsDf: => DataFrame): DataFrame = {
+    val e = IndexMemo.getOrBuild[SrpPairIndex](memoName, memoKey,
       Seq(emb)) {
       val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
         .persist()
-      val sized = srpBucketsDf(emb, idCol, vecCol, numPlanes, tables,
-        dim, 4242L)
+      val sized = bucketsDf
         .select(col("id"),
           posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
             .as(Seq("tbl", "bucket")))
@@ -533,6 +620,258 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Near-dup embedding pairs on the md5-integer SRP family over the
+    * synthetic table — the gate shape of [[cosineNearDupQuery]] with a
+    * full DuckDB oracle ([[cosineNearDupMd5Sql]]). */
+  def cosineNearDupMd5Query(s: SparkSession, d: String): DataFrame =
+    cosineNearDupMd5Pairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.2)
+
+  /** [[annLsh]] on the md5-integer SRP family: same memoized bucket
+    * index, same >= 1-shared-bucket probe, same exact round-6 cosine
+    * re-rank — but every bucket bit is exact BIGINT arithmetic the
+    * DuckDB oracle reproduces ([[annLshMd5Sql]]). The Gaussian-plane
+    * original stays the multi-probe/recall operator (q90). */
+  def annLshMd5(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10, numPlanes: Int = 6, tables: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val bucketed = IndexMemo.getOrBuild[DataFrame]("annLshMd5Idx",
+      s"$numPlanes,$tables,$dim", Seq(emb)) {
+      val idx = emb.join(
+        srpBucketsMd5Df(emb, "vec_id", "embedding", numPlanes, tables, dim)
+          .withColumnRenamed("id", "vec_id"),
+        "vec_id")
+        .persist()
+      (idx, Seq(idx))
+    }
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding") +:
+        (0 until tables).map(t => col(s"b$t").as(s"qb$t")): _*)
+    val sameBucket = (0 until tables)
+      .map(t => col(s"b$t") === col(s"qb$t")).reduce(_ || _)
+    bucketed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(sameBucket)
+      .select(col("vec_id"),
+        round(nativeCosine(s, col("embedding"), col("q_embedding")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The memoized artifacts of one seeded-IVF build: the tiny
+    * (seed_id, srank, sq) quantizer table and the corpus-sized
+    * (vec_id, embedding, list_id) assignment. */
+  private final case class SeededIvfIndex(seeds: DataFrame,
+      assigned: DataFrame)
+
+  /** IVF-flat ANN with an md5-SEEDED coarse quantizer, fully
+    * oracle-expressible ([[annIvfMd5Sql]]): the `nlist` inverted-list
+    * centers are the corpus vectors with the smallest md5(vec_id) draw
+    * (a random-centroid quantizer — the zero-iteration operating point
+    * FAISS-style IVF supports; the KMeans-trained quantizer stays the
+    * [[annIvf]] operator, pinned exhaustive-equals-brute by q87).
+    * Assignment and probe ranking are EXACT BIGINT L2^2 over the
+    * quantized vectors (|diff| < 2^25, squared < 2^50, 64-dim sum
+    * < 2^56 — no overflow, no float fold to diverge), tie-broken by
+    * seed rank; only the final re-rank cosine is floating point, the
+    * proven round-6 fold.
+    *
+    * Scale shape: the quantizer table is nlist rows (broadcast both
+    * times it is joined), the assignment is built once and memoized —
+    * at cluster scale list_id becomes the partition key of the index
+    * table so a probe touches nprobe partitions — and the probe scans
+    * only the probed lists before a bounded top-k. */
+  def annIvfMd5(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dist2 = aggregate(
+      zip_with(quantized(col("embedding")), col("sq"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val ix = IndexMemo.getOrBuild[SeededIvfIndex]("annIvfMd5Idx",
+      s"$nlist", Seq(emb)) {
+      val seeds = emb
+        .select(col("vec_id").as("seed_id"),
+          md5Nibs15Col(concat(col("vec_id").cast("string"), lit("|ivf")))
+            .as("h"),
+          quantized(col("embedding")).as("sq"))
+        .orderBy(col("h"), col("seed_id")).limit(nlist)
+        .withColumn("srank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("h"), col("seed_id"))))
+        .select(col("seed_id"), col("srank"), col("sq"))
+        .persist()
+      val assigned = emb.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("embedding"), col("srank"),
+          dist2.as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("srank"))).as("m"))
+        .select(col("vec_id"), col("m.srank").as("list_id"))
+        .join(emb, "vec_id")
+        .persist()
+      assigned.count() // materialize the index
+      (SeededIvfIndex(seeds, assigned), Seq(seeds, assigned))
+    }
+    val probed = emb.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(ix.seeds))
+      .select(col("srank").as("list_id"), dist2.as("d2"))
+      .orderBy(col("d2"), col("list_id")).limit(nprobe)
+      .select(col("list_id"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    ix.assigned.join(broadcast(probed), "list_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(nativeCosine(s, col("embedding"), col("q_embedding")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Column-level twin of [[md5Nibs15]]: the 60-bit value of hex
+    * nibbles 1..15 of md5(src) — identical to the oracle's decode. */
+  private def md5Nibs15Col(src: Column): Column = {
+    val hh = md5(src)
+    (0 until 15).map { i =>
+      val nib = substring(hh, 1 + i, 1)
+      (ascii(nib) - when(nib <= "9", 48).otherwise(87)).cast("long") *
+        (1L << (4 * (14 - i)))
+    }.reduce(_ + _)
+  }
+
+  // ---- DuckDB oracle builders for the md5 family ----
+
+  /** The oracle's shared 15-nibble decode of a hex column. */
+  private def nibsSql(c: String, from: Int): String = (0 until 15).map {
+    i =>
+      val nib = s"substr($c, ${from + i}, 1)"
+      s"CAST(ascii($nib) - CASE WHEN $nib <= '9' THEN 48 ELSE 87 END" +
+        s" AS BIGINT) * ${1L << (4 * (14 - i))}"
+  }.mkString(" + ")
+
+  /** The q42/q88 round-6 cosine fold between two list columns. */
+  private def cosineSql(a: String, b: String): String =
+    s"""round(
+       |    list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / nullif(
+       |        sqrt(list_sum(list_transform($a,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform($b,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+       |        CAST(0.0 AS DOUBLE)), 6)""".stripMargin
+
+  /** Shared bucket-table CTEs: md5-integer planes, quantized
+    * elements, BIGINT dots, sign-packed (vec_id, t, bucket). */
+  private def bucketsSql(tables: Int, numPlanes: Int, dim: Int): String =
+    s"""planes AS (
+       |  SELECT t, p, i, h % 1048576 - 524288 AS w FROM (
+       |    SELECT t, p, i, ${nibsSql("hh", 1)} AS h FROM (
+       |      SELECT tt.t, pp.p, ii.i,
+       |        md5('srp|' || CAST(tt.t AS VARCHAR) || '|' ||
+       |            CAST(pp.p AS VARCHAR) || '|' ||
+       |            CAST(ii.i AS VARCHAR)) AS hh
+       |      FROM range(0, $tables) AS tt(t), range(0, $numPlanes) AS pp(p),
+       |           range(0, $dim) AS ii(i)))),
+       |xq AS (
+       |  SELECT vec_id, ii.i AS i,
+       |    CAST(floor(CAST(embedding[ii.i + 1] AS DOUBLE)
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xq
+       |  FROM embeddings, range(0, $dim) AS ii(i)),
+       |dots AS (
+       |  SELECT x.vec_id, pl.t, pl.p, SUM(x.xq * pl.w) AS dot
+       |  FROM xq x JOIN planes pl ON pl.i = x.i
+       |  GROUP BY 1, 2, 3),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    SUM(CASE WHEN dot >= 0
+       |        THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER)
+       |        ELSE CAST(0 AS BIGINT) END) AS bucket
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB oracle for [[annLshMd5]]. */
+  def annLshMd5Sql(queryId: Long = 0L, k: Int = 10, numPlanes: Int = 6,
+      tables: Int = 8, dim: Int = 64): String =
+    s"""WITH ${bucketsSql(tables, numPlanes, dim)},
+       |qb AS (SELECT t, bucket FROM buckets WHERE vec_id = $queryId),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+       |  WHERE b.vec_id <> $queryId),
+       |qv AS (SELECT embedding AS qe FROM embeddings
+       |       WHERE vec_id = $queryId)
+       |SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS cosine
+       |FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, qv
+       |ORDER BY cosine DESC, e.vec_id LIMIT $k""".stripMargin
+
+  /** DuckDB oracle for [[cosineNearDupMd5Pairs]] (gate parameters of
+    * [[cosineNearDupMd5Query]]). */
+  def cosineNearDupMd5Sql(threshold: Double = 0.2, numPlanes: Int = 12,
+      tables: Int = 4, dim: Int = 64, maxBucketSize: Int = 1000): String =
+    s"""WITH ${bucketsSql(tables, numPlanes, dim)},
+       |capped AS (
+       |  SELECT vec_id, t, bucket FROM (
+       |    SELECT vec_id, t, bucket,
+       |      COUNT(*) OVER (PARTITION BY t, bucket) AS bsz
+       |    FROM buckets) m
+       |  WHERE bsz <= $maxBucketSize),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, cosine FROM scored
+       |WHERE cosine >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB oracle for [[annIvfMd5]]. */
+  def annIvfMd5Sql(queryId: Long = 0L, k: Int = 10, nlist: Int = 16,
+      nprobe: Int = 4, dim: Int = 64): String =
+    s"""WITH xq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE)
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT seed_id, row_number() OVER (ORDER BY h, seed_id) AS srank
+       |  FROM (
+       |    SELECT vec_id AS seed_id,
+       |      ${nibsSql("hh", 1)} AS h
+       |    FROM (SELECT vec_id,
+       |            md5(CAST(vec_id AS VARCHAR) || '|ivf') AS hh
+       |          FROM embeddings))
+       |  ORDER BY h, seed_id LIMIT $nlist),
+       |sq AS (SELECT s.srank, x.q AS sq
+       |       FROM seeds s JOIN xq x ON x.vec_id = s.seed_id),
+       |dist AS (
+       |  SELECT x.vec_id, s.srank,
+       |    list_sum(list_transform(range(1, $dim + 1),
+       |      i -> (x.q[i] - s.sq[i]) * (x.q[i] - s.sq[i]))) AS d2
+       |  FROM xq x CROSS JOIN sq s),
+       |assigned AS (
+       |  SELECT vec_id, srank AS list_id FROM (
+       |    SELECT vec_id, srank, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, srank) AS rn
+       |    FROM dist) r WHERE rn = 1),
+       |probe AS (SELECT srank AS list_id FROM dist
+       |          WHERE vec_id = $queryId
+       |          ORDER BY d2, srank LIMIT $nprobe),
+       |qv AS (SELECT embedding AS qe FROM embeddings
+       |       WHERE vec_id = $queryId)
+       |SELECT e.vec_id, ${cosineSql("e.embedding", "qe")} AS cosine
+       |FROM assigned a JOIN probe p ON p.list_id = a.list_id
+       |JOIN embeddings e ON e.vec_id = a.vec_id, qv
+       |WHERE e.vec_id <> $queryId
+       |ORDER BY cosine DESC, e.vec_id LIMIT $k""".stripMargin
 
   /** Recall@k of the multi-probe SRP-LSH ANN ([[annLsh]], production
     * geometry) against the exact brute-force top-k, as ONE scalar row —

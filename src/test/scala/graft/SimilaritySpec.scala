@@ -124,6 +124,53 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(b - r.getDouble(1)) < 1e-9)))
   }
 
+  test("md5-SRP near-dup pairs are a subset of the exact cosine pairs") {
+    // the oracle-expressible integer-SRP family must keep the same
+    // soundness contract as the Gaussian family: every verified pair
+    // appears in the all-pairs exact scan with the SAME score
+    val srp = Similarity.cosineNearDupMd5Query(spark, sf("embeddings"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.cosinePairsExact(spark, sf("embeddings"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(srp.nonEmpty)
+    srp.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c),
+        s"pair $k: md5-srp=$c exact=${exact.get(k)}")
+    }
+  }
+
+  test("md5-LSH ANN hits carry exact brute-force cosines, sorted desc") {
+    val brute = Similarity.knnBruteForce(spark, sf("embeddings"), 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annLshMd5(spark, sf("embeddings"), 0L, 10)
+      .collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      brute.get(r.getLong(0)).foreach(b =>
+        assert(math.abs(b - r.getDouble(1)) < 1e-9))
+    }
+    val sims = ann.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("seeded IVF with full probe equals brute force; partial is sound") {
+    val brute = Similarity.knnBruteForce(spark, sf("embeddings"), 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.annIvfMd5(spark, sf("embeddings"), 0L, 10,
+      nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.sameElements(brute)) // exhaustive probe == exact
+    val partial = Similarity.annIvfMd5(spark, sf("embeddings"), 0L, 10,
+      nlist = 8, nprobe = 2).collect()
+    assert(partial.nonEmpty)
+    val bruteAll = Similarity.knnBruteForce(spark, sf("embeddings"), 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    partial.foreach(r => bruteAll.get(r.getLong(0)).foreach(b =>
+      assert(math.abs(b - r.getDouble(1)) < 1e-9)))
+  }
+
   test("measured IVF recall@10 over multiple queries clears a floor") {
     val queries = Seq(0L, 7L, 23L, 111L, 202L)
     val recalls = queries.map { q =>
