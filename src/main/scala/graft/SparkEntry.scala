@@ -433,6 +433,10 @@ object SparkEntry {
         graft.multimodal.Multimodal.syntheticMediaTable(s, d))
         .select(col("media_id"), col("ts_ms"), col("frame_idx"))
         .orderBy("media_id", "ts_ms")),
+    // single-source BFS over the trade graph: min hop distance within
+    // 4 hops — the k-hop traversal primitive beside the rank (q124)
+    // and component (q63) operators; oracled by a recursive CTE
+    "q141_bfs_hops" -> ((s, d) => graft.ops.Graph.bfsHops(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1714,6 +1718,7 @@ object SparkEntry {
         |SELECT media_id, ts_ms,
         |  CAST(floor(ts_ms / 1000.0 * 25.0) AS BIGINT) AS frame_idx
         |FROM f ORDER BY media_id, ts_ms""".stripMargin,
+    "q141_bfs_hops" -> graft.ops.Graph.bfsHopsSql(),
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

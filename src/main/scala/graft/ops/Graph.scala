@@ -246,6 +246,71 @@ object Graph {
        |  n_triangles
        |FROM tri""".stripMargin
 
+  /** Core of [[bfsHops]]: level-synchronous single-source BFS over an
+    * explicit (src, dst) edge list. Classic distributed shape — each
+    * round is ONE equi-join of the previous frontier against the edge
+    * table plus a left-anti against the visited set, all on fixed-width
+    * BIGINT node ids; the frontier and visited tables are
+    * lineage-cut every round ([[GraftSession.cut]] — reliable
+    * checkpoint when enabled) so a lost executor never restarts the
+    * traversal and Catalyst re-plans at most one round of lineage. At
+    * cluster scale you would pre-partition `edges` by src once so every
+    * round's join is co-located — the same reuse discipline as the
+    * PageRank iteration above. */
+  private[graft] def bfsHopsFrom(edges: DataFrame, source: Long,
+      maxHops: Int): DataFrame = {
+    val s = edges.sparkSession
+    var dist = GraftSession.cut(
+      s.range(1).select(lit(source).as("node"), lit(0L).as("hops")))
+    var frontier = dist.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+      val cutNext = GraftSession.cut(next)
+      dist = GraftSession.cut(dist.unionAll(cutNext))
+      frontier = cutNext.select(col("node"))
+    }
+    dist
+  }
+
+  /** Single-source BFS over the trade graph: the minimum hop count
+    * from `source` (default node 2 = customer 1) to every node within
+    * `maxHops` hops — the k-hop-neighborhood primitive the rank/
+    * component operators lack. Oracled by a DuckDB recursive CTE
+    * ([[bfsHopsSql]]): UNION-deduped (node, hops) walk states, MIN per
+    * node — identical min-hop semantics, pure integer arithmetic. */
+  def bfsHops(s: SparkSession, d: String, source: Long = 2L,
+      maxHops: Int = 4): DataFrame = {
+    val (edges, _, _) = tradeGraph(s, d)
+    bfsHopsFrom(edges.select(col("src"), col("dst")), source, maxHops)
+      .select(nodeLabel(col("node")).as("node"), col("hops"))
+      .orderBy(col("hops"), col("node"))
+  }
+
+  /** DuckDB oracle for [[bfsHops]]. */
+  def bfsHopsSql(source: Long = 2L, maxHops: Int = 4): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cnode,
+       |         l_suppkey * 2 + 1 AS snode
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL SELECT snode AS src, cnode AS dst FROM pairs),
+       |walk(node, hops) AS (
+       |  SELECT CAST($source AS BIGINT) AS node, 0 AS hops
+       |  UNION
+       |  SELECT e.dst, w.hops + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.hops < $maxHops),
+       |m AS (SELECT node, MIN(hops) AS mh FROM walk GROUP BY node)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END
+       |    || CAST(node // 2 AS VARCHAR) AS node,
+       |  CAST(mh AS BIGINT) AS hops
+       |FROM m ORDER BY hops, node""".stripMargin
+
   /** Degree profile of the trade graph: how many nodes have each
     * (side, degree) — the skew diagnostic you run before deciding the
     * PageRank partitioning. Reads the memoized degree table; the only

@@ -248,6 +248,29 @@ class GraphSpec extends SparkTestBase {
     assert(row.getDouble(2) >= 0.0)
   }
 
+  test("bfsHopsFrom computes exact hop distances on a known graph") {
+    // chain 1-2-3-4-5 plus a shortcut 1-4: hops(4) must take the
+    // shortcut (1), hops(5) = 2, and node 6 (disconnected) is absent
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val out = Graph.bfsHopsFrom(edges, 1L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsHops: layered frontier law over the trade graph") {
+    val d = sf("orders")
+    val rows = Graph.bfsHops(spark, d, maxHops = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.nonEmpty && rows.count(_._2 == 0L) == 1)
+    // bipartite invariant: even hops are customers, odd hops suppliers
+    rows.foreach { case (label, h) =>
+      assert(if (h % 2 == 0) label.startsWith("c") else label.startsWith("s"),
+        s"$label at hop $h breaks bipartite layering")
+    }
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
