@@ -437,6 +437,10 @@ object SparkEntry {
     // 4 hops — the k-hop traversal primitive beside the rank (q124)
     // and component (q63) operators; oracled by a recursive CTE
     "q141_bfs_hops" -> ((s, d) => graft.ops.Graph.bfsHops(s, d)),
+    // Bellman-Ford cheapest-route cost (weight = 1e6 DIV tie support,
+    // exact integer min-plus) — the weighted complement of q141,
+    // oracled by an unrolled CTE chain like PageRank
+    "q142_sssp_cost" -> ((s, d) => graft.ops.Graph.ssspCost(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1719,6 +1723,7 @@ object SparkEntry {
         |  CAST(floor(ts_ms / 1000.0 * 25.0) AS BIGINT) AS frame_idx
         |FROM f ORDER BY media_id, ts_ms""".stripMargin,
     "q141_bfs_hops" -> graft.ops.Graph.bfsHopsSql(),
+    "q142_sssp_cost" -> graft.ops.Graph.ssspCostSql(),
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

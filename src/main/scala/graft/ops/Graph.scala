@@ -270,7 +270,11 @@ object Graph {
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hops"))
       val cutNext = GraftSession.cut(next)
-      dist = GraftSession.cut(dist.unionAll(cutNext))
+      // the visited set is a union of ALREADY-CUT frontiers, so its
+      // plan is a stack of cached scans — no per-round re-materialize;
+      // cut only every 4th round to bound plan depth on deep walks
+      dist = dist.unionAll(cutNext)
+      if (h % 4 == 0 && h < maxHops) dist = GraftSession.cut(dist)
       frontier = cutNext.select(col("node"))
     }
     dist
@@ -310,6 +314,99 @@ object Graph {
        |    || CAST(node // 2 AS VARCHAR) AS node,
        |  CAST(mh AS BIGINT) AS hops
        |FROM m ORDER BY hops, node""".stripMargin
+
+  /** Memoized WEIGHTED trade edges: (src, dst, cost) where cost =
+    * 1000000 DIV (number of distinct orders linking the customer and
+    * supplier) — strong trading ties are cheap edges, so shortest
+    * paths prefer high-support routes. Exact BIGINT floor division,
+    * both directions; built once like [[tradeGraph]]. */
+  private[graft] def weightedTradeEdges(s: SparkSession,
+      d: String): DataFrame =
+    IndexMemo.getOrBuild[DataFrame]("wTradeEdges", "",
+      Seq(tradeEdges(s, d))) {
+      val pairs = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2L).as("cnode"),
+          (col("l_suppkey") * 2L + 1L).as("snode"), col("o_orderkey"))
+        .distinct()
+        .groupBy(col("cnode"), col("snode"))
+        .agg(count(lit(1)).as("support"))
+        .withColumn("cost", expr("1000000 DIV support"))
+      val edges = pairs
+        .select(col("cnode").as("src"), col("snode").as("dst"), col("cost"))
+        .unionAll(pairs.select(col("snode").as("src"),
+          col("cnode").as("dst"), col("cost")))
+        .persist()
+      (edges, Seq(edges))
+    }
+
+  /** Bellman-Ford single-source shortest path, `rounds` relaxation
+    * rounds over the weighted trade graph — the weighted complement of
+    * [[bfsHops]] (cheapest-route cost instead of hop count). Each
+    * round is ONE edge join + a groupBy-min over (node, cost) BIGINT
+    * pairs, lineage-cut like every iterative plan; all arithmetic is
+    * exact integer min-plus, so the unrolled DuckDB CTE chain
+    * ([[ssspCostSql]]) reproduces every round bit-for-bit — the
+    * PageRank oracle discipline applied to path costs. Emits the
+    * nodes reachable within `rounds` edges with their cheapest cost. */
+  def ssspCost(s: SparkSession, d: String, source: Long = 2L,
+      rounds: Int = 4): DataFrame =
+    ssspFrom(weightedTradeEdges(s, d), source, rounds)
+      .select(nodeLabel(col("node")).as("node"), col("cost"))
+      .orderBy(col("cost"), col("node"))
+
+  /** Core of [[ssspCost]]: Bellman-Ford over an explicit
+    * (src, dst, cost) edge list. */
+  private[graft] def ssspFrom(edges: DataFrame, source: Long,
+      rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    var dist = GraftSession.cut(
+      s.range(1).select(lit(source).as("node"), lit(0L).as("cost")))
+    for (_ <- 1 to rounds) {
+      val relaxed = edges
+        .join(dist.select(col("node").as("src"), col("cost").as("dc")),
+          "src")
+        .select(col("dst").as("node"), (col("dc") + col("cost")).as("cost"))
+      dist = GraftSession.cut(dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost")))
+    }
+    dist
+  }
+
+  /** DuckDB oracle for [[ssspCost]]: the same rounds unrolled as a
+    * CTE chain of min-plus relaxations. */
+  def ssspCostSql(source: Long = 2L, rounds: Int = 4): String = {
+    val head =
+      s"""WITH pairs AS (
+         |  SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode,
+         |         COUNT(DISTINCT o_orderkey) AS support
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT cnode AS src, snode AS dst, 1000000 // support AS cost
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT snode, cnode, 1000000 // support FROM pairs),
+         |d0 AS (SELECT CAST($source AS BIGINT) AS node,
+         |              CAST(0 AS BIGINT) AS cost)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT node, MIN(cost) AS cost FROM (
+         |  SELECT node, cost FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, d.cost + e.cost AS cost
+         |  FROM d${i - 1} d JOIN edges e ON e.src = d.node) u
+         |  GROUP BY node)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END
+         |    || CAST(node // 2 AS VARCHAR) AS node,
+         |  CAST(cost AS BIGINT) AS cost FROM d$rounds
+         |ORDER BY cost, node""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
 
   /** Degree profile of the trade graph: how many nodes have each
     * (side, degree) — the skew diagnostic you run before deciding the

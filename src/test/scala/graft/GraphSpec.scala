@@ -271,6 +271,29 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("ssspFrom relaxes to exact cheapest costs on a known graph") {
+    // 1->2 cost 10, 2->3 cost 10, 1->3 cost 25: the two-edge route
+    // wins (20 < 25); 3->4 cost 1 rides on it; within 4 rounds
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L),
+      (3L, 4L, 1L)).toDF("src", "dst", "cost")
+    val out = Graph.ssspFrom(edges, 1L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 21L))
+  }
+
+  test("ssspCost dominates bfsHops: cost path never uses more rounds") {
+    val d = sf("orders")
+    val costs = Graph.ssspCost(spark, d, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hops = Graph.bfsHops(spark, d, maxHops = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // identical reachable sets (both are 3-round closures of the same
+    // connectivity), zero cost exactly at the source
+    assert(costs.keySet == hops.keySet)
+    assert(costs.count(_._2 == 0L) == 1)
+    costs.foreach { case (n, c) => assert(c >= 0L, s"$n negative") }
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
