@@ -441,6 +441,9 @@ object SparkEntry {
     // exact integer min-plus) — the weighted complement of q141,
     // oracled by an unrolled CTE chain like PageRank
     "q142_sssp_cost" -> ((s, d) => graft.ops.Graph.ssspCost(s, d)),
+    // personalized PageRank: restart mass pinned to customer 1 — the
+    // graph-recommendation primitive, sparse exact-BIGINT iteration
+    "q143_ppr" -> ((s, d) => graft.ops.Graph.personalizedPageRank(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1724,6 +1727,7 @@ object SparkEntry {
         |FROM f ORDER BY media_id, ts_ms""".stripMargin,
     "q141_bfs_hops" -> graft.ops.Graph.bfsHopsSql(),
     "q142_sssp_cost" -> graft.ops.Graph.ssspCostSql(),
+    "q143_ppr" -> graft.ops.Graph.personalizedPageRankSql(),
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

@@ -315,6 +315,75 @@ object Graph {
        |  CAST(mh AS BIGINT) AS hops
        |FROM m ORDER BY hops, node""".stripMargin
 
+  /** Personalized PageRank from one source node: the restart mass
+    * (15%) returns to `source` every round instead of spreading
+    * uniformly, so the stationary ranks measure relevance TO THAT NODE
+    * — the classic graph-recommendation primitive ("suppliers most
+    * relevant to customer 1"). Same exact scaled-BIGINT floor
+    * arithmetic and per-round lineage cuts as [[pageRank]]; the rank
+    * table stays SPARSE (only reached nodes carry rows), so early
+    * rounds join a frontier-sized table against the pinned edges, not
+    * a full node vector. Oracled by the same unrolled CTE chain
+    * ([[personalizedPageRankSql]]). */
+  def personalizedPageRank(s: SparkSession, d: String, source: Long = 2L,
+      iters: Int = 4, k: Int = 20): DataFrame = {
+    val (edges, _, _) = tradeGraph(s, d)
+    val restart = (15L * RankScale) / 100L
+    def restartRow =
+      s.range(1).select(lit(source).as("node"), lit(restart).as("rank"))
+    var rank = GraftSession.cut(
+      s.range(1).select(lit(source).as("node"), lit(RankScale).as("rank")))
+    for (i <- 1 to iters) {
+      rank = edges
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank DIV deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+        .select(col("dst").as("node"), expr("(85 * c) DIV 100").as("rank"))
+        .unionAll(restartRow)
+        .groupBy(col("node")).agg(sum(col("rank")).as("rank"))
+      if (i % 2 == 0 || i == iters) rank = GraftSession.cut(rank)
+    }
+    rank.select(nodeLabel(col("node")).as("node"),
+        col("rank").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node")).limit(k)
+  }
+
+  /** DuckDB oracle for [[personalizedPageRank]]: the same sparse
+    * iteration unrolled, restart mass summed back onto the source. */
+  def personalizedPageRankSql(source: Long = 2L, iters: Int = 4,
+      k: Int = 20): String = {
+    val restart = (15L * RankScale) / 100L
+    val head =
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS cnode,
+         |         l_suppkey * 2 + 1 AS snode
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT cnode AS src, snode AS dst FROM pairs
+         |  UNION ALL SELECT snode AS src, cnode AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT CAST($source AS BIGINT) AS node,
+         |              CAST($RankScale AS BIGINT) AS rank)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT node, SUM(rank) AS rank FROM (
+         |  SELECT e.dst AS node,
+         |    (85 * SUM(r.rank // d.deg)) // 100 AS rank
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst
+         |  UNION ALL SELECT CAST($source AS BIGINT), $restart) u
+         |  GROUP BY node)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END
+         |    || CAST(node // 2 AS VARCHAR) AS node,
+         |  CAST(rank AS BIGINT) AS rank_scaled FROM r$iters
+         |ORDER BY rank_scaled DESC, node LIMIT $k""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
   /** Memoized WEIGHTED trade edges: (src, dst, cost) where cost =
     * 1000000 DIV (number of distinct orders linking the customer and
     * supplier) — strong trading ties are cheap edges, so shortest

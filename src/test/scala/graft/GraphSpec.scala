@@ -294,6 +294,22 @@ class GraphSpec extends SparkTestBase {
     costs.foreach { case (n, c) => assert(c >= 0L, s"$n negative") }
   }
 
+  test("personalizedPageRank: deterministic, positive, source-anchored") {
+    val d = sf("orders")
+    val a = Graph.personalizedPageRank(spark, d, iters = 2, k = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val b = Graph.personalizedPageRank(spark, d, iters = 2, k = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(a.sameElements(b)) // exact integer arithmetic -> identical
+    assert(a.forall(_._2 > 0L))
+    // the restart anchor keeps the source in the top ranks
+    assert(a.take(5).exists(_._1 == "c1"), s"c1 not near top: ${a.take(5).toSeq}")
+    // personalization: top ranks differ from the global PageRank top
+    val global = Graph.pageRank(spark, d, iters = 2, k = 50)
+      .collect().map(_.getString(0))
+    assert(a.map(_._1).toSeq != global.toSeq)
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
