@@ -444,6 +444,13 @@ object SparkEntry {
     // personalized PageRank: restart mass pinned to customer 1 — the
     // graph-recommendation primitive, sparse exact-BIGINT iteration
     "q143_ppr" -> ((s, d) => graft.ops.Graph.personalizedPageRank(s, d)),
+    // per-doc marginal-contribution score over word trigrams (first-
+    // appearance fraction) — the grade-don't-delete curation dual of
+    // the q102/q105 removal operators
+    "q144_novelty" -> ((s, d) => graft.ops.TextOps.noveltyScore(s, d)),
+    // character-distribution Shannon entropy (nats): the low-entropy
+    // boilerplate/garbage detector, alphabet-bounded per-doc state
+    "q145_char_entropy" -> ((s, d) => graft.ops.TextOps.charEntropy(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1728,6 +1735,8 @@ object SparkEntry {
     "q141_bfs_hops" -> graft.ops.Graph.bfsHopsSql(),
     "q142_sssp_cost" -> graft.ops.Graph.ssspCostSql(),
     "q143_ppr" -> graft.ops.Graph.personalizedPageRankSql(),
+    "q144_novelty" -> graft.ops.TextOps.noveltyScoreSql,
+    "q145_char_entropy" -> graft.ops.TextOps.charEntropySql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

@@ -622,4 +622,103 @@ object TextOps {
         b(col("r_len") + col("r_wlen") + col("r_alpha") + col("r_stop")
           === 4L))
   }
+
+  /** Per-document NOVELTY over word trigrams: the fraction of the
+    * doc's distinct grams whose FIRST corpus appearance (minimum
+    * doc_id) is this document — the "how much new content does this
+    * doc add" curation score that complements removal-style dedup
+    * (q102/q105): instead of deleting repeated spans it grades each
+    * doc's marginal contribution, the statistic incremental-corpus
+    * builders rank ingest batches by.
+    *
+    * Scale shape: one distinct over the corpus gram table, a map-side
+    * combined MIN per gram (gram-keyed, never collected), and one join
+    * of grams back to their first-doc on the gram key — the same
+    * corpus-scan-plus-keyed-join shape as the ExactSubstr span scan.
+    * Output: (doc_id, n_grams, n_novel, novelty). */
+  def noveltyScore(s: SparkSession, d: String): DataFrame = {
+    val grams = Curation.tokenTrigramGrams(s, d)
+      .select(col("doc_id"), col("g")).distinct()
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"),
+          6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[noveltyScore]] (the q38/q138 word-trigram
+    * CTE, distinct per doc, MIN-first-doc join). */
+  def noveltyScoreSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS t,
+      |    unnest(range(0, len(string_split(text, ' ')))) AS p
+      |  FROM documents),
+      |grams AS (SELECT DISTINCT t0.doc_id,
+      |            t0.t || ' ' || t1.t || ' ' || t2.t AS g
+      |          FROM tok t0
+      |          JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+      |          JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2),
+      |fst AS (SELECT g, MIN(doc_id) AS fd FROM grams GROUP BY g)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  round(CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+      |FROM grams JOIN fst USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-document Shannon entropy (nats) of the CHARACTER
+    * distribution — the classic low-entropy detector for boilerplate,
+    * repeated-character runs, and encoding garbage (high entropy ~
+    * natural text, near-zero ~ "aaaa..."). Emits (doc_id, n_chars,
+    * distinct_chars, entropy_nats).
+    *
+    * Determinism: per-doc terms fold in CHARACTER order (sort_array
+    * over the alphabet-bounded (ch, cnt) list, then an ordered
+    * `aggregate` — the q106 device), mirroring the oracle's
+    * list(... ORDER BY ch) + left fold; counts are exact and the
+    * alphabet bounds per-doc state at O(|charset|), independent of
+    * document or corpus size. */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("distinct_chars"),
+        sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cs"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("distinct_chars"),
+        round(
+          aggregate(col("cs"), lit(0.0), (acc, st) => {
+            val p = st.getField("cnt").cast("double") /
+              col("n").cast("double")
+            acc - p * log(p)
+          }), 6).as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[charEntropy]]. */
+  def charEntropySql: String =
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE len(text) >= 1),
+      |cnts AS (SELECT doc_id, ch, COUNT(*) AS cnt
+      |         FROM ch GROUP BY doc_id, ch),
+      |tot AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS dc
+      |        FROM cnts GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(t.n AS BIGINT) AS n_chars,
+      |  CAST(t.dc AS BIGINT) AS distinct_chars,
+      |  round(list_sum(list(
+      |    -(CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |      * ln(CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |    ORDER BY c.ch)), 6) AS entropy_nats
+      |FROM cnts c JOIN tot t ON t.doc_id = c.doc_id
+      |GROUP BY c.doc_id, t.n, t.dc
+      |ORDER BY c.doc_id""".stripMargin
 }

@@ -278,4 +278,31 @@ class TextOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(out.size == 1) // both docs produce the same sketch
   }
+
+  test("noveltyScore: lowest doc is fully novel, ratio laws hold") {
+    val rows = graft.ops.TextOps.noveltyScore(spark, sf("documents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // first doc by id: every gram's min-doc is itself
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3 && first._4 == 1.0)
+    rows.foreach { case (id, n, novel, ratio) =>
+      assert(n >= novel && novel >= 0, s"doc $id counts")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id ratio")
+    }
+  }
+
+  test("charEntropy: zero for runs, ln2 for balanced, order-invariant") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("entropy_docs").toString
+    Seq((1L, "aaaaaa"), (2L, "ababab"), (3L, "bababa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextOps.charEntropy(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(2.0)) < 1e-6)
+    assert(out(2L) == out(3L)) // same distribution, same fold
+  }
 }
