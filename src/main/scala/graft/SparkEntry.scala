@@ -451,6 +451,10 @@ object SparkEntry {
     // character-distribution Shannon entropy (nats): the low-entropy
     // boilerplate/garbage detector, alphabet-bounded per-doc state
     "q145_char_entropy" -> ((s, d) => graft.ops.TextOps.charEntropy(s, d)),
+    // per-type OLS trend of the hourly count series: slope/intercept
+    // from exact BIGINT sufficient statistics, one double division
+    "q146_trend_slope" -> ((s, d) =>
+      graft.ops.EventAnalytics.trendSlope(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1737,6 +1741,7 @@ object SparkEntry {
     "q143_ppr" -> graft.ops.Graph.personalizedPageRankSql(),
     "q144_novelty" -> graft.ops.TextOps.noveltyScoreSql,
     "q145_char_entropy" -> graft.ops.TextOps.charEntropySql,
+    "q146_trend_slope" -> graft.ops.EventAnalytics.trendSlopeSql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

@@ -207,4 +207,64 @@ object EventAnalytics {
       .select(col("event_type"), col("hour"), col("cnt"))
       .orderBy(col("event_type"), col("hour"))
   }
+
+  /** Per-event-type OLS TREND over the hourly count series: slope and
+    * intercept of count-vs-hour, the "is this event type growing or
+    * decaying, and how fast" statistic behind rate alerts and capacity
+    * forecasts. The fit is closed-form least squares on integer
+    * sufficient statistics — x is the hour index REBASED to each
+    * type's first hour (so products stay ~2^48, far from BIGINT
+    * range), y the hourly count; n, Σx, Σy, Σxy, Σx² are exact BIGINT
+    * sums, and slope/intercept are single double divisions of those
+    * integers:
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+    * so both engines divide the SAME two integers — cross-engine exact
+    * with no float fold anywhere. den = 0 (a single occupied hour)
+    * yields NULL via nullif on both sides.
+    *
+    * Scale shape: one map-side-combined (type, hour) count, one
+    * keyed MIN for the rebase, one 5-sum aggregate per type — state is
+    * types x 5 longs, never a series in memory. */
+  def trendSlope(s: SparkSession, d: String): DataFrame = {
+    val hours = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val base = hours.groupBy(col("event_type")).agg(min(col("h")).as("h0"))
+    val st = hours.join(base, "event_type")
+      .select(col("event_type"), (col("h") - col("h0")).as("x"), col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val den = nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0L))
+    st.select(col("event_type"), col("n").as("n_hours"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / den.cast("double"), 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / den.cast("double"), 6).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[trendSlope]]. */
+  def trendSlopeSql: String =
+    """WITH hrs AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+      |         COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |base AS (SELECT event_type, MIN(h) AS h0 FROM hrs GROUP BY 1),
+      |st AS (
+      |  SELECT hrs.event_type, COUNT(*) AS n,
+      |    CAST(SUM(h - h0) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM((h - h0) * y) AS BIGINT) AS sxy,
+      |    CAST(SUM((h - h0) * (h - h0)) AS BIGINT) AS sxx
+      |  FROM hrs JOIN base ON base.event_type = hrs.event_type
+      |  GROUP BY 1)
+      |SELECT event_type, n AS n_hours,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS slope,
+      |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |    / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS intercept
+      |FROM st ORDER BY event_type""".stripMargin
 }

@@ -173,4 +173,35 @@ class EventAnalyticsSpec extends SparkTestBase {
     }.toSet
     assert(flagged == brute)
   }
+
+  test("trendSlope matches a driver-side least-squares fit per type") {
+    val d = sf("events")
+    val rows = EventAnalytics.trendSlope(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // brute-force OLS from the raw hourly series
+    val hours = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"),
+        org.apache.spark.sql.functions.expr("ts div 3600000000000")
+          .as("h"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (tpe, n, slope, intercept) =>
+      val series = hours(tpe).map(t => (t._2, t._3))
+      val h0 = series.map(_._1).min
+      val xs = series.map(t => (t._1 - h0).toDouble)
+      val ys = series.map(_._2.toDouble)
+      val (sn, sx, sy) = (xs.length.toDouble, xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val den = sn * sxx - sx * sx
+      assert(n == xs.length)
+      assert(math.abs(slope - (sn * sxy - sx * sy) / den) < 1e-4,
+        s"$tpe slope")
+      assert(math.abs(intercept - (sy * sxx - sx * sxy) / den) < 1e-4,
+        s"$tpe intercept")
+    }
+  }
 }
