@@ -455,6 +455,12 @@ object SparkEntry {
     // from exact BIGINT sufficient statistics, one double division
     "q146_trend_slope" -> ((s, d) =>
       graft.ops.EventAnalytics.trendSlope(s, d)),
+    // global clustering coefficient: 3·triangles / degree-sum wedges
+    // on the same memoized thresholded co-purchase graph as q132
+    "q147_clustering_coef" -> ((s, d) =>
+      graft.ops.Graph.clusteringCoefficient(s, d)),
+    // link prediction: top supplier pairs by neighborhood Jaccard
+    "q148_node_jaccard" -> ((s, d) => graft.ops.Graph.nodeJaccard(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1742,6 +1748,8 @@ object SparkEntry {
     "q144_novelty" -> graft.ops.TextOps.noveltyScoreSql,
     "q145_char_entropy" -> graft.ops.TextOps.charEntropySql,
     "q146_trend_slope" -> graft.ops.EventAnalytics.trendSlopeSql,
+    "q147_clustering_coef" -> graft.ops.Graph.clusteringCoefficientSql(),
+    "q148_node_jaccard" -> graft.ops.Graph.nodeJaccardSql(),
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

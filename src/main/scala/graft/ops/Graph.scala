@@ -185,14 +185,16 @@ object Graph {
     * — measured 24 s at sf0.1 unthresholded versus sub-second thresholded. Keeping
     * only edges with real co-purchase frequency is what makes the graph
     * (and the count) meaningful AND bounded as data scales. */
-  def triangleCount(s: SparkSession, d: String,
-      minSupport: Int = 7): DataFrame = {
+  /** Memoized support-thresholded co-purchase edge list (a < b): the
+    * expensive part of every supplier-graph statistic (order-scoped
+    * self-join + pair count over the whole fact table); pinned like
+    * the trade graph so triangles / clustering / node similarity pay
+    * only their own joins. */
+  private def copurchaseEdges(s: SparkSession, d: String,
+      minSupport: Int): DataFrame = {
     def li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    // the support-thresholded edge list is the expensive part (order-
-    // scoped self-join + pair count over the whole fact table); pin it
-    // like the trade graph so repeated counts pay only the wedge join
-    val e = IndexMemo.getOrBuild[DataFrame](
+    IndexMemo.getOrBuild[DataFrame](
       "copurchaseEdges", s"$minSupport", Seq(li)) {
       val built = li.select(col("l_orderkey"), col("l_suppkey").as("a"))
         .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")),
@@ -204,6 +206,11 @@ object Graph {
         .persist()
       (built, Seq(built))
     }
+  }
+
+  def triangleCount(s: SparkSession, d: String,
+      minSupport: Int = 7): DataFrame = {
+    val e = copurchaseEdges(s, d, minSupport)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     // orient low (degree, id) -> high: out-degrees stay O(sqrt(E))
@@ -314,6 +321,102 @@ object Graph {
        |    || CAST(node // 2 AS VARCHAR) AS node,
        |  CAST(mh AS BIGINT) AS hops
        |FROM m ORDER BY hops, node""".stripMargin
+
+  /** Global clustering coefficient of the thresholded co-purchase
+    * graph: 3·triangles / wedges, where the wedge count is the exact
+    * degree sum Σ d(d−1)/2 — how much of the graph's neighborhood
+    * structure closes into triangles (near 0 = tree-like supply
+    * routes, near 1 = dense cliques). Reads the SAME memoized edge
+    * list as [[triangleCount]] (one build, three statistics) and the
+    * oriented wedge join for the triangle side; the coefficient is one
+    * double division of exact BIGINTs, rounded. Emits
+    * (n_wedges, n_triangles, global_cc). */
+  def clusteringCoefficient(s: SparkSession, d: String,
+      minSupport: Int = 7): DataFrame = {
+    val tri = triangleCount(s, d, minSupport)
+      .select(col("n_triangles"))
+    val e = copurchaseEdges(s, d, minSupport)
+    val wedges = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .agg(sum(expr("(dg * (dg - 1)) DIV 2")).as("n_wedges"))
+    wedges.crossJoin(tri)
+      .select(col("n_wedges").cast("long").as("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles").cast("double")
+          / col("n_wedges").cast("double"), 6).as("global_cc"))
+  }
+
+  /** DuckDB oracle for [[clusteringCoefficient]]. */
+  def clusteringCoefficientSql(minSupport: Int = 7): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |      AND a.l_suppkey < b.l_suppkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |deg AS (SELECT v, COUNT(*) AS dg FROM (
+       |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) u GROUP BY v),
+       |w AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+       |      FROM deg),
+       |tri AS (SELECT COUNT(*) AS n_triangles
+       |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT n_wedges, n_triangles,
+       |  round(3.0 * CAST(n_triangles AS DOUBLE)
+       |    / CAST(n_wedges AS DOUBLE), 6) AS global_cc
+       |FROM w, tri""".stripMargin
+
+  /** Link prediction by NEIGHBORHOOD JACCARD: the top supplier pairs
+    * by |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over the thresholded
+    * co-purchase graph — "suppliers that serve the same peer group",
+    * whether or not they trade directly. Shared neighbors come from
+    * one wedge self-join through the common endpoint (fan-out is
+    * Σ deg², bounded by the same `minSupport` density knob that keeps
+    * the triangle count tractable — the thresholded graph has no
+    * unbounded hubs); intersection and degrees are exact BIGINTs, the
+    * score one rounded division, selection a bounded top-k. */
+  def nodeJaccard(s: SparkSession, d: String, minSupport: Int = 7,
+      k: Int = 20): DataFrame = {
+    val e = copurchaseEdges(s, d, minSupport)
+    val und = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val shared = und.select(col("v").as("y"), col("u").as("x"))
+      .join(und.select(col("v").as("y"), col("u").as("z")), "y")
+      .filter(col("x") < col("z"))
+      .groupBy(col("x"), col("z")).agg(count(lit(1)).as("inter"))
+    shared
+      .join(deg.select(col("u").as("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("u").as("z"), col("dg").as("dz")), "z")
+      .select(col("x").as("supp_a"), col("z").as("supp_b"), col("inter"),
+        round(col("inter").cast("double")
+          / (col("dx") + col("dz") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("supp_a"), col("supp_b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[nodeJaccard]]. */
+  def nodeJaccardSql(minSupport: Int = 7, k: Int = 20): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |      AND a.l_suppkey < b.l_suppkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |und AS (SELECT a AS u, b AS v FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT u, COUNT(*) AS dg FROM und GROUP BY u),
+       |shared AS (
+       |  SELECT n1.u AS x, n2.u AS z, COUNT(*) AS inter
+       |  FROM und n1 JOIN und n2 ON n1.v = n2.v AND n1.u < n2.u
+       |  GROUP BY 1, 2)
+       |SELECT s.x AS supp_a, s.z AS supp_b,
+       |  CAST(s.inter AS BIGINT) AS inter,
+       |  round(CAST(s.inter AS DOUBLE)
+       |    / CAST(da.dg + db.dg - s.inter AS DOUBLE), 6) AS jaccard
+       |FROM shared s
+       |JOIN deg da ON da.u = s.x JOIN deg db ON db.u = s.z
+       |ORDER BY jaccard DESC, supp_a, supp_b LIMIT $k""".stripMargin
 
   /** Personalized PageRank from one source node: the restart mass
     * (15%) returns to `source` every round instead of spreading

@@ -310,6 +310,27 @@ class GraphSpec extends SparkTestBase {
     assert(a.map(_._1).toSeq != global.toSeq)
   }
 
+  test("clusteringCoefficient: cc in [0,1] and wedge identity holds") {
+    val d = sf("orders")
+    val row = Graph.clusteringCoefficient(spark, d, minSupport = 5).head()
+    val (w, t, cc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(w > 0 && t >= 0)
+    assert(cc >= 0.0 && cc <= 1.0)
+    assert(math.abs(cc - 3.0 * t / w) < 1e-6)
+  }
+
+  test("nodeJaccard: scores in (0,1], exact on a known two-triangle graph") {
+    val d = sf("orders")
+    val rows = Graph.nodeJaccard(spark, d, minSupport = 5, k = 20).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (inter, j) = (r.getLong(2), r.getDouble(3))
+      assert(inter >= 1L && j > 0.0 && j <= 1.0)
+    }
+    val js = rows.map(_.getDouble(3))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b })
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
