@@ -461,6 +461,10 @@ object SparkEntry {
       graft.ops.Graph.clusteringCoefficient(s, d)),
     // link prediction: top supplier pairs by neighborhood Jaccard
     "q148_node_jaccard" -> ((s, d) => graft.ops.Graph.nodeJaccard(s, d)),
+    // Adamic-Adar: the degree-weighted link-prediction twin of q148
+    "q149_adamic_adar" -> ((s, d) => graft.ops.Graph.adamicAdar(s, d)),
+    // PSI drift of each type's hour-of-day profile, early vs late half
+    "q150_psi_drift" -> ((s, d) => graft.ops.EventAnalytics.psiDrift(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1750,6 +1754,8 @@ object SparkEntry {
     "q146_trend_slope" -> graft.ops.EventAnalytics.trendSlopeSql,
     "q147_clustering_coef" -> graft.ops.Graph.clusteringCoefficientSql(),
     "q148_node_jaccard" -> graft.ops.Graph.nodeJaccardSql(),
+    "q149_adamic_adar" -> graft.ops.Graph.adamicAdarSql(),
+    "q150_psi_drift" -> graft.ops.EventAnalytics.psiDriftSql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

@@ -246,6 +246,76 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Population Stability Index of each event type's HOUR-OF-DAY
+    * profile, early half vs late half of the stream — the standard
+    * ML-monitoring drift score (PSI < 0.1 stable, > 0.25 shifted),
+    * here answering "did this event type's daily rhythm change".
+    * The stream splits at the global midpoint hour ((min+max+1) DIV 2,
+    * exact integer, broadcast from one min/max agg); each half's
+    * 24-bucket distribution gets add-one smoothing ((cnt+1)/(n+24), so
+    * empty buckets never divide by zero), and
+    *   psi = Σ_b (p_b − q_b) · ln(p_b / q_b)
+    * folds in BUCKET order (the q106 device, 24-entry lists) so the
+    * DuckDB mirror hash-matches. State is types x 24 cells — constant
+    * per type regardless of stream size. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 3600000000000").as("h"))
+    val mm = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val cells = ev.crossJoin(broadcast(mm))
+      .select(col("event_type"), (col("h") % 24).as("b"),
+        (col("h") < expr("(h0 + h1 + 1) DIV 2")).as("early"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("ce"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("cl"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("ce")).as("ne"), sum(col("cl")).as("nl"))
+    val term = {
+      val p = (col("ce") + 1L).cast("double") /
+        (col("ne") + 24L).cast("double")
+      val q = (col("cl") + 1L).cast("double") /
+        (col("nl") + 24L).cast("double")
+      ((p - q) * log(p / q)).as("t")
+    }
+    cells.join(totals, "event_type")
+      .select(col("event_type"), col("b"), col("ne"), col("nl"), term)
+      .groupBy(col("event_type"))
+      .agg(first(col("ne")).as("n_early"), first(col("nl")).as("n_late"),
+        round(aggregate(
+          transform(sort_array(collect_list(struct(col("b"), col("t")))),
+            st => st.getField("t")),
+          lit(0.0), (acc, v) => acc + v), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[psiDrift]]. */
+  def psiDriftSql: String =
+    """WITH ev AS (SELECT event_type,
+      |    epoch_ns(ts) // 3600000000000 AS h FROM events),
+      |mm AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+      |cells AS (
+      |  SELECT event_type, b,
+      |    CAST(SUM(early) AS BIGINT) AS ce,
+      |    CAST(SUM(1 - early) AS BIGINT) AS cl
+      |  FROM (SELECT event_type, h % 24 AS b,
+      |          CASE WHEN h < (h0 + h1 + 1) // 2 THEN 1 ELSE 0 END
+      |            AS early
+      |        FROM ev, mm) s
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(ce) AS BIGINT) AS ne,
+      |               CAST(SUM(cl) AS BIGINT) AS nl
+      |        FROM cells GROUP BY 1)
+      |SELECT c.event_type, t.ne AS n_early, t.nl AS n_late,
+      |  round(list_sum(list(
+      |    ((CAST(ce + 1 AS DOUBLE) / CAST(ne + 24 AS DOUBLE))
+      |     - (CAST(cl + 1 AS DOUBLE) / CAST(nl + 24 AS DOUBLE)))
+      |    * ln((CAST(ce + 1 AS DOUBLE) / CAST(ne + 24 AS DOUBLE))
+      |       / (CAST(cl + 1 AS DOUBLE) / CAST(nl + 24 AS DOUBLE)))
+      |    ORDER BY b)), 6) AS psi
+      |FROM cells c JOIN tot t ON t.event_type = c.event_type
+      |GROUP BY c.event_type, t.ne, t.nl
+      |ORDER BY c.event_type""".stripMargin
+
   /** DuckDB oracle for [[trendSlope]]. */
   def trendSlopeSql: String =
     """WITH hrs AS (

@@ -418,6 +418,59 @@ object Graph {
        |JOIN deg da ON da.u = s.x JOIN deg db ON db.u = s.z
        |ORDER BY jaccard DESC, supp_a, supp_b LIMIT $k""".stripMargin
 
+  /** Link prediction by ADAMIC-ADAR: Σ over shared neighbors z of
+    * 1/ln(deg(z)) — [[nodeJaccard]]'s weighted twin, where rare shared
+    * neighbors count more than promiscuous ones (the strongest of the
+    * classic local link-prediction indices). Same bounded wedge join;
+    * every shared neighbor has degree >= 2 BY CONSTRUCTION (it is
+    * adjacent to both endpoints), so 1/ln(deg) is always finite. The
+    * float sum folds in NEIGHBOR-id order (the q106 device — shared
+    * neighbor sets are degree-bounded, so the per-pair list is small),
+    * mirroring the oracle's list(... ORDER BY z) fold. */
+  def adamicAdar(s: SparkSession, d: String, minSupport: Int = 7,
+      k: Int = 20): DataFrame = {
+    val e = copurchaseEdges(s, d, minSupport)
+    val adj = e.select(col("a").as("x"), col("b").as("z"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("z")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dg"))
+    adj.select(col("x"), col("z"))
+      .join(adj.select(col("x").as("y"), col("z")), "z")
+      .filter(col("x") < col("y"))
+      .join(deg, "z")
+      .select(col("x"), col("y"), col("z"),
+        (lit(1.0) / log(col("dg").cast("double"))).as("w"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_shared"),
+        round(aggregate(
+          transform(sort_array(collect_list(struct(col("z"), col("w")))),
+            st => st.getField("w")),
+          lit(0.0), (acc, v) => acc + v), 6).as("aa_score"))
+      .select(col("x").as("supp_a"), col("y").as("supp_b"),
+        col("n_shared"), col("aa_score"))
+      .orderBy(col("aa_score").desc, col("supp_a"), col("supp_b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[adamicAdar]]. */
+  def adamicAdarSql(minSupport: Int = 7, k: Int = 20): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |      AND a.l_suppkey < b.l_suppkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |adj AS (SELECT a AS x, b AS z FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT z, COUNT(*) AS dg FROM adj GROUP BY z)
+       |SELECT a1.x AS supp_a, a2.x AS supp_b,
+       |  COUNT(*) AS n_shared,
+       |  round(list_sum(list(1.0 / ln(CAST(dg AS DOUBLE))
+       |    ORDER BY a1.z)), 6) AS aa_score
+       |FROM adj a1
+       |JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x
+       |JOIN deg ON deg.z = a1.z
+       |GROUP BY a1.x, a2.x
+       |ORDER BY aa_score DESC, supp_a, supp_b LIMIT $k""".stripMargin
+
   /** Personalized PageRank from one source node: the restart mass
     * (15%) returns to `source` every round instead of spreading
     * uniformly, so the stationary ranks measure relevance TO THAT NODE

@@ -174,6 +174,19 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(flagged == brute)
   }
 
+  test("psiDrift: non-negative, zero only for identical profiles") {
+    val d = sf("events")
+    val rows = EventAnalytics.psiDrift(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, ne, nl, psi) =>
+      // every (p-q)ln(p/q) term is >= 0, so the sum is
+      assert(psi >= 0.0, s"$tpe psi negative")
+      assert(ne > 0 && nl > 0, s"$tpe empty half")
+    }
+  }
+
   test("trendSlope matches a driver-side least-squares fit per type") {
     val d = sf("events")
     val rows = EventAnalytics.trendSlope(spark, d).collect()

@@ -331,6 +331,31 @@ class GraphSpec extends SparkTestBase {
     assert(js.zip(js.tail).forall { case (a, b) => a >= b })
   }
 
+  test("adamicAdar scores match a driver-side recomputation") {
+    val d = sf("orders")
+    val rows = Graph.adamicAdar(spark, d, minSupport = 5, k = 20).collect()
+    assert(rows.nonEmpty)
+    // rebuild the thresholded co-purchase adjacency on the driver
+    val li = graft.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = li.groupBy(_._1).values.flatMap { os =>
+      val ss = os.map(_._2).sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        yield (ss(i), ss(j))
+    }.groupBy(identity).filter(_._2.size >= 5).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val shared = adj(a).intersect(adj(b)).toSeq.sorted
+      assert(r.getLong(2) == shared.length, s"($a,$b) n_shared")
+      val aa = shared.foldLeft(0.0)((acc, z) =>
+        acc + 1.0 / math.log(adj(z).size.toDouble))
+      assert(math.abs(r.getDouble(3) - aa) < 1e-5, s"($a,$b) score")
+    }
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
