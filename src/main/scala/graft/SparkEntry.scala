@@ -465,6 +465,9 @@ object SparkEntry {
     "q149_adamic_adar" -> ((s, d) => graft.ops.Graph.adamicAdar(s, d)),
     // PSI drift of each type's hour-of-day profile, early vs late half
     "q150_psi_drift" -> ((s, d) => graft.ops.EventAnalytics.psiDrift(s, d)),
+    // exact two-sample KS between even/odd order-price cohorts,
+    // integer cross-multiplied ECDFs via the q133 sub-bucket device
+    "q151_ks_test" -> ((s, d) => graft.ops.Profiling.ksTest(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1756,6 +1759,7 @@ object SparkEntry {
     "q148_node_jaccard" -> graft.ops.Graph.nodeJaccardSql(),
     "q149_adamic_adar" -> graft.ops.Graph.adamicAdarSql(),
     "q150_psi_drift" -> graft.ops.EventAnalytics.psiDriftSql,
+    "q151_ks_test" -> graft.ops.Profiling.ksTestSql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

@@ -213,6 +213,81 @@ object Profiling {
       |FROM t""".stripMargin
 
   /** DuckDB oracle for [[joinSizeEstimate]]. */
+  /** Exact two-sample Kolmogorov-Smirnov statistic between the
+    * order-price distributions of even- and odd-keyed orders — the
+    * "did these two cohorts draw from the same distribution" test
+    * behind A/B sanity checks and train/validation split audits.
+    * D = max over values v of |F_a(v) − F_b(v)|, computed entirely in
+    * integers: prices quantize to exact cents (DECIMAL(15,2) * 100),
+    * per-value marginals cumulate, and the max runs over
+    * |cum_a·n_b − cum_b·n_a| so no fraction is ever formed until the
+    * final rounded division. BIGINT range: needs n_a·n_b < 2^63, i.e.
+    * ~3e9 rows per cohort — beyond that, bin values first (the q133
+    * histogram) and run KS on the binned ECDF.
+    *
+    * Scale shape: the cumulative counts use the q133 device — a
+    * DETERMINISTIC value-range sub-bucket key (v DIV step), a window
+    * WITHIN each sub-bucket, and a broadcast sub-bucket offset table
+    * (#subs rows) — so no global single-partition sort ever happens;
+    * the oracle states the same math as one window. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val step = 1048576L // ~$10k of cents per sub-bucket
+    val marg = Tables.orders(s, d)
+      .select((col("o_totalprice") * 100).cast("long").as("v"),
+        (col("o_orderkey") % 2).as("g"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") =!= 0, 1L).otherwise(0L)).as("cb"))
+      .withColumn("sub", expr(s"v DIV $step"))
+    val wSub = Window.partitionBy(col("sub")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = marg.groupBy(col("sub"))
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+      .withColumn("offa", coalesce(sum(col("sa")).over(wOff), lit(0L)))
+      .withColumn("offb", coalesce(sum(col("sb")).over(wOff), lit(0L)))
+      .select(col("sub"), col("offa"), col("offb"))
+    val tot = marg.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    marg
+      .withColumn("cwa", sum(col("ca")).over(wSub))
+      .withColumn("cwb", sum(col("cb")).over(wSub))
+      .join(broadcast(offsets), "sub")
+      .crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs((col("offa") + col("cwa")) * col("nb")
+          - (col("offb") + col("cwb")) * col("na")).as("dn"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("dn")).as("d_num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
+        round(col("d_num").cast("double")
+          / (col("na") * col("nb")).cast("double"), 6).as("ks"))
+  }
+
+  /** DuckDB oracle for [[ksTest]] — the single-window formulation
+    * with identical integer arithmetic. */
+  def ksTestSql: String =
+    """WITH marg AS (
+      |  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v,
+      |    CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM orders GROUP BY 1),
+      |cum AS (SELECT v,
+      |    SUM(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM marg),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |               CAST(SUM(cb) AS BIGINT) AS nb FROM marg)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(MAX(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+      |  round(CAST(MAX(abs(cuma * nb - cumb * na)) AS DOUBLE)
+      |    / CAST(na * nb AS DOUBLE), 6) AS ks
+      |FROM cum, tot GROUP BY na, nb""".stripMargin
+
   def joinSizeEstimateSql: String =
     Seq("l_partkey", "l_suppkey", "l_orderkey").map { k =>
       s"""SELECT '$k' AS join_key, COUNT(*) AS n_keys,

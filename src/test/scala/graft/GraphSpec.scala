@@ -356,6 +356,28 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("ksTest equals a driver-side brute-force two-sample KS") {
+    val d = sf("orders")
+    val row = Profiling.ksTest(spark, d).head()
+    val prices = graft.Tables.orders(spark, d)
+      .select((col("o_totalprice") * 100).cast("long").as("v"),
+        (col("o_orderkey") % 2).as("g")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = prices.filter(_._2 == 0L).map(_._1).sorted
+    val b = prices.filter(_._2 != 0L).map(_._1).sorted
+    val vs = (a ++ b).distinct.sorted
+    val dNum = vs.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      math.abs(ca * b.length - cb * a.length)
+    }.max
+    assert(row.getLong(0) == a.length && row.getLong(1) == b.length)
+    assert(row.getLong(2) == dNum)
+    // ks is rounded to 6 decimals in the query output
+    assert(math.abs(row.getDouble(3) -
+      dNum.toDouble / (a.length.toLong * b.length)) < 5e-7)
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
