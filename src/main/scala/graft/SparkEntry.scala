@@ -468,6 +468,9 @@ object SparkEntry {
     // exact two-sample KS between even/odd order-price cohorts,
     // integer cross-multiplied ECDFs via the q133 sub-bucket device
     "q151_ks_test" -> ((s, d) => graft.ops.Profiling.ksTest(s, d)),
+    // Heaps'-law vocabulary-growth exponent: OLS of ln(cum types) vs
+    // ln(cum tokens) at every 10th doc, subsplit cumsums, q106 folds
+    "q152_heaps_fit" -> ((s, d) => graft.ops.TextOps.heapsFit(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1760,6 +1763,7 @@ object SparkEntry {
     "q149_adamic_adar" -> graft.ops.Graph.adamicAdarSql(),
     "q150_psi_drift" -> graft.ops.EventAnalytics.psiDriftSql,
     "q151_ks_test" -> graft.ops.Profiling.ksTestSql,
+    "q152_heaps_fit" -> graft.ops.TextOps.heapsFitSql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

@@ -704,6 +704,102 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** HEAPS' LAW fit over the corpus in document order: vocabulary
+    * growth V(n) ≈ K·n^β, estimated as the OLS line of ln(cumulative
+    * distinct token types) vs ln(cumulative tokens) at every 10th
+    * document — the statistic that says how fast a corpus keeps
+    * yielding new vocabulary (β ≈ 0.4-0.6 for natural text; β near 0
+    * = saturated/templated, near 1 = id-like soup). Emits one row
+    * (n_points, beta, ln_k).
+    *
+    * Machinery: per-doc token counts come from one projection
+    * (size(split)), new-type counts from the distinct-type MIN-doc
+    * table ([[noveltyScore]]'s device on unigrams); the two cumulative
+    * series use the q133 subsplit window (per-subsplit cumsum +
+    * broadcast offsets, no global sort), and the four OLS sums fold
+    * in checkpoint order (the q106 device) before one closed-form
+    * division — every float op identical on both engines. */
+  def heapsFit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val perdoc = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val newt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+      .groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("nnew"))
+      .withColumnRenamed("fd", "doc_id")
+    val base = perdoc.join(newt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ntok"),
+        coalesce(col("nnew"), lit(0L)).as("nnew"))
+      .withColumn("sub", expr("doc_id DIV 100"))
+    val wSub = Window.partitionBy(col("sub")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("sub"))
+      .agg(sum(col("ntok")).as("st"), sum(col("nnew")).as("sv"))
+      .withColumn("offt", coalesce(sum(col("st")).over(wOff), lit(0L)))
+      .withColumn("offv", coalesce(sum(col("sv")).over(wOff), lit(0L)))
+      .select(col("sub"), col("offt"), col("offv"))
+    val pts = base
+      .withColumn("cwt", sum(col("ntok")).over(wSub))
+      .withColumn("cwv", sum(col("nnew")).over(wSub))
+      .join(broadcast(offsets), "sub")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        log((col("offt") + col("cwt")).cast("double")).as("x"),
+        log((col("offv") + col("cwv")).cast("double")).as("y"))
+    val lst = sort_array(collect_list(
+      struct(col("doc_id"), col("x"), col("y"))))
+    def fsum(f: Column => Column): Column => Column = l =>
+      aggregate(transform(l, st => f(st)), lit(0.0), (acc, v) => acc + v)
+    pts.agg(count(lit(1)).as("n"), lst.as("l"))
+      .select(col("n"), col("n").cast("double").as("nd"),
+        fsum(st => st.getField("x"))(col("l")).as("sx"),
+        fsum(st => st.getField("y"))(col("l")).as("sy"),
+        fsum(st => st.getField("x") * st.getField("y"))(col("l")).as("sxy"),
+        fsum(st => st.getField("x") * st.getField("x"))(col("l")).as("sxx"))
+      .select(col("n").as("n_points"),
+        round((col("nd") * col("sxy") - col("sx") * col("sy"))
+          / (col("nd") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("beta"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          / (col("nd") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("ln_k"))
+  }
+
+  /** DuckDB oracle for [[heapsFit]]. */
+  def heapsFitSql: String =
+    """WITH perdoc AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |tok AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(text, ' ')) AS t FROM documents),
+      |newt AS (SELECT fd AS doc_id, COUNT(*) AS nnew FROM (
+      |    SELECT t, MIN(doc_id) AS fd FROM tok GROUP BY t) f
+      |  GROUP BY fd),
+      |cum AS (SELECT p.doc_id,
+      |    SUM(p.ntok) OVER (ORDER BY p.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+      |    SUM(COALESCE(n.nnew, 0)) OVER (ORDER BY p.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+      |  FROM perdoc p LEFT JOIN newt n ON n.doc_id = p.doc_id),
+      |pts AS (SELECT doc_id, ln(CAST(ct AS DOUBLE)) AS x,
+      |          ln(CAST(cv AS DOUBLE)) AS y
+      |        FROM cum WHERE doc_id % 10 = 0),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS DOUBLE) AS nd,
+      |    list_sum(list(x ORDER BY doc_id)) AS sx,
+      |    list_sum(list(y ORDER BY doc_id)) AS sy,
+      |    list_sum(list(x * y ORDER BY doc_id)) AS sxy,
+      |    list_sum(list(x * x ORDER BY doc_id)) AS sxx
+      |  FROM pts)
+      |SELECT n AS n_points,
+      |  round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS beta,
+      |  round((sy * sxx - sx * sxy) / (nd * sxx - sx * sx), 6) AS ln_k
+      |FROM st""".stripMargin
+
   /** DuckDB oracle for [[charEntropy]]. */
   def charEntropySql: String =
     """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch

@@ -293,6 +293,14 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("heapsFit: sane exponent on real text, consistent with novelty") {
+    val row = graft.ops.TextOps.heapsFit(spark, sf("documents")).head()
+    val (n, beta) = (row.getLong(0), row.getDouble(1))
+    assert(n > 0)
+    // vocabulary can't grow faster than tokens arrive, nor shrink
+    assert(beta > 0.0 && beta <= 1.0, s"beta=$beta out of range")
+  }
+
   test("charEntropy: zero for runs, ln2 for balanced, order-invariant") {
     val dir = java.nio.file.Files
       .createTempDirectory("entropy_docs").toString
