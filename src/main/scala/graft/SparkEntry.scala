@@ -471,6 +471,36 @@ object SparkEntry {
     // Heaps'-law vocabulary-growth exponent: OLS of ln(cum types) vs
     // ln(cum tokens) at every 10th doc, subsplit cumsums, q106 folds
     "q152_heaps_fit" -> ((s, d) => graft.ops.TextOps.heapsFit(s, d)),
+    // gap-based sessionization (30 min) rolled up to the session-
+    // length distribution; one user_id shuffle end-to-end
+    "q153_sessions" -> ((s, d) =>
+      graft.ops.EventAnalytics.sessionLengths(s, d)),
+    // first-order Markov transition matrix over event types
+    "q154_transitions" -> ((s, d) =>
+      graft.ops.EventAnalytics.eventTransitions(s, d)),
+    // lag-1 autocorrelation of densified hourly counts per type
+    "q155_autocorr" -> ((s, d) =>
+      graft.ops.EventAnalytics.lag1Autocorr(s, d)),
+    // Gini spend concentration via the scalable two-level rank
+    "q156_gini" -> ((s, d) => graft.ops.Profiling.giniSpend(s, d)),
+    // Benford leading-digit profile of order totals
+    "q157_benford" -> ((s, d) => graft.ops.Profiling.benfordDigits(s, d)),
+    // exact Mann-Whitney U / AUC, URGENT vs LOW order totals
+    "q158_mann_whitney" -> ((s, d) =>
+      graft.ops.Profiling.mannWhitney(s, d)),
+    // RFM quintile grid from partitioned ranks + exact ntile math
+    "q159_rfm" -> ((s, d) => graft.ops.Profiling.rfmSegments(s, d)),
+    // mutual information lang x source, chi2's (q135) info sibling
+    "q160_mutual_info" -> ((s, d) =>
+      graft.ops.Profiling.mutualInformation(s, d)),
+    // Deequ-style constraint suite: PK/FK/null/domain checks
+    "q161_constraints" -> ((s, d) =>
+      graft.ops.Maintenance.constraintChecks(s, d)),
+    // daily new-user counts + cumulative adoption curve
+    "q162_user_growth" -> ((s, d) =>
+      graft.ops.EventAnalytics.userGrowth(s, d)),
+    // one-pass pairwise Pearson matrix over lineitem numerics
+    "q163_corr_matrix" -> ((s, d) => graft.ops.Profiling.corrMatrix(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1764,6 +1794,17 @@ object SparkEntry {
     "q150_psi_drift" -> graft.ops.EventAnalytics.psiDriftSql,
     "q151_ks_test" -> graft.ops.Profiling.ksTestSql,
     "q152_heaps_fit" -> graft.ops.TextOps.heapsFitSql,
+    "q153_sessions" -> graft.ops.EventAnalytics.sessionLengthsSql(),
+    "q154_transitions" -> graft.ops.EventAnalytics.eventTransitionsSql,
+    "q155_autocorr" -> graft.ops.EventAnalytics.lag1AutocorrSql,
+    "q156_gini" -> graft.ops.Profiling.giniSpendSql,
+    "q157_benford" -> graft.ops.Profiling.benfordDigitsSql,
+    "q158_mann_whitney" -> graft.ops.Profiling.mannWhitneySql,
+    "q159_rfm" -> graft.ops.Profiling.rfmSegmentsSql,
+    "q160_mutual_info" -> graft.ops.Profiling.mutualInformationSql,
+    "q161_constraints" -> graft.ops.Maintenance.constraintChecksSql,
+    "q162_user_growth" -> graft.ops.EventAnalytics.userGrowthSql,
+    "q163_corr_matrix" -> graft.ops.Profiling.corrMatrixSql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

@@ -337,4 +337,210 @@ object EventAnalytics {
       |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
       |    / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS intercept
       |FROM st ORDER BY event_type""".stripMargin
+
+  /** Gap-based sessionization, reported as the session-length
+    * distribution: a user's events split into sessions wherever the
+    * inactivity gap exceeds `gapNs` (default 30 min), then sessions
+    * roll up by event count — (n_events, n_sessions, total_dur_ns),
+    * all exact nanosecond integers. The session id is the classic
+    * running sum of new-session markers (lag + cumulative SUM over an
+    * explicit ROWS frame, so both engines fold the same frame).
+    * Scale shape: ONE shuffle on user_id; both windows and the
+    * per-session aggregate are co-partitioned on it, and the final
+    * distribution rollup is map-side combined over a key space
+    * bounded by the longest session, not event volume. */
+  def sessionLengths(s: SparkSession, d: String,
+      gapNs: Long = 1800000000000L): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    ev(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ts") - col("prev") > gapNs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts")) - min(col("ts"))).as("dur"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("dur")).as("total_dur_ns"))
+      .orderBy(col("n_events"))
+  }
+
+  /** DuckDB oracle for [[sessionLengths]]. */
+  def sessionLengthsSql(gapNs: Long = 1800000000000L): String =
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_id
+       |            FROM events),
+       |m AS (SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > $gapNs
+       |         THEN 1 ELSE 0 END AS new_s,
+       |    event_id
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sid AS (SELECT user_id, ts,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m),
+       |sess AS (SELECT user_id, sid, COUNT(*) AS n_events,
+       |    CAST(MAX(ts) - MIN(ts) AS BIGINT) AS dur
+       |  FROM sid GROUP BY 1, 2)
+       |SELECT n_events, COUNT(*) AS n_sessions,
+       |  CAST(SUM(dur) AS BIGINT) AS total_dur_ns
+       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** First-order Markov transition matrix over event types: for each
+    * consecutive (a → b) pair within a user's (ts, event_id)-ordered
+    * stream, the transition count and row-normalized probability —
+    * the standard user-journey / next-event model. The per-source
+    * totals table is #types rows, broadcast; prob is one exact
+    * integer ratio rounded at 6, so the matrix hash-matches. One
+    * user_id shuffle for the lead window, then a map-side-combined
+    * count over the type² key space. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = ev(s, d)
+      .select(col("user_id"), col("event_type").as("a"),
+        lead(col("event_type"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("a")).agg(sum(col("cnt")).as("ta"))
+    pairs.join(broadcast(totals), "a")
+      .select(col("a"), col("b"), col("cnt"),
+        round(col("cnt").cast("double") / col("ta").cast("double"), 6)
+          .as("prob"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** DuckDB oracle for [[eventTransitions]]. */
+  def eventTransitionsSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts,
+      |            event_id FROM events),
+      |pairs AS (
+      |  SELECT a, b, COUNT(*) AS cnt FROM (
+      |    SELECT event_type AS a,
+      |      lead(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS b
+      |    FROM ev) s
+      |  WHERE b IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT a, CAST(SUM(cnt) AS BIGINT) AS ta
+      |        FROM pairs GROUP BY 1)
+      |SELECT pairs.a, b, cnt,
+      |  round(CAST(cnt AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS prob
+      |FROM pairs JOIN tot ON tot.a = pairs.a
+      |ORDER BY pairs.a, b""".stripMargin
+
+  /** User-growth curve: per day, the count of first-seen users and
+    * the running cumulative user base — the adoption report every
+    * product dashboard opens with. First-seen day is one keyed MIN
+    * over users; the cumulative sum's global window runs over the
+    * DAYS table (time-range sized, dozens-to-thousands of rows — the
+    * one place a single-partition window is the right plan), with an
+    * explicit ROWS frame both engines fold identically. */
+  def userGrowth(s: SparkSession, d: String): DataFrame = {
+    val firstDay = ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts div 86400000000000")).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle for [[userGrowth]]. */
+  def userGrowthSql: String =
+    """WITH fd AS (
+      |  SELECT user_id, MIN(epoch_ns(ts) // 86400000000000) AS day
+      |  FROM events GROUP BY 1),
+      |daily AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_users
+      |FROM daily ORDER BY day""".stripMargin
+
+  /** Lag-1 autocorrelation of each event type's hourly count series —
+    * the burstiness / self-similarity signal behind traffic
+    * forecasting. The series is DENSIFIED over the type's full
+    * [min_hour, max_hour] span (missing hours count 0, via
+    * sequence+explode here, generate_series in the oracle) so the
+    * lag pairs are true consecutive hours. Pearson r over the
+    * (y_t, y_{t+1}) pairs is assembled from five exact BIGINT sums;
+    * the two variance terms stay separate under their own
+    * correctly-rounded IEEE sqrt (never multiplied as integers, which
+    * would square the magnitude toward overflow), so both engines
+    * compute round(num / (sqrt(d1)·sqrt(d2)), 6) from identical
+    * integers. Degenerate spans (a single hour, or zero variance)
+    * yield NULL via nullif. Scale shape: hourly counts are map-side
+    * combined; the dense series is hours × types rows — time-range
+    * sized, not event-volume sized. */
+  def lag1Autocorr(s: SparkSession, d: String): DataFrame = {
+    val hours = ev(s, d)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = hours.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val dense = span
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hours, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val st = dense
+      .withColumn("z", lead(col("y"), 1).over(w))
+      .filter(col("z").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sx"),
+        sum(col("z")).as("sz"), sum(col("y") * col("z")).as("sxz"),
+        sum(col("y") * col("y")).as("sxx"),
+        sum(col("z") * col("z")).as("szz"))
+    st.select(col("event_type"), col("n").as("n_pairs"),
+        round((col("n") * col("sxz") - col("sx") * col("sz"))
+            .cast("double")
+          / nullif(
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            * sqrt((col("n") * col("szz") - col("sz") * col("sz"))
+              .cast("double")), lit(0.0)), 6).as("r1"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[lag1Autocorr]]. */
+  def lag1AutocorrSql: String =
+    """WITH hrs AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+      |         FROM hrs GROUP BY 1),
+      |dense AS (
+      |  SELECT g.event_type, g.h, COALESCE(hrs.cnt, 0) AS y
+      |  FROM (SELECT event_type, unnest(generate_series(h0, h1)) AS h
+      |        FROM span) g
+      |  LEFT JOIN hrs ON hrs.event_type = g.event_type
+      |    AND hrs.h = g.h),
+      |prs AS (SELECT event_type, y,
+      |    lead(y) OVER (PARTITION BY event_type ORDER BY h) AS z
+      |  FROM dense),
+      |st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS sx, CAST(SUM(z) AS BIGINT) AS sz,
+      |    CAST(SUM(y * z) AS BIGINT) AS sxz,
+      |    CAST(SUM(y * y) AS BIGINT) AS sxx,
+      |    CAST(SUM(z * z) AS BIGINT) AS szz
+      |  FROM prs WHERE z IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n AS n_pairs,
+      |  round(CAST(n * sxz - sx * sz AS DOUBLE)
+      |    / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |           * sqrt(CAST(n * szz - sz * sz AS DOUBLE)), 0.0), 6)
+      |    AS r1
+      |FROM st ORDER BY event_type""".stripMargin
 }

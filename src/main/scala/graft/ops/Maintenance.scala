@@ -103,4 +103,79 @@ object Maintenance {
       xCol: String, yCol: String, targetFileMB: Int = 128): Int =
     rewriteClustered(spark, inDir, outDir, targetFileMB,
       Seq(zorderKey2(col(xCol), col(yCol))))
+
+  /** Data-quality constraint suite (the Deequ-style CHECK pass a
+    * pipeline gates ingests on): one row per declared constraint with
+    * checked/violation counts — key uniqueness, referential
+    * integrity, null and domain rules. Each branch is an independent
+    * column-pruned scan or a key-only anti-join (ids, never
+    * payloads, cross the shuffle); a green suite is all-zero
+    * `n_violations`, so the output doubles as an idempotent
+    * monitoring table. */
+  def constraintChecks(s: SparkSession, d: String): DataFrame = {
+    val orders = graft.Tables.orders(s, d)
+    val li = graft.Tables.lineitem(s, d)
+    val cust = graft.Tables.customer(s, d)
+    def row(name: String, checked: Column, viol: Column,
+        src: DataFrame): DataFrame =
+      src.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(name).as("constraint"), col("n_checked"),
+          col("n_violations"))
+    val pkUnique = row("orders_pk_unique", count(lit(1)),
+      count(lit(1)) - count_distinct(col("o_orderkey")), orders)
+    val fkOrdersCust = orders.select(col("o_custkey"))
+      .join(cust.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("nv"))
+      .crossJoin(orders.agg(count(lit(1)).as("nc")))
+      .select(lit("orders_fk_customer").as("constraint"),
+        col("nc").as("n_checked"), col("nv").as("n_violations"))
+    val fkLiOrders = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("nv"))
+      .crossJoin(li.agg(count(lit(1)).as("nc")))
+      .select(lit("lineitem_fk_orders").as("constraint"),
+        col("nc").as("n_checked"), col("nv").as("n_violations"))
+    val qtyPos = row("lineitem_qty_positive", count(lit(1)),
+      sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)), li)
+    val dateNotNull = row("orders_date_not_null", count(lit(1)),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)), orders)
+    val discRange = row("lineitem_discount_range", count(lit(1)),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+        .otherwise(0L)), li)
+    Seq(pkUnique, fkOrdersCust, fkLiOrders, qtyPos, dateNotNull,
+      discRange).reduce(_ unionAll _)
+      .orderBy(col("constraint"))
+  }
+
+  /** DuckDB oracle for [[constraintChecks]]. */
+  def constraintChecksSql: String =
+    """SELECT 'orders_pk_unique' AS "constraint", COUNT(*) AS n_checked,
+      |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_fk_customer', (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |UNION ALL
+      |SELECT 'lineitem_fk_orders', (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |UNION ALL
+      |SELECT 'lineitem_qty_positive', COUNT(*),
+      |  CAST(SUM(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders_date_not_null', COUNT(*),
+      |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem_discount_range', COUNT(*),
+      |  CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |ORDER BY "constraint"""".stripMargin
 }

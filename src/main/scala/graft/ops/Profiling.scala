@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -233,7 +233,11 @@ object Profiling {
   def ksTest(s: SparkSession, d: String): DataFrame = {
     val step = 1048576L // ~$10k of cents per sub-bucket
     val marg = Tables.orders(s, d)
-      .select((col("o_totalprice") * 100).cast("long").as("v"),
+      // round-then-cast: DuckDB's double->BIGINT cast ROUNDS while
+      // Spark's TRUNCATES, so a product landing at x.99999... (e.g.
+      // 8.29*100 = 828.9999999999999) would diverge by 1 cent across
+      // engines; rounding first makes the integer identical on both
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("v"),
         (col("o_orderkey") % 2).as("g"))
       .groupBy(col("v"))
       .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
@@ -268,7 +272,7 @@ object Profiling {
     * with identical integer arithmetic. */
   def ksTestSql: String =
     """WITH marg AS (
-      |  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v,
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
       |    CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
       |      AS BIGINT) AS ca,
       |    CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
@@ -295,4 +299,375 @@ object Profiling {
          |  CAST(MAX(c) AS BIGINT) AS max_deg
          |FROM (SELECT $k, COUNT(*) AS c FROM lineitem GROUP BY 1)""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY join_key"
+
+  /** Exact order-total cents: round-then-cast so Spark (truncating
+    * double->long cast) and DuckDB (rounding cast) land on the same
+    * integer even when the double product sits at x.99999... */
+  private def cents = round(col("o_totalprice") * 100, 0).cast("long")
+
+  /** Global row-number WITHOUT a single-partition window: the ksTest
+    * two-level device generalized. Rows bucket by `v DIV step`; the
+    * within-bucket row_number runs partitioned (parallel), and the
+    * tiny bucket-count table (range/step rows) carries the exclusive
+    * cumulative offsets back via broadcast. The only global sort is
+    * over bucket ids — bounded by the value RANGE, not the row count
+    * — so the rank scales where a bare `Window.orderBy(v)` would
+    * funnel every row through one task. */
+  private def scalableRank(df: DataFrame, v: String, tie: String,
+      step: Long, out: String): DataFrame = {
+    val wSub = Window.partitionBy(col("__sub"))
+      .orderBy(col(v), col(tie))
+    val wOff = Window.orderBy(col("__sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sub = df.withColumn("__sub", expr(s"$v DIV $step"))
+    val offs = sub.groupBy(col("__sub")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__sub"), col("__off"))
+    sub.withColumn("__rn", row_number().over(wSub))
+      .join(broadcast(offs), "__sub")
+      .withColumn(out, col("__off") + col("__rn"))
+      .drop("__sub", "__rn", "__off")
+  }
+
+  /** Gini coefficient of customer spend concentration — the standard
+    * inequality / whale-dominance profile of a revenue (or token-
+    * count) distribution, G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * ascending-ranked per-customer cents. Ranks come from
+    * [[scalableRank]] (no single-partition sort); the rank-weighted
+    * sum Σi·xᵢ is ~n²·x̄ so it accumulates in DECIMAL(38,0) here and
+    * HUGEINT in the oracle — BIGINT would overflow near n·x ≈ 3e9 —
+    * with one exact integer division at the end. */
+  def giniSpend(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val spend = Tables.orders(s, d)
+      .select(col("o_custkey"), cents.as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("v"))
+    scalableRank(spend, "v", "o_custkey", 1L << 22, "rk")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("rk").cast(dec) * col("v")).as("siv"))
+      .select(col("n").as("n_customers"),
+        round((lit(2L) * col("siv")
+            - (col("n") + 1L).cast(dec) * col("sv")).cast("double")
+          / (col("n").cast(dec) * col("sv")).cast("double"), 6)
+          .as("gini"))
+  }
+
+  /** DuckDB oracle for [[giniSpend]]. */
+  def giniSpendSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |rk AS (SELECT v,
+      |    row_number() OVER (ORDER BY v, o_custkey) AS i
+      |  FROM spend)
+      |SELECT COUNT(*) AS n_customers,
+      |  round(CAST(2 * SUM(CAST(i AS HUGEINT) * v)
+      |      - (COUNT(*) + 1) * CAST(SUM(v) AS HUGEINT) AS DOUBLE)
+      |    / CAST(COUNT(*) * CAST(SUM(v) AS HUGEINT) AS DOUBLE), 6)
+      |    AS gini
+      |FROM rk""".stripMargin
+
+  /** Benford first-significant-digit profile of order totals — the
+    * classic fraud / synthetic-data smell test. The leading digit is
+    * read off the exact cents integer's string form (scaling by 100
+    * leaves the first significant digit unchanged, and both engines
+    * print BIGINT identically); observed shares sit next to the
+    * Benford expectation log10(1 + 1/d). One map-side-combined count
+    * over a 9-key space — embarrassingly scalable. */
+  def benfordDigits(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .select(substring(cents.cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val tot = digits.agg(sum(col("cnt")).as("n"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("cnt"),
+        round(col("cnt").cast("double") / col("n").cast("double"), 6)
+          .as("obs_p"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")),
+          6).as("benford_p"))
+      .orderBy(col("digit"))
+  }
+
+  /** DuckDB oracle for [[benfordDigits]]. */
+  def benfordDigitsSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+      |SELECT digit, cnt,
+      |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_p,
+      |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+      |    AS benford_p
+      |FROM c, t ORDER BY digit""".stripMargin
+
+  /** Exact Mann-Whitney U (two-sided rank-sum) comparing order totals
+    * between URGENT and LOW priority orders — the nonparametric
+    * "did the distribution shift" test (the KS statistic's rank-based
+    * sibling, q151). Tied values take average ranks; everything is
+    * doubled (2·R, 2·U) so tie half-ranks stay INTEGER and the whole
+    * statistic hash-matches with zero float folds; auc_a = U/(n₁n₂)
+    * is the probability a random URGENT total exceeds a random LOW
+    * one. Ranks come from the value-marginal table (distinct cents,
+    * not rows) under the ksTest two-level cumulative device; the
+    * rank-weighted sum accumulates in DECIMAL(38,0) / HUGEINT. */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val step = 1048576L
+    val marg = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(cents.as("v"),
+        (col("o_orderpriority") === "1-URGENT").as("g1"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("c2"))
+      .withColumn("sub", expr(s"v DIV $step"))
+    val wSub = Window.partitionBy(col("sub")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = marg.groupBy(col("sub"))
+      .agg(sum(col("c1") + col("c2")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(wOff), lit(0L)))
+      .select(col("sub"), col("off"))
+    val ag = marg
+      .withColumn("cw", sum(col("c1") + col("c2")).over(wSub))
+      .join(broadcast(offs), "sub")
+      .withColumn("before",
+        col("off") + col("cw") - col("c1") - col("c2"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1").cast(dec) * (lit(2L) * col("before")
+          + col("c1") + col("c2") + 1L)).as("r2x"))
+      .select(col("n1"), col("n2"),
+        (col("r2x") - col("n1").cast(dec) * (col("n1") + 1L))
+          .as("u2xa"))
+    ag.select(col("n1").as("n_a"), col("n2").as("n_b"),
+      col("u2xa").cast("long").as("u2_a"),
+      (lit(2L) * col("n1").cast(dec) * col("n2") - col("u2xa"))
+        .cast("long").as("u2_b"),
+      round(col("u2xa").cast("double")
+        / (lit(2L) * col("n1").cast(dec) * col("n2")).cast("double"),
+        6).as("auc_a"))
+  }
+
+  /** DuckDB oracle for [[mannWhitney]]. */
+  def mannWhitneySql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS g1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |marg AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - g1) AS BIGINT) AS c2
+      |  FROM v GROUP BY 1),
+      |cum AS (SELECT c1, c2,
+      |    SUM(c1 + c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - c1 - c2 AS before
+      |  FROM marg),
+      |ag AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c2) AS BIGINT) AS n2,
+      |    SUM(CAST(c1 AS HUGEINT) * (2 * before + c1 + c2 + 1)) AS r2x
+      |  FROM cum)
+      |SELECT n1 AS n_a, n2 AS n_b,
+      |  CAST(r2x - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u2_a,
+      |  CAST(2 * CAST(n1 AS HUGEINT) * n2
+      |    - (r2x - CAST(n1 AS HUGEINT) * (n1 + 1)) AS BIGINT) AS u2_b,
+      |  round(CAST(r2x - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+      |    / CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE), 6) AS auc_a
+      |FROM ag""".stripMargin
+
+  /** RFM (recency / frequency / monetary) quintile segmentation of
+    * the customer base — the classic marketing / curation
+    * stratification grid, reported as segment sizes. Each metric
+    * ranks via [[scalableRank]] (again: no single-partition ntile
+    * window — the oracle's bare `ntile(5) OVER (ORDER BY ...)` is
+    * exactly the plan shape this avoids) and the quintile is
+    * recovered from the global rank with exact ntile arithmetic
+    * (first n MOD 5 buckets take one extra row), so it hash-matches
+    * DuckDB's ntile while every window stays partitioned. Customer-
+    * level table throughout: one orders shuffle on o_custkey, then
+    * three rank passes over #customers rows. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+          .as("ts_us"),
+        cents.as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("ts_us")).as("rec"), count(lit(1)).as("freq"),
+        sum(col("c")).as("mon"))
+    val ranked = scalableRank(
+      scalableRank(
+        scalableRank(base, "rec", "o_custkey", 604800000000L, "rk_r"),
+        "freq", "o_custkey", 8L, "rk_f"),
+      "mon", "o_custkey", 1L << 20, "rk_m")
+    val n = base.agg(count(lit(1)).as("__n"))
+    // exact ntile(5) from a global rank: bucket sizes are n DIV 5,
+    // with the first n MOD 5 buckets one larger (the SQL standard)
+    def tile(rk: String): Column = expr(
+      s"CAST(CASE WHEN $rk <= (__n % 5) * (__n DIV 5 + 1) " +
+        s"THEN ($rk - 1) DIV (__n DIV 5 + 1) + 1 " +
+        s"ELSE (__n % 5) + ($rk - (__n % 5) * (__n DIV 5 + 1) - 1) " +
+        s"DIV (__n DIV 5) + 1 END AS INT)")
+    ranked.crossJoin(broadcast(n))
+      .select(tile("rk_r").as("r_q"), tile("rk_f").as("f_q"),
+        tile("rk_m").as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** Mutual information (nats) between a document's language and its
+    * source — chi-square's (q135) information-theoretic sibling, the
+    * signal a curation pipeline reads before stratifying on one of
+    * two correlated facets. MI = Σ (o/n)·ln(o·n / (r·c)) over the
+    * contingency cells, folded in (lang, source) order via the same
+    * sort_array+aggregate device as chi2 so the oracle's ordered
+    * list_reduce reproduces the float fold exactly. Cells/marginals
+    * are category-sized and broadcast; one corpus scan. */
+  def mutualInformation(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val nT = cells.agg(sum(col("o")).as("n"),
+      count(lit(1)).as("n_cells"))
+    cells
+      .join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(nT))
+      .withColumn("term",
+        col("o").cast("double") / col("n").cast("double")
+          * log(col("o").cast("double") * col("n").cast("double")
+            / (col("r").cast("double") * col("c").cast("double"))))
+      .agg(max(col("n_cells")).as("n_cells"),
+        round(expr("aggregate(sort_array(collect_list(" +
+          "struct(lang, source, term))), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x.term)"), 6).as("mi_nats"))
+  }
+
+  /** DuckDB oracle for [[mutualInformation]]. */
+  def mutualInformationSql: String =
+    """WITH cells AS (SELECT lang, source, COUNT(*) AS o
+      |               FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r
+      |       FROM cells GROUP BY 1),
+      |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c
+      |       FROM cells GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |t AS (SELECT lang, source,
+      |        CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |            / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) AS term
+      |      FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+      |      CROSS JOIN nt)
+      |SELECT (SELECT COUNT(*) FROM cells) AS n_cells,
+      |  round(list_reduce(list(term ORDER BY lang, source),
+      |    (acc, x) -> acc + x), 6) AS mi_nats
+      |FROM t""".stripMargin
+
+  /** The four lineitem numerics in exact integer units (whole
+    * quantities; price cents; discount/tax in percent points) — the
+    * round-then-cast cents discipline applied table-wide. */
+  private val CorrCols = Seq(
+    "qty" -> "round(l_quantity, 0)",
+    "price_c" -> "round(l_extendedprice * 100, 0)",
+    "disc_pc" -> "round(l_discount * 100, 0)",
+    "tax_pc" -> "round(l_tax * 100, 0)")
+
+  /** Pairwise Pearson correlation matrix over the lineitem numerics —
+    * the feature-redundancy screen a modeling pipeline runs before
+    * training. ONE scan computes all 14 sufficient statistics (4
+    * sums, 4 sum-of-squares, 6 cross-products) in a single map-side-
+    * combined aggregate — never one pass per pair — then the 6
+    * correlations explode out of the one-row result. Cross terms
+    * accumulate in DECIMAL(38,0)/HUGEINT (price-cents squared times
+    * row count passes BIGINT range near 4e3 rows... i.e. instantly);
+    * each r divides exact integers under two correctly-rounded IEEE
+    * sqrts, the q155 pattern, so the matrix hash-matches. */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val names = CorrCols.map(_._1)
+    val li = Tables.lineitem(s, d).select(
+      CorrCols.map { case (n, e) => expr(e).cast("long").as(n) }: _*)
+    val aggs =
+      names.map(n => sum(col(n)).as(s"s_$n")) ++
+        names.map(n => sum(col(n).cast(dec) * col(n)).as(s"q_$n")) ++
+        (for (i <- names.indices; j <- i + 1 until names.size)
+          yield sum(col(names(i)).cast(dec) * col(names(j)))
+            .as(s"x_${names(i)}__${names(j)}"))
+    val stats = li.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairRows = for (i <- names.indices; j <- i + 1 until names.size)
+      yield {
+        val (a, b) = (names(i), names(j))
+        val num = (col("n").cast(dec) * col(s"x_${a}__$b")
+          - col(s"s_$a").cast(dec) * col(s"s_$b")).cast("double")
+        val den =
+          sqrt((col("n").cast(dec) * col(s"q_$a")
+            - col(s"s_$a").cast(dec) * col(s"s_$a")).cast("double")) *
+          sqrt((col("n").cast(dec) * col(s"q_$b")
+            - col(s"s_$b").cast(dec) * col(s"s_$b")).cast("double"))
+        struct(lit(s"${a}__$b").as("pair"),
+          round(num / nullif(den, lit(0.0)), 6).as("r"))
+      }
+    stats.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.pair").as("pair"), col("p.r").as("r"))
+      .orderBy(col("pair"))
+  }
+
+  /** DuckDB oracle for [[corrMatrix]] — the same one-pass stats CTE,
+    * six rows read from it. */
+  def corrMatrixSql: String = {
+    val names = CorrCols.map(_._1)
+    val sums = CorrCols.map { case (n, e) =>
+      s"CAST(SUM(CAST($e AS BIGINT)) AS BIGINT) AS s_$n"
+    } ++ CorrCols.map { case (n, e) =>
+      s"SUM(CAST(CAST($e AS BIGINT) AS HUGEINT) * CAST($e AS BIGINT)) AS q_$n"
+    } ++ (for (i <- names.indices; j <- i + 1 until names.size) yield {
+      val (a, ea) = CorrCols(i); val (b, eb) = CorrCols(j)
+      s"SUM(CAST(CAST($ea AS BIGINT) AS HUGEINT) * CAST($eb AS BIGINT))" +
+        s" AS x_${a}__$b"
+    })
+    val branches = for (i <- names.indices; j <- i + 1 until names.size)
+      yield {
+        val (a, b) = (names(i), names(j))
+        s"""SELECT '${a}__$b' AS pair,
+           |  round(CAST(CAST(n AS HUGEINT) * x_${a}__$b
+           |      - CAST(s_$a AS HUGEINT) * s_$b AS DOUBLE)
+           |    / nullif(sqrt(CAST(CAST(n AS HUGEINT) * q_$a
+           |        - CAST(s_$a AS HUGEINT) * s_$a AS DOUBLE))
+           |      * sqrt(CAST(CAST(n AS HUGEINT) * q_$b
+           |        - CAST(s_$b AS HUGEINT) * s_$b AS DOUBLE)), 0.0), 6)
+           |    AS r
+           |FROM stats""".stripMargin
+      }
+    s"""WITH stats AS (
+       |  SELECT COUNT(*) AS n, ${sums.mkString(",\n    ")}
+       |  FROM lineitem)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY pair""".stripMargin
+  }
+
+  /** DuckDB oracle for [[rfmSegments]]. */
+  def rfmSegmentsSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey,
+      |    CAST(epoch_us(MAX(o_orderdate)) AS BIGINT) AS rec,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS mon
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT
+      |    ntile(5) OVER (ORDER BY rec, o_custkey) AS r_q,
+      |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+      |    ntile(5) OVER (ORDER BY mon, o_custkey) AS m_q
+      |  FROM base)
+      |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers
+      |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

@@ -217,4 +217,89 @@ class EventAnalyticsSpec extends SparkTestBase {
         s"$tpe intercept")
     }
   }
+
+  test("sessionLengths matches brute-force gap splitting") {
+    val gap = 1800000000000L
+    val out = EventAnalytics.sessionLengths(spark, sf("events"), gap)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // brute force: per user, sort, split at gap, roll up
+    val sessions = events().groupBy(_._1).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._3, e._4)).map(_._3)
+      val out = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      var cur = scala.collection.mutable.ArrayBuffer[Long]()
+      ts.foreach { t =>
+        if (cur.nonEmpty && t - cur.last > gap) {
+          out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer()
+        }
+        cur += t
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.map(ss => (ss.length.toLong, ss.max - ss.min))
+    }.toSeq
+    val exp = sessions.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    assert(out == exp)
+    assert(out.nonEmpty)
+    // multi-event sessions must exist or the gap test is vacuous
+    assert(out.keys.max > 1L, "need at least one multi-event session")
+  }
+
+  test("eventTransitions: counts match brute force, rows normalize") {
+    val out = EventAnalytics.eventTransitions(spark, sf("events"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val exp = events().groupBy(_._1).values.flatMap { es =>
+      val types = es.sortBy(e => (e._3, e._4)).map(_._2)
+      types.zip(types.drop(1))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    assert(out.view.mapValues(_._1).toMap == exp)
+    // each source row's probabilities sum to 1
+    out.keys.map(_._1).toSeq.distinct.foreach { a =>
+      val ps = out.collect { case ((`a`, _), (_, p)) => p }
+      assert(math.abs(ps.sum - 1.0) < 1e-4, s"row $a")
+    }
+  }
+
+  test("userGrowth: new-user counts sum to the user base, cum matches") {
+    val rows = EventAnalytics.userGrowth(spark, sf("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // brute force first-seen days
+    val exp = events().groupBy(_._1).values
+      .map(es => es.map(_._3 / 86400000000000L).min)
+      .groupBy(identity).map { case (d2, xs) => d2 -> xs.size.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == exp)
+    // days ascending, cumulative = running sum, final = user base
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1)))
+    var cum = 0L
+    rows.foreach { case (_, nu, c) => cum += nu; assert(c == cum) }
+    assert(cum == events().map(_._1).distinct.length.toLong)
+  }
+
+  test("lag1Autocorr equals brute-force Pearson over dense series") {
+    val rows = EventAnalytics.lag1Autocorr(spark, sf("events"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val byType = events().groupBy(_._2)
+    rows.foreach { case (tpe, nPairs, r1) =>
+      val hs = byType(tpe).map(_._3 / 3600000000000L)
+      val counts = hs.groupBy(identity)
+        .map { case (h, xs) => h -> xs.length.toLong }
+      val dense = (hs.min to hs.max).map(h => counts.getOrElse(h, 0L))
+      val pairs = dense.zip(dense.drop(1))
+      assert(nPairs == pairs.length.toLong, s"$tpe n_pairs")
+      val xs = pairs.map(_._1.toDouble); val zs = pairs.map(_._2.toDouble)
+      val n = xs.length.toDouble
+      val num = n * xs.zip(zs).map { case (a, b) => a * b }.sum -
+        xs.sum * zs.sum
+      val den = math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        math.sqrt(n * zs.map(a => a * a).sum - zs.sum * zs.sum)
+      if (den == 0.0) assert(r1.isNaN, s"$tpe degenerate")
+      else assert(math.abs(r1 - num / den) < 1e-4, s"$tpe r1")
+    }
+  }
 }

@@ -360,7 +360,7 @@ class GraphSpec extends SparkTestBase {
     val d = sf("orders")
     val row = Profiling.ksTest(spark, d).head()
     val prices = graft.Tables.orders(spark, d)
-      .select((col("o_totalprice") * 100).cast("long").as("v"),
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("v"),
         (col("o_orderkey") % 2).as("g")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val a = prices.filter(_._2 == 0L).map(_._1).sorted
@@ -376,6 +376,154 @@ class GraphSpec extends SparkTestBase {
     // ks is rounded to 6 decimals in the query output
     assert(math.abs(row.getDouble(3) -
       dNum.toDouble / (a.length.toLong * b.length)) < 5e-7)
+  }
+
+  private def centsByCustomer(d: String): Map[Long, (Long, Long, Long)] =
+    graft.Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz")).as("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        k -> (rows.map(_._3).max, rows.length.toLong, rows.map(_._2).sum)
+      }
+
+  test("giniSpend equals the brute-force rank formula") {
+    val d = sf("orders")
+    val row = Profiling.giniSpend(spark, d).head()
+    val spend = centsByCustomer(d).map { case (k, (_, _, m)) => (k, m) }
+      .toSeq.sortBy(x => (x._2, x._1))
+    val n = spend.length.toLong
+    val sv = spend.map(x => BigInt(x._2)).sum
+    val siv = spend.zipWithIndex
+      .map { case ((_, v), i) => BigInt(i + 1) * v }.sum
+    val gini = (BigInt(2) * siv - BigInt(n + 1) * sv).toDouble /
+      (BigInt(n) * sv).toDouble
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - gini) < 5e-7)
+    assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 1.0)
+  }
+
+  test("benfordDigits counts leading cents digits, shares sum to 1") {
+    val d = sf("orders")
+    val rows = Profiling.benfordDigits(spark, d).collect()
+    val cents = graft.Tables.orders(spark, d)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(_.getLong(0))
+    val exp = cents.groupBy(_.toString.head.asDigit)
+      .map { case (dg, xs) => dg -> xs.length.toLong }
+    assert(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap == exp)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val bp = math.log10(1.0 + 1.0 / r.getInt(0))
+      assert(math.abs(r.getDouble(3) - bp) < 5e-7)
+    }
+  }
+
+  test("mannWhitney matches brute-force average-rank U and AUC") {
+    val d = sf("orders")
+    val row = Profiling.mannWhitney(spark, d).head()
+    val vals = graft.Tables.orders(spark, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1) == "1-URGENT"))
+    val n1 = vals.count(_._2).toLong
+    val n2 = vals.length - n1
+    // doubled average ranks keep ties integral
+    val sorted = vals.map(_._1).sorted
+    def rank2(v: Long): Long = {
+      val lo = sorted.count(_ < v).toLong
+      val c = sorted.count(_ == v).toLong
+      2 * lo + c + 1
+    }
+    val r2x = vals.filter(_._2).map(x => rank2(x._1)).sum
+    val u2a = r2x - n1 * (n1 + 1)
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(row.getLong(2) == u2a)
+    assert(row.getLong(3) == 2 * n1 * n2 - u2a)
+    assert(math.abs(row.getDouble(4) -
+      u2a.toDouble / (2.0 * n1 * n2)) < 5e-7)
+  }
+
+  test("rfmSegments equals brute-force ntile(5) over each metric") {
+    val d = sf("orders")
+    val rows = Profiling.rfmSegments(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val base = centsByCustomer(d)
+    val n = base.size
+    def ntile5(order: Seq[Long]): Map[Long, Int] = {
+      val q = n / 5; val rem = n % 5
+      order.zipWithIndex.map { case (k, i) =>
+        val r = i + 1
+        val b =
+          if (r <= rem * (q + 1)) (r - 1) / (q + 1) + 1
+          else rem + (r - rem * (q + 1) - 1) / q + 1
+        k -> b
+      }.toMap
+    }
+    val byR = ntile5(base.toSeq.sortBy { case (k, (rec, _, _)) =>
+      (rec, k) }.map(_._1))
+    val byF = ntile5(base.toSeq.sortBy { case (k, (_, f, _)) =>
+      (f, k) }.map(_._1))
+    val byM = ntile5(base.toSeq.sortBy { case (k, (_, _, m)) =>
+      (m, k) }.map(_._1))
+    val exp = base.keys.toSeq
+      .groupBy(k => (byR(k), byF(k), byM(k)))
+      .map { case (g, ks) => g -> ks.length.toLong }
+    assert(rows == exp)
+    assert(rows.values.sum == n.toLong)
+  }
+
+  test("mutualInformation equals brute-force MI over the cells") {
+    val d = sf("documents")
+    val row = Profiling.mutualInformation(spark, d).head()
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val cells = docs.groupBy(identity).view.mapValues(_.length).toMap
+    val rT = docs.groupBy(_._1).view.mapValues(_.length).toMap
+    val cT = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val mi = cells.map { case ((l, s2), o) =>
+      o / n * math.log(o * n / (rT(l).toDouble * cT(s2)))
+    }.sum
+    assert(row.getLong(0) == cells.size.toLong)
+    assert(math.abs(row.getDouble(1) - mi) < 1e-4)
+    assert(row.getDouble(1) >= 0.0, "MI is non-negative")
+  }
+
+  test("corrMatrix equals brute-force Pearson on integer units") {
+    val d = sf("lineitem")
+    val out = Profiling.corrMatrix(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.size == 6)
+    val rows = graft.Tables.lineitem(spark, d)
+      .select(round(col("l_quantity"), 0).cast("long"),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        round(col("l_discount") * 100, 0).cast("long"),
+        round(col("l_tax") * 100, 0).cast("long")).collect()
+      .map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val names = Seq("qty", "price_c", "disc_pc", "tax_pc")
+    def pearson(i: Int, j: Int): Double = {
+      val xs = rows.map(_(i).toDouble); val ys = rows.map(_(j).toDouble)
+      val n = xs.length.toDouble
+      val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+        xs.sum * ys.sum
+      val den = math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        math.sqrt(n * ys.map(a => a * a).sum - ys.sum * ys.sum)
+      num / den
+    }
+    for (i <- names.indices; j <- i + 1 until names.size) {
+      val k = s"${names(i)}__${names(j)}"
+      assert(math.abs(out(k) - pearson(i, j)) < 1e-4, k)
+    }
+    // correlations are well-defined (non-degenerate columns)
+    out.values.foreach(r => assert(r >= -1.0 && r <= 1.0))
   }
 
   test("gopherRules: keep is the conjunction of the rule columns") {

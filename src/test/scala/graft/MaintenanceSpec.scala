@@ -102,4 +102,45 @@ class MaintenanceSpec extends SparkTestBase {
     }
     assert(seq.length == rows.length)
   }
+
+  test("constraintChecks: six constraints, zero violations, true counts") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Maintenance.constraintChecks(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("orders_pk_unique", "orders_fk_customer",
+      "lineitem_fk_orders", "lineitem_qty_positive",
+      "orders_date_not_null", "lineitem_discount_range"))
+    // TPC-H-ish generator data satisfies every constraint
+    rows.foreach { case (name, (_, v)) =>
+      assert(v == 0L, s"$name violated")
+    }
+    val nOrders = graft.Tables.orders(spark, d).count()
+    val nLi = graft.Tables.lineitem(spark, d).count()
+    assert(rows("orders_pk_unique")._1 == nOrders)
+    assert(rows("orders_fk_customer")._1 == nOrders)
+    assert(rows("lineitem_fk_orders")._1 == nLi)
+    assert(rows("lineitem_qty_positive")._1 == nLi)
+  }
+
+  test("constraintChecks flags an injected orphan and dup key") {
+    // copy orders shrunk to 50 rows with a known-bad custkey and a
+    // duplicated orderkey; customer/lineitem untouched
+    val d = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-constraints").toString
+    for (t <- Seq("customer", "lineitem")) {
+      val src = java.nio.file.Paths.get(s"$d/$t.parquet")
+      val dst = java.nio.file.Paths.get(s"$tmp/$t.parquet")
+      java.nio.file.Files.copy(src, dst)
+    }
+    val orders = graft.Tables.orders(spark, d).limit(50)
+    val bad = orders.limit(1)
+      .withColumn("o_custkey", org.apache.spark.sql.functions.lit(-1L))
+    orders.unionAll(bad).coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/orders.parquet")
+    val rows = Maintenance.constraintChecks(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("orders_pk_unique") == (51L, 1L))
+    assert(rows("orders_fk_customer") == (51L, 1L))
+  }
 }
