@@ -188,7 +188,13 @@ object Bench {
       p <= probeLimit
     }
 
-    val results: Seq[(String, Measured)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Optional args restrict the run to the named queries — local
+    // iteration on a new operator without paying the full suite. The
+    // driver passes no args, so the official record is unaffected.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results: Seq[(String, Measured)] = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
