@@ -80,6 +80,41 @@ class PlanShapeSpec extends SparkTestBase {
       s"pageRank output plan carries ${joins.size} joins — lineage not cut")
   }
 
+  test("two-level ranks: global windows only over aggregated buckets") {
+    // the scalableRank / ksTest device: any Window with an EMPTY
+    // partition spec (a single-partition global sort) is allowed only
+    // above an Aggregate — i.e. over the sub-bucket offsets table
+    // (value-range sized), never over the raw row stream. A future
+    // edit that ranks rows with a bare Window.orderBy funnels the
+    // whole table through one task and fails here.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, mk) <- Seq[(String, () => DataFrame)](
+        "rfmSegments" ->
+          (() => graft.ops.Profiling.rfmSegments(spark, sf(""))),
+        "mannWhitney" ->
+          (() => graft.ops.Profiling.mannWhitney(spark, sf(""))),
+        "giniSpend" ->
+          (() => graft.ops.Profiling.giniSpend(spark, sf(""))))) {
+        val plan = mk().queryExecution.executedPlan
+        val globals = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(globals.nonEmpty, s"$name: offset window expected")
+        globals.foreach { w =>
+          val overAgg = w.child.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate
+                .BaseAggregateExec => a
+          }.nonEmpty
+          assert(overAgg,
+            s"$name: global window over un-aggregated rows — " +
+              "single-partition sort of the full table")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dupClusters' returned plan is cut: no per-round join chain") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
     val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
