@@ -501,6 +501,11 @@ object SparkEntry {
       graft.ops.EventAnalytics.userGrowth(s, d)),
     // one-pass pairwise Pearson matrix over lineitem numerics
     "q163_corr_matrix" -> ((s, d) => graft.ops.Profiling.corrMatrix(s, d)),
+    // deterministic bottom-k quantile sample, estimate beside exact
+    "q164_quantile_sketch" -> ((s, d) =>
+      graft.ops.Sketches.quantileSketch(s, d)),
+    // Jensen-Shannon divergence between two sources' unigram dists
+    "q165_jsd" -> ((s, d) => graft.ops.TextOps.jsDivergence(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1805,6 +1810,8 @@ object SparkEntry {
     "q161_constraints" -> graft.ops.Maintenance.constraintChecksSql,
     "q162_user_growth" -> graft.ops.EventAnalytics.userGrowthSql,
     "q163_corr_matrix" -> graft.ops.Profiling.corrMatrixSql,
+    "q164_quantile_sketch" -> graft.ops.Sketches.quantileSketchSql(),
+    "q165_jsd" -> graft.ops.TextOps.jsDivergenceSql(),
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

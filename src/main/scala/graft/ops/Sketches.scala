@@ -206,6 +206,106 @@ object Sketches {
         round(col("n_approx").cast("double") / col("n_exact"), 1)
           .as("hll_ratio"))
 
+  /** Quantile sketch by deterministic bottom-k sampling, reported
+    * estimate-beside-exact (the q121 KMV device applied to ranks):
+    * the k rows with the smallest md5-fraction draws form a uniform —
+    * and, because the draw is a hash of the row id, REPRODUCIBLE —
+    * sample whose order statistics estimate the population quantiles
+    * with O(1/sqrt(k)) error; the same md5 nibbles decode in DuckDB,
+    * so unlike an opaque t-digest the whole sketch is hash-checkable.
+    * Scale shape: the sample is TakeOrderedAndProject (per-partition
+    * top-k, merged on the driver — no global sort); the EXACT
+    * quantiles come from the value-marginal cumulative table under
+    * the ksTest two-level device (distinct cents, not rows, cross the
+    * shuffle); every rank boundary is exact integer ceil arithmetic.
+    * One row: n, k, exact and estimated p50/p90/p99 in cents. */
+  def quantileSketch(s: SparkSession, d: String,
+      k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val step = 1048576L
+    val vals = graft.Tables.orders(s, d)
+      .select(col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+    // deterministic uniform sample: k smallest md5 draws
+    val sample = vals.withColumn("fr", Curation.md5Frac32(col("id")))
+      .orderBy(col("fr"), col("id")).limit(k)
+    val wS = Window.orderBy(col("v"), col("id"))
+    val est = sample.withColumn("rn", row_number().over(wS))
+      .agg(
+        max(when(col("rn") === math.ceil(0.50 * k).toInt, col("v")))
+          .as("p50_est"),
+        max(when(col("rn") === math.ceil(0.90 * k).toInt, col("v")))
+          .as("p90_est"),
+        max(when(col("rn") === math.ceil(0.99 * k).toInt, col("v")))
+          .as("p99_est"))
+    // exact quantiles: cumulative counts over the value marginal
+    val marg = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("sub", expr(s"v DIV $step"))
+    val wSub = Window.partitionBy(col("sub")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = marg.groupBy(col("sub")).agg(sum(col("c")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(wOff), lit(0L)))
+      .select(col("sub"), col("off"))
+    val tot = vals.agg(count(lit(1)).as("n"))
+    // ceil(q·n) as exact integer arithmetic: (n·qnum + qden-1) DIV qden
+    def rank(qn: Int, qd: Int): Column =
+      expr(s"(n * $qn + ${qd - 1}) DIV $qd")
+    val exact = marg
+      .withColumn("cw", sum(col("c")).over(wSub))
+      .join(broadcast(offs), "sub")
+      .withColumn("cum", col("off") + col("cw"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_rows"),
+        min(when(col("cum") >= rank(1, 2), col("v"))).as("p50_exact"),
+        min(when(col("cum") >= rank(9, 10), col("v"))).as("p90_exact"),
+        min(when(col("cum") >= rank(99, 100), col("v")))
+          .as("p99_exact"))
+    exact.crossJoin(est)
+      .select(col("n_rows"), lit(k).as("k"),
+        col("p50_exact"), col("p50_est"),
+        col("p90_exact"), col("p90_est"),
+        col("p99_exact"), col("p99_est"))
+  }
+
+  /** DuckDB oracle for [[quantileSketch]]. */
+  def quantileSketchSql(k: Int = 256): String = {
+    val nibbleSum = (1 to 8).map { i =>
+      s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
+        s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
+    }.mkString(" + ")
+    def r(qn: Int, qd: Int) = s"(n * $qn + ${qd - 1}) // $qd"
+    s"""WITH vals AS (SELECT o_orderkey AS id,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+       |  FROM orders),
+       |f AS (SELECT id, v,
+       |    CAST(($nibbleSum) AS DOUBLE) / 4294967296.0 AS fr
+       |  FROM (SELECT id, v, md5(CAST(id AS VARCHAR)) AS h FROM vals)),
+       |smp AS (SELECT v, id FROM f ORDER BY fr, id LIMIT $k),
+       |sr AS (SELECT v,
+       |    row_number() OVER (ORDER BY v, id) AS rn FROM smp),
+       |marg AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY 1),
+       |cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum FROM marg),
+       |tot AS (SELECT COUNT(*) AS n FROM vals)
+       |SELECT n AS n_rows, $k AS k,
+       |  (SELECT MIN(v) FROM cum, tot WHERE cum >= ${r(1, 2)})
+       |    AS p50_exact,
+       |  (SELECT MAX(CASE WHEN rn = ${math.ceil(0.50 * k).toInt}
+       |    THEN v END) FROM sr) AS p50_est,
+       |  (SELECT MIN(v) FROM cum, tot WHERE cum >= ${r(9, 10)})
+       |    AS p90_exact,
+       |  (SELECT MAX(CASE WHEN rn = ${math.ceil(0.90 * k).toInt}
+       |    THEN v END) FROM sr) AS p90_est,
+       |  (SELECT MIN(v) FROM cum, tot WHERE cum >= ${r(99, 100)})
+       |    AS p99_exact,
+       |  (SELECT MAX(CASE WHEN rn = ${math.ceil(0.99 * k).toInt}
+       |    THEN v END) FROM sr) AS p99_est
+       |FROM tot""".stripMargin
+  }
+
   /** Per-group heavy hitters: one MG summary per key — per-language /
     * per-source frequent terms with per-stratum N_g/k bounds. Shuffle
     * volume is k counters per GROUP, never the vocabulary. */

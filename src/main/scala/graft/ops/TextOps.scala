@@ -817,4 +817,67 @@ object TextOps {
       |FROM cnts c JOIN tot t ON t.doc_id = c.doc_id
       |GROUP BY c.doc_id, t.n, t.dc
       |ORDER BY c.doc_id""".stripMargin
+
+  /** Jensen-Shannon divergence between two sources' unigram
+    * distributions — the bounded, symmetric corpus-drift metric (PSI's
+    * q150 sibling for vocabulary shift; 0 = identical, ln 2 = disjoint
+    * support). Distributions are add-one smoothed over the JOINT
+    * vocabulary, each term contributes
+    * ½·(p·ln(p/m) + q·ln(q/m)), m = (p+q)/2, and the contributions
+    * fold in term order (the q106/chi2 device) so the oracle's ordered
+    * list_reduce reproduces the IEEE fold. State is vocabulary-sized
+    * (one map-side-combined term count), totals broadcast. */
+  def jsDivergence(s: SparkSession, d: String,
+      srcA: String = "src0", srcB: String = "src1"): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t"))
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"), count(lit(1)).as("vocab"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + 1L).cast("double")
+        / (col("na") + col("vocab")).cast("double"))
+      .withColumn("q", (col("cb") + 1L).cast("double")
+        / (col("nb") + col("vocab")).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .withColumn("term",
+        (col("p") * log(col("p") / col("m"))
+          + col("q") * log(col("q") / col("m"))) * 0.5)
+      .agg(max(col("vocab")).as("vocab"), max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"),
+        round(expr("aggregate(sort_array(collect_list(" +
+          "struct(t, term))), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x.term)"), 6).as("jsd_nats"))
+  }
+
+  /** DuckDB oracle for [[jsDivergence]]. */
+  def jsDivergenceSql(srcA: String = "src0",
+      srcB: String = "src1"): String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents WHERE source IN ('$srcA', '$srcB')),
+       |cnt AS (SELECT t,
+       |    CAST(SUM(CASE WHEN source = '$srcA' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN source = '$srcB' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM toks WHERE len(t) > 0 GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+       |    CAST(SUM(cb) AS BIGINT) AS nb,
+       |    COUNT(*) AS vocab FROM cnt),
+       |terms AS (SELECT t,
+       |    CAST(ca + 1 AS DOUBLE) / CAST(na + vocab AS DOUBLE) AS p,
+       |    CAST(cb + 1 AS DOUBLE) / CAST(nb + vocab AS DOUBLE) AS q
+       |  FROM cnt CROSS JOIN tot)
+       |SELECT vocab, na AS n_a, nb AS n_b,
+       |  round(list_reduce(list(
+       |    (p * ln(p / ((p + q) / 2.0))
+       |     + q * ln(q / ((p + q) / 2.0))) * 0.5 ORDER BY t),
+       |    (acc, x) -> acc + x), 6) AS jsd_nats
+       |FROM terms CROSS JOIN tot
+       |GROUP BY vocab, na, nb""".stripMargin
 }

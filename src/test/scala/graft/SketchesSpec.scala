@@ -130,4 +130,40 @@ class SketchesSpec extends SparkTestBase {
     val out = Sketches.hllDistinctQuery(spark, sf("")).head
     assert(out.getDouble(1) == 1.0, s"ratio ${out.getDouble(1)}")
   }
+
+  test("quantileSketch: exact ranks right, estimate = brute sample") {
+    val k = 256
+    val row = Sketches.quantileSketch(spark, sf(""), k).head
+    val vals = graft.Tables.orders(spark, sf(""))
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100, 0).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = vals.length
+    assert(row.getLong(0) == n.toLong && row.getInt(1) == k)
+    // exact percentiles: value at rank ceil(q*n), 1-indexed
+    val sortedV = vals.map(_._2).sorted
+    def exact(qn: Int, qd: Int): Long =
+      sortedV((n * qn + qd - 1) / qd - 1)
+    assert(row.getLong(2) == exact(1, 2), "p50_exact")
+    assert(row.getLong(4) == exact(9, 10), "p90_exact")
+    assert(row.getLong(6) == exact(99, 100), "p99_exact")
+    // estimates: same md5-fraction draw computed driver-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def frac(id: Long): Double = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16).toDouble /
+        4294967296.0
+    }
+    val sample = vals.map { case (id, v) => (frac(id), id, v) }
+      .sortBy(t => (t._1, t._2)).take(k).map(t => (t._3, t._2))
+      .sortBy(identity).map(_._1)
+    def est(q: Double): Long = sample(math.ceil(q * k).toInt - 1)
+    assert(row.getLong(3) == est(0.50), "p50_est")
+    assert(row.getLong(5) == est(0.90), "p90_est")
+    assert(row.getLong(7) == est(0.99), "p99_est")
+    // the sketch is actually a useful estimator at this k
+    assert(math.abs(row.getLong(3) - row.getLong(2)).toDouble /
+      row.getLong(2) < 0.25, "p50 estimate way off")
+  }
 }

@@ -313,4 +313,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(out(2L) - math.log(2.0)) < 1e-6)
     assert(out(2L) == out(3L)) // same distribution, same fold
   }
+
+  test("jsDivergence: brute-force match, bounded by ln 2, self-zero") {
+    val d = sf("documents")
+    val row = TextOps.jsDivergence(spark, d).head
+    val toks = graft.Tables.documents(spark, d)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val ca = toks.filter(_._1 == "src0").groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val cb = toks.filter(_._1 == "src1").groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val vocab = (ca.keySet ++ cb.keySet)
+    val (na, nb) = (ca.values.sum, cb.values.sum)
+    val jsd = vocab.toSeq.map { t =>
+      val p = (ca.getOrElse(t, 0L) + 1).toDouble / (na + vocab.size)
+      val q = (cb.getOrElse(t, 0L) + 1).toDouble / (nb + vocab.size)
+      val m = (p + q) / 2.0
+      0.5 * (p * math.log(p / m) + q * math.log(q / m))
+    }.sum
+    assert(row.getLong(0) == vocab.size.toLong)
+    assert(row.getLong(1) == na && row.getLong(2) == nb)
+    assert(math.abs(row.getDouble(3) - jsd) < 1e-4)
+    assert(row.getDouble(3) >= 0.0 &&
+      row.getDouble(3) <= math.log(2.0) + 1e-9)
+    // same source on both sides -> exactly zero divergence
+    val self = TextOps.jsDivergence(spark, d, "src0", "src0").head
+    assert(self.getDouble(3) == 0.0)
+  }
 }
