@@ -506,6 +506,13 @@ object SparkEntry {
       graft.ops.Sketches.quantileSketch(s, d)),
     // Jensen-Shannon divergence between two sources' unigram dists
     "q165_jsd" -> ((s, d) => graft.ops.TextOps.jsDivergence(s, d)),
+    // robust mean: clip order totals at exact [p05, p95] ranks
+    "q166_winsorized" -> ((s, d) =>
+      graft.ops.Profiling.winsorizedMean(s, d)),
+    // tie-aware Spearman rho, qty vs price, doubled integer ranks
+    "q167_spearman" -> ((s, d) => graft.ops.Profiling.spearman(s, d)),
+    // Cramér's V effect size on the q135 contingency table
+    "q168_cramers_v" -> ((s, d) => graft.ops.Profiling.cramersV(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1812,6 +1819,9 @@ object SparkEntry {
     "q163_corr_matrix" -> graft.ops.Profiling.corrMatrixSql,
     "q164_quantile_sketch" -> graft.ops.Sketches.quantileSketchSql(),
     "q165_jsd" -> graft.ops.TextOps.jsDivergenceSql(),
+    "q166_winsorized" -> graft.ops.Profiling.winsorizedMeanSql,
+    "q167_spearman" -> graft.ops.Profiling.spearmanSql,
+    "q168_cramers_v" -> graft.ops.Profiling.cramersVSql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

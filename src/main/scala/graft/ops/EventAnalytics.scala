@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{GraftSession, Tables}
 
 /** Event-stream analytics over the `events` table: ordered-funnel
   * completion, KMV distinct sketching, sequence mining, and retention
@@ -227,9 +227,10 @@ object EventAnalytics {
     * keyed MIN for the rebase, one 5-sum aggregate per type — state is
     * types x 5 longs, never a series in memory. */
   def trendSlope(s: SparkSession, d: String): DataFrame = {
-    val hours = Tables.events(s, d)
+    // cut: hour buckets feed the rebase MIN and the stats aggregate
+    val hours = GraftSession.cut(Tables.events(s, d)
       .groupBy(col("event_type"), expr("ts div 3600000000000").as("h"))
-      .agg(count(lit(1)).as("y"))
+      .agg(count(lit(1)).as("y")))
     val base = hours.groupBy(col("event_type")).agg(min(col("h")).as("h0"))
     val st = hours.join(base, "event_type")
       .select(col("event_type"), (col("h") - col("h0")).as("x"), col("y"))
@@ -262,12 +263,13 @@ object EventAnalytics {
     val ev = Tables.events(s, d)
       .select(col("event_type"), expr("ts div 3600000000000").as("h"))
     val mm = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-    val cells = ev.crossJoin(broadcast(mm))
+    // cut: the types x 24 cells feed the totals and the psi fold
+    val cells = GraftSession.cut(ev.crossJoin(broadcast(mm))
       .select(col("event_type"), (col("h") % 24).as("b"),
         (col("h") < expr("(h0 + h1 + 1) DIV 2")).as("early"))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("ce"),
-        sum(when(!col("early"), 1L).otherwise(0L)).as("cl"))
+        sum(when(!col("early"), 1L).otherwise(0L)).as("cl")))
     val totals = cells.groupBy(col("event_type"))
       .agg(sum(col("ce")).as("ne"), sum(col("cl")).as("nl"))
     val term = {
@@ -403,12 +405,14 @@ object EventAnalytics {
   def eventTransitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pairs = ev(s, d)
+    // cut: the type²-sized pair counts feed the totals and the
+    // output — one events scan + window, not two
+    val pairs = GraftSession.cut(ev(s, d)
       .select(col("user_id"), col("event_type").as("a"),
         lead(col("event_type"), 1).over(w).as("b"))
       .filter(col("b").isNotNull)
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val totals = pairs.groupBy(col("a")).agg(sum(col("cnt")).as("ta"))
     pairs.join(broadcast(totals), "a")
       .select(col("a"), col("b"), col("cnt"),
@@ -482,9 +486,10 @@ object EventAnalytics {
     * combined; the dense series is hours × types rows — time-range
     * sized, not event-volume sized. */
   def lag1Autocorr(s: SparkSession, d: String): DataFrame = {
-    val hours = ev(s, d)
+    // cut: the hour-bucket table feeds the span and the densify join
+    val hours = GraftSession.cut(ev(s, d)
       .groupBy(col("event_type"), expr("ts div 3600000000000").as("h"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val span = hours.groupBy(col("event_type"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val dense = span

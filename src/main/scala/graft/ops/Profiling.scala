@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{GraftSession, Tables}
 
 /** ANALYZE-style column profiling: per-column row/null/ndv/min/max in a
   * single scan — the statistics pass a table maintenance cycle runs
@@ -161,9 +161,12 @@ object Profiling {
     * q106 ordered-fold discipline — so the scalar hash-matches DuckDB.
     * Emits one row: (n_cells, dof, chi2). */
   def chiSquareIndependence(s: SparkSession, d: String): DataFrame = {
-    val cells = Tables.documents(s, d)
+    // cut: the cells table feeds four consumers (row/col/n marginals +
+    // the join); materializing the category-sized table once means the
+    // corpus is scanned once, not four times
+    val cells = GraftSession.cut(Tables.documents(s, d)
       .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("o"))
+      .agg(count(lit(1)).as("o")))
     val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
     val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
     val nT = cells.agg(sum(col("o")).as("n"),
@@ -243,6 +246,9 @@ object Profiling {
       .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") =!= 0, 1L).otherwise(0L)).as("cb"))
       .withColumn("sub", expr(s"v DIV $step"))
+      // cut: the marginal feeds offsets, totals, and the rank pass —
+      // one orders scan instead of three
+      .transform(GraftSession.cut(_))
     val wSub = Window.partitionBy(col("sub")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.orderBy(col("sub"))
@@ -339,9 +345,11 @@ object Profiling {
     * with one exact integer division at the end. */
   def giniSpend(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val spend = Tables.orders(s, d)
+    // cut: the customer-level spend table feeds the rank pass, its
+    // offsets table, and the final aggregate — scan orders once
+    val spend = GraftSession.cut(Tables.orders(s, d)
       .select(col("o_custkey"), cents.as("c"))
-      .groupBy(col("o_custkey")).agg(sum(col("c")).as("v"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("v")))
     scalableRank(spend, "v", "o_custkey", 1L << 22, "rk")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
         sum(col("rk").cast(dec) * col("v")).as("siv"))
@@ -377,10 +385,11 @@ object Profiling {
     * Benford expectation log10(1 + 1/d). One map-side-combined count
     * over a 9-key space — embarrassingly scalable. */
   def benfordDigits(s: SparkSession, d: String): DataFrame = {
-    val digits = Tables.orders(s, d)
+    // cut: the 9-row digit table feeds both the total and the output
+    val digits = GraftSession.cut(Tables.orders(s, d)
       .select(substring(cents.cast("string"), 1, 1).cast("int")
         .as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt")))
     val tot = digits.agg(sum(col("cnt")).as("n"))
     digits.crossJoin(broadcast(tot))
       .select(col("digit"), col("cnt"),
@@ -426,6 +435,8 @@ object Profiling {
       .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("g1"), 1L).otherwise(0L)).as("c2"))
       .withColumn("sub", expr(s"v DIV $step"))
+      // cut: marginal feeds offsets + the rank-weighted aggregate
+      .transform(GraftSession.cut(_))
     val wSub = Window.partitionBy(col("sub")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.orderBy(col("sub"))
@@ -493,14 +504,17 @@ object Profiling {
     * level table throughout: one orders shuffle on o_custkey, then
     * three rank passes over #customers rows. */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.orders(s, d)
+    // cut: the customer metric table feeds three rank passes (each
+    // reading it twice: rows + offsets) plus the n count — without
+    // the cut Catalyst re-derives it from parquet ~10 times
+    val base = GraftSession.cut(Tables.orders(s, d)
       .select(col("o_custkey"),
         unix_micros(col("o_orderdate").cast("timestamp_ltz"))
           .as("ts_us"),
         cents.as("c"))
       .groupBy(col("o_custkey"))
       .agg(max(col("ts_us")).as("rec"), count(lit(1)).as("freq"),
-        sum(col("c")).as("mon"))
+        sum(col("c")).as("mon")))
     val ranked = scalableRank(
       scalableRank(
         scalableRank(base, "rec", "o_custkey", 604800000000L, "rk_r"),
@@ -531,9 +545,10 @@ object Profiling {
     * list_reduce reproduces the float fold exactly. Cells/marginals
     * are category-sized and broadcast; one corpus scan. */
   def mutualInformation(s: SparkSession, d: String): DataFrame = {
-    val cells = Tables.documents(s, d)
+    // cut: four consumers of the category-sized cells (see chi2)
+    val cells = GraftSession.cut(Tables.documents(s, d)
       .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("o"))
+      .agg(count(lit(1)).as("o")))
     val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
     val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
     val nT = cells.agg(sum(col("o")).as("n"),
@@ -653,6 +668,220 @@ object Profiling {
        |${branches.mkString("\nUNION ALL\n")}
        |ORDER BY pair""".stripMargin
   }
+
+  /** Winsorized mean of order totals: values clipped to the exact
+    * [p05, p95] rank quantiles before averaging — the robust location
+    * estimate a pipeline reports when whales/glitches poison the
+    * plain mean. Quantile bounds come from the value-marginal
+    * cumulative table (the ksTest device, distinct cents not rows);
+    * the clipped numerator Σ c·clamp(v) is exact BIGINT; one double
+    * division at the end. Two orders scans total (marginal is cut). */
+  def winsorizedMean(s: SparkSession, d: String): DataFrame = {
+    val step = 1048576L
+    val marg = GraftSession.cut(Tables.orders(s, d)
+      .select(cents.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("sub", expr(s"v DIV $step")))
+    val wSub = Window.partitionBy(col("sub")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = marg.groupBy(col("sub")).agg(sum(col("c")).as("sc"))
+      .withColumn("off", coalesce(sum(col("sc")).over(wOff), lit(0L)))
+      .select(col("sub"), col("off"))
+    val cum = marg
+      .withColumn("cw", sum(col("c")).over(wSub))
+      .join(broadcast(offs), "sub")
+      .withColumn("cum", col("off") + col("cw"))
+    val tot = marg.agg(sum(col("c")).as("n"))
+    val bounds = cum.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n * 5 + 99) DIV 100"), col("v")))
+          .as("lo"),
+        min(when(col("cum") >= expr("(n * 95 + 99) DIV 100"), col("v")))
+          .as("hi"))
+    marg.crossJoin(broadcast(bounds))
+      .agg(max(col("n")).as("n_rows"), max(col("lo")).as("p05"),
+        max(col("hi")).as("p95"),
+        round(sum(col("c") * least(greatest(col("v"), col("lo")),
+          col("hi"))).cast("double")
+          / max(col("n")).cast("double"), 6).as("wmean_cents"))
+  }
+
+  /** DuckDB oracle for [[winsorizedMean]]. */
+  def winsorizedMeanSql: String =
+    """WITH marg AS (
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+      |    COUNT(*) AS c
+      |  FROM orders GROUP BY 1),
+      |cum AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum FROM marg),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM marg),
+      |b AS (SELECT n,
+      |    (SELECT MIN(v) FROM cum WHERE cum >= (n * 5 + 99) // 100)
+      |      AS lo,
+      |    (SELECT MIN(v) FROM cum WHERE cum >= (n * 95 + 99) // 100)
+      |      AS hi
+      |  FROM tot)
+      |SELECT n AS n_rows, lo AS p05, hi AS p95,
+      |  round(CAST((SELECT SUM(c * least(greatest(v, lo), hi))
+      |    FROM marg) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS wmean_cents
+      |FROM b""".stripMargin
+
+  /** Spearman rank correlation between lineitem quantity and price —
+    * the tie-aware monotone-association twin of q163's Pearson (and
+    * the robust check a feature screen runs when outliers distort the
+    * linear r). Average tied ranks are DOUBLED (2·rank, the q158
+    * device) so every rank is an exact BIGINT off the value-marginal
+    * cumulative table; rows join their two doubled ranks back by
+    * value (marginals broadcast — distinct-value sized) and Pearson
+    * runs over the doubled-rank pairs in DECIMAL(38,0)/HUGEINT —
+    * the doubling cancels in the ratio. Exact while n⁴ < 1e38, i.e.
+    * n under ~2e9 rows; past that, compute the same sums on the
+    * value marginal with counts (the formula only needs per-distinct
+    * aggregates) — noted here, not needed at any gate SF. */
+  def spearman(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = Tables.lineitem(s, d)
+      .select(expr("CAST(round(l_quantity, 0) AS LONG)").as("a"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS LONG)").as("b"))
+    // per-column doubled-average-rank tables via the two-level
+    // cumulative device: the price marginal is near row-count-sized,
+    // so its cumulative runs partitioned by value sub-bucket (never a
+    // single-partition window) and joins back by value WITHOUT a
+    // broadcast hint — AQE broadcasts the ~50-row quantity table on
+    // its own and shuffle-joins the wide price table
+    def rankTable(c: String, step: Long): DataFrame = {
+      val marg = rows.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("sub", expr(s"$c DIV $step"))
+      val wSub = Window.partitionBy(col("sub")).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy(col("sub"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = marg.groupBy(col("sub")).agg(sum(col("cnt")).as("sc"))
+        .withColumn("off",
+          coalesce(sum(col("sc")).over(wOff), lit(0L)))
+        .select(col("sub"), col("off"))
+      marg.withColumn("cw", sum(col("cnt")).over(wSub))
+        .join(broadcast(offs), "sub")
+        // doubled average rank of the tied block ending at off + cw
+        .select(col(c), (lit(2L) * (col("off") + col("cw")
+          - col("cnt")) + col("cnt") + 1L).as(s"r2_$c"))
+    }
+    val ranked = rows
+      .join(rankTable("a", 8L), "a")
+      .join(rankTable("b", 1048576L), "b")
+    val st = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r2_a")).as("sa"), sum(col("r2_b")).as("sb"),
+      sum(col("r2_a").cast(dec) * col("r2_b")).as("sab"),
+      sum(col("r2_a").cast(dec) * col("r2_a")).as("saa"),
+      sum(col("r2_b").cast(dec) * col("r2_b")).as("sbb"))
+    st.select(col("n").as("n_rows"),
+      round((col("n").cast(dec) * col("sab")
+          - col("sa").cast(dec) * col("sb")).cast("double")
+        / nullif(
+          sqrt((col("n").cast(dec) * col("saa")
+            - col("sa").cast(dec) * col("sa")).cast("double"))
+          * sqrt((col("n").cast(dec) * col("sbb")
+            - col("sb").cast(dec) * col("sb")).cast("double")),
+          lit(0.0)), 6).as("rho"))
+  }
+
+  /** DuckDB oracle for [[spearman]]. */
+  def spearmanSql: String =
+    """WITH rows_ AS (
+      |  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS a,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS b
+      |  FROM lineitem),
+      |ra AS (SELECT a, 2 * (CAST(SUM(COUNT(*)) OVER (ORDER BY a
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) - COUNT(*)) + COUNT(*) + 1 AS r2_a
+      |  FROM rows_ GROUP BY a),
+      |rb AS (SELECT b, 2 * (CAST(SUM(COUNT(*)) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) - COUNT(*)) + COUNT(*) + 1 AS r2_b
+      |  FROM rows_ GROUP BY b),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(r2_a) AS BIGINT) AS sa,
+      |    CAST(SUM(r2_b) AS BIGINT) AS sb,
+      |    SUM(CAST(r2_a AS HUGEINT) * r2_b) AS sab,
+      |    SUM(CAST(r2_a AS HUGEINT) * r2_a) AS saa,
+      |    SUM(CAST(r2_b AS HUGEINT) * r2_b) AS sbb
+      |  FROM rows_ JOIN ra USING (a) JOIN rb USING (b))
+      |SELECT n AS n_rows,
+      |  round(CAST(CAST(n AS HUGEINT) * sab
+      |      - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+      |    / nullif(sqrt(CAST(CAST(n AS HUGEINT) * saa
+      |        - CAST(sa AS HUGEINT) * sa AS DOUBLE))
+      |      * sqrt(CAST(CAST(n AS HUGEINT) * sbb
+      |        - CAST(sb AS HUGEINT) * sb AS DOUBLE)), 0.0), 6) AS rho
+      |FROM st""".stripMargin
+
+  /** Cramér's V effect size for the lang x source association —
+    * chi-square (q135) rescaled into the interpretable [0, 1] range,
+    * V = sqrt(chi2 / (n · min(r-1, c-1))) — the number an analyst
+    * actually compares across tables. Same cut cells, marginals,
+    * and ordered chi2 fold as q135; one extra exact division under a
+    * correctly-rounded sqrt. */
+  def cramersV(s: SparkSession, d: String): DataFrame = {
+    val cells = GraftSession.cut(Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o")))
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val nT = cells.agg(sum(col("o")).as("n"))
+    val dims = rowT.agg(count(lit(1)).as("nr"))
+      .crossJoin(colT.agg(count(lit(1)).as("nc")))
+      .select(least(col("nr") - 1, col("nc") - 1).as("dmin"))
+    cells
+      .join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(nT))
+      .withColumn("dev",
+        col("o").cast("double") * col("n").cast("double")
+          - col("r").cast("double") * col("c").cast("double"))
+      .withColumn("term", col("dev") * col("dev")
+        / (col("n").cast("double") * col("r").cast("double")
+          * col("c").cast("double")))
+      .agg(max(col("n")).as("n"),
+        expr("aggregate(sort_array(collect_list(" +
+          "struct(lang, source, term))), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x.term)").as("chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n").as("n_docs"), col("dmin").as("dof_min"),
+        round(sqrt(col("chi2")
+          / (col("n").cast("double") * col("dmin").cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  /** DuckDB oracle for [[cramersV]]. */
+  def cramersVSql: String =
+    """WITH cells AS (SELECT lang, source, COUNT(*) AS o
+      |               FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r
+      |       FROM cells GROUP BY 1),
+      |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c
+      |       FROM cells GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |dims AS (SELECT least((SELECT COUNT(*) FROM rt) - 1,
+      |                      (SELECT COUNT(*) FROM ct) - 1) AS dmin),
+      |t AS (SELECT lang, source,
+      |        (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |          - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) AS dev,
+      |        CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+      |          * CAST(c AS DOUBLE) AS denom,
+      |        n
+      |      FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+      |      CROSS JOIN nt)
+      |SELECT CAST(max(n) AS BIGINT) AS n_docs,
+      |  CAST(dmin AS BIGINT) AS dof_min,
+      |  round(sqrt(list_reduce(list(dev * dev / denom
+      |      ORDER BY lang, source), (acc, x) -> acc + x)
+      |    / (CAST(max(n) AS DOUBLE) * CAST(dmin AS DOUBLE))), 6)
+      |    AS cramers_v
+      |FROM t CROSS JOIN dims
+      |GROUP BY dmin""".stripMargin
 
   /** DuckDB oracle for [[rfmSegments]]. */
   def rfmSegmentsSql: String =

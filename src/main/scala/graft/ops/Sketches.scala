@@ -238,9 +238,13 @@ object Sketches {
           .as("p90_est"),
         max(when(col("rn") === math.ceil(0.99 * k).toInt, col("v")))
           .as("p99_est"))
-    // exact quantiles: cumulative counts over the value marginal
-    val marg = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .withColumn("sub", expr(s"v DIV $step"))
+    // exact quantiles: cumulative counts over the value marginal;
+    // cut: the marginal feeds offsets, the total, and the rank pass —
+    // with the sample's own TakeOrdered scan that is two orders scans
+    // total for the whole query
+    val marg = graft.GraftSession.cut(
+      vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("sub", expr(s"v DIV $step")))
     val wSub = Window.partitionBy(col("sub")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.orderBy(col("sub"))
@@ -248,7 +252,7 @@ object Sketches {
     val offs = marg.groupBy(col("sub")).agg(sum(col("c")).as("sc"))
       .withColumn("off", coalesce(sum(col("sc")).over(wOff), lit(0L)))
       .select(col("sub"), col("off"))
-    val tot = vals.agg(count(lit(1)).as("n"))
+    val tot = marg.agg(sum(col("c")).as("n"))
     // ceil(q·n) as exact integer arithmetic: (n·qnum + qden-1) DIV qden
     def rank(qn: Int, qd: Int): Column =
       expr(s"(n * $qn + ${qd - 1}) DIV $qd")

@@ -829,13 +829,15 @@ object TextOps {
     * (one map-side-combined term count), totals broadcast. */
   def jsDivergence(s: SparkSession, d: String,
       srcA: String = "src0", srcB: String = "src1"): DataFrame = {
-    val counts = Tables.documents(s, d)
+    // cut: the vocabulary-sized counts feed the totals and the fold —
+    // one corpus scan + token explode, not two
+    val counts = graft.GraftSession.cut(Tables.documents(s, d)
       .filter(col("source").isin(srcA, srcB))
       .select(col("source"), explode(tokens(col("text"))).as("t"))
       .filter(length(col("t")) > 0)
       .groupBy(col("t"))
       .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
-        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb")))
     val tot = counts.agg(sum(col("ca")).as("na"),
       sum(col("cb")).as("nb"), count(lit(1)).as("vocab"))
     counts.crossJoin(broadcast(tot))

@@ -526,6 +526,68 @@ class GraphSpec extends SparkTestBase {
     out.values.foreach(r => assert(r >= -1.0 && r <= 1.0))
   }
 
+  test("winsorizedMean clips at brute-force p05/p95 rank quantiles") {
+    val d = sf("orders")
+    val row = Profiling.winsorizedMean(spark, d).head()
+    val cents = graft.Tables.orders(spark, d)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    def at(qn: Int, qd: Int): Long = cents((n * qn + qd - 1) / qd - 1)
+    val (lo, hi) = (at(5, 100), at(95, 100))
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == lo && row.getLong(2) == hi)
+    val wmean = cents.map(v => math.min(math.max(v, lo), hi))
+      .map(BigInt(_)).sum.toDouble / n
+    assert(math.abs(row.getDouble(3) - wmean) < 1e-4)
+    // clipping pulls the mean toward the median vs the raw mean
+    assert(row.getLong(1) < row.getLong(2))
+  }
+
+  test("spearman equals brute-force tie-aware rank correlation") {
+    val d = sf("lineitem")
+    val row = Profiling.spearman(spark, d).head()
+    val pairs = graft.Tables.lineitem(spark, d)
+      .select(round(col("l_quantity"), 0).cast("long"),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = pairs.length
+    def avgRanks(xs: Array[Long]): Map[Long, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val ra = avgRanks(pairs.map(_._1)); val rb = avgRanks(pairs.map(_._2))
+    val xs = pairs.map(p => ra(p._1)); val ys = pairs.map(p => rb(p._2))
+    val nn = n.toDouble
+    val num = nn * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum
+    val den = math.sqrt(nn * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+      math.sqrt(nn * ys.map(a => a * a).sum - ys.sum * ys.sum)
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - num / den) < 1e-4)
+  }
+
+  test("cramersV = sqrt(chi2 / (n*dmin)) from the chi2 row") {
+    val d = sf("documents")
+    val row = Profiling.cramersV(spark, d).head()
+    val chi = Profiling.chiSquareIndependence(spark, d).head()
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val dmin = math.min(docs.map(_._1).distinct.length,
+      docs.map(_._2).distinct.length) - 1
+    assert(row.getLong(0) == docs.length.toLong)
+    assert(row.getLong(1) == dmin.toLong)
+    val v = math.sqrt(chi.getDouble(2) / (docs.length.toDouble * dmin))
+    // chi2 is rounded at 6 before the sqrt here, so compare loosely
+    assert(math.abs(row.getDouble(2) - v) < 1e-4)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
