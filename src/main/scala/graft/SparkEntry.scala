@@ -513,6 +513,11 @@ object SparkEntry {
     "q167_spearman" -> ((s, d) => graft.ops.Profiling.spearman(s, d)),
     // Cramér's V effect size on the q135 contingency table
     "q168_cramers_v" -> ((s, d) => graft.ops.Profiling.cramersV(s, d)),
+    // robust scale: median, MAD, integer 3-MAD outlier fence
+    "q169_mad_outliers" -> ((s, d) =>
+      graft.ops.Profiling.madOutliers(s, d)),
+    // Cohen's d effect size, URGENT vs LOW totals (q158's companion)
+    "q170_cohens_d" -> ((s, d) => graft.ops.Profiling.cohensD(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1822,6 +1827,8 @@ object SparkEntry {
     "q166_winsorized" -> graft.ops.Profiling.winsorizedMeanSql,
     "q167_spearman" -> graft.ops.Profiling.spearmanSql,
     "q168_cramers_v" -> graft.ops.Profiling.cramersVSql,
+    "q169_mad_outliers" -> graft.ops.Profiling.madOutliersSql,
+    "q170_cohens_d" -> graft.ops.Profiling.cohensDSql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

@@ -818,6 +818,157 @@ object Profiling {
       |        - CAST(sb AS HUGEINT) * sb AS DOUBLE)), 0.0), 6) AS rho
       |FROM st""".stripMargin
 
+  /** Median absolute deviation and robust outlier count over order
+    * totals — the robust-scale companion to q166's winsorized mean
+    * (a MAD-based fence survives the contaminated tails that wreck a
+    * z-score fence). Two rank passes over VALUE MARGINALS, both under
+    * the two-level cumulative device: the median from the cents
+    * marginal, then the MAD as the median of the |v − med| marginal
+    * (re-grouped — deviations from both sides collide). The outlier
+    * fence |v − med| > 3·MAD stays entirely in exact integers: no
+    * 1.4826 consistency constant, no float compare. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val step = 1048576L
+    def cumulate(m: DataFrame, v: String): DataFrame = {
+      val wSub = Window.partitionBy(col("sub")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy(col("sub"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = m.groupBy(col("sub")).agg(sum(col("c")).as("sc"))
+        .withColumn("off",
+          coalesce(sum(col("sc")).over(wOff), lit(0L)))
+        .select(col("sub"), col("off"))
+      m.withColumn("cw", sum(col("c")).over(wSub))
+        .join(broadcast(offs), "sub")
+        .withColumn("cum", col("off") + col("cw"))
+    }
+    val marg = GraftSession.cut(Tables.orders(s, d)
+      .select(cents.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("sub", expr(s"v DIV $step")))
+    val tot = marg.agg(sum(col("c")).as("n"))
+    val med = cumulate(marg, "v").crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v")))
+          .as("med"))
+    val dev = GraftSession.cut(marg.crossJoin(broadcast(med))
+      .select(abs(col("v") - col("med")).as("dv"), col("c"),
+        col("n"), col("med"))
+      .groupBy(col("dv"), col("n"), col("med"))
+      .agg(sum(col("c")).as("c"))
+      .withColumn("sub", expr(s"dv DIV $step")))
+    val mad = cumulate(dev, "dv")
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("dv")))
+          .as("mad"))
+    dev.crossJoin(broadcast(mad.select(col("mad"))))
+      .agg(max(col("n")).as("n_rows"),
+        max(col("med")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(col("dv") > lit(3L) * col("mad"), col("c"))
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** DuckDB oracle for [[madOutliers]]. */
+  def madOutliersSql: String =
+    """WITH marg AS (
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+      |    COUNT(*) AS c
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM marg),
+      |cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum FROM marg),
+      |med AS (SELECT n,
+      |    (SELECT MIN(v) FROM cum WHERE cum >= (n + 1) // 2) AS med
+      |  FROM tot),
+      |dev AS (SELECT abs(v - med) AS dv, CAST(SUM(c) AS BIGINT) AS c
+      |  FROM marg CROSS JOIN med GROUP BY 1),
+      |dcum AS (SELECT dv, CAST(SUM(c) OVER (ORDER BY dv
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum FROM dev),
+      |mad AS (SELECT n, med,
+      |    (SELECT MIN(dv) FROM dcum WHERE cum >= (n + 1) // 2) AS mad
+      |  FROM med)
+      |SELECT n AS n_rows, med AS median_cents, mad AS mad_cents,
+      |  CAST((SELECT COALESCE(SUM(c), 0) FROM dev
+      |    WHERE dv > 3 * mad) AS BIGINT) AS n_outliers
+      |FROM mad""".stripMargin
+
+  /** Cohen's d standardized mean difference, URGENT vs LOW order
+    * totals — the effect-size companion to q158's Mann-Whitney (U
+    * answers "did the distribution shift", d answers "by how many
+    * pooled standard deviations"). All five sufficient statistics are
+    * exact (counts BIGINT, Σv BIGINT, Σv² DECIMAL(38,0)/HUGEINT);
+    * the variance numerators n·Σv² − (Σv)² are exact integers, and
+    * the float sequence after them is written identically on both
+    * engines, so the row hash-matches. One scan, one tiny agg. */
+  def cohensD(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(cents.as("v"),
+        (col("o_orderpriority") === "1-URGENT").as("g1"))
+      .agg(
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g1"), col("v")).otherwise(0L)).as("s1"),
+        sum(when(!col("g1"), col("v")).otherwise(0L)).as("s2"),
+        sum(when(col("g1"), col("v").cast(dec) * col("v"))
+          .otherwise(lit(0L).cast(dec))).as("q1"),
+        sum(when(!col("g1"), col("v").cast(dec) * col("v"))
+          .otherwise(lit(0L).cast(dec))).as("q2"))
+    val vn1 = ((col("n1").cast(dec) * col("q1")
+      - col("s1").cast(dec) * col("s1")).cast("double")
+      / col("n1").cast("double"))
+    val vn2 = ((col("n2").cast(dec) * col("q2")
+      - col("s2").cast(dec) * col("s2")).cast("double")
+      / col("n2").cast("double"))
+    st.select(col("n1").as("n_a"), col("n2").as("n_b"),
+      round(col("s1").cast("double") / col("n1").cast("double"), 6)
+        .as("mean_a"),
+      round(col("s2").cast("double") / col("n2").cast("double"), 6)
+        .as("mean_b"),
+      round((col("s1").cast("double") / col("n1").cast("double")
+        - col("s2").cast("double") / col("n2").cast("double"))
+        / sqrt((vn1 + vn2)
+          / (col("n1") + col("n2") - 2L).cast("double")), 6)
+        .as("cohens_d"))
+  }
+
+  /** DuckDB oracle for [[cohensD]]. */
+  def cohensDSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS g1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |st AS (SELECT
+      |    CAST(SUM(g1) AS BIGINT) AS n1,
+      |    CAST(SUM(1 - g1) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN g1 = 1 THEN v ELSE 0 END) AS BIGINT)
+      |      AS s1,
+      |    CAST(SUM(CASE WHEN g1 = 0 THEN v ELSE 0 END) AS BIGINT)
+      |      AS s2,
+      |    SUM(CASE WHEN g1 = 1 THEN CAST(v AS HUGEINT) * v
+      |      ELSE CAST(0 AS HUGEINT) END) AS q1,
+      |    SUM(CASE WHEN g1 = 0 THEN CAST(v AS HUGEINT) * v
+      |      ELSE CAST(0 AS HUGEINT) END) AS q2
+      |  FROM v)
+      |SELECT n1 AS n_a, n2 AS n_b,
+      |  round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean_a,
+      |  round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mean_b,
+      |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |    / sqrt((CAST(CAST(n1 AS HUGEINT) * q1
+      |        - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |        / CAST(n1 AS DOUBLE)
+      |      + CAST(CAST(n2 AS HUGEINT) * q2
+      |        - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+      |        / CAST(n2 AS DOUBLE))
+      |      / CAST(n1 + n2 - 2 AS DOUBLE)), 6) AS cohens_d
+      |FROM st""".stripMargin
+
   /** Cramér's V effect size for the lang x source association —
     * chi-square (q135) rescaled into the interpretable [0, 1] range,
     * V = sqrt(chi2 / (n · min(r-1, c-1))) — the number an analyst

@@ -588,6 +588,44 @@ class GraphSpec extends SparkTestBase {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
   }
 
+  test("madOutliers: brute-force median, MAD, and integer fence") {
+    val d = sf("orders")
+    val row = Profiling.madOutliers(spark, d).head()
+    val cents = graft.Tables.orders(spark, d)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(_.getLong(0))
+    val n = cents.length
+    def medOf(xs: Array[Long]): Long = xs.sorted.apply((n + 1) / 2 - 1)
+    val med = medOf(cents)
+    val mad = medOf(cents.map(v => math.abs(v - med)))
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == med && row.getLong(2) == mad)
+    assert(row.getLong(3) ==
+      cents.count(v => math.abs(v - med) > 3 * mad).toLong)
+  }
+
+  test("cohensD equals the brute-force pooled-sd effect size") {
+    val d = sf("orders")
+    val row = Profiling.cohensD(spark, d).head()
+    val vals = graft.Tables.orders(spark, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1) == "1-URGENT"))
+    val a = vals.filter(_._2).map(_._1.toDouble)
+    val b = vals.filterNot(_._2).map(_._1.toDouble)
+    def varNum(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum
+    }
+    val pooled = math.sqrt((varNum(a) + varNum(b)) /
+      (a.length + b.length - 2))
+    val dEff = (a.sum / a.length - b.sum / b.length) / pooled
+    assert(row.getLong(0) == a.length.toLong)
+    assert(row.getLong(1) == b.length.toLong)
+    assert(math.abs(row.getDouble(4) - dEff) < 1e-4)
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
