@@ -127,25 +127,31 @@ object EventAnalytics {
     * signup to the first purchase strictly after it; p50/p90/p99 as
     * EXACT rank-at-ceil(q·n) order statistics (the q108 discipline —
     * interpolation rules differ between engines, ranks don't). The
-    * rank window runs over the per-user latency table, which is
-    * entity-sized, not event-sized; the heavy work (two min-aggs) is
-    * user-partitioned shuffles. One row: (n_converted, p50_s, p90_s,
-    * p99_s) in whole seconds (exact integer division of nanos). */
+    * heavy work (two min-aggs) is user-partitioned shuffles; the rank
+    * pass runs over the whole-seconds VALUE MARGINAL — bounded by the
+    * latency range (cf. the q133 device), so no window ever sees the
+    * user-sized table, let alone the event stream. One row:
+    * (n_converted, p50_s, p90_s, p99_s). */
   def conversionLatency(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
     val t1 = e.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val lat = e.filter(col("event_type") === "purchase")
+    val marg = e.filter(col("event_type") === "purchase")
       .join(t1, Seq("user_id"))
       .filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts") - col("t1")).as("lat"))
-      .select(col("user_id"), expr("lat DIV 1000000000").as("lat_s"))
-    val w = Window.orderBy(col("lat_s"), col("user_id"))
-    val ranked = lat.withColumn("rn", row_number().over(w))
-    val n = ranked.agg(count(lit(1)).as("n"))
+      .select(expr("lat DIV 1000000000").as("lat_s"))
+      .groupBy(col("lat_s")).agg(count(lit(1)).as("c"))
+      .transform(GraftSession.cut(_))
+    val w = Window.orderBy(col("lat_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = marg.agg(sum(col("c")).as("n"))
+    // the value at global rank r depends only on the value ordering,
+    // so the per-user tiebreak of the row formulation drops out
     def atRank(q: Double): Column =
-      max(when(col("rn") === ceil(lit(q) * col("n")), col("lat_s")))
-    ranked.crossJoin(broadcast(n))
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("lat_s")))
+    marg.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(n))
       .agg(max(col("n")).as("n_converted"),
         atRank(0.5).as("p50_s"), atRank(0.9).as("p90_s"),
         atRank(0.99).as("p99_s"))
