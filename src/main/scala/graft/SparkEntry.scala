@@ -518,6 +518,11 @@ object SparkEntry {
       graft.ops.Profiling.madOutliers(s, d)),
     // Cohen's d effect size, URGENT vs LOW totals (q158's companion)
     "q170_cohens_d" -> ((s, d) => graft.ops.Profiling.cohensD(s, d)),
+    // deterministic md5-coin subsampling bootstrap CI for the mean
+    "q171_bootstrap_ci" -> ((s, d) =>
+      graft.ops.Profiling.bootstrapCi(s, d)),
+    // Welch's unequal-variance t with Welch-Satterthwaite df
+    "q172_welch_t" -> ((s, d) => graft.ops.Profiling.welchT(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1829,6 +1834,8 @@ object SparkEntry {
     "q168_cramers_v" -> graft.ops.Profiling.cramersVSql,
     "q169_mad_outliers" -> graft.ops.Profiling.madOutliersSql,
     "q170_cohens_d" -> graft.ops.Profiling.cohensDSql,
+    "q171_bootstrap_ci" -> graft.ops.Profiling.bootstrapCiSql(),
+    "q172_welch_t" -> graft.ops.Profiling.welchTSql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

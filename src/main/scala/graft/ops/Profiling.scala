@@ -969,6 +969,142 @@ object Profiling {
       |      / CAST(n1 + n2 - 2 AS DOUBLE)), 6) AS cohens_d
       |FROM st""".stripMargin
 
+  /** Subsampling bootstrap CI for the mean order total: B
+    * half-sample replicates, each selecting rows by a DETERMINISTIC
+    * md5 coin over (replicate, orderkey) — reproducible across runs
+    * AND engines, unlike an RNG bootstrap — with the CI read off the
+    * ranked replicate means. Each replicate mean comes from exact
+    * integer (sum, count); the replicate table is B rows, so the
+    * final rank is trivial. Scale shape: one B-way flatMap over the
+    * scan (sequence+explode, no shuffle amplification — the
+    * aggregation is map-side combined down to B partials before the
+    * only exchange). */
+  def bootstrapCi(s: SparkSession, d: String, b: Int = 32): DataFrame = {
+    require(b <= 32, "one md5 digest carries 32 nibble coins")
+    val reps = Tables.orders(s, d)
+      .select(col("o_orderkey").as("id"), cents.as("v"))
+      // replicate r's half coin is the r-th nibble of ONE md5 per
+      // row (top bit of a hex char: < '8' iff that 4-bit value < 8).
+      // First cut was one seeded md5 per (row, replicate) with the
+      // full 8-nibble fraction decode — measured 41.7 s at sf0.1;
+      // the per-(row,rep) single-nibble form was 2.5 s; this
+      // per-ROW digest amortizes the hash across all 32 replicates
+      .select(col("v"), md5(col("id").cast("string")).as("h"),
+        explode(sequence(lit(1), lit(b))).as("rep"))
+      .filter(expr("substr(h, rep, 1) < '8'"))
+      .groupBy(col("rep"))
+      .agg(round(sum(col("v")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("m"))
+    val w = Window.orderBy(col("m"), col("rep"))
+    val full = Tables.orders(s, d)
+      .agg(round(sum(cents).cast("double")
+        / count(lit(1)).cast("double"), 6).as("mean_cents"))
+    reps.withColumn("rn", row_number().over(w))
+      .agg(count(lit(1)).as("n_replicates"),
+        max(when(col("rn") === math.ceil(0.05 * b).toInt, col("m")))
+          .as("ci_lo"),
+        max(when(col("rn") === math.ceil(0.95 * b).toInt, col("m")))
+          .as("ci_hi"))
+      .crossJoin(broadcast(full))
+      .select(col("n_replicates"), col("mean_cents"), col("ci_lo"),
+        col("ci_hi"))
+  }
+
+  /** DuckDB oracle for [[bootstrapCi]]. */
+  def bootstrapCiSql(b: Int = 32): String = {
+    s"""WITH rows_ AS (SELECT o_orderkey AS id,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+       |  FROM orders),
+       |drawn AS (SELECT rep, v FROM (
+       |    SELECT rep, v, md5(CAST(id AS VARCHAR)) AS h
+       |    FROM rows_, (SELECT unnest(generate_series(1, $b)) AS rep))
+       |  WHERE substr(h, rep, 1) < '8'),
+       |reps AS (SELECT rep,
+       |    round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS m
+       |  FROM drawn GROUP BY 1),
+       |rr AS (SELECT m,
+       |    row_number() OVER (ORDER BY m, rep) AS rn FROM reps),
+       |full_ AS (SELECT round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_cents FROM rows_)
+       |SELECT (SELECT COUNT(*) FROM reps) AS n_replicates,
+       |  mean_cents,
+       |  (SELECT MAX(CASE WHEN rn = ${math.ceil(0.05 * b).toInt}
+       |    THEN m END) FROM rr) AS ci_lo,
+       |  (SELECT MAX(CASE WHEN rn = ${math.ceil(0.95 * b).toInt}
+       |    THEN m END) FROM rr) AS ci_hi
+       |FROM full_""".stripMargin
+  }
+
+  /** Welch's unequal-variance t statistic, URGENT vs LOW order totals
+    * — the parametric member of the q158/q170 two-sample family,
+    * with the Welch-Satterthwaite degrees of freedom. Assembled from
+    * the same six exact sufficient statistics as Cohen's d; sample
+    * (n-1) variances, identical float sequence both engines. */
+  def welchT(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(cents.as("v"),
+        (col("o_orderpriority") === "1-URGENT").as("g1"))
+      .agg(
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g1"), col("v")).otherwise(0L)).as("s1"),
+        sum(when(!col("g1"), col("v")).otherwise(0L)).as("s2"),
+        sum(when(col("g1"), col("v").cast(dec) * col("v"))
+          .otherwise(lit(0L).cast(dec))).as("q1"),
+        sum(when(!col("g1"), col("v").cast(dec) * col("v"))
+          .otherwise(lit(0L).cast(dec))).as("q2"))
+    // se_g = s²_g / n_g with s² the (n-1)-denominator sample variance
+    def se(n: String, sv: String, q: String): Column =
+      (((col(n).cast(dec) * col(q)
+        - col(sv).cast(dec) * col(sv)).cast("double")
+        / col(n).cast("double"))
+        / (col(n) - 1L).cast("double")) / col(n).cast("double")
+    val se1 = se("n1", "s1", "q1"); val se2 = se("n2", "s2", "q2")
+    st.select(col("n1").as("n_a"), col("n2").as("n_b"),
+      round((col("s1").cast("double") / col("n1").cast("double")
+        - col("s2").cast("double") / col("n2").cast("double"))
+        / sqrt(se1 + se2), 6).as("t_stat"),
+      round((se1 + se2) * (se1 + se2)
+        / (se1 * se1 / (col("n1") - 1L).cast("double")
+          + se2 * se2 / (col("n2") - 1L).cast("double")), 6).as("df"))
+  }
+
+  /** DuckDB oracle for [[welchT]]. */
+  def welchTSql: String = {
+    def se(n: String, sv: String, q: String): String =
+      s"(((CAST(CAST($n AS HUGEINT) * $q - CAST($sv AS HUGEINT) * $sv" +
+        s" AS DOUBLE) / CAST($n AS DOUBLE)) / CAST($n - 1 AS DOUBLE))" +
+        s" / CAST($n AS DOUBLE))"
+    val se1 = se("n1", "s1", "q1"); val se2 = se("n2", "s2", "q2")
+    s"""WITH v AS (
+       |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+       |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+       |      AS g1
+       |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+       |st AS (SELECT
+       |    CAST(SUM(g1) AS BIGINT) AS n1,
+       |    CAST(SUM(1 - g1) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN g1 = 1 THEN v ELSE 0 END) AS BIGINT)
+       |      AS s1,
+       |    CAST(SUM(CASE WHEN g1 = 0 THEN v ELSE 0 END) AS BIGINT)
+       |      AS s2,
+       |    SUM(CASE WHEN g1 = 1 THEN CAST(v AS HUGEINT) * v
+       |      ELSE CAST(0 AS HUGEINT) END) AS q1,
+       |    SUM(CASE WHEN g1 = 0 THEN CAST(v AS HUGEINT) * v
+       |      ELSE CAST(0 AS HUGEINT) END) AS q2
+       |  FROM v)
+       |SELECT n1 AS n_a, n2 AS n_b,
+       |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       |    / sqrt($se1 + $se2), 6) AS t_stat,
+       |  round(($se1 + $se2) * ($se1 + $se2)
+       |    / ($se1 * $se1 / CAST(n1 - 1 AS DOUBLE)
+       |      + $se2 * $se2 / CAST(n2 - 1 AS DOUBLE)), 6) AS df
+       |FROM st""".stripMargin
+  }
+
   /** Cramér's V effect size for the lang x source association —
     * chi-square (q135) rescaled into the interpretable [0, 1] range,
     * V = sqrt(chi2 / (n · min(r-1, c-1))) — the number an analyst

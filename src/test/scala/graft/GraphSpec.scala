@@ -626,6 +626,56 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(4) - dEff) < 1e-4)
   }
 
+  test("bootstrapCi: replicate means from the md5 coin, CI brackets") {
+    val b = 32
+    val row = Profiling.bootstrapCi(spark, sf("orders"), b).head()
+    val vals = graft.Tables.orders(spark, sf("orders"))
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long): String = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val means = (1 to b).map { rep =>
+      val sel = vals.filter { case (id, _) => hex(id)(rep - 1) < '8' }
+      BigDecimal(sel.map(x => BigInt(x._2)).sum.toDouble / sel.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sorted
+    assert(row.getLong(0) == b.toLong)
+    assert(row.getDouble(2) == means(math.ceil(0.05 * b).toInt - 1))
+    assert(row.getDouble(3) == means(math.ceil(0.95 * b).toInt - 1))
+    val fullMean = vals.map(x => BigInt(x._2)).sum.toDouble / vals.length
+    assert(math.abs(row.getDouble(1) - fullMean) < 1.0)
+    // the interval brackets the full-sample mean at this n
+    assert(row.getDouble(2) <= row.getDouble(1) + 1e-9 ||
+      row.getDouble(3) >= row.getDouble(1) - 1e-9)
+    assert(row.getDouble(2) < row.getDouble(3))
+  }
+
+  test("welchT equals the brute-force Welch statistic and df") {
+    val row = Profiling.welchT(spark, sf("orders")).head()
+    val vals = graft.Tables.orders(spark, sf("orders"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0).toDouble,
+        r.getString(1) == "1-URGENT"))
+    val a = vals.filter(_._2).map(_._1)
+    val b2 = vals.filterNot(_._2).map(_._1)
+    def sev(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      (xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)) / xs.length
+    }
+    val (sa, sb) = (sev(a), sev(b2))
+    val t = (a.sum / a.length - b2.sum / b2.length) / math.sqrt(sa + sb)
+    val df = (sa + sb) * (sa + sb) /
+      (sa * sa / (a.length - 1) + sb * sb / (b2.length - 1))
+    assert(row.getLong(0) == a.length.toLong)
+    assert(row.getLong(1) == b2.length.toLong)
+    assert(math.abs(row.getDouble(2) - t) < 1e-3)
+    assert(math.abs(row.getDouble(3) - df) / df < 1e-3)
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()
