@@ -132,6 +132,64 @@ object Multimodal {
       } finally inf.end()
     }
 
+    /** 64-bit perceptual average-hash (aHash) over DECODED pixels:
+      * the image maps onto an 8x8 grid of mean luminance (plain
+      * channel average), and bit i is set when block i sits above the
+      * grid mean — the classic near-dup fingerprint that survives
+      * re-encoding and mild brightness shifts where a byte hash
+      * breaks. PNG-only (the JPEG path has no pixel plane here,
+      * see [[decodeImage]]); images smaller than the grid or with a
+      * corrupt sample stream return None and fall back to
+      * content-hash dedup. */
+    def aHash64(content: Array[Byte]): Option[Long] =
+      ImageCodec.decode(content).flatMap { img =>
+        val channels = img.colorSpace match {
+          case "DeviceGray" => 1
+          case "DeviceRGB" => 3
+          case _ => 4
+        }
+        if (!img.filter.contains("FlateDecode") ||
+          img.width < 8 || img.height < 8) None
+        else {
+          val px = inflateSamples(img.bytes,
+            img.width.toLong * img.height * channels)
+          if (px.isEmpty) None
+          else {
+            val sums = new Array[Double](64)
+            val cnts = new Array[Long](64)
+            var y = 0
+            while (y < img.height) {
+              val by = y * 8 / img.height
+              var x = 0
+              while (x < img.width) {
+                val bx = x * 8 / img.width
+                val base = (y.toLong * img.width + x) * channels
+                var c = 0; var g = 0.0
+                while (c < channels) {
+                  g += (px(base.toInt + c) & 0xff); c += 1
+                }
+                val b = by * 8 + bx
+                sums(b) += g / channels; cnts(b) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val means = new Array[Double](64)
+            var total = 0.0; var i = 0
+            while (i < 64) {
+              means(i) = if (cnts(i) > 0) sums(i) / cnts(i) else 0.0
+              total += means(i); i += 1
+            }
+            val mean = total / 64
+            var h = 0L; i = 0
+            while (i < 64) {
+              if (means(i) > mean) h |= (1L << i); i += 1
+            }
+            Some(h)
+          }
+        }
+      }
+
     /** Stand-in for a real AUDIO/VIDEO decode + feature extraction:
       * a seeded, content-derived descriptor. Deterministic so tests
       * and re-runs are stable. Swap seam for ffmpeg-class bindings. */
@@ -261,5 +319,48 @@ object Multimodal {
         count(lit(1)).as("n"))
       .filter(col("n") > 1)
     byHash.select(col("content_hash"), col("ids"), col("n"))
+  }
+
+  /** Perceptual image near-dup: aHash64 per image, then the
+    * pigeonhole banded Hamming join (the simhash q48 device on the
+    * 64-bit perceptual plane). Four 16-bit bands guarantee every
+    * pair within Hamming distance 3 shares a band; buckets larger
+    * than `maxBucketSize` are dropped (flat-color corpora collapse
+    * onto a few hashes — widen the bands to recover them). The
+    * shuffle carries (id, 8-byte hash, band key) only; decode runs
+    * partition-local, once per image. */
+  def imageAHashPairs(media: Dataset[Media], maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    import media.sparkSession.implicits._
+    require(maxHamming <= 3,
+      "4 bands only guarantee recall through Hamming distance 3")
+    val hashed = media.mapPartitions { it =>
+      it.filter(_.kind == "image")
+        .flatMap(m => Codecs.aHash64(m.content).map(h => (m.media_id, h)))
+    }.toDF("media_id", "ahash")
+    val bands = array((0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        expr(s"(ahash >> ${i * 16}) & 65535").as("key"))): _*)
+    val banded = hashed
+      .select(col("media_id"), col("ahash"), explode(bands).as("bk"))
+      .select(col("media_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    val capped = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val a = capped.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("ahash").as("h_a"))
+    val b = capped.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("ahash").as("h_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
   }
 }

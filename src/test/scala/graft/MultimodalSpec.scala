@@ -114,6 +114,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(d.feature(8) == 0.5f && d.feature(15) == 0.5f) // hist ends
   }
 
+  test("aHash64: deterministic, brightness-robust, structure-sensitive") {
+    val edge = 16
+    def gradient(tweak: Int): Array[Byte] = {
+      val rgb = new Array[Byte](edge * edge * 3)
+      for (y <- 0 until edge; x <- 0 until edge; c <- 0 until 3) {
+        val v = math.min(255, x * 16 + tweak)
+        rgb((y * edge + x) * 3 + c) = v.toByte
+      }
+      rgb
+    }
+    val a = ImageCodec.encodePngRgb(edge, edge, gradient(0))
+    val b = ImageCodec.encodePngRgb(edge, edge, gradient(3)) // brighter
+    val inv = ImageCodec.encodePngRgb(edge, edge,
+      gradient(0).map(v => (255 - (v & 0xff)).toByte))
+    val (ha, hb, hi) = (Multimodal.Codecs.aHash64(a).get,
+      Multimodal.Codecs.aHash64(b).get, Multimodal.Codecs.aHash64(inv).get)
+    assert(Multimodal.Codecs.aHash64(a).get == ha) // deterministic
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 3,
+      "uniform brightness shift must barely move the hash")
+    assert(java.lang.Long.bitCount(ha ^ hi) >= 32,
+      "inverting the gradient must flip ~all blocks")
+  }
+
+  test("imageAHashPairs finds the near pair, not the inverted one") {
+    import spark.implicits._
+    val edge = 16
+    def gradient(tweak: Int): Array[Byte] = {
+      val rgb = new Array[Byte](edge * edge * 3)
+      for (y <- 0 until edge; x <- 0 until edge; c <- 0 until 3) {
+        val v = math.min(255, x * 16 + tweak)
+        rgb((y * edge + x) * 3 + c) = v.toByte
+      }
+      rgb
+    }
+    def m(id: Long, rgb: Array[Byte]) = Multimodal.Media(id, "image",
+      ImageCodec.encodePngRgb(edge, edge, rgb), "png", edge, edge, 0L, 0.0)
+    val ds = spark.createDataset(Seq(
+      m(1L, gradient(0)), m(2L, gradient(3)),
+      m(3L, gradient(0).map(v => (255 - (v & 0xff)).toByte))))
+    val pairs = Multimodal.imageAHashPairs(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), "near-identical gradients pair up")
+    assert(pairs((1L, 2L)) <= 3L)
+    assert(!pairs.contains((1L, 3L)), "inverted image is not a near-dup")
+  }
+
   test("mediaNearDupCandidates groups identical payloads") {
     import spark.implicits._
     val dup = media.limit(2).collect()
