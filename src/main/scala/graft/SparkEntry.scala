@@ -523,6 +523,14 @@ object SparkEntry {
       graft.ops.Profiling.bootstrapCi(s, d)),
     // Welch's unequal-variance t with Welch-Satterthwaite df
     "q172_welch_t" -> ((s, d) => graft.ops.Profiling.welchT(s, d)),
+    // per-priority order-total deciles, grouped two-level ranks
+    "q173_grouped_hist" -> ((s, d) =>
+      graft.ops.Profiling.groupedEquiDepth(s, d)),
+    // DAU / 7-day WAU / stickiness via bounded user-day fan-out
+    "q174_dau_wau" -> ((s, d) => graft.ops.EventAnalytics.dauWau(s, d)),
+    // week-over-week revenue growth off the weeks marginal
+    "q175_wow_revenue" -> ((s, d) =>
+      graft.ops.Temporal.weeklyRevenueGrowth(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1836,6 +1844,9 @@ object SparkEntry {
     "q170_cohens_d" -> graft.ops.Profiling.cohensDSql,
     "q171_bootstrap_ci" -> graft.ops.Profiling.bootstrapCiSql(),
     "q172_welch_t" -> graft.ops.Profiling.welchTSql,
+    "q173_grouped_hist" -> graft.ops.Profiling.groupedEquiDepthSql(),
+    "q174_dau_wau" -> graft.ops.EventAnalytics.dauWauSql,
+    "q175_wow_revenue" -> graft.ops.Temporal.weeklyRevenueGrowthSql,
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

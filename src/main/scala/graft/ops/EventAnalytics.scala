@@ -476,6 +476,47 @@ object EventAnalytics {
       |    AS BIGINT) AS cum_users
       |FROM daily ORDER BY day""".stripMargin
 
+  /** DAU / WAU / stickiness per day: daily active users, 7-day
+    * rolling active users, and their ratio — the engagement triple on
+    * every growth dashboard. Rolling DISTINCT does not merge, so WAU
+    * is computed exactly by fanning each (user, day) out to the ≤ 7
+    * window days it supports (a bounded explode on the user-day
+    * table, which is already deduped and tiny relative to the event
+    * stream) and distinct-counting per window day. Days with no
+    * activity are not reported (join back on the dau table). */
+  def dauWau(s: SparkSession, d: String): DataFrame = {
+    val ud = GraftSession.cut(ev(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct())
+    val dau = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6L)).as("wd"))
+      .distinct()
+      .groupBy(col("wd")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("wd"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle for [[dauWau]]. */
+  def dauWauSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      |wau AS (SELECT wd, COUNT(*) AS wau FROM (
+      |    SELECT DISTINCT user_id,
+      |      unnest(generate_series(day, day + 6)) AS wd
+      |    FROM ud) GROUP BY 1)
+      |SELECT day, dau, wau,
+      |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+      |    AS stickiness
+      |FROM dau JOIN wau ON wau.wd = dau.day
+      |ORDER BY day""".stripMargin
+
   /** Lag-1 autocorrelation of each event type's hourly count series —
     * the burstiness / self-similarity signal behind traffic
     * forecasting. The series is DENSIFIED over the type's full

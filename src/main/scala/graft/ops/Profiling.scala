@@ -536,6 +536,55 @@ object Profiling {
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
+  /** Per-group equi-depth histogram: order-total deciles WITHIN each
+    * order priority — the grouped variant of q133, and the shape a
+    * stratified sampler reads before drawing per-stratum quantile
+    * boundaries. Ranks decompose per (group, value sub-bucket):
+    * the row window partitions on (g, sub), the offsets window on g
+    * over its sub-bucket counts (group-count x sub-bucket rows), so
+    * adding groups adds parallelism, never a bigger global sort.
+    * Bucket assignment is exact integer arithmetic per group. */
+  def groupedEquiDepth(s: SparkSession, d: String,
+      buckets: Int = 10): DataFrame = {
+    val step = 1048576L
+    val base = GraftSession.cut(Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"), cents.as("v"),
+        col("o_orderkey").as("k"))
+      .withColumn("sub", expr(s"v DIV $step")))
+    val wSub = Window.partitionBy(col("g"), col("sub"))
+      .orderBy(col("v"), col("k"))
+    val wOff = Window.partitionBy(col("g")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(col("g"), col("sub"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("g"), col("sub"), col("off"))
+    val ns = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    base.withColumn("rn", row_number().over(wSub))
+      .join(broadcast(offs), Seq("g", "sub"))
+      .join(broadcast(ns), "g")
+      .withColumn("bucket",
+        expr(s"((off + rn - 1) * $buckets) DIV n"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy(col("g"), col("bucket"))
+  }
+
+  /** DuckDB oracle for [[groupedEquiDepth]] — single-window-per-group
+    * formulation, identical bucket arithmetic. */
+  def groupedEquiDepthSql(buckets: Int = 10): String =
+    s"""WITH r AS (SELECT o_orderpriority AS g,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+       |        o_orderkey) AS rk,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders)
+       |SELECT g, CAST(((rk - 1) * $buckets) // n AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+       |FROM r GROUP BY 1, 2 ORDER BY g, bucket""".stripMargin
+
   /** Mutual information (nats) between a document's language and its
     * source — chi-square's (q135) information-theoretic sibling, the
     * signal a curation pipeline reads before stratifying on one of

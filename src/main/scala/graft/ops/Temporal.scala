@@ -126,4 +126,44 @@ object Temporal {
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from"), col("valid_to"), col("n_events"))
   }
+
+  /** Week-over-week revenue growth: weekly order-cents totals with
+    * the previous week's total and the relative change — the
+    * reporting lag-window staple. The heavy aggregation is one
+    * map-side-combined (week -> cents) rollup; the lag window runs
+    * over the WEEKS marginal (time-range sized — the one legitimate
+    * global window, cf. q162), with growth an exact-integer ratio
+    * rounded at 6 and NULL on the first week via nullif. */
+  def weeklyRevenueGrowth(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.orders(s, d)
+      .select(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))" +
+          " DIV 604800000000").as("week"),
+        expr("CAST(round(o_totalprice * 100, 0) AS LONG)").as("c"))
+      .groupBy(col("week")).agg(sum(col("c")).as("rev_cents"))
+    val w = Window.orderBy(col("week"))
+    weekly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .select(col("week"), col("rev_cents"), col("prev_cents"),
+        round((col("rev_cents") - col("prev_cents")).cast("double")
+          / nullif(col("prev_cents"), lit(0L)).cast("double"), 6)
+          .as("wow_growth"))
+      .orderBy(col("week"))
+  }
+
+  /** DuckDB oracle for [[weeklyRevenueGrowth]]. */
+  def weeklyRevenueGrowthSql: String =
+    """WITH weekly AS (
+      |  SELECT CAST(epoch_us(o_orderdate) // 604800000000
+      |      AS BIGINT) AS week,
+      |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT week, rev_cents,
+      |  lag(rev_cents) OVER (ORDER BY week) AS prev_cents,
+      |  round(CAST(rev_cents - lag(rev_cents) OVER (ORDER BY week)
+      |      AS DOUBLE)
+      |    / CAST(nullif(lag(rev_cents) OVER (ORDER BY week), 0)
+      |      AS DOUBLE), 6) AS wow_growth
+      |FROM weekly ORDER BY week""".stripMargin
 }

@@ -279,6 +279,24 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(cum == events().map(_._1).distinct.length.toLong)
   }
 
+  test("dauWau: brute-force rolling 7-day distinct, ratio in (0,1]") {
+    val rows = EventAnalytics.dauWau(spark, sf("events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ud = events().map(e => (e._1, e._3 / 86400000000000L)).distinct
+    val dauExp = ud.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+    rows.foreach { case (day, dau, wau, st) =>
+      assert(dau.toInt == dauExp(day), s"day $day dau")
+      val wauExp = ud.filter(p => p._2 >= day - 6 && p._2 <= day)
+        .map(_._1).distinct.size
+      assert(wau.toInt == wauExp, s"day $day wau")
+      assert(st > 0.0 && st <= 1.0)
+      assert(math.abs(st - dau.toDouble / wau) < 1e-5)
+    }
+    assert(rows.map(_._1).toSet == dauExp.keySet)
+  }
+
   test("lag1Autocorr equals brute-force Pearson over dense series") {
     val rows = EventAnalytics.lag1Autocorr(spark, sf("events"))
       .collect().map(r => (r.getString(0), r.getLong(1),

@@ -676,6 +676,37 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(3) - df) / df < 1e-3)
   }
 
+  test("groupedEquiDepth: per-group buckets are equi-depth and ordered") {
+    val d = sf("orders")
+    val rows = Profiling.groupedEquiDepth(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byG = graft.Tables.orders(spark, d)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (g, bs) =>
+      val n = byG(g).length
+      assert(bs.map(_._3).sum == n.toLong, s"$g total")
+      // depth within 1 of n/buckets
+      bs.foreach { case (_, _, cnt, lo, hi) =>
+        assert(math.abs(cnt - n / 10.0) <= n / 10.0 * 0.5 + 2,
+          s"$g depth $cnt")
+        assert(lo <= hi)
+      }
+      // bucket ranges ascend
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b2) => assert(a._5 <= b2._4, s"$g overlap")
+        case _ =>
+      }
+      // brute-force bucket of the minimum value is 0
+      assert(sorted.head._4 == byG(g).map(_._2).min)
+      assert(sorted.last._5 == byG(g).map(_._2).max)
+    }
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()

@@ -74,4 +74,30 @@ class TemporalSpec extends SparkTestBase {
     }.filter(_._2 > 0).toMap
     assert(bucketed == direct)
   }
+
+  test("weeklyRevenueGrowth: weekly sums, lag, and growth ratio") {
+    val d = sf("orders")
+    val rows = Temporal.weeklyRevenueGrowth(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.length > 1, "need several weeks of orders")
+    val exp = graft.Tables.orders(spark, d)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))" +
+        " DIV 604800000000"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == exp)
+    // ordered; first week has no prev; growth matches the ratio
+    assert(rows.head._3.isEmpty && rows.head._4.isEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._1 > a._1)
+        assert(b._3.contains(a._2))
+        b._4.foreach(g => assert(math.abs(
+          g - (b._2 - a._2).toDouble / a._2) < 1e-5))
+      case _ =>
+    }
+  }
 }
