@@ -531,6 +531,15 @@ object SparkEntry {
     // week-over-week revenue growth off the weeks marginal
     "q175_wow_revenue" -> ((s, d) =>
       graft.ops.Temporal.weeklyRevenueGrowth(s, d)),
+    // cohort LTV: buyers + cumulative revenue per (cohort, offset)
+    "q176_ltv_cohorts" -> ((s, d) =>
+      graft.ops.Relational.ltvCohorts(s, d)),
+    // HHI supplier-revenue concentration per nation
+    "q177_supplier_hhi" -> ((s, d) =>
+      graft.ops.Relational.supplierHhi(s, d)),
+    // q120's funnel with a 24h conversion deadline per stage
+    "q178_windowed_funnel" -> ((s, d) =>
+      graft.ops.EventAnalytics.windowedFunnel(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1847,6 +1856,10 @@ object SparkEntry {
     "q173_grouped_hist" -> graft.ops.Profiling.groupedEquiDepthSql(),
     "q174_dau_wau" -> graft.ops.EventAnalytics.dauWauSql,
     "q175_wow_revenue" -> graft.ops.Temporal.weeklyRevenueGrowthSql,
+    "q176_ltv_cohorts" -> graft.ops.Relational.ltvCohortsSql,
+    "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
+    "q178_windowed_funnel" ->
+      graft.ops.EventAnalytics.windowedFunnelSql(),
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {

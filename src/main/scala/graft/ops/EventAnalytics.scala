@@ -476,6 +476,71 @@ object EventAnalytics {
       |    AS BIGINT) AS cum_users
       |FROM daily ORDER BY day""".stripMargin
 
+  /** Windowed ordered funnel: q120's signup → view → click →
+    * purchase chain with a DEADLINE — each step must land within
+    * `windowNs` (default 24 h) of the user's FIRST signup, the form
+    * a conversion-rate SLA actually uses (the unbounded funnel
+    * overcounts stragglers). Same one-shuffle stage chaining as
+    * [[funnel]]; the deadline is one exact integer comparison pushed
+    * into each stage join. */
+  def windowedFunnel(s: SparkSession, d: String,
+      windowNs: Long = 86400000000000L): DataFrame = {
+    val e = ev(s, d)
+    def stage(prev: DataFrame, prevCol: String, tpe: String,
+        out: String): DataFrame =
+      e.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevCol) &&
+          col("ts") - col("t1") <= windowNs)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(out), min(col("t1")).as("t1"))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .withColumn("s1", col("t1"))
+    val t2 = stage(t1.select(col("user_id"), col("s1").as("p"),
+      col("t1")), "p", "view", "t2")
+    val t3 = stage(t2.select(col("user_id"), col("t2").as("p"),
+      col("t1")), "p", "click", "t3")
+    val t4 = stage(t3.select(col("user_id"), col("t3").as("p"),
+      col("t1")), "p", "purchase", "t4")
+    t1.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_signup").as("step"), col("n_users"))
+      .unionAll(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_view").as("step"), col("n_users")))
+      .unionAll(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_click").as("step"), col("n_users")))
+      .unionAll(t4.agg(count(lit(1)).as("n_users"))
+        .select(lit("4_purchase").as("step"), col("n_users")))
+      .orderBy(col("step"))
+  }
+
+  /** DuckDB oracle for [[windowedFunnel]]. */
+  def windowedFunnelSql(windowNs: Long = 86400000000000L): String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+       |            FROM events),
+       |t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+       |       WHERE event_type = 'signup' GROUP BY 1),
+       |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(t1.t1) AS t1
+       |  FROM ev e JOIN t1 ON t1.user_id = e.user_id
+       |  WHERE e.event_type = 'view' AND e.ts > t1.t1
+       |    AND e.ts - t1.t1 <= $windowNs
+       |  GROUP BY 1),
+       |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(t2.t1) AS t1
+       |  FROM ev e JOIN t2 ON t2.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > t2.t2
+       |    AND e.ts - t2.t1 <= $windowNs
+       |  GROUP BY 1),
+       |t4 AS (SELECT e.user_id, MIN(e.ts) AS t4
+       |  FROM ev e JOIN t3 ON t3.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > t3.t3
+       |    AND e.ts - t3.t1 <= $windowNs
+       |  GROUP BY 1)
+       |SELECT '1_signup' AS step, (SELECT COUNT(*) FROM t1) AS n_users
+       |UNION ALL SELECT '2_view', (SELECT COUNT(*) FROM t2)
+       |UNION ALL SELECT '3_click', (SELECT COUNT(*) FROM t3)
+       |UNION ALL SELECT '4_purchase', (SELECT COUNT(*) FROM t4)
+       |ORDER BY step""".stripMargin
+
   /** DAU / WAU / stickiness per day: daily active users, 7-day
     * rolling active users, and their ratio — the engagement triple on
     * every growth dashboard. Rolling DISTINCT does not merge, so WAU

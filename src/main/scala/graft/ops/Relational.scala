@@ -496,4 +496,97 @@ object Relational {
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)))
       .na.fill(0L, Seq("F", "O", "P"))
+
+  /** Cohort LTV curve: customers cohorted by first-order week; for
+    * each (cohort week, week offset) the number of buying customers
+    * and cumulative revenue cents — the revenue companion to q123's
+    * retention counts. All integer week/cents arithmetic; two
+    * custkey-partitioned shuffles, then a cohort-offset rollup whose
+    * cumulative window partitions BY COHORT over offsets (cohort x
+    * offset rows — time-range squared, never customer-sized). */
+  def ltvCohorts(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))" +
+          " DIV 604800000000").as("week"),
+        expr("CAST(round(o_totalprice * 100, 0) AS LONG)").as("c"))
+    val cohort = o.groupBy(col("o_custkey"))
+      .agg(min(col("week")).as("cw"))
+    val cells = o.join(cohort, "o_custkey")
+      .groupBy(col("cw"), (col("week") - col("cw")).as("off"))
+      .agg(count_distinct(col("o_custkey")).as("n_buyers"),
+        sum(col("c")).as("rev_cents"))
+    val w = Window.partitionBy(col("cw")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+        col("n_buyers"), col("rev_cents"), col("cum_rev_cents"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** DuckDB oracle for [[ltvCohorts]]. */
+  def ltvCohortsSql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    epoch_us(o_orderdate) // 604800000000 AS week,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      |  FROM orders),
+      |cohort AS (SELECT o_custkey, MIN(week) AS cw FROM o GROUP BY 1),
+      |cells AS (SELECT cw, week - cw AS off,
+      |    COUNT(DISTINCT o.o_custkey) AS n_buyers,
+      |    CAST(SUM(c) AS BIGINT) AS rev_cents
+      |  FROM o JOIN cohort ON cohort.o_custkey = o.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT cw AS cohort_week, off AS week_offset, n_buyers,
+      |  rev_cents,
+      |  CAST(SUM(rev_cents) OVER (PARTITION BY cw ORDER BY off
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_rev_cents
+      |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Herfindahl-Hirschman concentration of supplier revenue within
+    * each nation — the market-concentration profile (is one supplier
+    * dominating a region's volume?), Gini's (q156) per-market
+    * cousin. HHI = Σ revᵢ² / (Σ revᵢ)² over a nation's suppliers,
+    * exact in DECIMAL(38,0)/HUGEINT cents with one double division.
+    * Supplier revenue is one lineitem shuffle; the nation rollup is
+    * suppliers-sized; the nation dim broadcasts. */
+  def supplierHhi(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val supRev = Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS LONG)").as("c"))
+      .groupBy(col("l_suppkey")).agg(sum(col("c")).as("rev"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+    supRev.join(sup, "l_suppkey")
+      .join(broadcast(nat), "s_nationkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).as("sr"),
+        sum(col("rev").cast(dec) * col("rev")).as("sq"))
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("sq").cast("double")
+          / (col("sr").cast(dec) * col("sr")).cast("double"), 6)
+          .as("hhi"))
+      .orderBy(col("n_name"))
+  }
+
+  /** DuckDB oracle for [[supplierHhi]]. */
+  def supplierHhiSql: String =
+    """WITH supRev AS (SELECT l_suppkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1)
+      |SELECT n_name,
+      |  COUNT(*) AS n_suppliers,
+      |  round(CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+      |    / CAST(CAST(SUM(rev) AS HUGEINT) * SUM(rev) AS DOUBLE), 6)
+      |    AS hhi
+      |FROM supRev
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |GROUP BY 1 ORDER BY n_name""".stripMargin
 }

@@ -279,6 +279,33 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(cum == events().map(_._1).distinct.length.toLong)
   }
 
+  test("windowedFunnel: subset of unbounded funnel, brute-force equal") {
+    val win = 86400000000000L
+    val out = EventAnalytics.windowedFunnel(spark, sf("events"), win)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val open = EventAnalytics.funnel(spark, sf("events")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (k, v) => assert(v <= open(k), s"$k windowed>open") }
+    // brute force with the deadline
+    val byUser = events().groupBy(_._1)
+    val t1 = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == "signup").map(_._3).minOption.map(u -> _)
+    }
+    def next(prev: Map[Long, Long], anchor: Map[Long, Long],
+        tpe: String): Map[Long, Long] =
+      prev.flatMap { case (u, t) =>
+        byUser(u).filter(e => e._2 == tpe && e._3 > t &&
+          e._3 - anchor(u) <= win).map(_._3).minOption.map(u -> _)
+      }
+    val t2 = next(t1, t1, "view")
+    val t3 = next(t2, t1, "click")
+    val t4 = next(t3, t1, "purchase")
+    assert(out("1_signup") == t1.size.toLong)
+    assert(out("2_view") == t2.size.toLong)
+    assert(out("3_click") == t3.size.toLong)
+    assert(out("4_purchase") == t4.size.toLong)
+  }
+
   test("dauWau: brute-force rolling 7-day distinct, ratio in (0,1]") {
     val rows = EventAnalytics.dauWau(spark, sf("events")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

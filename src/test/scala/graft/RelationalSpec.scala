@@ -111,4 +111,57 @@ class RelationalSpec extends SparkTestBase {
     assert(joined.count() == 100)
     assert(joined.select("name").distinct().count() == 4)
   }
+
+  test("ltvCohorts: offsets non-negative, cum monotone, totals add up") {
+    val d = sf("orders")
+    val rows = Relational.ltvCohorts(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, nb, rev, _) =>
+      assert(off >= 0L); assert(nb > 0L); assert(rev > 0L)
+    }
+    // per-cohort: offset 0 exists (the cohort's first week) and the
+    // cumulative column is the running sum of rev
+    rows.groupBy(_._1).foreach { case (cw, cells) =>
+      val sorted = cells.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"cohort $cw missing offset 0")
+      var cum = 0L
+      sorted.foreach { c => cum += c._4; assert(c._5 == cum) }
+    }
+    // total revenue equals the raw cents sum over all orders
+    val total = graft.Tables.orders(spark, d)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => BigInt(r.getLong(0))).sum
+    assert(rows.map(r => BigInt(r._4)).sum == total)
+  }
+
+  test("supplierHhi matches brute force and sits in [1/n, 1]") {
+    val d = sf("lineitem")
+    val rows = Relational.supplierHhi(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // sf0.001 has 10 suppliers spread over <= 25 nations
+    assert(rows.nonEmpty && rows.length <= 25)
+    val rev = graft.Tables.lineitem(spark, d)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(x => BigInt(x._2)).sum).toMap
+    val supNat = graft.Tables.supplier(spark, d)
+      .select(col("s_suppkey").cast("long"),
+        col("s_nationkey").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val natName = graft.Tables.nation(spark, d)
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { case (name, nSup, hhi) =>
+      val revs = rev.filter { case (k, _) =>
+        supNat.get(k).map(natName).contains(name) }.values.toSeq
+      assert(nSup == revs.length.toLong, s"$name supplier count")
+      val sr = revs.sum
+      val exp = revs.map(r => r * r).sum.toDouble / (sr * sr).toDouble
+      assert(math.abs(hhi - exp) < 1e-5, s"$name hhi")
+      assert(hhi >= 1.0 / revs.length - 1e-9 && hhi <= 1.0 + 1e-9)
+    }
+  }
 }
