@@ -540,6 +540,8 @@ object SparkEntry {
     // q120's funnel with a 24h conversion deadline per stage
     "q178_windowed_funnel" -> ((s, d) =>
       graft.ops.EventAnalytics.windowedFunnel(s, d)),
+    // SQ8 reconstruction cosine fidelity (q98's quality report)
+    "q179_sq8_fidelity" -> ((s, d) => graft.ops.Pq.sq8Fidelity(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1857,6 +1859,7 @@ object SparkEntry {
     "q174_dau_wau" -> graft.ops.EventAnalytics.dauWauSql,
     "q175_wow_revenue" -> graft.ops.Temporal.weeklyRevenueGrowthSql,
     "q176_ltv_cohorts" -> graft.ops.Relational.ltvCohortsSql,
+    "q179_sq8_fidelity" -> graft.ops.Pq.sq8FidelitySql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

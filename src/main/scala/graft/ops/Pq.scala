@@ -249,4 +249,78 @@ object Pq {
           .cast("long").as("code"))
       .orderBy(col("vec_id"), col("dim"))
   }
+
+  /** SQ8 reconstruction fidelity: per-vector cosine between the
+    * original embedding and its dequantized (q98) reconstruction,
+    * rolled up to (n, min, mean) — the compression-quality report a
+    * vector store publishes next to its codes. Determinism device:
+    * every per-vector sum (v·deq, v², deq²) quantizes each TERM to
+    * nano-units and sums BIGINTs — float sums are order-dependent
+    * across partitions, integer sums are not — and the corpus mean
+    * folds micro-unit cosines the same way. Same stats broadcast +
+    * map-only shape as the encoder. */
+  def sq8Fidelity(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v0")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("v0").cast("double").as("v"))
+    val stats = e.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val deq = e.join(broadcast(stats), "dim")
+      .withColumn("code", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          floor((col("v") - col("mn")) / (col("mx") - col("mn"))
+            * 255 + 0.5)))).cast("long"))
+      .withColumn("dq", when(col("mx") === col("mn"), col("mn"))
+        .otherwise(col("mn") + col("code").cast("double") / 255.0
+          * (col("mx") - col("mn"))))
+    val perVec = deq.groupBy(col("vec_id"))
+      .agg(
+        sum(expr("CAST(round(v * dq * 1e9) AS LONG)")).as("vd"),
+        sum(expr("CAST(round(v * v * 1e9) AS LONG)")).as("vv"),
+        sum(expr("CAST(round(dq * dq * 1e9) AS LONG)")).as("dd"))
+      .select(col("vec_id"),
+        expr("CAST(round(CAST(vd AS DOUBLE)" +
+          " / (sqrt(CAST(vv AS DOUBLE)) * sqrt(CAST(dd AS DOUBLE)))" +
+          " * 1e6) AS LONG)").as("cos_micro"))
+    perVec.agg(count(lit(1)).as("n_vectors"),
+      round(min(col("cos_micro")).cast("double") / 1e6, 6)
+        .as("min_cos"),
+      round(sum(col("cos_micro")).cast("double")
+        / (count(lit(1)).cast("double") * 1e6), 6).as("mean_cos"))
+  }
+
+  /** DuckDB oracle for [[sq8Fidelity]]. */
+  def sq8FidelitySql: String =
+    """WITH ix AS (SELECT vec_id, embedding,
+      |        unnest(range(1, len(embedding) + 1)) AS i
+      |      FROM embeddings),
+      |e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      |      FROM ix),
+      |s AS (SELECT i, min(v) AS mn, max(v) AS mx FROM e GROUP BY i),
+      |d AS (SELECT vec_id, v,
+      |    CASE WHEN mx = mn THEN mn
+      |         ELSE mn + least(255, greatest(0,
+      |             floor((v - mn) / (mx - mn) * 255 + 0.5))) / 255.0
+      |           * (mx - mn) END AS dq
+      |  FROM e JOIN s USING (i)),
+      |pv AS (SELECT vec_id,
+      |    CAST(SUM(CAST(round(v * dq * 1e9) AS BIGINT)) AS BIGINT)
+      |      AS vd,
+      |    CAST(SUM(CAST(round(v * v * 1e9) AS BIGINT)) AS BIGINT)
+      |      AS vv,
+      |    CAST(SUM(CAST(round(dq * dq * 1e9) AS BIGINT)) AS BIGINT)
+      |      AS dd
+      |  FROM d GROUP BY 1),
+      |pc AS (SELECT vec_id,
+      |    CAST(round(CAST(vd AS DOUBLE)
+      |      / (sqrt(CAST(vv AS DOUBLE)) * sqrt(CAST(dd AS DOUBLE)))
+      |      * 1e6) AS BIGINT) AS cos_micro
+      |  FROM pv)
+      |SELECT COUNT(*) AS n_vectors,
+      |  round(CAST(MIN(cos_micro) AS DOUBLE) / 1e6, 6) AS min_cos,
+      |  round(CAST(SUM(cos_micro) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_cos
+      |FROM pc""".stripMargin
 }

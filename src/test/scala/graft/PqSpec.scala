@@ -118,4 +118,16 @@ class PqSpec extends SparkTestBase {
         s"vec $id dim $dim: |$decoded - $v| > ${step / 2}")
     }
   }
+
+  test("sq8Fidelity: high cosine fidelity, mean >= min, sane bounds") {
+    val row = graft.ops.Pq.sq8Fidelity(spark, sf("embeddings")).head()
+    val n = graft.Tables.embeddings(spark, sf("embeddings")).count()
+    assert(row.getLong(0) == n)
+    val (mn, mean) = (row.getDouble(1), row.getDouble(2))
+    assert(mn <= mean + 1e-9)
+    assert(mean <= 1.0 + 1e-9)
+    // 8-bit per-dim quantization of 64-dim vectors preserves cosine
+    // to well over 0.99 on any non-degenerate corpus
+    assert(mn > 0.99, s"min cosine $mn suspiciously low")
+  }
 }
