@@ -542,6 +542,8 @@ object SparkEntry {
       graft.ops.EventAnalytics.windowedFunnel(s, d)),
     // SQ8 reconstruction cosine fidelity (q98's quality report)
     "q179_sq8_fidelity" -> ((s, d) => graft.ops.Pq.sq8Fidelity(s, d)),
+    // per-class precision/recall/F1 of the q35 langId heuristic
+    "q180_langid_eval" -> ((s, d) => graft.ops.TextOps.langIdEval(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1860,6 +1862,7 @@ object SparkEntry {
     "q175_wow_revenue" -> graft.ops.Temporal.weeklyRevenueGrowthSql,
     "q176_ltv_cohorts" -> graft.ops.Relational.ltvCohortsSql,
     "q179_sq8_fidelity" -> graft.ops.Pq.sq8FidelitySql,
+    "q180_langid_eval" -> graft.ops.TextOps.langIdEvalSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -818,6 +818,94 @@ object TextOps {
       |GROUP BY c.doc_id, t.n, t.dc
       |ORDER BY c.doc_id""".stripMargin
 
+  /** Classifier evaluation of the q35 language-ID heuristic against
+    * the labeled lang column: per-class TP/FP/FN with exact-ratio
+    * precision / recall / F1 — the model-eval report card every
+    * quality-filter pipeline needs before trusting a heuristic gate.
+    * One scan to the confusion cells (classes² rows, cut), then two
+    * class-sized rollups full-outer-joined so classes that are only
+    * ever predicted (or only ever labeled) still appear. F1 uses the
+    * single-division 2TP/(2TP+FP+FN) form — one exact integer ratio,
+    * no P·R float chain. */
+  def langIdEval(s: SparkSession, d: String): DataFrame = {
+    val cells = graft.GraftSession.cut(Tables.documents(s, d)
+      .select(col("lang").as("actual"),
+        langId(col("text")).as("pred"))
+      .groupBy(col("actual"), col("pred"))
+      .agg(count(lit(1)).as("n")))
+    val byPred = cells.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).as("p_total"),
+        sum(when(col("actual") === col("pred"), col("n"))
+          .otherwise(0L)).as("tp_p"))
+    val byActual = cells.groupBy(col("actual").as("cls"))
+      .agg(sum(col("n")).as("a_total"),
+        sum(when(col("actual") === col("pred"), col("n"))
+          .otherwise(0L)).as("tp_a"))
+    byPred.join(byActual, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("tp_p"), col("tp_a"), lit(0L)).as("tp"),
+        (coalesce(col("p_total"), lit(0L))
+          - coalesce(col("tp_p"), lit(0L))).as("fp"),
+        (coalesce(col("a_total"), lit(0L))
+          - coalesce(col("tp_a"), lit(0L))).as("fn"))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double")
+          / nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 6)
+          .as("precision"),
+        round(col("tp").cast("double")
+          / nullif(col("tp") + col("fn"), lit(0L)).cast("double"), 6)
+          .as("recall"),
+        round((lit(2L) * col("tp")).cast("double")
+          / nullif(lit(2L) * col("tp") + col("fp") + col("fn"),
+            lit(0L)).cast("double"), 6).as("f1"))
+      .orderBy(col("cls"))
+  }
+
+  /** DuckDB oracle for [[langIdEval]] — the q35 predicted-language
+    * CASE, rolled into per-class counts. */
+  def langIdEvalSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    ' ' || text || ' ' AS p FROM documents),
+      |pred AS (SELECT lang AS actual,
+      |  CASE
+      |    WHEN (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END
+      |        + CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END
+      |        + CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END) >= 2
+      |      THEN 'en'
+      |    WHEN (CASE WHEN p LIKE '% og %' THEN 1 ELSE 0 END
+      |        + CASE WHEN p LIKE '% det %' THEN 1 ELSE 0 END
+      |        + CASE WHEN p LIKE '% en %' THEN 1 ELSE 0 END) >= 2
+      |      THEN 'da'
+      |    WHEN (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END
+      |        + CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END
+      |        + CASE WHEN p LIKE '% die %' THEN 1 ELSE 0 END) >= 2
+      |      THEN 'de'
+      |    ELSE 'und' END AS pred
+      |  FROM t),
+      |cells AS (SELECT actual, pred, COUNT(*) AS n
+      |          FROM pred GROUP BY 1, 2),
+      |bp AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS p_total,
+      |    CAST(SUM(CASE WHEN actual = pred THEN n ELSE 0 END)
+      |      AS BIGINT) AS tp_p
+      |  FROM cells GROUP BY 1),
+      |ba AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS a_total,
+      |    CAST(SUM(CASE WHEN actual = pred THEN n ELSE 0 END)
+      |      AS BIGINT) AS tp_a
+      |  FROM cells GROUP BY 1),
+      |j AS (SELECT COALESCE(bp.cls, ba.cls) AS cls,
+      |    COALESCE(tp_p, tp_a, 0) AS tp,
+      |    COALESCE(p_total, 0) - COALESCE(tp_p, 0) AS fp,
+      |    COALESCE(a_total, 0) - COALESCE(tp_a, 0) AS fn
+      |  FROM bp FULL OUTER JOIN ba ON ba.cls = bp.cls)
+      |SELECT cls, tp, fp, fn,
+      |  round(CAST(tp AS DOUBLE)
+      |    / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision,
+      |  round(CAST(tp AS DOUBLE)
+      |    / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall,
+      |  round(CAST(2 * tp AS DOUBLE)
+      |    / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1
+      |FROM j ORDER BY cls""".stripMargin
+
   /** Jensen-Shannon divergence between two sources' unigram
     * distributions — the bounded, symmetric corpus-drift metric (PSI's
     * q150 sibling for vocabulary shift; 0 = identical, ln 2 = disjoint

@@ -314,6 +314,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2L) == out(3L)) // same distribution, same fold
   }
 
+  test("langIdEval: confusion identities hold against brute force") {
+    val d = sf("documents")
+    val rows = TextOps.langIdEval(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val preds = graft.Tables.documents(spark, d)
+      .select(col("lang"), TextOps.langId(col("text")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val classes = (preds.map(_._1) ++ preds.map(_._2)).distinct
+    assert(rows.keySet == classes.toSet)
+    classes.foreach { c =>
+      val tp = preds.count(x => x._1 == c && x._2 == c).toLong
+      val fp = preds.count(x => x._1 != c && x._2 == c).toLong
+      val fn = preds.count(x => x._1 == c && x._2 != c).toLong
+      assert(rows(c) == ((tp, fp, fn)), s"class $c")
+    }
+    // Σtp + Σfn = corpus size (every labeled doc is tp or fn once)
+    assert(rows.values.map(v => v._1 + v._3).sum >= preds.length.toLong)
+  }
+
   test("jsDivergence: brute-force match, bounded by ln 2, self-zero") {
     val d = sf("documents")
     val row = TextOps.jsDivergence(spark, d).head
