@@ -12,7 +12,13 @@ import graft.ops.{Dedup, Similarity}
 class IndexMemoSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def footprint: Int = spark.sparkContext.getPersistentRDDs.size
+  /** Ids, not counts: suites that ran earlier leave localCheckpoint
+    * blocks that the ContextCleaner unpersists ASYNCHRONOUSLY, so the
+    * global count can shrink mid-test (observed flake). Assertions
+    * therefore check "no NEW ids pinned" / "these ids released" —
+    * immune to concurrent cleanup of unrelated blocks. */
+  private def pinnedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   private val filler = (1 to 40).map(i => s"w$i").mkString(" ")
   private def corpus = Seq(
@@ -28,24 +34,26 @@ class IndexMemoSpec extends SparkTestBase {
     def call() = Dedup.minHashNearDupPairs(corpus, "text", "doc_id",
       threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val r1 = call()
-    val after1 = footprint
+    val after1 = pinnedIds
     val r2 = call()
     val r3 = call()
     assert(r1.nonEmpty && r1 == r2 && r2 == r3)
-    assert(footprint == after1,
-      s"storage grew across repeated calls: $after1 -> $footprint")
+    val grown = pinnedIds -- after1
+    assert(grown.isEmpty,
+      s"storage grew across repeated calls: new ids $grown")
     Dedup.clearLshCache()
   }
 
   test("clearLshCache releases every block the build pinned") {
     Dedup.clearLshCache()
-    val before = footprint
+    val before = pinnedIds
     Dedup.minHashNearDupPairs(corpus, "text", "doc_id",
       threshold = 0.5).count()
-    assert(footprint > before, "build should pin index blocks")
+    val built = pinnedIds -- before
+    assert(built.nonEmpty, "build should pin index blocks")
     Dedup.clearLshCache()
-    assert(footprint == before,
-      s"blocks survived clear: $before -> $footprint")
+    val survived = pinnedIds.intersect(built)
+    assert(survived.isEmpty, s"blocks survived clear: $survived")
   }
 
   test("repeated incremental probes keep a stable footprint") {
@@ -60,10 +68,10 @@ class IndexMemoSpec extends SparkTestBase {
     def probe() = Dedup.lshNearDupNewVsIndex(newExploded, corpusIdx,
       bands, rpb, threshold = 0.5).count()
     val n1 = probe()
-    val after1 = footprint
+    val after1 = pinnedIds
     assert(probe() == n1 && probe() == n1)
-    assert(footprint == after1,
-      s"probe leaked storage: $after1 -> $footprint")
+    val leaked = pinnedIds -- after1
+    assert(leaked.isEmpty, s"probe leaked storage: new ids $leaked")
     Dedup.clearLshCache()
   }
 
@@ -73,12 +81,12 @@ class IndexMemoSpec extends SparkTestBase {
     Dedup.simHashNearDups(corpus, "text", "doc_id").count()
     Similarity.cosineNearDupPairs(emb, "vec_id", "embedding").count()
     Similarity.annLsh(spark, sf(""), queryId = 0L, k = 5).count()
-    val after1 = footprint
+    val after1 = pinnedIds
     Dedup.simHashNearDups(corpus, "text", "doc_id").count()
     Similarity.cosineNearDupPairs(emb, "vec_id", "embedding").count()
     Similarity.annLsh(spark, sf(""), queryId = 0L, k = 5).count()
-    assert(footprint == after1,
-      s"repeat calls grew storage: $after1 -> $footprint")
+    val grown = pinnedIds -- after1
+    assert(grown.isEmpty, s"repeat calls grew storage: new ids $grown")
     Dedup.clearLshCache()
   }
 
@@ -98,13 +106,16 @@ class IndexMemoSpec extends SparkTestBase {
     }
     (1L to 8L).foreach(i => probe(100L + i))
     val entriesAt8 = graft.ops.IndexMemo.size
-    val footprintAt8 = footprint
+    val footprintAt8 = pinnedIds.size
     (9L to 16L).foreach(i => probe(100L + i))
     assert(graft.ops.IndexMemo.size == entriesAt8,
       s"memo grew past the per-tag bound: $entriesAt8 -> " +
         s"${graft.ops.IndexMemo.size}")
-    assert(footprint == footprintAt8,
-      s"pinned storage grew past the bound: $footprintAt8 -> $footprint")
+    // FIFO evicts one as it admits one, so the PINNED set rotates but
+    // never grows (concurrent cleanup can only shrink the count)
+    assert(pinnedIds.size <= footprintAt8,
+      s"pinned storage grew past the bound: $footprintAt8 -> " +
+        s"${pinnedIds.size}")
     Dedup.clearLshCache()
   }
 
