@@ -136,4 +136,25 @@ class BenchProtocolSpec extends AnyFunSuite {
       assert(Bench.prevComparisonJson(0.4, Sf, now, dir) == "")
     }
   }
+
+  test("assembleLine fits the tail budget at 180+ queries, keeps prev") {
+    val results = (1 to 185).map { i =>
+      f"q$i%03d_op" -> Bench.Measured(i / 100.0, 3, stalled = false)
+    }
+    val prev = ""","prev":"BENCH_r09.json","shared_q":150""" +
+      ""","cal_ratio_vs_prev":1.1,"shared_ratio_calnorm":1.0"""
+    val line = Bench.assembleLine(results, 42.0, 0.15, Sf, "[]", prev)
+    assert(line.length <= 1900, s"line ${line.length} chars")
+    // prev fields survive the shedding; truncation self-describes
+    assert(line.contains("cal_ratio_vs_prev"))
+    assert(line.contains("\"q_total\":185"))
+    assert(line.contains("BENCH_full_local.json"))
+    // the slowest query is always reported, a fast one is shed
+    assert(line.contains("\"q185\""))
+    assert(!line.contains("\"q001\""))
+    // small suites keep the full 3-decimal map with no truncation
+    val small = Bench.assembleLine(results.take(20), 2.0, 0.15, Sf,
+      "[]", prev)
+    assert(small.contains("\"q001\":0.01") && !small.contains("q_total"))
+  }
 }
