@@ -544,6 +544,15 @@ object SparkEntry {
     "q179_sq8_fidelity" -> ((s, d) => graft.ops.Pq.sq8Fidelity(s, d)),
     // per-class precision/recall/F1 of the q35 langId heuristic
     "q180_langid_eval" -> ((s, d) => graft.ops.TextOps.langIdEval(s, d)),
+    // Wilson 95% CI on each funnel step's conversion rate
+    "q181_funnel_wilson" -> ((s, d) =>
+      graft.ops.EventAnalytics.funnelWilson(s, d)),
+    // reorder cadence: inter-order gap-day rank percentiles
+    "q182_order_gaps" -> ((s, d) =>
+      graft.ops.Temporal.interOrderGaps(s, d)),
+    // per-type argmax hour-of-day with volume share
+    "q183_peak_hours" -> ((s, d) =>
+      graft.ops.EventAnalytics.peakHours(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1863,6 +1872,9 @@ object SparkEntry {
     "q176_ltv_cohorts" -> graft.ops.Relational.ltvCohortsSql,
     "q179_sq8_fidelity" -> graft.ops.Pq.sq8FidelitySql,
     "q180_langid_eval" -> graft.ops.TextOps.langIdEvalSql,
+    "q181_funnel_wilson" -> graft.ops.EventAnalytics.funnelWilsonSql(),
+    "q182_order_gaps" -> graft.ops.Temporal.interOrderGapsSql,
+    "q183_peak_hours" -> graft.ops.EventAnalytics.peakHoursSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

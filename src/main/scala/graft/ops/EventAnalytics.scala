@@ -476,6 +476,122 @@ object EventAnalytics {
       |    AS BIGINT) AS cum_users
       |FROM daily ORDER BY day""".stripMargin
 
+  /** Wilson 95% confidence intervals on each funnel step's
+    * conversion rate — the uncertainty a dashboard must show before
+    * anyone acts on a step-to-step drop (at small n the naive rate
+    * is noise; Wilson stays inside [0,1] where the normal interval
+    * leaks). Step counts come from [[funnel]]; the lead window runs
+    * over its FOUR rows. z is the exact double literal 1.959964 on
+    * both engines and every input to the float formula is an exact
+    * integer count, so the interval hash-matches. */
+  def funnelWilson(s: SparkSession, d: String,
+      z: Double = 1.959964): DataFrame = {
+    val w = Window.orderBy(col("step"))
+    val pairs = funnel(s, d)
+      .withColumn("k", lead(col("n_users"), 1).over(w))
+      .filter(col("k").isNotNull)
+    val n = col("n_users").cast("double")
+    val k = col("k").cast("double")
+    val p = k / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n
+      + z2 / (lit(4.0) * n * n)) / denom
+    pairs.select(col("step").as("from_step"),
+      col("n_users").as("n"), col("k"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("ci_lo"),
+      round(center + half, 6).as("ci_hi"))
+      .orderBy(col("from_step"))
+  }
+
+  /** DuckDB oracle for [[funnelWilson]]. */
+  def funnelWilsonSql(z: Double = 1.959964): String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+       |            FROM events),
+       |t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+       |       WHERE event_type = 'signup' GROUP BY 1),
+       |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+       |  FROM ev e JOIN t1 ON t1.user_id = e.user_id
+       |  WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY 1),
+       |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+       |  FROM ev e JOIN t2 ON t2.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > t2.t2 GROUP BY 1),
+       |t4 AS (SELECT e.user_id, MIN(e.ts) AS t4
+       |  FROM ev e JOIN t3 ON t3.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > t3.t3 GROUP BY 1),
+       |c AS (
+       |  SELECT '1_signup' AS step, (SELECT COUNT(*) FROM t1) AS n
+       |  UNION ALL SELECT '2_view', (SELECT COUNT(*) FROM t2)
+       |  UNION ALL SELECT '3_click', (SELECT COUNT(*) FROM t3)
+       |  UNION ALL SELECT '4_purchase', (SELECT COUNT(*) FROM t4)),
+       |pr AS (SELECT step, n, lead(n) OVER (ORDER BY step) AS k
+       |       FROM c)
+       |SELECT step AS from_step, n, k,
+       |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       |  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       |      + ${z * z} / (2.0 * CAST(n AS DOUBLE)))
+       |      / (1.0 + ${z * z} / CAST(n AS DOUBLE))
+       |    - $z * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+       |        / CAST(n AS DOUBLE)
+       |      + ${z * z} / (4.0 * CAST(n AS DOUBLE)
+       |        * CAST(n AS DOUBLE)))
+       |      / (1.0 + ${z * z} / CAST(n AS DOUBLE)), 6) AS ci_lo,
+       |  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       |      + ${z * z} / (2.0 * CAST(n AS DOUBLE)))
+       |      / (1.0 + ${z * z} / CAST(n AS DOUBLE))
+       |    + $z * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+       |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+       |        / CAST(n AS DOUBLE)
+       |      + ${z * z} / (4.0 * CAST(n AS DOUBLE)
+       |        * CAST(n AS DOUBLE)))
+       |      / (1.0 + ${z * z} / CAST(n AS DOUBLE)), 6) AS ci_hi
+       |FROM pr WHERE k IS NOT NULL ORDER BY from_step""".stripMargin
+
+  /** Peak-hour profile: each event type's argmax hour-of-day with
+    * its share of the type's volume — the seasonal fingerprint q150
+    * monitors, reduced to the headline number. Tie-break is explicit
+    * (count DESC, hour ASC) via a row_number over each type's ≤ 24
+    * profile rows, so both engines pick the same peak. */
+  def peakHours(s: SparkSession, d: String): DataFrame = {
+    val prof = ev(s, d)
+      .groupBy(col("event_type"),
+        (expr("ts div 3600000000000") % 24).as("hod"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = prof.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("hod"))
+    prof.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("hod").as("peak_hour"),
+        col("cnt").as("peak_cnt"),
+        round(col("cnt").cast("double") / col("n").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[peakHours]]. */
+  def peakHoursSql: String =
+    """WITH prof AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+      |        FROM prof GROUP BY 1),
+      |r AS (SELECT event_type, hod, cnt,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cnt DESC, hod) AS rn
+      |  FROM prof)
+      |SELECT r.event_type, hod AS peak_hour, cnt AS peak_cnt,
+      |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+      |FROM r JOIN tot ON tot.event_type = r.event_type
+      |WHERE rn = 1 ORDER BY r.event_type""".stripMargin
+
   /** Windowed ordered funnel: q120's signup → view → click →
     * purchase chain with a DEADLINE — each step must land within
     * `windowNs` (default 24 h) of the user's FIRST signup, the form

@@ -151,6 +151,56 @@ object Temporal {
       .orderBy(col("week"))
   }
 
+  /** Inter-order gap distribution: per customer, the whole-day gaps
+    * between consecutive orders, summarized as exact rank
+    * percentiles — the reorder-cadence signal behind churn scoring.
+    * The lag window is custkey-partitioned (one orders shuffle); the
+    * rank pass runs over the gap-days MARGINAL (bounded by the date
+    * range, q136's discipline), so no window sees the order rows.
+    * One row: (n_gaps, p50_days, p90_days, max_days). */
+  def interOrderGaps(s: SparkSession, d: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val marg = graft.GraftSession.cut(Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))" +
+          " DIV 86400000000").as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(byCust))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("gap")).agg(count(lit(1)).as("c")))
+    val w = Window.orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = marg.agg(sum(col("c")).as("n"))
+    marg.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_gaps"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("gap")))
+          .as("p50_days"),
+        min(when(col("cum") >= expr("(n * 9 + 9) DIV 10"), col("gap")))
+          .as("p90_days"),
+        max(col("gap")).as("max_days"))
+  }
+
+  /** DuckDB oracle for [[interOrderGaps]]. */
+  def interOrderGapsSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+      |g AS (SELECT day - lag(day) OVER (PARTITION BY o_custkey
+      |      ORDER BY day, o_orderkey) AS gap FROM o),
+      |marg AS (SELECT gap, COUNT(*) AS c FROM g
+      |         WHERE gap IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM marg),
+      |cum AS (SELECT gap, CAST(SUM(c) OVER (ORDER BY gap
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum FROM marg)
+      |SELECT n AS n_gaps,
+      |  (SELECT MIN(gap) FROM cum WHERE cum >= (n + 1) // 2)
+      |    AS p50_days,
+      |  (SELECT MIN(gap) FROM cum WHERE cum >= (n * 9 + 9) // 10)
+      |    AS p90_days,
+      |  (SELECT MAX(gap) FROM marg) AS max_days
+      |FROM tot""".stripMargin
+
   /** DuckDB oracle for [[weeklyRevenueGrowth]]. */
   def weeklyRevenueGrowthSql: String =
     """WITH weekly AS (

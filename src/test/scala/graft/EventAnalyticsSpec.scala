@@ -279,6 +279,46 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(cum == events().map(_._1).distinct.length.toLong)
   }
 
+  test("funnelWilson: CI brackets the rate, k/n match funnel counts") {
+    val counts = EventAnalytics.funnel(spark, sf("events")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = EventAnalytics.funnelWilson(spark, sf("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 3)
+    val next = Map("1_signup" -> "2_view", "2_view" -> "3_click",
+      "3_click" -> "4_purchase")
+    rows.foreach { case (step, n, k, rate, lo, hi) =>
+      assert(n == counts(step) && k == counts(next(step)))
+      assert(math.abs(rate - k.toDouble / n) < 1e-6)
+      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9, s"$step brackets")
+      assert(lo >= 0.0 && hi <= 1.0, s"$step Wilson stays in [0,1]")
+      // brute-force Wilson at z = 1.959964
+      val z = 1.959964; val p = k.toDouble / n
+      val den = 1.0 + z * z / n
+      val c = (p + z * z / (2.0 * n)) / den
+      val h = z * math.sqrt(p * (1 - p) / n
+        + z * z / (4.0 * n * n)) / den
+      assert(math.abs(lo - (c - h)) < 1e-5 &&
+        math.abs(hi - (c + h)) < 1e-5, s"$step formula")
+    }
+  }
+
+  test("peakHours equals the brute-force argmax with explicit ties") {
+    val rows = EventAnalytics.peakHours(spark, sf("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val prof = events().map(e => (e._2, e._3 / 3600000000000L % 24))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (tpe, hod, cnt, share) =>
+      val hours = prof.collect { case ((t, h), c) if t == tpe => (h, c) }
+      val best = hours.toSeq.sortBy { case (h, c) => (-c, h) }.head
+      assert((hod, cnt) == best, s"$tpe peak")
+      assert(math.abs(share - cnt.toDouble / hours.map(_._2).sum) < 1e-5)
+    }
+  }
+
   test("windowedFunnel: subset of unbounded funnel, brute-force equal") {
     val win = 86400000000000L
     val out = EventAnalytics.windowedFunnel(spark, sf("events"), win)

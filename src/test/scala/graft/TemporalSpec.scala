@@ -75,6 +75,25 @@ class TemporalSpec extends SparkTestBase {
     assert(bucketed == direct)
   }
 
+  test("interOrderGaps equals brute-force gap percentiles") {
+    val d = sf("orders")
+    val row = Temporal.interOrderGaps(spark, d).head()
+    val orders = graft.Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))" +
+          " DIV 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = orders.groupBy(_._1).values.flatMap { os =>
+      val days = os.sortBy(o => (o._3, o._2)).map(_._3)
+      days.zip(days.drop(1)).map { case (a, b) => b - a }
+    }.toArray.sorted
+    val n = gaps.length
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == gaps((n + 1) / 2 - 1), "p50")
+    assert(row.getLong(2) == gaps((n * 9 + 9) / 10 - 1), "p90")
+    assert(row.getLong(3) == gaps.last)
+  }
+
   test("weeklyRevenueGrowth: weekly sums, lag, and growth ratio") {
     val d = sf("orders")
     val rows = Temporal.weeklyRevenueGrowth(spark, d).collect()
