@@ -553,6 +553,8 @@ object SparkEntry {
     // per-type argmax hour-of-day with volume share
     "q183_peak_hours" -> ((s, d) =>
       graft.ops.EventAnalytics.peakHours(s, d)),
+    // Fightin' Words: Dirichlet log-odds distinctive terms per source
+    "q184_log_odds" -> ((s, d) => graft.ops.TextOps.logOddsTerms(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1875,6 +1877,7 @@ object SparkEntry {
     "q181_funnel_wilson" -> graft.ops.EventAnalytics.funnelWilsonSql(),
     "q182_order_gaps" -> graft.ops.Temporal.interOrderGapsSql,
     "q183_peak_hours" -> graft.ops.EventAnalytics.peakHoursSql,
+    "q184_log_odds" -> graft.ops.TextOps.logOddsTermsSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

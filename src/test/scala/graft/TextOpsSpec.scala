@@ -314,6 +314,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2L) == out(3L)) // same distribution, same fold
   }
 
+  test("logOddsTerms: brute-force z for the top term, k per source") {
+    val d = sf("documents")
+    val rows = TextOps.logOddsTerms(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val toks = graft.Tables.documents(spark, d)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val bySrc = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byTerm = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = toks.length.toDouble
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length.toLong))
+      assert(rs.length <= 5)
+      rs.foreach { case (_, _, term, cnt, zOut) =>
+        val c = toks.count(x => x._1 == src && x._2 == term).toDouble
+        assert(cnt.toDouble == c)
+        val a = 0.01
+        val ct = byTerm(term).toDouble; val ns = bySrc(src).toDouble
+        val aw = a * ct; val a0 = a * nn
+        val delta = math.log((c + aw) / (ns + a0 - c - aw)) -
+          math.log((ct - c + aw) / (nn - ns + a0 - (ct - c) - aw))
+        val z = delta / math.sqrt(1.0 / (c + aw) + 1.0 / (ct - c + aw))
+        assert(math.abs(zOut - z) < 1e-4, s"$src/$term z")
+        assert(z > 0, "top terms are positively distinctive")
+      }
+    }
+  }
+
   test("langIdEval: confusion identities hold against brute force") {
     val d = sf("documents")
     val rows = TextOps.langIdEval(spark, d).collect()
