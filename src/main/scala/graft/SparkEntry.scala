@@ -555,6 +555,12 @@ object SparkEntry {
       graft.ops.EventAnalytics.peakHours(s, d)),
     // Fightin' Words: Dirichlet log-odds distinctive terms per source
     "q184_log_odds" -> ((s, d) => graft.ops.TextOps.logOddsTerms(s, d)),
+    // curation curve: tokens per quality decile, integer-keyed ranks
+    "q185_quality_curve" -> ((s, d) =>
+      graft.ops.TextOps.qualityTokenCurve(s, d)),
+    // dedup telemetry: exact-dup rate by arrival bucket
+    "q186_dup_rate" -> ((s, d) =>
+      graft.ops.TextOps.dupRateOverTime(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1878,6 +1884,8 @@ object SparkEntry {
     "q182_order_gaps" -> graft.ops.Temporal.interOrderGapsSql,
     "q183_peak_hours" -> graft.ops.EventAnalytics.peakHoursSql,
     "q184_log_odds" -> graft.ops.TextOps.logOddsTermsSql(),
+    "q185_quality_curve" -> graft.ops.TextOps.qualityTokenCurveSql,
+    "q186_dup_rate" -> graft.ops.TextOps.dupRateOverTimeSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -906,6 +906,123 @@ object TextOps {
       |    / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1
       |FROM j ORDER BY cls""".stripMargin
 
+  /** Curation planning curve: documents ranked by quality score into
+    * deciles, with per-decile and cumulative token counts — "if the
+    * budget takes the top X% by quality, how many tokens is that".
+    * The score quantizes to exact micro-units (round(q·1e6)) so the
+    * ranking key is an INTEGER — no float ordering crosses the
+    * engines — and the rank runs under the two-level sub-bucket
+    * device on the descending-shifted key (1e6 − micro: keeps the
+    * key non-negative, where Spark's DIV truncates toward zero but
+    * DuckDB's // floors, so a negative key would shift bucket edges).
+    * Cumulative window folds over the TEN decile rows. */
+  def qualityTokenCurve(s: SparkSession, d: String): DataFrame = {
+    val step = 65536L
+    val base = graft.GraftSession.cut(Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(1000000L) - round(qualityScore(col("text")) * 1e6, 0)
+          .cast("long")).as("negq"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("sub", expr(s"negq DIV $step")))
+    val wSub = Window.partitionBy(col("sub"))
+      .orderBy(col("negq"), col("doc_id"))
+    val wOff = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(col("sub")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("sub"), col("off"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("rn", row_number().over(wSub))
+      .join(broadcast(offs), "sub")
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("((off + rn - 1) * 10) DIV n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(wCum))
+      .orderBy(col("decile"))
+  }
+
+  /** The per-doc token stats CTE shared by the quality oracles. */
+  private def qualityStatsCte: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS n_uniq,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> list_contains(['the','a','and','of','to','in'], x)))
+      |      AS BIGINT) AS n_stop
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB oracle for [[qualityTokenCurve]]. */
+  def qualityTokenCurveSql: String =
+    s"""WITH $qualityStatsCte,
+       |k AS (SELECT doc_id, n_tokens,
+       |    1000000 - CAST(round(
+       |      (0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |       + 0.3 * (CAST(n_uniq AS DOUBLE)
+       |         / CAST(n_tokens AS DOUBLE))
+       |       + 0.3 * least(CAST(n_stop AS DOUBLE)
+       |         / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)) * 1e6)
+       |      AS BIGINT) AS negq
+       |  FROM t),
+       |r AS (SELECT n_tokens,
+       |    row_number() OVER (ORDER BY negq, doc_id) AS rk,
+       |    COUNT(*) OVER () AS n
+       |  FROM k),
+       |dec AS (SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS decile,
+       |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+       |  FROM r GROUP BY 1)
+       |SELECT decile, n_docs, tokens,
+       |  CAST(SUM(tokens) OVER (ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_tokens
+       |FROM dec ORDER BY decile""".stripMargin
+
+  /** Dedup telemetry over arrival order: exact-duplicate rate per
+    * arrival bucket (doc_id stands in for ingest order) — the curve
+    * an operator watches to see duplication pressure grow as a crawl
+    * matures. A doc is a duplicate when an EARLIER doc (smaller id)
+    * has byte-identical normalized text: one md5-groupBy for
+    * first-seen ids, broadcast-free anti logic via min-id join. */
+  def dupRateOverTime(s: SparkSession, d: String,
+      bucket: Long = 50L): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("h"))
+    val first = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    hashed.join(first, "h")
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("first_id")).as("is_dup"),
+        expr(s"doc_id DIV $bucket").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("bucket"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double")
+          / col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[dupRateOverTime]]. */
+  def dupRateOverTimeSql(bucket: Long = 50L): String =
+    s"""WITH h AS (SELECT doc_id,
+       |    md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h
+       |  FROM documents),
+       |f AS (SELECT h, MIN(doc_id) AS first_id FROM h GROUP BY 1)
+       |SELECT doc_id // $bucket AS bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN doc_id <> first_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dups,
+       |  round(CAST(SUM(CASE WHEN doc_id <> first_id THEN 1 ELSE 0
+       |    END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+       |FROM h JOIN f USING (h)
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Distinctive terms per source by log-odds with an informative
     * Dirichlet prior (Monroe et al. 2008, "Fightin' Words") — the
     * principled "what words characterize this slice" report that a

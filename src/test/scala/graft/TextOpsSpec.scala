@@ -314,6 +314,50 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2L) == out(3L)) // same distribution, same fold
   }
 
+  test("qualityTokenCurve: deciles cover the corpus, brute-force match") {
+    val d = sf("documents")
+    val rows = TextOps.qualityTokenCurve(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")) * 1e6, 0).cast("long"),
+        TextOps.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.length
+    // brute-force: sort by (quality desc, doc_id), assign deciles
+    val ranked = docs.sortBy(x => (1000000L - x._2, x._1)).zipWithIndex
+    val exp = ranked.groupBy { case (_, i) => i.toLong * 10 / n }
+      .map { case (dec, xs) =>
+        dec -> (xs.length.toLong, xs.map(_._1._3).sum) }
+    assert(rows.map(r => r._1 -> (r._2, r._3)).toMap == exp)
+    assert(rows.map(_._2).sum == n.toLong)
+    var cum = 0L
+    rows.sortBy(_._1).foreach { r => cum += r._3; assert(r._4 == cum) }
+    // the top decile has at least the quality of the bottom one
+    val topQ = ranked.filter(_._2 < n / 10).map(_._1._2).min
+    val botQ = ranked.filter(_._2 >= n * 9 / 10).map(_._1._2).max
+    assert(topQ >= botQ)
+  }
+
+  test("dupRateOverTime: brute-force dup flags per arrival bucket") {
+    val d = sf("documents")
+    val rows = TextOps.dupRateOverTime(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.replaceAll("\\s+", " ")))
+    val firstOf = docs.groupBy(_._2).view
+      .mapValues(_.map(_._1).min).toMap
+    val exp = docs.groupBy(_._1 / 50).map { case (b, xs) =>
+      b -> (xs.length.toLong,
+        xs.count(x => firstOf(x._2) != x._1).toLong)
+    }
+    assert(rows.map(r => r._1 -> (r._2, r._3)).toMap == exp)
+    assert(rows.map(_._2).sum == docs.length.toLong)
+  }
+
   test("logOddsTerms: brute-force z for the top term, k per source") {
     val d = sf("documents")
     val rows = TextOps.logOddsTerms(spark, d).collect()
