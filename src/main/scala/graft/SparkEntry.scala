@@ -561,6 +561,15 @@ object SparkEntry {
     // dedup telemetry: exact-dup rate by arrival bucket
     "q186_dup_rate" -> ((s, d) =>
       graft.ops.TextOps.dupRateOverTime(s, d)),
+    // tokenizer fertility (pieces per word) per language
+    "q187_fertility" -> ((s, d) =>
+      graft.ops.TextOps.tokenizerFertility(s, d)),
+    // identical texts filed under multiple languages
+    "q188_lang_conflicts" -> ((s, d) =>
+      graft.ops.TextOps.langConflicts(s, d)),
+    // vocab size / hapax fraction / TTR per source
+    "q189_vocab_profile" -> ((s, d) =>
+      graft.ops.TextOps.vocabProfile(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1886,6 +1895,9 @@ object SparkEntry {
     "q184_log_odds" -> graft.ops.TextOps.logOddsTermsSql(),
     "q185_quality_curve" -> graft.ops.TextOps.qualityTokenCurveSql,
     "q186_dup_rate" -> graft.ops.TextOps.dupRateOverTimeSql(),
+    "q187_fertility" -> graft.ops.TextOps.tokenizerFertilitySql,
+    "q188_lang_conflicts" -> graft.ops.TextOps.langConflictsSql,
+    "q189_vocab_profile" -> graft.ops.TextOps.vocabProfileSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

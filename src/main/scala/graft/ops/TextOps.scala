@@ -906,6 +906,109 @@ object TextOps {
       |    / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1
       |FROM j ORDER BY cls""".stripMargin
 
+  /** Tokenizer fertility per language: subword pieces per whitespace
+    * word (the BPE-ish q? piece counter over the word counter) — THE
+    * tokenizer-equity metric: a language with fertility 2x pays twice
+    * the context budget for the same text. Exact integer piece/word
+    * sums per language, one ratio at the end. Single scan, map-side
+    * combined over #languages keys. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("words"),
+        sum(subwordCount(col("text")).cast("long")).as("pieces"))
+      .select(col("lang"), col("n_docs"), col("words"), col("pieces"),
+        round(col("pieces").cast("double")
+          / col("words").cast("double"), 6).as("fertility"))
+      .orderBy(col("lang"))
+
+  /** DuckDB oracle for [[tokenizerFertility]]. */
+  def tokenizerFertilitySql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT)
+      |    AS words,
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '[a-zA-Z0-9]{1,4}|[^a-zA-Z0-9 ]'))) AS BIGINT) AS pieces,
+      |  round(CAST(SUM(len(regexp_extract_all(text,
+      |      '[a-zA-Z0-9]{1,4}|[^a-zA-Z0-9 ]'))) AS DOUBLE)
+      |    / CAST(SUM(len(regexp_extract_all(text, '[^ ]+')))
+      |      AS DOUBLE), 6) AS fertility
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Label-consistency check: byte-identical normalized texts filed
+    * under MORE THAN ONE language — the mislabeled-duplicate smell an
+    * exact-dedup pass surfaces for free and a lang-conditioned
+    * sampler must not trust. One md5 groupBy into an ALWAYS-one-row
+    * summary (the q161 constraint-suite discipline: an asserted zero
+    * is evidence, an empty result proves nothing): groups checked,
+    * conflicted hash groups, docs inside them, worst fan-out. */
+  def langConflicts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"),
+        count_distinct(col("lang")).as("nl"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("nl") > 1, 1L).otherwise(0L))
+          .as("n_conflict_groups"),
+        sum(when(col("nl") > 1, col("nd")).otherwise(0L))
+          .as("n_conflict_docs"),
+        max(col("nl")).as("max_langs_per_text"))
+
+  /** DuckDB oracle for [[langConflicts]]. */
+  def langConflictsSql: String =
+    """WITH g AS (
+      |  SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h,
+      |    COUNT(*) AS nd, COUNT(DISTINCT lang) AS nl
+      |  FROM documents GROUP BY 1)
+      |SELECT COUNT(*) AS n_groups,
+      |  CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_conflict_groups,
+      |  CAST(SUM(CASE WHEN nl > 1 THEN nd ELSE 0 END) AS BIGINT)
+      |    AS n_conflict_docs,
+      |  CAST(MAX(nl) AS BIGINT) AS max_langs_per_text
+      |FROM g""".stripMargin
+
+  /** Vocabulary profile per source: vocabulary size, hapax-legomenon
+    * fraction (terms seen once — the long-tail mass that dominates
+    * raw web text), and type-token ratio. All from one (source, term)
+    * count table; vocabulary-sized state. */
+  def vocabProfile(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("tokens"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"),
+          6).as("hapax_frac"),
+        round(col("vocab").cast("double")
+          / col("tokens").cast("double"), 6).as("ttr"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[vocabProfile]]. */
+  def vocabProfileSql: String =
+    """WITH cnt AS (
+      |  SELECT source, t, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS t
+      |    FROM documents) s
+      |  WHERE len(t) > 0 GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS vocab,
+      |  CAST(SUM(c) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hapax,
+      |  round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_frac,
+      |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+      |    AS ttr
+      |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+
   /** Curation planning curve: documents ranked by quality score into
     * deciles, with per-decile and cumulative token counts — "if the
     * budget takes the top X% by quality, how many tokens is that".

@@ -314,6 +314,68 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2L) == out(3L)) // same distribution, same fold
   }
 
+  test("tokenizerFertility: integer sums match brute force, f >= 1") {
+    val d = sf("documents")
+    val rows = TextOps.tokenizerFertility(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { case (lang, nDocs, words, pieces, f) =>
+      val ds = docs.filter(_._1 == lang).map(_._2)
+      assert(nDocs == ds.length.toLong)
+      val w = ds.map(_.split(" ").count(_.nonEmpty).toLong).sum
+      val p = ds.map(
+        "[a-zA-Z0-9]{1,4}|[^a-zA-Z0-9 ]".r.findAllIn(_).size.toLong).sum
+      assert(words == w && pieces == p, s"$lang sums")
+      assert(math.abs(f - p.toDouble / w) < 1e-5)
+      assert(f >= 1.0, "a word is at least one piece")
+    }
+  }
+
+  test("langConflicts: zero on clean data, flags an injected conflict") {
+    val d = sf("documents")
+    val clean = TextOps.langConflicts(spark, d).head()
+    assert(clean.getLong(1) == 0L && clean.getLong(2) == 0L)
+    assert(clean.getLong(0) > 0L && clean.getLong(3) == 1L)
+    // copy the corpus, add the SAME text under a different lang
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-langconf").toString
+    val docs = graft.Tables.documents(spark, d).limit(30)
+    val flipped = docs.limit(1)
+      .withColumn("lang", concat(col("lang"), lit("_x")))
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    docs.unionByName(flipped).coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val row = TextOps.langConflicts(spark, tmp).head()
+    assert(row.getLong(1) == 1L, "one conflicted hash group")
+    assert(row.getLong(2) == 2L, "two docs inside it")
+    assert(row.getLong(3) == 2L)
+  }
+
+  test("vocabProfile: brute-force vocab/hapax/ttr per source") {
+    val d = sf("documents")
+    val rows = TextOps.vocabProfile(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val toks = graft.Tables.documents(spark, d)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    rows.foreach { case (src, vocab, tokens, hapax, hf, ttr) =>
+      val cnt = toks.filter(_._1 == src).groupBy(_._2).view
+        .mapValues(_.size).toMap
+      assert(vocab == cnt.size.toLong)
+      assert(tokens == cnt.values.map(_.toLong).sum)
+      assert(hapax == cnt.values.count(_ == 1).toLong)
+      assert(math.abs(hf - hapax.toDouble / vocab) < 1e-5)
+      assert(math.abs(ttr - vocab.toDouble / tokens) < 1e-5)
+    }
+  }
+
   test("qualityTokenCurve: deciles cover the corpus, brute-force match") {
     val d = sf("documents")
     val rows = TextOps.qualityTokenCurve(spark, d).collect()
