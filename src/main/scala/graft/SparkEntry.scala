@@ -570,6 +570,9 @@ object SparkEntry {
     // vocab size / hapax fraction / TTR per source
     "q189_vocab_profile" -> ((s, d) =>
       graft.ops.TextOps.vocabProfile(s, d)),
+    // per-label centroid cohesion over embeddings, integer-exact
+    "q190_label_cohesion" -> ((s, d) =>
+      graft.ops.Pq.labelCohesion(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1898,6 +1901,7 @@ object SparkEntry {
     "q187_fertility" -> graft.ops.TextOps.tokenizerFertilitySql,
     "q188_lang_conflicts" -> graft.ops.TextOps.langConflictsSql,
     "q189_vocab_profile" -> graft.ops.TextOps.vocabProfileSql,
+    "q190_label_cohesion" -> graft.ops.Pq.labelCohesionSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -291,6 +291,74 @@ object Pq {
         / (count(lit(1)).cast("double") * 1e6), 6).as("mean_cos"))
   }
 
+  /** Label-cluster cohesion: per label, the mean and minimum cosine
+    * of members to their label CENTROID — the embedding-space class-
+    * separability health check (a label whose members barely point at
+    * their own centroid will not train a classifier). Determinism
+    * discipline: vectors quantize to exact micro-unit BIGINTs, the
+    * centroid is the rounded integer mean per dimension, and every
+    * dot/norm is an exact BIGINT sum — no float accumulates across
+    * rows, so the report hash-matches under any partitioning. Scale
+    * shape: one labels x dims centroid table (broadcast), one
+    * member-row pass. */
+  def labelCohesion(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v0")))
+      .select(col("vec_id"), col("label"),
+        col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(v0 AS DOUBLE) * 1e6) AS LONG)").as("vq"))
+    val cent = e.groupBy(col("label"), col("dim"))
+      .agg(expr("CAST(round(CAST(SUM(vq) AS DOUBLE) / COUNT(*))" +
+        " AS LONG)").as("cq"))
+    val perVec = e.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("vq") * col("cq")).as("dot"),
+        sum(col("vq") * col("vq")).as("nv"),
+        sum(col("cq") * col("cq")).as("nc"))
+      .select(col("label"),
+        expr("CAST(round(CAST(dot AS DOUBLE)" +
+          " / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))" +
+          " * 1e6) AS LONG)").as("cos_micro"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("cos_micro")).cast("double")
+          / (count(lit(1)).cast("double") * 1e6), 6).as("mean_cos"),
+        round(min(col("cos_micro")).cast("double") / 1e6, 6)
+          .as("min_cos"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB oracle for [[labelCohesion]]. */
+  def labelCohesionSql: String =
+    """WITH ix AS (SELECT vec_id, label, embedding,
+      |        unnest(range(1, len(embedding) + 1)) AS i
+      |      FROM embeddings),
+      |e AS (SELECT vec_id, label, i,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS vq
+      |  FROM ix),
+      |cent AS (SELECT label, i,
+      |    CAST(round(CAST(SUM(vq) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS cq
+      |  FROM e GROUP BY 1, 2),
+      |pv AS (SELECT e.label, vec_id,
+      |    CAST(SUM(vq * cq) AS BIGINT) AS dot,
+      |    CAST(SUM(vq * vq) AS BIGINT) AS nv,
+      |    CAST(SUM(cq * cq) AS BIGINT) AS nc
+      |  FROM e JOIN cent ON cent.label = e.label AND cent.i = e.i
+      |  GROUP BY 1, 2),
+      |pc AS (SELECT label,
+      |    CAST(round(CAST(dot AS DOUBLE)
+      |      / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+      |      * 1e6) AS BIGINT) AS cos_micro
+      |  FROM pv)
+      |SELECT label, COUNT(*) AS n_vectors,
+      |  round(CAST(SUM(cos_micro) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_cos,
+      |  round(CAST(MIN(cos_micro) AS DOUBLE) / 1e6, 6) AS min_cos
+      |FROM pc GROUP BY label ORDER BY label""".stripMargin
+
   /** DuckDB oracle for [[sq8Fidelity]]. */
   def sq8FidelitySql: String =
     """WITH ix AS (SELECT vec_id, embedding,

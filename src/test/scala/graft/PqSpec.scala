@@ -130,4 +130,36 @@ class PqSpec extends SparkTestBase {
     // to well over 0.99 on any non-degenerate corpus
     assert(mn > 0.99, s"min cosine $mn suspiciously low")
   }
+
+  test("labelCohesion: brute-force centroid cosines per label") {
+    val d = sf("embeddings")
+    val rows = graft.ops.Pq.labelCohesion(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select(org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    rows.foreach { case (label, n, meanCos, minCos) =>
+      val members = vecs.filter(_._1 == label).map(_._2)
+      assert(n == members.length.toLong)
+      val dims = members.head.length
+      val vq = members.map(_.map(v =>
+        math.round(v.toDouble * 1e6)))
+      val cq = (0 until dims).map { i =>
+        math.round(vq.map(_(i)).sum.toDouble / members.length)
+      }.toArray
+      val coss = vq.map { v =>
+        val dot = v.zip(cq).map { case (a, b) => a * b }.sum.toDouble
+        val c = dot / (math.sqrt(v.map(a => a.toDouble * a).sum) *
+          math.sqrt(cq.map(a => a.toDouble * a).sum))
+        math.round(c * 1e6) / 1e6
+      }
+      assert(math.abs(meanCos - coss.sum / coss.length) < 2e-6,
+        s"label $label mean")
+      assert(math.abs(minCos - coss.min) < 2e-6, s"label $label min")
+      assert(meanCos >= minCos)
+    }
+  }
 }
