@@ -573,6 +573,14 @@ object SparkEntry {
     // per-label centroid cohesion over embeddings, integer-exact
     "q190_label_cohesion" -> ((s, d) =>
       graft.ops.Pq.labelCohesion(s, d)),
+    // Pareto headline: top-20% / top-1% customer revenue shares
+    "q191_pareto" -> ((s, d) => graft.ops.Profiling.paretoShare(s, d)),
+    // order->ship gap percentiles per priority (SLA report)
+    "q192_ship_latency" -> ((s, d) =>
+      graft.ops.Temporal.shipLatency(s, d)),
+    // TPC-H Q8 shape: national revenue share per order year
+    "q193_market_share" -> ((s, d) =>
+      graft.ops.Relational.nationMarketShare(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1902,6 +1910,9 @@ object SparkEntry {
     "q188_lang_conflicts" -> graft.ops.TextOps.langConflictsSql,
     "q189_vocab_profile" -> graft.ops.TextOps.vocabProfileSql,
     "q190_label_cohesion" -> graft.ops.Pq.labelCohesionSql,
+    "q191_pareto" -> graft.ops.Profiling.paretoShareSql,
+    "q192_ship_latency" -> graft.ops.Temporal.shipLatencySql,
+    "q193_market_share" -> graft.ops.Relational.nationMarketShareSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -585,6 +585,50 @@ object Profiling {
        |  COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
        |FROM r GROUP BY 1, 2 ORDER BY g, bucket""".stripMargin
 
+  /** Pareto concentration headline: the revenue share of the top 20%
+    * and top 1% of customers — the "is this an 80/20 business" number
+    * Gini (q156) generalizes. Top-k membership comes from the
+    * [[scalableRank]] ascending rank and exact integer ceil counts;
+    * shares are exact cents ratios. */
+  def paretoShare(s: SparkSession, d: String): DataFrame = {
+    val spend = GraftSession.cut(Tables.orders(s, d)
+      .select(col("o_custkey"), cents.as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("v")))
+    val ranked = scalableRank(spend, "v", "o_custkey", 1L << 22, "rk")
+    val n = spend.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .agg(max(col("n")).as("n_customers"),
+        sum(col("v")).as("total"),
+        sum(when(col("rk") > col("n") - expr("(n + 4) DIV 5"),
+          col("v")).otherwise(0L)).as("top20"),
+        sum(when(col("rk") > col("n") - expr("(n + 99) DIV 100"),
+          col("v")).otherwise(0L)).as("top1"))
+      .select(col("n_customers"),
+        round(col("top20").cast("double") / col("total").cast("double"),
+          6).as("top20_share"),
+        round(col("top1").cast("double") / col("total").cast("double"),
+          6).as("top1_share"))
+  }
+
+  /** DuckDB oracle for [[paretoShare]]. */
+  def paretoShareSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS rk,
+      |        COUNT(*) OVER () AS n
+      |      FROM spend)
+      |SELECT MAX(n) AS n_customers,
+      |  round(CAST(SUM(CASE WHEN rk > n - (n + 4) // 5 THEN v
+      |      ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(v) AS DOUBLE), 6) AS top20_share,
+      |  round(CAST(SUM(CASE WHEN rk > n - (n + 99) // 100 THEN v
+      |      ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(v) AS DOUBLE), 6) AS top1_share
+      |FROM r""".stripMargin
+
   /** Mutual information (nats) between a document's language and its
     * source — chi-square's (q135) information-theoretic sibling, the
     * signal a curation pipeline reads before stratifying on one of

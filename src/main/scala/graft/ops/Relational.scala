@@ -544,6 +544,56 @@ object Relational {
       |    AS BIGINT) AS cum_rev_cents
       |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** National market share by order year (the TPC-H Q8 shape,
+    * simplified to this schema): each supplier nation's share of
+    * yearly lineitem revenue — two fact-key joins (orderkey for the
+    * year, suppkey for the nation) with the nation dim broadcast,
+    * exact cents sums, and a years-sized total broadcast back for
+    * the share. */
+  def nationMarketShare(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS LONG)").as("c"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+    val cells = li.join(o, "o_orderkey")
+      .join(broadcast(sup), "l_suppkey")
+      .join(broadcast(nat), "s_nationkey")
+      .groupBy(col("o_year"), col("n_name"))
+      .agg(sum(col("c")).as("rev_cents"))
+    val tot = cells.groupBy(col("o_year"))
+      .agg(sum(col("rev_cents")).as("yr"))
+    cells.join(broadcast(tot), "o_year")
+      .select(col("o_year"), col("n_name"), col("rev_cents"),
+        round(col("rev_cents").cast("double") / col("yr").cast("double"),
+          6).as("share"))
+      .orderBy(col("o_year"), col("n_name"))
+  }
+
+  /** DuckDB oracle for [[nationMarketShare]]. */
+  def nationMarketShareSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n_name,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT o_year, CAST(SUM(rev_cents) AS BIGINT) AS yr
+      |        FROM cells GROUP BY 1)
+      |SELECT cells.o_year, n_name, rev_cents,
+      |  round(CAST(rev_cents AS DOUBLE) / CAST(yr AS DOUBLE), 6)
+      |    AS share
+      |FROM cells JOIN tot ON tot.o_year = cells.o_year
+      |ORDER BY cells.o_year, n_name""".stripMargin
+
   /** Herfindahl-Hirschman concentration of supplier revenue within
     * each nation — the market-concentration profile (is one supplier
     * dominating a region's volume?), Gini's (q156) per-market

@@ -201,6 +201,60 @@ object Temporal {
       |  (SELECT MAX(gap) FROM marg) AS max_days
       |FROM tot""".stripMargin
 
+  /** Ship-latency SLA report: whole-day order→ship gaps per order
+    * priority, as exact rank percentiles off the per-priority gap
+    * MARGINAL — gap-range sized (days, not line items), so the
+    * per-priority cumulative window folds a few hundred rows while
+    * the heavy work stays in the orderkey join and one map-side-
+    * combined rollup. Output per priority: (n_items, p50_days,
+    * p90_days, max_days). */
+  def shipLatency(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP_LTZ))" +
+          " DIV 86400000000").as("sday"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("g"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))" +
+          " DIV 86400000000").as("oday"))
+    val marg = graft.GraftSession.cut(li.join(o, "o_orderkey")
+      .select(col("g"), (col("sday") - col("oday")).as("gap"))
+      .groupBy(col("g"), col("gap")).agg(count(lit(1)).as("c")))
+    val w = Window.partitionBy(col("g")).orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = marg.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    marg.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), "g")
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n_items"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("gap")))
+          .as("p50_days"),
+        min(when(col("cum") >= expr("(n * 9 + 9) DIV 10"), col("gap")))
+          .as("p90_days"),
+        max(col("gap")).as("max_days"))
+      .orderBy(col("g"))
+  }
+
+  /** DuckDB oracle for [[shipLatency]]. */
+  def shipLatencySql: String =
+    """WITH j AS (SELECT o_orderpriority AS g,
+      |    epoch_us(l_shipdate) // 86400000000
+      |      - epoch_us(o_orderdate) // 86400000000 AS gap
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      |marg AS (SELECT g, gap, COUNT(*) AS c FROM j GROUP BY 1, 2),
+      |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n
+      |        FROM marg GROUP BY 1),
+      |cum AS (SELECT g, gap, CAST(SUM(c) OVER (PARTITION BY g
+      |    ORDER BY gap ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS BIGINT) AS cum FROM marg)
+      |SELECT cum.g AS g, MAX(n) AS n_items,
+      |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS p50_days,
+      |  MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN gap END)
+      |    AS p90_days,
+      |  MAX(gap) AS max_days
+      |FROM cum JOIN tot ON tot.g = cum.g
+      |GROUP BY cum.g ORDER BY g""".stripMargin
+
   /** DuckDB oracle for [[weeklyRevenueGrowth]]. */
   def weeklyRevenueGrowthSql: String =
     """WITH weekly AS (

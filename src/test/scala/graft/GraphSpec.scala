@@ -707,6 +707,23 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("paretoShare equals brute force, top1 <= top20 <= 1") {
+    val d = sf("orders")
+    val row = Profiling.paretoShare(spark, d).head()
+    val spend = centsByCustomer(d).map { case (k, (_, _, m)) => (k, m) }
+      .toSeq.sortBy(x => (x._2, x._1))
+    val n = spend.length
+    val total = spend.map(x => BigInt(x._2)).sum
+    def shareOfTop(k: Int): Double =
+      spend.takeRight(k).map(x => BigInt(x._2)).sum.toDouble /
+        total.toDouble
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - shareOfTop((n + 4) / 5)) < 1e-5)
+    assert(math.abs(row.getDouble(2) - shareOfTop((n + 99) / 100)) < 1e-5)
+    assert(row.getDouble(2) <= row.getDouble(1))
+    assert(row.getDouble(1) <= 1.0 && row.getDouble(1) >= 0.2 - 1e-9)
+  }
+
   test("gopherRules: keep is the conjunction of the rule columns") {
     val d = sf("documents")
     val rows = TextOps.gopherRules(spark, d).collect()

@@ -136,6 +136,27 @@ class RelationalSpec extends SparkTestBase {
     assert(rows.map(r => BigInt(r._4)).sum == total)
   }
 
+  test("nationMarketShare: shares sum to 1 per year, cents exact") {
+    val d = sf("lineitem")
+    val rows = Relational.nationMarketShare(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (yr, cells) =>
+      val total = cells.map(c => BigInt(c._3)).sum
+      cells.foreach { c =>
+        assert(math.abs(c._4 - c._3.toDouble / total.toDouble) < 1e-5,
+          s"$yr/${c._2}")
+      }
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-3, s"$yr sums")
+    }
+    // grand total equals the raw extendedprice cents sum
+    val grand = graft.Tables.lineitem(spark, d)
+      .select(round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => BigInt(r.getLong(0))).sum
+    assert(rows.map(r => BigInt(r._3)).sum == grand)
+  }
+
   test("supplierHhi matches brute force and sits in [1/n, 1]") {
     val d = sf("lineitem")
     val rows = Relational.supplierHhi(spark, d).collect()

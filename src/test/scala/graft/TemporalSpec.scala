@@ -75,6 +75,38 @@ class TemporalSpec extends SparkTestBase {
     assert(bucketed == direct)
   }
 
+  test("shipLatency: per-priority brute-force rank percentiles") {
+    val d = sf("orders")
+    val rows = Temporal.shipLatency(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val o = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))" +
+          " DIV 86400000000"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val gapsByG = graft.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP_LTZ))" +
+          " DIV 86400000000"))
+      .collect().flatMap { r =>
+        o.get(r.getLong(0)).map { case (g, od) =>
+          (g, r.getLong(1) - od) }
+      }.groupBy(_._1)
+    rows.foreach { case (g, n, p50, p90, mx) =>
+      val gaps = gapsByG(g).map(_._2).sorted
+      assert(n == gaps.length.toLong, s"$g count")
+      assert(p50 == gaps((gaps.length + 1) / 2 - 1), s"$g p50")
+      assert(p90 == gaps((gaps.length * 9 + 9) / 10 - 1), s"$g p90")
+      assert(mx == gaps.last)
+      // the synthetic generator draws ship dates independently of
+      // order dates, so negative gaps exist — the percentile math is
+      // sign-agnostic and that is what this spec pins
+    }
+  }
+
   test("interOrderGaps equals brute-force gap percentiles") {
     val d = sf("orders")
     val row = Temporal.interOrderGaps(spark, d).head()
