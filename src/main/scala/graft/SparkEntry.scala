@@ -581,6 +581,12 @@ object SparkEntry {
     // TPC-H Q8 shape: national revenue share per order year
     "q193_market_share" -> ((s, d) =>
       graft.ops.Relational.nationMarketShare(s, d)),
+    // TPC-H Q5 shape: local-supplier revenue per EUROPE nation
+    "q194_local_rev" -> ((s, d) =>
+      graft.ops.Relational.localSupplierRevenue(s, d)),
+    // TPC-H Q10 shape: top-20 customers by returned revenue
+    "q195_top_returners" -> ((s, d) =>
+      graft.ops.Relational.topReturners(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1913,6 +1919,8 @@ object SparkEntry {
     "q191_pareto" -> graft.ops.Profiling.paretoShareSql,
     "q192_ship_latency" -> graft.ops.Temporal.shipLatencySql,
     "q193_market_share" -> graft.ops.Relational.nationMarketShareSql,
+    "q194_local_rev" -> graft.ops.Relational.localSupplierRevenueSql(),
+    "q195_top_returners" -> graft.ops.Relational.topReturnersSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -594,6 +594,105 @@ object Relational {
       |FROM cells JOIN tot ON tot.o_year = cells.o_year
       |ORDER BY cells.o_year, n_name""".stripMargin
 
+  /** Local-supplier revenue per nation (the TPC-H Q5 shape): revenue
+    * from lineitems whose supplier and ordering customer share a
+    * nation, rolled up per nation within one region — the classic
+    * 6-table star join. Plan shape: the two fact joins shuffle on
+    * their keys (orderkey, then the customer/supplier nation check),
+    * every dimension broadcasts, the region filter prunes at the
+    * nation dim BEFORE the join (PushedFilters does the rest), and
+    * the revenue is an exact cents sum. */
+  def localSupplierRevenue(s: SparkSession, d: String,
+      region: String = "EUROPE"): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === region)
+        .select(col("r_regionkey").as("n_regionkey"))), "n_regionkey")
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
+          " AS LONG)").as("c"))
+    li.join(o, "o_orderkey")
+      .join(broadcast(sup.withColumnRenamed("s_suppkey", "l_suppkey")),
+        "l_suppkey")
+      .join(broadcast(cust.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey")
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat.withColumnRenamed("n_nationkey",
+        "s_nationkey")), "s_nationkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("c")).as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("n_name"))
+  }
+
+  /** DuckDB oracle for [[localSupplierRevenue]]. */
+  def localSupplierRevenueSql(region: String = "EUROPE"): String =
+    s"""SELECT n_name, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+       |    * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN region ON r_regionkey = n_regionkey
+       |WHERE c_nationkey = s_nationkey AND r_name = '$region'
+       |GROUP BY n_name
+       |ORDER BY rev_cents DESC, n_name""".stripMargin
+
+  /** Returned-revenue ranking (the TPC-H Q10 shape): top customers
+    * by revenue on RETURNED line items — the churn-risk list a
+    * support team works through. Fact joins shuffle on their keys,
+    * the returnflag filter pushes into the lineitem scan, the
+    * customer/nation dims broadcast, and the top-k lands in one
+    * TakeOrderedAndProject on (cents DESC, custkey). */
+  def topReturners(s: SparkSession, d: String,
+      topK: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
+          " AS LONG)").as("c"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"),
+        col("c_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    li.join(o, "o_orderkey")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(col("c")).as("lost_cents"))
+      .join(broadcast(cust), "o_custkey")
+      .join(broadcast(nat), "c_nationkey")
+      .select(col("o_custkey").as("c_custkey"), col("c_name"),
+        col("n_name"), col("n_returned"), col("lost_cents"))
+      .orderBy(col("lost_cents").desc, col("c_custkey"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[topReturners]]. */
+  def topReturnersSql(topK: Int = 20): String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  COUNT(*) AS n_returned,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+       |    * 100) AS BIGINT)) AS BIGINT) AS lost_cents
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY 1, 2, 3
+       |ORDER BY lost_cents DESC, c_custkey LIMIT $topK""".stripMargin
+
   /** Herfindahl-Hirschman concentration of supplier revenue within
     * each nation — the market-concentration profile (is one supplier
     * dominating a region's volume?), Gini's (q156) per-market

@@ -136,6 +136,64 @@ class RelationalSpec extends SparkTestBase {
     assert(rows.map(r => BigInt(r._4)).sum == total)
   }
 
+  test("localSupplierRevenue: brute-force Q5 semantics") {
+    val d = sf("lineitem")
+    val rows = Relational.localSupplierRevenue(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val natRegion = graft.Tables.nation(spark, d)
+      .join(graft.Tables.region(spark, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val custNat = graft.Tables.customer(spark, d)
+      .select(col("c_custkey").cast("long"),
+        col("c_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val supNat2 = graft.Tables.supplier(spark, d)
+      .select(col("s_suppkey").cast("long"),
+        col("s_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orderCust = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = graft.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
+          " AS LONG)")).collect()
+      .flatMap { r =>
+        val cn = custNat(orderCust(r.getLong(0)))
+        val sn = supNat2(r.getLong(1))
+        if (cn == sn && natRegion.contains(sn))
+          Some((natRegion(sn), r.getLong(2)))
+        else None
+      }.groupBy(_._1).map { case (n, xs) =>
+        n -> (xs.length.toLong, xs.map(x => BigInt(x._2)).sum) }
+    assert(rows.map(r => r._1 -> (r._2, BigInt(r._3))).toMap == exp)
+    // sorted by revenue desc
+    assert(rows.map(_._3).sameElements(rows.map(_._3).sortBy(-_)))
+  }
+
+  test("topReturners: brute-force Q10 ranking") {
+    val d = sf("lineitem")
+    val rows = Relational.topReturners(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val orderCust = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = graft.Tables.lineitem(spark, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
+          " AS LONG)")).collect()
+      .map(r => (orderCust(r.getLong(0)), r.getLong(1)))
+      .groupBy(_._1).map { case (ck, xs) =>
+        (ck, xs.length.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(x => (-x._3, x._1)).take(20)
+    assert(rows.toSeq == exp)
+  }
+
   test("nationMarketShare: shares sum to 1 per year, cents exact") {
     val d = sf("lineitem")
     val rows = Relational.nationMarketShare(spark, d).collect()
