@@ -587,6 +587,11 @@ object SparkEntry {
     // TPC-H Q10 shape: top-20 customers by returned revenue
     "q195_top_returners" -> ((s, d) =>
       graft.ops.Relational.topReturners(s, d)),
+    // R-squared honesty column for the q146 trend fit
+    "q196_trend_r2" -> ((s, d) => graft.ops.EventAnalytics.trendR2(s, d)),
+    // quality x length decile grid: is quality secretly length?
+    "q197_quality_length" -> ((s, d) =>
+      graft.ops.TextOps.qualityLengthGrid(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1921,6 +1926,8 @@ object SparkEntry {
     "q193_market_share" -> graft.ops.Relational.nationMarketShareSql,
     "q194_local_rev" -> graft.ops.Relational.localSupplierRevenueSql(),
     "q195_top_returners" -> graft.ops.Relational.topReturnersSql(),
+    "q196_trend_r2" -> graft.ops.EventAnalytics.trendR2Sql,
+    "q197_quality_length" -> graft.ops.TextOps.qualityLengthGridSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

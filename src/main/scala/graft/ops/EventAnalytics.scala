@@ -324,6 +324,58 @@ object EventAnalytics {
       |GROUP BY c.event_type, t.ne, t.nl
       |ORDER BY c.event_type""".stripMargin
 
+  /** Goodness of fit for the q146 trend: R² per event type from the
+    * same exact BIGINT sufficient statistics plus Σy² —
+    * R² = (nΣxy−ΣxΣy)² / ((nΣxx−(Σx)²)(nΣyy−(Σy)²)). The inner
+    * terms stay exact integers; only the final square-and-divide runs
+    * in doubles, written identically on both engines. A slope without
+    * its R² is how dashboards lie — this is the honesty column. */
+  def trendR2(s: SparkSession, d: String): DataFrame = {
+    val hours = GraftSession.cut(Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .agg(count(lit(1)).as("y")))
+    val base = hours.groupBy(col("event_type")).agg(min(col("h")).as("h0"))
+    val st = hours.join(base, "event_type")
+      .select(col("event_type"), (col("h") - col("h0")).as("x"), col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val d1 = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val d2 = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    st.select(col("event_type"), col("n").as("n_hours"),
+        round(num * num / nullif(d1 * d2, lit(0.0)), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[trendR2]]. */
+  def trendR2Sql: String =
+    """WITH hrs AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+      |         COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |base AS (SELECT event_type, MIN(h) AS h0 FROM hrs GROUP BY 1),
+      |st AS (
+      |  SELECT hrs.event_type, COUNT(*) AS n,
+      |    CAST(SUM(h - h0) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM((h - h0) * y) AS BIGINT) AS sxy,
+      |    CAST(SUM((h - h0) * (h - h0)) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM hrs JOIN base ON base.event_type = hrs.event_type
+      |  GROUP BY 1)
+      |SELECT event_type, n AS n_hours,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      * CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+      |      * CAST(n * syy - sy * sy AS DOUBLE), 0.0), 6) AS r2
+      |FROM st ORDER BY event_type""".stripMargin
+
   /** DuckDB oracle for [[trendSlope]]. */
   def trendSlopeSql: String =
     """WITH hrs AS (

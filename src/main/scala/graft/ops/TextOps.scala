@@ -1048,6 +1048,67 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
+  /** Quality × length decile grid: the 2-D histogram that shows
+    * whether a "quality" score is secretly a length score (a diagonal
+    * grid means the two signals are confounded and a length-balanced
+    * sample must stratify on both). Both keys are exact integers
+    * (micro-unit quality, token count) ranked under the two-level
+    * device; output is the 10×10 cell-count grid. */
+  def qualityLengthGrid(s: SparkSession, d: String): DataFrame = {
+    val base = graft.GraftSession.cut(Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(1000000L) - round(qualityScore(col("text")) * 1e6, 0)
+          .cast("long")).as("negq"),
+        tokenCount(col("text")).cast("long").as("toks")))
+    def decileBy(df: DataFrame, v: String, step: Long,
+        out: String): DataFrame = {
+      val wSub = Window.partitionBy(col("__s"))
+        .orderBy(col(v), col("doc_id"))
+      val wOff = Window.orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sub = df.withColumn("__s", expr(s"$v DIV $step"))
+      val offs = sub.groupBy(col("__s")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("__s"), col("off"))
+      val n = df.agg(count(lit(1)).as("__n"))
+      sub.withColumn("rn", row_number().over(wSub))
+        .join(broadcast(offs), "__s")
+        .crossJoin(broadcast(n))
+        .withColumn(out, expr("((off + rn - 1) * 10) DIV __n"))
+        .drop("__s", "rn", "off", "__n")
+    }
+    decileBy(decileBy(base, "negq", 65536L, "q_dec"),
+      "toks", 16L, "len_dec")
+      .groupBy(col("q_dec"), col("len_dec"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("q_dec"), col("len_dec"))
+  }
+
+  /** DuckDB oracle for [[qualityLengthGrid]]. */
+  def qualityLengthGridSql: String =
+    s"""WITH $qualityStatsCte,
+       |k AS (SELECT doc_id, n_tokens AS toks,
+       |    1000000 - CAST(round(
+       |      (0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |       + 0.3 * (CAST(n_uniq AS DOUBLE)
+       |         / CAST(n_tokens AS DOUBLE))
+       |       + 0.3 * least(CAST(n_stop AS DOUBLE)
+       |         / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)) * 1e6)
+       |      AS BIGINT) AS negq
+       |  FROM t),
+       |r AS (SELECT toks,
+       |    ((row_number() OVER (ORDER BY negq, doc_id) - 1) * 10)
+       |      // (COUNT(*) OVER ()) AS q_dec,
+       |    doc_id
+       |  FROM k),
+       |r2 AS (SELECT q_dec,
+       |    ((row_number() OVER (ORDER BY toks, doc_id) - 1) * 10)
+       |      // (COUNT(*) OVER ()) AS len_dec
+       |  FROM r)
+       |SELECT CAST(q_dec AS BIGINT) AS q_dec,
+       |  CAST(len_dec AS BIGINT) AS len_dec, COUNT(*) AS n_docs
+       |FROM r2 GROUP BY 1, 2 ORDER BY q_dec, len_dec""".stripMargin
+
   /** The per-doc token stats CTE shared by the quality oracles. */
   private def qualityStatsCte: String =
     """t AS (

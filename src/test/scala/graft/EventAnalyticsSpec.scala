@@ -218,6 +218,33 @@ class EventAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("trendR2: brute-force R-squared, bounded in [0, 1]") {
+    val rows = EventAnalytics.trendR2(spark, sf("events")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val hours = events().map(e => (e._2, e._3 / 3600000000000L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (tpe, n, r2) =>
+      val series = hours.collect { case ((t, h), y) if t == tpe =>
+        (h, y) }.toSeq
+      val h0 = series.map(_._1).min
+      val xs = series.map(p => (p._1 - h0).toDouble)
+      val ys = series.map(_._2.toDouble)
+      val nn = xs.length.toDouble
+      assert(n == xs.length.toLong)
+      val num = nn * xs.zip(ys).map { case (a, b) => a * b }.sum -
+        xs.sum * ys.sum
+      val den = (nn * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        (nn * ys.map(a => a * a).sum - ys.sum * ys.sum)
+      if (den == 0.0) assert(r2.isNaN)
+      else {
+        assert(math.abs(r2 - num * num / den) < 1e-4, s"$tpe r2")
+        assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+      }
+    }
+  }
+
   test("sessionLengths matches brute-force gap splitting") {
     val gap = 1800000000000L
     val out = EventAnalytics.sessionLengths(spark, sf("events"), gap)

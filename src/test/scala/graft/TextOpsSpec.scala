@@ -314,6 +314,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2L) == out(3L)) // same distribution, same fold
   }
 
+  test("qualityLengthGrid: cells cover the corpus, marginals are deciles") {
+    val d = sf("documents")
+    val rows = TextOps.qualityLengthGrid(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.documents(spark, d).count()
+    assert(rows.map(_._3).sum == n)
+    // both marginals are equi-depth within 1 (exact decile arithmetic)
+    val qMarg = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val lMarg = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    for (m <- Seq(qMarg, lMarg); (_, c) <- m)
+      assert(math.abs(c - n / 10.0) <= 1.0, s"marginal depth $c")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9 &&
+      r._2 >= 0 && r._2 <= 9))
+  }
+
   test("tokenizerFertility: integer sums match brute force, f >= 1") {
     val d = sf("documents")
     val rows = TextOps.tokenizerFertility(spark, d).collect()
