@@ -592,6 +592,12 @@ object SparkEntry {
     // quality x length decile grid: is quality secretly length?
     "q197_quality_length" -> ((s, d) =>
       graft.ops.TextOps.qualityLengthGrid(s, d)),
+    // exact-dup cluster-size histogram (keep-first vs keep-best call)
+    "q198_cluster_sizes" -> ((s, d) =>
+      graft.ops.TextOps.dupClusterSizes(s, d)),
+    // priority mix share per 30-day bucket (mix-shift monitor)
+    "q199_priority_mix" -> ((s, d) =>
+      graft.ops.Temporal.priorityMixByMonth(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1928,6 +1934,8 @@ object SparkEntry {
     "q195_top_returners" -> graft.ops.Relational.topReturnersSql(),
     "q196_trend_r2" -> graft.ops.EventAnalytics.trendR2Sql,
     "q197_quality_length" -> graft.ops.TextOps.qualityLengthGridSql,
+    "q198_cluster_sizes" -> graft.ops.TextOps.dupClusterSizesSql,
+    "q199_priority_mix" -> graft.ops.Temporal.priorityMixByMonthSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

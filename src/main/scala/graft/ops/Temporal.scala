@@ -255,6 +255,41 @@ object Temporal {
       |FROM cum JOIN tot ON tot.g = cum.g
       |GROUP BY cum.g ORDER BY g""".stripMargin
 
+  /** Priority-mix shift over time: each order priority's share of
+    * monthly volume — the mix-shift monitor that explains "revenue
+    * per order fell" before anyone blames pricing. Integer month
+    * buckets (epoch days DIV 30 — fixed-width, engine-identical, no
+    * calendar arithmetic to disagree over), exact counts, one ratio.
+    * Month totals are months-sized and broadcast. */
+  def priorityMixByMonth(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .select(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))" +
+          " DIV 2592000000000").as("month"),
+        col("o_orderpriority").as("g"))
+      .groupBy(col("month"), col("g"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("month")).agg(sum(col("n")).as("mn"))
+    cells.join(broadcast(tot), "month")
+      .select(col("month"), col("g"), col("n"),
+        round(col("n").cast("double") / col("mn").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("month"), col("g"))
+  }
+
+  /** DuckDB oracle for [[priorityMixByMonth]]. */
+  def priorityMixByMonthSql: String =
+    """WITH cells AS (
+      |  SELECT epoch_us(o_orderdate) // 2592000000000 AS month,
+      |    o_orderpriority AS g, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |tot AS (SELECT month, CAST(SUM(n) AS BIGINT) AS mn
+      |        FROM cells GROUP BY 1)
+      |SELECT cells.month, g, n,
+      |  round(CAST(n AS DOUBLE) / CAST(mn AS DOUBLE), 6) AS share
+      |FROM cells JOIN tot ON tot.month = cells.month
+      |ORDER BY cells.month, g""".stripMargin
+
   /** DuckDB oracle for [[weeklyRevenueGrowth]]. */
   def weeklyRevenueGrowthSql: String =
     """WITH weekly AS (

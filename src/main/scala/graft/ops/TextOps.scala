@@ -906,6 +906,31 @@ object TextOps {
       |    / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1
       |FROM j ORDER BY cls""".stripMargin
 
+  /** Exact-duplicate cluster-size histogram: how many text-hash
+    * groups have 1, 2, 3… members — the shape that decides whether
+    * dedup should keep-first (long tail of pairs) or keep-best
+    * (a few giant clusters). One md5 groupBy then a map-side-combined
+    * count over sizes (bounded by the largest cluster). */
+  def dupClusterSizes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(md5(regexp_replace(trim(col("text")), "\\s+", " "))
+        .as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  /** DuckDB oracle for [[dupClusterSizes]]. */
+  def dupClusterSizesSql: String =
+    """WITH g AS (
+      |  SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h,
+      |    COUNT(*) AS sz
+      |  FROM documents GROUP BY 1)
+      |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+      |FROM g GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   /** Tokenizer fertility per language: subword pieces per whitespace
     * word (the BPE-ish q? piece counter over the word counter) — THE
     * tokenizer-equity metric: a language with fertility 2x pays twice

@@ -75,6 +75,26 @@ class TemporalSpec extends SparkTestBase {
     assert(bucketed == direct)
   }
 
+  test("priorityMixByMonth: shares sum to 1, counts match brute force") {
+    val d = sf("orders")
+    val rows = Temporal.priorityMixByMonth(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val exp = graft.Tables.orders(spark, d)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ))" +
+        " DIV 2592000000000"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == exp)
+    rows.groupBy(_._1).foreach { case (m, cells) =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-3, s"month $m")
+      val tot = cells.map(_._3).sum
+      cells.foreach(c =>
+        assert(math.abs(c._4 - c._3.toDouble / tot) < 1e-5))
+    }
+  }
+
   test("shipLatency: per-priority brute-force rank percentiles") {
     val d = sf("orders")
     val rows = Temporal.shipLatency(spark, d).collect()

@@ -314,6 +314,22 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2L) == out(3L)) // same distribution, same fold
   }
 
+  test("dupClusterSizes: histogram identities against brute force") {
+    val d = sf("documents")
+    val rows = TextOps.dupClusterSizes(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("text")).collect()
+      .map(_.getString(0).trim.replaceAll("\\s+", " "))
+    val sizes = docs.groupBy(identity).values.map(_.length)
+    val exp = sizes.groupBy(identity)
+      .map { case (sz, xs) => sz.toLong -> xs.size.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == exp)
+    rows.foreach(r => assert(r._3 == r._1 * r._2))
+    // Σ size·count = corpus size
+    assert(rows.map(_._3).sum == docs.length.toLong)
+  }
+
   test("qualityLengthGrid: cells cover the corpus, marginals are deciles") {
     val d = sf("documents")
     val rows = TextOps.qualityLengthGrid(spark, d).collect()
