@@ -598,6 +598,8 @@ object SparkEntry {
     // priority mix share per 30-day bucket (mix-shift monitor)
     "q199_priority_mix" -> ((s, d) =>
       graft.ops.Temporal.priorityMixByMonth(s, d)),
+    // the corpus datasheet: docs/tokens/dups/mean quality in one row
+    "q200_corpus_card" -> ((s, d) => graft.ops.TextOps.corpusCard(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1936,6 +1938,7 @@ object SparkEntry {
     "q197_quality_length" -> graft.ops.TextOps.qualityLengthGridSql,
     "q198_cluster_sizes" -> graft.ops.TextOps.dupClusterSizesSql,
     "q199_priority_mix" -> graft.ops.Temporal.priorityMixByMonthSql,
+    "q200_corpus_card" -> graft.ops.TextOps.corpusCardSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -906,6 +906,51 @@ object TextOps {
       |    / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1
       |FROM j ORDER BY cls""".stripMargin
 
+  /** The corpus datasheet: one row with the headline numbers a
+    * dataset card leads with — documents, tokens, distinct texts,
+    * exact-duplicate count, and mean quality. Quality averages over
+    * exact micro-unit integers (the q179 discipline — no float sum
+    * crosses a partition boundary); everything else is counts. One
+    * scan plus one md5 distinct. */
+  def corpusCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        tokenCount(col("text")).cast("long").as("toks"),
+        round(qualityScore(col("text")) * 1e6, 0).cast("long")
+          .as("qmicro"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        count_distinct(col("h")).as("distinct_texts"),
+        sum(col("qmicro")).as("qsum"))
+      .select(col("n_docs"), col("total_tokens"),
+        col("distinct_texts"),
+        (col("n_docs") - col("distinct_texts")).as("dup_docs"),
+        round(col("qsum").cast("double")
+          / (col("n_docs").cast("double") * 1e6), 6)
+          .as("mean_quality"))
+
+  /** DuckDB oracle for [[corpusCard]]. */
+  def corpusCardSql: String =
+    s"""WITH $qualityStatsCte,
+       |k AS (SELECT t.doc_id, n_tokens,
+       |    CAST(round(
+       |      (0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |       + 0.3 * (CAST(n_uniq AS DOUBLE)
+       |         / CAST(n_tokens AS DOUBLE))
+       |       + 0.3 * least(CAST(n_stop AS DOUBLE)
+       |         / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)) * 1e6)
+       |      AS BIGINT) AS qmicro,
+       |    md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h
+       |  FROM t JOIN documents USING (doc_id))
+       |SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  COUNT(DISTINCT h) AS distinct_texts,
+       |  COUNT(*) - COUNT(DISTINCT h) AS dup_docs,
+       |  round(CAST(SUM(qmicro) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_quality
+       |FROM k""".stripMargin
+
   /** Exact-duplicate cluster-size histogram: how many text-hash
     * groups have 1, 2, 3… members — the shape that decides whether
     * dedup should keep-first (long tail of pairs) or keep-best

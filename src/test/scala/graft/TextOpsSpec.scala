@@ -314,6 +314,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2L) == out(3L)) // same distribution, same fold
   }
 
+  test("corpusCard: headline numbers against brute force") {
+    val d = sf("documents")
+    val row = TextOps.corpusCard(spark, d).head()
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("text"),
+        TextOps.tokenCount(col("text")).cast("long"),
+        round(TextOps.qualityScore(col("text")) * 1e6, 0).cast("long"))
+      .collect()
+      .map(r => (r.getString(0).trim.replaceAll("\\s+", " "),
+        r.getLong(1), r.getLong(2)))
+    assert(row.getLong(0) == docs.length.toLong)
+    assert(row.getLong(1) == docs.map(_._2).sum)
+    val distinct = docs.map(_._1).distinct.length
+    assert(row.getLong(2) == distinct.toLong)
+    assert(row.getLong(3) == (docs.length - distinct).toLong)
+    val meanQ = docs.map(x => BigInt(x._3)).sum.toDouble /
+      (docs.length * 1e6)
+    assert(math.abs(row.getDouble(4) - meanQ) < 1e-5)
+    assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0)
+  }
+
   test("dupClusterSizes: histogram identities against brute force") {
     val d = sf("documents")
     val rows = TextOps.dupClusterSizes(spark, d).collect()
