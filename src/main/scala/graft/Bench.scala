@@ -216,12 +216,23 @@ object Bench {
     // fields) also lands in a sidecar file next to the committed
     // BENCH_r*.json history. Best-effort: a read-only cwd must not
     // fail the bench.
-    if (args.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_full_local.json"),
+    if (args.isEmpty) {
+      val sidecar = java.nio.file.Paths.get("BENCH_full_local.json")
+      try java.nio.file.Files.writeString(sidecar,
         fullLine(results, total, calibration, sfDir, stalled, prevCmp)
           + "\n")
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // a stale sidecar from an earlier run must not silently
+          // masquerade as this run's record: remove it and warn.
+          try java.nio.file.Files.deleteIfExists(sidecar)
+          catch { case scala.util.control.NonFatal(_) => () }
+          System.err.println(
+            s"WARN Bench: could not write ${sidecar.toAbsolutePath} " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "stale sidecar removed, stdout line is the only record")
+      }
+    }
     println(out)
     spark.stop()
   }

@@ -143,14 +143,19 @@ object Multimodal {
       * content-hash dedup. */
     def aHash64(content: Array[Byte]): Option[Long] =
       ImageCodec.decode(content).flatMap { img =>
-        val channels = img.colorSpace match {
-          case "DeviceGray" => 1
-          case "DeviceRGB" => 3
-          case _ => 4
+        // explicit whitelist: a color space this hash does not know
+        // (e.g. a future flate-encoded CMYK stream) must be rejected,
+        // not guessed at — a wrong channel count would silently
+        // corrupt the expected-size computation below.
+        val channelsOpt = img.colorSpace match {
+          case "DeviceGray" => Some(1)
+          case "DeviceRGB" => Some(3)
+          case _ => None
         }
-        if (!img.filter.contains("FlateDecode") ||
+        if (channelsOpt.isEmpty || !img.filter.contains("FlateDecode") ||
           img.width < 8 || img.height < 8) None
         else {
+          val channels = channelsOpt.get
           val px = inflateSamples(img.bytes,
             img.width.toLong * img.height * channels)
           if (px.isEmpty) None

@@ -123,15 +123,22 @@ object Maintenance {
           col("n_violations"))
     val pkUnique = row("orders_pk_unique", count(lit(1)),
       count(lit(1)) - count_distinct(col("o_orderkey")), orders)
+    // NULL FK values are the not-null rule's job, not the FK rule's:
+    // restrict both probe and build sides to non-null keys so the
+    // anti-join agrees with SQL NOT IN/NOT EXISTS on dirty data.
     val fkOrdersCust = orders.select(col("o_custkey"))
-      .join(cust.select(col("c_custkey").as("o_custkey")),
+      .where(col("o_custkey").isNotNull)
+      .join(cust.select(col("c_custkey").as("o_custkey"))
+          .where(col("o_custkey").isNotNull),
         Seq("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("nv"))
       .crossJoin(orders.agg(count(lit(1)).as("nc")))
       .select(lit("orders_fk_customer").as("constraint"),
         col("nc").as("n_checked"), col("nv").as("n_violations"))
     val fkLiOrders = li.select(col("l_orderkey"))
-      .join(orders.select(col("o_orderkey").as("l_orderkey")),
+      .where(col("l_orderkey").isNotNull)
+      .join(orders.select(col("o_orderkey").as("l_orderkey"))
+          .where(col("o_orderkey").isNotNull),
         Seq("l_orderkey"), "left_anti")
       .agg(count(lit(1)).as("nv"))
       .crossJoin(li.agg(count(lit(1)).as("nc")))
@@ -156,12 +163,14 @@ object Maintenance {
       |FROM orders
       |UNION ALL
       |SELECT 'orders_fk_customer', (SELECT COUNT(*) FROM orders),
-      |  (SELECT COUNT(*) FROM orders
-      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+      |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
       |UNION ALL
       |SELECT 'lineitem_fk_orders', (SELECT COUNT(*) FROM lineitem),
-      |  (SELECT COUNT(*) FROM lineitem
-      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |  (SELECT COUNT(*) FROM lineitem l
+      |   WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
       |UNION ALL
       |SELECT 'lineitem_qty_positive', COUNT(*),
       |  CAST(SUM(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END)

@@ -143,4 +143,29 @@ class MaintenanceSpec extends SparkTestBase {
     assert(rows("orders_pk_unique") == (51L, 1L))
     assert(rows("orders_fk_customer") == (51L, 1L))
   }
+
+  test("constraintChecks: NULL FK keys are not FK violations") {
+    // A NULL o_custkey is the not-null rule's concern; the FK rule
+    // must skip it — matching the NOT EXISTS oracle, where a NULL
+    // probe row can never correlate. Regression for the anti-join
+    // counting NULL keys as orphans.
+    val d = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-constraints-null").toString
+    for (t <- Seq("customer", "lineitem")) {
+      val src = java.nio.file.Paths.get(s"$d/$t.parquet")
+      val dst = java.nio.file.Paths.get(s"$tmp/$t.parquet")
+      java.nio.file.Files.copy(src, dst)
+    }
+    val orders = graft.Tables.orders(spark, d).limit(50)
+    val nullFk = orders.limit(2).withColumn("o_custkey",
+      lit(null).cast("long"))
+    val orphan = orders.limit(1).withColumn("o_custkey", lit(-1L))
+    orders.unionAll(nullFk).unionAll(orphan).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val rows = Maintenance.constraintChecks(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 53 checked; only the -1 orphan violates FK, the two NULLs don't
+    assert(rows("orders_fk_customer") == (53L, 1L))
+  }
 }

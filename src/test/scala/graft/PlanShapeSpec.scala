@@ -103,13 +103,26 @@ class PlanShapeSpec extends SparkTestBase {
         }
         assert(globals.nonEmpty, s"$name: offset window expected")
         globals.foreach { w =>
-          val overAgg = w.child.collectFirst {
-            case a: org.apache.spark.sql.execution.aggregate
-                .BaseAggregateExec => a
-          }.nonEmpty
-          assert(overAgg,
+          // the aggregate must be the window's DIRECT input (modulo
+          // the sort/exchange/project/codegen plumbing Spark inserts),
+          // not merely present somewhere deeper in the subtree — a
+          // plan ranking raw rows above an unrelated upstream
+          // aggregate must still fail this gate.
+          import org.apache.spark.sql.execution._
+          import org.apache.spark.sql.execution.exchange.Exchange
+          @annotation.tailrec
+          def feedsFromAggregate(p: SparkPlan): Boolean = p match {
+            case _: aggregate.BaseAggregateExec => true
+            case _: SortExec | _: Exchange | _: ProjectExec |
+                _: FilterExec | _: WholeStageCodegenExec |
+                _: InputAdapter | _: CoalesceExec =>
+              feedsFromAggregate(p.children.head)
+            case _ => false
+          }
+          assert(feedsFromAggregate(w.child),
             s"$name: global window over un-aggregated rows — " +
-              "single-partition sort of the full table")
+              "single-partition sort of the full table " +
+              s"(window child: ${w.child.getClass.getSimpleName})")
         }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
