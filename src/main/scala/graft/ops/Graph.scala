@@ -54,6 +54,20 @@ object Graph {
     concat(when(node % 2 === 0, lit("c")).otherwise(lit("s")),
       shiftright(node, 1).cast("string"))
 
+  /** Per-round small-side broadcast gate for the iterative plans: the
+    * rank / frontier / distance tables are fixed-width BIGINT pairs,
+    * so the MEASURED node count bounds their size exactly (~16 bytes
+    * a row). Below the bound the per-round join broadcasts the small
+    * side — a map-side hash join against the pinned, already
+    * src-partitioned edge table, no shuffle and no per-round re-sort
+    * of the edges. Above it (a billion-node graph on a cluster) the
+    * hint is withheld and the join falls back to the co-located
+    * shuffle path. 4M rows * 16 B = 64 MB, comfortable against the
+    * default 1 GiB driver/executor broadcast ceiling. */
+  private val BroadcastNodeBound = 4L * 1000 * 1000
+  private def perRoundSide(df: DataFrame, nNodes: Long): DataFrame =
+    if (nNodes <= BroadcastNodeBound) broadcast(df) else df
+
   /** Memoized materialized trade graph: (edges, degrees, node count).
     * Built once per (appId, dir) and pinned — PageRank joins the edge
     * table every iteration and the degree histogram reads the same
@@ -101,7 +115,8 @@ object Graph {
       // `DIV`, not `/`: Spark's Divide on longs returns DOUBLE, and a
       // double at 1e12 magnitude would drift from the oracle's floor div
       rank = edges
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(perRoundSide(rank.withColumnRenamed("node", "src"), n),
+          "src")
         .select(col("dst"), expr("rank DIV deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("c"))
@@ -208,31 +223,51 @@ object Graph {
     }
   }
 
+  /** Memoized 1-row triangle total over the thresholded co-purchase
+    * graph. The oriented wedge join is by far the most expensive pass
+    * in the supplier-graph family, and BOTH the triangle census and
+    * the clustering coefficient need exactly this scalar — memoizing
+    * it (like the edge list it reads) means one wedge join per
+    * (session, minSupport) no matter how many statistics consume it. */
+  private def triangleScalar(s: SparkSession, d: String,
+      minSupport: Int): DataFrame = {
+    def e = copurchaseEdges(s, d, minSupport)
+    IndexMemo.getOrBuild[DataFrame](
+      "triangleScalar", s"$minSupport", Seq(e)) {
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      // orient low (degree, id) -> high: out-degrees stay O(sqrt(E))
+      val oriented = e
+        .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("lo"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("hi"))
+      val wedges = oriented.select(col("lo").as("x"), col("hi").as("y"))
+        .join(oriented.select(col("lo").as("y"), col("hi").as("z")), "y")
+      val tri = wedges
+        .join(oriented.select(col("lo").as("x"), col("hi").as("z")),
+          Seq("x", "z"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .persist()
+      tri.count()
+      (tri, Seq(tri))
+    }
+  }
+
   def triangleCount(s: SparkSession, d: String,
       minSupport: Int = 7): DataFrame = {
     val e = copurchaseEdges(s, d, minSupport)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-    // orient low (degree, id) -> high: out-degrees stay O(sqrt(E))
-    val oriented = e
-      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("a"))
-          .otherwise(col("b")).as("lo"),
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), col("b"))
-          .otherwise(col("a")).as("hi"))
-    val wedges = oriented.select(col("lo").as("x"), col("hi").as("y"))
-      .join(oriented.select(col("lo").as("y"), col("hi").as("z")), "y")
-    val tri = wedges
-      .join(oriented.select(col("lo").as("x"), col("hi").as("z")),
-        Seq("x", "z"))
-      .agg(count(lit(1)).as("n_triangles"))
     val counts = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-    counts.crossJoin(tri)
+    counts.crossJoin(triangleScalar(s, d, minSupport))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
@@ -265,16 +300,18 @@ object Graph {
     * round's join is co-located — the same reuse discipline as the
     * PageRank iteration above. */
   private[graft] def bfsHopsFrom(edges: DataFrame, source: Long,
-      maxHops: Int): DataFrame = {
+      maxHops: Int, nNodes: Long = Long.MaxValue): DataFrame = {
     val s = edges.sparkSession
     var dist = GraftSession.cut(
       s.range(1).select(lit(source).as("node"), lit(0L).as("hops")))
     var frontier = dist.select(col("node"))
     for (h <- 1 to maxHops) {
       val next = edges
-        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .join(perRoundSide(frontier.withColumnRenamed("node", "src"),
+          nNodes), "src")
         .select(col("dst").as("node")).distinct()
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .join(perRoundSide(dist.select(col("node")), nNodes),
+          Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hops"))
       val cutNext = GraftSession.cut(next)
       // the visited set is a union of ALREADY-CUT frontiers, so its
@@ -295,8 +332,9 @@ object Graph {
     * node — identical min-hop semantics, pure integer arithmetic. */
   def bfsHops(s: SparkSession, d: String, source: Long = 2L,
       maxHops: Int = 4): DataFrame = {
-    val (edges, _, _) = tradeGraph(s, d)
-    bfsHopsFrom(edges.select(col("src"), col("dst")), source, maxHops)
+    val (edges, _, nBox) = tradeGraph(s, d)
+    bfsHopsFrom(edges.select(col("src"), col("dst")), source, maxHops,
+        nBox.longValue())
       .select(nodeLabel(col("node")).as("node"), col("hops"))
       .orderBy(col("hops"), col("node"))
   }
@@ -333,8 +371,7 @@ object Graph {
     * (n_wedges, n_triangles, global_cc). */
   def clusteringCoefficient(s: SparkSession, d: String,
       minSupport: Int = 7): DataFrame = {
-    val tri = triangleCount(s, d, minSupport)
-      .select(col("n_triangles"))
+    val tri = triangleScalar(s, d, minSupport)
     val e = copurchaseEdges(s, d, minSupport)
     val wedges = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
@@ -375,15 +412,40 @@ object Graph {
     * the triangle count tractable — the thresholded graph has no
     * unbounded hubs); intersection and degrees are exact BIGINTs, the
     * score one rounded division, selection a bounded top-k. */
+  /** Memoized common-neighbor wedge pairs over the thresholded
+    * co-purchase graph: one row (x, y, z, dg) per ordered endpoint
+    * pair x < y and shared neighbor z with z's degree — the fan-out
+    * self-join (Σ deg² rows, bounded by the `minSupport` density knob)
+    * that BOTH neighborhood-similarity scores aggregate over. Pinned
+    * once per (session, minSupport) like the edge list itself, so
+    * Jaccard and Adamic-Adar each pay only their own groupBy. */
+  private def sharedWedges(s: SparkSession, d: String,
+      minSupport: Int): DataFrame = {
+    def e = copurchaseEdges(s, d, minSupport)
+    IndexMemo.getOrBuild[DataFrame](
+      "sharedWedges", s"$minSupport", Seq(e)) {
+      val adj = e.select(col("a").as("x"), col("b").as("z"))
+        .unionAll(e.select(col("b").as("x"), col("a").as("z")))
+      val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dg"))
+      val wedges = adj.select(col("x"), col("z"))
+        .join(adj.select(col("x").as("y"), col("z")), "z")
+        .filter(col("x") < col("y"))
+        .join(deg, "z")
+        .select(col("x"), col("y"), col("z"), col("dg"))
+        .persist()
+      wedges.count()
+      (wedges, Seq(wedges))
+    }
+  }
+
   def nodeJaccard(s: SparkSession, d: String, minSupport: Int = 7,
       k: Int = 20): DataFrame = {
     val e = copurchaseEdges(s, d, minSupport)
     val und = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-    val shared = und.select(col("v").as("y"), col("u").as("x"))
-      .join(und.select(col("v").as("y"), col("u").as("z")), "y")
-      .filter(col("x") < col("z"))
+    val shared = sharedWedges(s, d, minSupport)
+      .select(col("x"), col("y").as("z"))
       .groupBy(col("x"), col("z")).agg(count(lit(1)).as("inter"))
     shared
       .join(deg.select(col("u").as("x"), col("dg").as("dx")), "x")
@@ -429,14 +491,7 @@ object Graph {
     * mirroring the oracle's list(... ORDER BY z) fold. */
   def adamicAdar(s: SparkSession, d: String, minSupport: Int = 7,
       k: Int = 20): DataFrame = {
-    val e = copurchaseEdges(s, d, minSupport)
-    val adj = e.select(col("a").as("x"), col("b").as("z"))
-      .unionAll(e.select(col("b").as("x"), col("a").as("z")))
-    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dg"))
-    adj.select(col("x"), col("z"))
-      .join(adj.select(col("x").as("y"), col("z")), "z")
-      .filter(col("x") < col("y"))
-      .join(deg, "z")
+    sharedWedges(s, d, minSupport)
       .select(col("x"), col("y"), col("z"),
         (lit(1.0) / log(col("dg").cast("double"))).as("w"))
       .groupBy(col("x"), col("y"))
@@ -483,7 +538,8 @@ object Graph {
     * ([[personalizedPageRankSql]]). */
   def personalizedPageRank(s: SparkSession, d: String, source: Long = 2L,
       iters: Int = 4, k: Int = 20): DataFrame = {
-    val (edges, _, _) = tradeGraph(s, d)
+    val (edges, _, nBox) = tradeGraph(s, d)
+    val n = nBox.longValue()
     val restart = (15L * RankScale) / 100L
     def restartRow =
       s.range(1).select(lit(source).as("node"), lit(restart).as("rank"))
@@ -491,7 +547,8 @@ object Graph {
       s.range(1).select(lit(source).as("node"), lit(RankScale).as("rank")))
     for (i <- 1 to iters) {
       rank = edges
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(perRoundSide(rank.withColumnRenamed("node", "src"), n),
+          "src")
         .select(col("dst"), expr("rank DIV deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("c"))
@@ -578,22 +635,28 @@ object Graph {
     * PageRank oracle discipline applied to path costs. Emits the
     * nodes reachable within `rounds` edges with their cheapest cost. */
   def ssspCost(s: SparkSession, d: String, source: Long = 2L,
-      rounds: Int = 4): DataFrame =
-    ssspFrom(weightedTradeEdges(s, d), source, rounds)
+      rounds: Int = 4): DataFrame = {
+    // node-count gate reuses the memoized unweighted graph's exact
+    // count (shared with every other trade-graph statistic in a
+    // session) rather than paying a distinct-count on the weighted set
+    val (_, _, nBox) = tradeGraph(s, d)
+    ssspFrom(weightedTradeEdges(s, d), source, rounds, nBox.longValue())
       .select(nodeLabel(col("node")).as("node"), col("cost"))
       .orderBy(col("cost"), col("node"))
+  }
 
   /** Core of [[ssspCost]]: Bellman-Ford over an explicit
     * (src, dst, cost) edge list. */
   private[graft] def ssspFrom(edges: DataFrame, source: Long,
-      rounds: Int): DataFrame = {
+      rounds: Int, nNodes: Long = Long.MaxValue): DataFrame = {
     val s = edges.sparkSession
     var dist = GraftSession.cut(
       s.range(1).select(lit(source).as("node"), lit(0L).as("cost")))
     for (_ <- 1 to rounds) {
       val relaxed = edges
-        .join(dist.select(col("node").as("src"), col("cost").as("dc")),
-          "src")
+        .join(perRoundSide(
+          dist.select(col("node").as("src"), col("cost").as("dc")),
+          nNodes), "src")
         .select(col("dst").as("node"), (col("dc") + col("cost")).as("cost"))
       dist = GraftSession.cut(dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("cost")).as("cost")))
