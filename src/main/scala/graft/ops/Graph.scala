@@ -18,12 +18,16 @@ import graft.{GraftSession, Tables}
   * twins (q71/q86).
   *
   * 100 TB shape: edges are built once (one orders⋈lineitem shuffle +
-  * distinct) and reused across iterations; each iteration is one
-  * shuffle-join on the 16-byte (src, rank) pairs plus a groupBy on dst —
-  * never the raw tables. At cluster scale you would pre-partition `edges`
-  * by src once so every iteration's join is co-located, and checkpoint
-  * the rank table every few rounds to cut the lineage, exactly as
-  * `Dedup.dupClusters` does per pointer-jumping round.
+  * distinct) and reused across iterations — the build's join on src
+  * leaves the pinned table hash-partitioned on src, so each round
+  * moves only the 16-byte (node, rank) pairs plus a groupBy on dst,
+  * never the raw tables. Below a measured node bound the per-round
+  * small side is broadcast outright ([[perRoundSide]]) — a map-side
+  * hash join with no per-round shuffle OR sort of the edge table;
+  * above it the hint is withheld and the co-located shuffle path
+  * takes over. The rank table is checkpointed every few rounds to cut
+  * the lineage, exactly as `Dedup.dupClusters` does per
+  * pointer-jumping round.
   */
 object Graph {
 

@@ -735,4 +735,57 @@ class GraphSpec extends SparkTestBase {
       assert(r.getLong(1) >= 1L)
     }
   }
+
+  test("clusteringCoefficient reuses the memoized triangle scalar: " +
+      "no equi-join in its plan") {
+    val d = sf("lineitem")
+    // triangleCount pays the oriented wedge join once...
+    Graph.triangleCount(spark, d).collect()
+    // ...after which the coefficient reads the pinned 1-row scalar:
+    // its plan is degree aggregation + cross joins of cached scans,
+    // with NO equi-join (a re-run wedge join would reintroduce one).
+    // AQE off while building the inspected plan: the adaptive wrapper
+    // hides its subtree from collect (the PlanShapeSpec device).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Graph.clusteringCoefficient(spark, d).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val equiJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(equiJoins.isEmpty,
+      s"wedge join re-ran: ${equiJoins.map(_.getClass.getSimpleName)}")
+    val cached = plan.collect {
+      case c: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => c
+    }
+    assert(cached.nonEmpty, "memoized scalar not read from cache")
+  }
+
+  test("adamicAdar aggregates the memoized wedge table: no join at all") {
+    val d = sf("lineitem")
+    Graph.nodeJaccard(spark, d).collect() // builds sharedWedges
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Graph.adamicAdar(spark, d).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"wedge fan-out re-ran: ${joins.map(_.getClass.getSimpleName)}")
+  }
+
+  test("jaccard and adamic-adar agree on the shared-neighbor counts") {
+    val d = sf("lineitem")
+    val j = Graph.nodeJaccard(spark, d, k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val aa = Graph.adamicAdar(spark, d, k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(j.keySet == aa.keySet)
+    assert(j.keySet.forall(k => j(k) == aa(k)),
+      "n_shared diverged between the two consumers of sharedWedges")
+  }
 }
