@@ -600,6 +600,15 @@ object SparkEntry {
       graft.ops.Temporal.priorityMixByMonth(s, d)),
     // the corpus datasheet: docs/tokens/dups/mean quality in one row
     "q200_corpus_card" -> ((s, d) => graft.ops.TextOps.corpusCard(s, d)),
+    // degree-degree Pearson over the co-purchase adjacency
+    "q201_assortativity" -> ((s, d) => graft.ops.Graph.assortativity(s, d)),
+    // fixed-round k-core peeling census
+    "q202_kcore" -> ((s, d) => graft.ops.Graph.kCore(s, d)),
+    // per-node clustering coefficient top-k (closed wedges per vertex)
+    "q203_local_cc" -> ((s, d) => graft.ops.Graph.localClustering(s, d)),
+    // bounded-radius harmonic centrality of one source
+    "q204_harmonic" -> ((s, d) =>
+      graft.ops.Graph.harmonicCentrality(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1939,6 +1948,10 @@ object SparkEntry {
     "q198_cluster_sizes" -> graft.ops.TextOps.dupClusterSizesSql,
     "q199_priority_mix" -> graft.ops.Temporal.priorityMixByMonthSql,
     "q200_corpus_card" -> graft.ops.TextOps.corpusCardSql,
+    "q201_assortativity" -> graft.ops.Graph.assortativitySql(),
+    "q202_kcore" -> graft.ops.Graph.kCoreSql(),
+    "q203_local_cc" -> graft.ops.Graph.localClusteringSql(),
+    "q204_harmonic" -> graft.ops.Graph.harmonicCentralitySql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -334,14 +334,26 @@ object Graph {
     * component operators lack. Oracled by a DuckDB recursive CTE
     * ([[bfsHopsSql]]): UNION-deduped (node, hops) walk states, MIN per
     * node — identical min-hop semantics, pure integer arithmetic. */
+  /** Memoized BFS distance table over the trade graph: the hop census
+    * is consumed by both the k-hop listing ([[bfsHops]]) and the
+    * harmonic centrality — one traversal per (session, source,
+    * radius), pinned like the graph it walks. */
+  private def bfsDist(s: SparkSession, d: String, source: Long,
+      maxHops: Int): DataFrame =
+    IndexMemo.getOrBuild[DataFrame]("bfsDist", s"$source#$maxHops",
+      Seq(tradeEdges(s, d))) {
+      val (edges, _, nBox) = tradeGraph(s, d)
+      val dist = bfsHopsFrom(edges.select(col("src"), col("dst")),
+        source, maxHops, nBox.longValue()).persist()
+      dist.count()
+      (dist, Seq(dist))
+    }
+
   def bfsHops(s: SparkSession, d: String, source: Long = 2L,
-      maxHops: Int = 4): DataFrame = {
-    val (edges, _, nBox) = tradeGraph(s, d)
-    bfsHopsFrom(edges.select(col("src"), col("dst")), source, maxHops,
-        nBox.longValue())
+      maxHops: Int = 4): DataFrame =
+    bfsDist(s, d, source, maxHops)
       .select(nodeLabel(col("node")).as("node"), col("hops"))
       .orderBy(col("hops"), col("node"))
-  }
 
   /** DuckDB oracle for [[bfsHops]]. */
   def bfsHopsSql(source: Long = 2L, maxHops: Int = 4): String =
@@ -407,15 +419,6 @@ object Graph {
        |    / CAST(n_wedges AS DOUBLE), 6) AS global_cc
        |FROM w, tri""".stripMargin
 
-  /** Link prediction by NEIGHBORHOOD JACCARD: the top supplier pairs
-    * by |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over the thresholded
-    * co-purchase graph — "suppliers that serve the same peer group",
-    * whether or not they trade directly. Shared neighbors come from
-    * one wedge self-join through the common endpoint (fan-out is
-    * Σ deg², bounded by the same `minSupport` density knob that keeps
-    * the triangle count tractable — the thresholded graph has no
-    * unbounded hubs); intersection and degrees are exact BIGINTs, the
-    * score one rounded division, selection a bounded top-k. */
   /** Memoized common-neighbor wedge pairs over the thresholded
     * co-purchase graph: one row (x, y, z, dg) per ordered endpoint
     * pair x < y and shared neighbor z with z's degree — the fan-out
@@ -442,6 +445,13 @@ object Graph {
     }
   }
 
+  /** Link prediction by NEIGHBORHOOD JACCARD: the top supplier pairs
+    * by |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over the thresholded
+    * co-purchase graph — "suppliers that serve the same peer group",
+    * whether or not they trade directly. Shared-neighbor counts come
+    * from one groupBy over the memoized [[sharedWedges]] fan-out;
+    * intersection and degrees are exact BIGINTs, the score one
+    * rounded division, selection a bounded top-k. */
   def nodeJaccard(s: SparkSession, d: String, minSupport: Int = 7,
       k: Int = 20): DataFrame = {
     val e = copurchaseEdges(s, d, minSupport)
@@ -710,4 +720,223 @@ object Graph {
         .as("side"), col("deg"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("side"), col("deg"))
+
+  /** Degree assortativity of the bipartite trade graph: Pearson
+    * correlation between the endpoint degrees over every DIRECTED
+    * edge — positive means hubs trade alongside hubs (assortative
+    * mixing), negative means hub-and-spoke, the expected sign for a
+    * customer–supplier graph where few suppliers serve many
+    * one-supplier customers. (The co-purchase graph is deliberately
+    * NOT used: at small SFs every supplier pair co-orders, the graph
+    * is complete-regular, and the coefficient degenerates to NULL.)
+    * All sums are exact in DECIMAL(38,0)/HUGEINT (the q163/q167
+    * device; n·deg⁴ stays far under 1e38 at any gate SF), the
+    * coefficient one rounded division. Reads the memoized trade
+    * graph, whose pinned edges already carry the src degree — the
+    * only new work is one dst-degree join + one agg. */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (edges, deg, _) = tradeGraph(s, d)
+    val pairs = edges
+      .select(col("src"), col("dst"), col("deg").as("du"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dv")), "dst")
+    val st = pairs.agg(count(lit(1)).as("n"),
+      sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+      sum(col("du").cast(dec) * col("dv")).as("sxy"),
+      sum(col("du").cast(dec) * col("du")).as("sxx"),
+      sum(col("dv").cast(dec) * col("dv")).as("syy"))
+    st.select(col("n").as("n_dir_edges"),
+      round((col("n").cast(dec) * col("sxy")
+          - col("sx").cast(dec) * col("sy")).cast("double")
+        / nullif(
+          sqrt((col("n").cast(dec) * col("sxx")
+            - col("sx").cast(dec) * col("sx")).cast("double"))
+          * sqrt((col("n").cast(dec) * col("syy")
+            - col("sy").cast(dec) * col("sy")).cast("double")),
+          lit(0.0)), 6).as("assortativity"))
+  }
+
+  /** DuckDB oracle for [[assortativity]]. */
+  def assortativitySql(): String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cnode,
+       |         l_suppkey * 2 + 1 AS snode
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL SELECT snode AS src, cnode AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src),
+       |p AS (SELECT d1.dg AS du, d2.dg AS dv FROM edges
+       |      JOIN deg d1 ON d1.src = edges.src
+       |      JOIN deg d2 ON d2.src = edges.dst),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(du) AS BIGINT) AS sx,
+       |    CAST(SUM(dv) AS BIGINT) AS sy,
+       |    SUM(CAST(du AS HUGEINT) * dv) AS sxy,
+       |    SUM(CAST(du AS HUGEINT) * du) AS sxx,
+       |    SUM(CAST(dv AS HUGEINT) * dv) AS syy
+       |  FROM p)
+       |SELECT n AS n_dir_edges,
+       |  round(CAST(CAST(n AS HUGEINT) * sxy
+       |      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |    / nullif(sqrt(CAST(CAST(n AS HUGEINT) * sxx
+       |        - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+       |      * sqrt(CAST(CAST(n AS HUGEINT) * syy
+       |        - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 0.0), 6)
+       |    AS assortativity
+       |FROM st""".stripMargin
+
+  /** Fixed-round k-core peeling of the thresholded co-purchase graph:
+    * `rounds` synchronous passes each dropping nodes of degree <
+    * `kDeg` (and their incident edges), emitting the surviving
+    * (nodes, edges). The classic dense-subgraph census — with enough
+    * rounds this converges to the true k-core; the FIXED round count
+    * keeps it exactly oracle-able (unrolled CTE chain), the same
+    * trade as the PageRank iteration. Each round is one
+    * map-side-combined degree agg plus two semi-joins on BIGINT ids
+    * against a frontier-sized keep set, lineage-cut per round. */
+  def kCore(s: SparkSession, d: String, kDeg: Int = 4,
+      rounds: Int = 5, minSupport: Int = 7): DataFrame = {
+    val e0 = copurchaseEdges(s, d, minSupport)
+    var und = GraftSession.cut(
+      e0.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e0.select(col("b").as("u"), col("a").as("v"))))
+    for (i <- 1 to rounds) {
+      val keep = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= kDeg).select(col("u"))
+      // per-round cut (unlike PageRank's every-2nd-round cadence):
+      // keep is referenced twice, so an uncut und would be recomputed
+      // under each semi-join build — materializing first keeps the
+      // peels single-pass. The node-sized keep set is left to AQE's
+      // runtime broadcast conversion (measured no better with an
+      // explicit gated hint).
+      und = GraftSession.cut(und
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")))
+    }
+    und.agg(count_distinct(col("u")).as("n_core_nodes"),
+      expr("COUNT(*) DIV 2").as("n_core_edges"))
+  }
+
+  /** DuckDB oracle for [[kCore]]: the same peeling rounds unrolled.
+    * Every per-round CTE is MATERIALIZED — each a$i references
+    * a${i-1} three times (directly plus twice through k$i), so
+    * DuckDB's default CTE inlining would re-evaluate the base
+    * self-join 3^rounds times and spill. */
+  def kCoreSql(kDeg: Int = 4, rounds: Int = 5,
+      minSupport: Int = 7): String = {
+    val head =
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |      AND a.l_suppkey < b.l_suppkey
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+         |a0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+         |       UNION ALL SELECT b, a FROM e)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT u FROM a${i - 1} GROUP BY u
+         |  HAVING COUNT(*) >= $kDeg),
+         |a$i AS MATERIALIZED (SELECT u, v FROM a${i - 1}
+         |  WHERE u IN (SELECT u FROM k$i)
+         |  AND v IN (SELECT u FROM k$i))""".stripMargin
+    }
+    val tail =
+      s"""SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_core_nodes,
+         |  COUNT(*) // 2 AS n_core_edges
+         |FROM a$rounds""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** Per-node (local) clustering coefficient, top-`k`: for each
+    * supplier, the fraction of its neighbor pairs that are themselves
+    * connected — 2·tri(v) / (deg·(deg−1)). Triangles-at-v come from
+    * closing the memoized [[sharedWedges]] fan-out against the edge
+    * list with ONE semi-join (a wedge (x, y | z) is a triangle at z
+    * iff (x, y) is an edge, and each triangle closes exactly one
+    * wedge per vertex), so the per-node census costs one join + two
+    * aggs over already-pinned tables. Counts and degrees exact
+    * BIGINTs; the coefficient one rounded division; bounded top-k. */
+  def localClustering(s: SparkSession, d: String, minSupport: Int = 7,
+      k: Int = 20): DataFrame = {
+    val e = copurchaseEdges(s, d, minSupport)
+    val triAtZ = sharedWedges(s, d, minSupport)
+      .join(e.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_semi")
+      .groupBy(col("z")).agg(count(lit(1)).as("tri"))
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    adj.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= 2)
+      .join(triAtZ.select(col("z").as("u"), col("tri")), Seq("u"), "left")
+      .select(col("u").as("supplier"), col("degree"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        round(lit(2.0) * coalesce(col("tri"), lit(0L)).cast("double")
+          / (col("degree") * (col("degree") - 1L)).cast("double"), 6)
+          .as("local_cc"))
+      .orderBy(col("local_cc").desc, col("supplier"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[localClustering]]. */
+  def localClusteringSql(minSupport: Int = 7, k: Int = 20): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |      AND a.l_suppkey < b.l_suppkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |adj AS (SELECT a AS x, b AS z FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |w AS (SELECT a1.x AS x, a2.x AS y, a1.z AS z FROM adj a1
+       |      JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x),
+       |c AS (SELECT w.z, COUNT(*) AS tri FROM w
+       |      JOIN e ON e.a = w.x AND e.b = w.y GROUP BY w.z),
+       |deg AS (SELECT x AS u, COUNT(*) AS degree FROM adj GROUP BY x)
+       |SELECT deg.u AS supplier, degree,
+       |  COALESCE(tri, 0) AS tri,
+       |  round(2.0 * CAST(COALESCE(tri, 0) AS DOUBLE)
+       |    / CAST(degree * (degree - 1) AS DOUBLE), 6) AS local_cc
+       |FROM deg LEFT JOIN c ON c.z = deg.u
+       |WHERE degree >= 2
+       |ORDER BY local_cc DESC, supplier LIMIT $k""".stripMargin
+
+  /** Harmonic centrality of one source over the trade graph: Σ 1/d(s,v)
+    * for every node within `maxHops` — the bounded-radius centrality
+    * that, unlike closeness, is defined on disconnected graphs. Rides
+    * the SAME level-synchronous BFS as [[bfsHops]]; the reciprocal sum
+    * runs in exact integers scaled by lcm(1..4) = 12 (`12 DIV h` is
+    * exact for every h ≤ 4), so the only float op is one final rounded
+    * division — no data-dependent double summation order. */
+  def harmonicCentrality(s: SparkSession, d: String, source: Long = 2L,
+      maxHops: Int = 4): DataFrame = {
+    require(maxHops <= 4, "12 DIV h is exact only for h <= 4")
+    bfsDist(s, d, source, maxHops)
+      .filter(col("hops") > 0)
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("12 DIV hops")).as("x12"))
+      .select(col("n_reached"),
+        round(col("x12").cast("double") / 12.0, 6).as("harmonic"))
+  }
+
+  /** DuckDB oracle for [[harmonicCentrality]]: the [[bfsHopsSql]]
+    * recursive walk with the same scaled-integer reciprocal sum. */
+  def harmonicCentralitySql(source: Long = 2L,
+      maxHops: Int = 4): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cnode,
+       |         l_suppkey * 2 + 1 AS snode
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL SELECT snode AS src, cnode AS dst FROM pairs),
+       |walk(node, hops) AS (
+       |  SELECT CAST($source AS BIGINT) AS node, 0 AS hops
+       |  UNION
+       |  SELECT e.dst, w.hops + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.hops < $maxHops),
+       |m AS (SELECT node, MIN(hops) AS mh FROM walk GROUP BY node)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  round(CAST(SUM(12 // mh) AS DOUBLE) / 12.0, 6) AS harmonic
+       |FROM m WHERE mh > 0""".stripMargin
 }

@@ -778,6 +778,112 @@ class GraphSpec extends SparkTestBase {
       s"wedge fan-out re-ran: ${joins.map(_.getClass.getSimpleName)}")
   }
 
+  /** Driver-side support-7 co-purchase edge set (a < b), the brute
+    * twin of Graph.copurchaseEdges for small-SF comparisons. */
+  private def bruteCopurchaseEdges(d: String): Set[(Long, Long)] = {
+    val li: Seq[(Long, Long)] = graft.Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    li.groupBy(_._1).values.toSeq
+      .flatMap { g =>
+        val ss = g.map(_._2)
+        for (a <- ss; b <- ss; if a < b) yield (a, b)
+      }
+      // NOT `.collect { case (e, v) if ... => e }`: a Map.collect whose
+      // pf yields a TUPLE rebuilds a Map keyed by e._1, silently
+      // collapsing the edge set to one edge per left endpoint
+      .groupBy(identity).filter { case (_, v) => v.size >= 7 }
+      .keySet.toSet
+  }
+
+  test("assortativity matches brute-force Pearson over trade edges") {
+    val d = sf("orders")
+    val row = Graph.assortativity(spark, d).head()
+    val nDir = row.getLong(0)
+    val r = row.getDouble(1)
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"r out of range: $r")
+    // a bipartite customer–supplier graph is hub-and-spoke: few
+    // suppliers serve many low-degree customers, so mixing must be
+    // DISassortative
+    assert(r < 0.0, s"expected negative assortativity, got $r")
+    // brute force over the collected edge list
+    val pairs = graft.Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.lineitem(spark, d)
+        .select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().as[(Long, Long)].collect().toSeq
+    val dirEdges = pairs.flatMap(p => Seq(p, p.swap))
+    assert(nDir == dirEdges.size.toLong)
+    val deg = dirEdges.groupBy(_._1).map { case (n, v) => n -> v.size }
+    val xs = dirEdges.map { case (u, v) =>
+      (deg(u).toDouble, deg(v).toDouble)
+    }
+    val n = xs.size.toDouble
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map(t => t._1 * t._2).sum
+    val sxx = xs.map(t => t._1 * t._1).sum
+    val syy = xs.map(t => t._2 * t._2).sum
+    val brute = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(r - brute) < 1e-5, s"$r vs brute $brute")
+  }
+
+  test("kCore matches a brute-force converged peel on the small graph") {
+    val d = sf("lineitem")
+    // enough rounds to converge at this SF, so the fixed-round census
+    // equals the true 4-core a driver-side peel computes
+    val row = Graph.kCore(spark, d, kDeg = 4, rounds = 8).head()
+    val edges = bruteCopurchaseEdges(d)
+    var core = edges
+    var changed = true
+    while (changed) {
+      val deg = core.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, v) => n -> v.size }
+      val keep = deg.collect { case (n, dg) if dg >= 4 => n }.toSet
+      val next = core.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != core.size
+      core = next
+    }
+    val nodes = core.flatMap(e => Seq(e._1, e._2))
+    assert(row.getLong(0) == nodes.size.toLong,
+      s"core nodes ${row.getLong(0)} != brute ${nodes.size}")
+    assert(row.getLong(1) == core.size.toLong,
+      s"core edges ${row.getLong(1)} != brute ${core.size}")
+  }
+
+  test("localClustering matches brute force and stays in [0, 1]") {
+    val d = sf("lineitem")
+    val got = Graph.localClustering(spark, d, k = 1000000).collect()
+    val edges = bruteCopurchaseEdges(d)
+    val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).toSet }
+    got.foreach { r =>
+      val (v, dg, tri, cc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(cc >= 0.0 && cc <= 1.0 + 1e-9)
+      val nv = nbrs(v)
+      assert(dg == nv.size.toLong)
+      val bruteTri = nv.toSeq.combinations(2).count {
+        case Seq(a, b) =>
+          edges(if (a < b) (a, b) else (b, a))
+        case _ => false
+      }
+      assert(tri == bruteTri.toLong, s"node $v: $tri != $bruteTri")
+    }
+  }
+
+  test("harmonicCentrality equals the reciprocal fold of bfsHops") {
+    val d = sf("orders")
+    val hops = Graph.bfsHops(spark, d).collect()
+      .map(r => r.getLong(1)).filter(_ > 0)
+    val row = Graph.harmonicCentrality(spark, d).head()
+    assert(row.getLong(0) == hops.length.toLong)
+    val x12 = hops.map(h => 12L / h).sum
+    assert(math.abs(row.getDouble(1) - x12.toDouble / 12.0) < 1e-6)
+  }
+
   test("jaccard and adamic-adar agree on the shared-neighbor counts") {
     val d = sf("lineitem")
     val j = Graph.nodeJaccard(spark, d, k = 1000000).collect()
