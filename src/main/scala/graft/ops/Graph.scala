@@ -801,18 +801,25 @@ object Graph {
     var und = GraftSession.cut(
       e0.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e0.select(col("b").as("u"), col("a").as("v"))))
+    // one count on the already-materialized cut bounds every round's
+    // build side: und only shrinks while peeling
+    val n0 = und.count()
     for (i <- 1 to rounds) {
-      val keep = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-        .filter(col("dg") >= kDeg).select(col("u"))
+      // peel by the BAD set (deg < k), not the keep set: after the
+      // first round only the fringe gets removed, so the anti-join
+      // build side is a handful of ids — broadcast under the same
+      // measured-bound gate as the rank/frontier tables — where the
+      // keep set stays node-sized
+      val bad = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") < kDeg).select(col("u"))
       // per-round cut (unlike PageRank's every-2nd-round cadence):
-      // keep is referenced twice, so an uncut und would be recomputed
-      // under each semi-join build — materializing first keeps the
-      // peels single-pass. The node-sized keep set is left to AQE's
-      // runtime broadcast conversion (measured no better with an
-      // explicit gated hint).
+      // bad is referenced twice, so an uncut und would be recomputed
+      // under each anti-join build — materializing first keeps the
+      // peels single-pass
       und = GraftSession.cut(und
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .join(perRoundSide(bad, n0), Seq("u"), "left_anti")
+        .join(perRoundSide(bad.select(col("u").as("v")), n0), Seq("v"),
+          "left_anti")
         .select(col("u"), col("v")))
     }
     und.agg(count_distinct(col("u")).as("n_core_nodes"),
