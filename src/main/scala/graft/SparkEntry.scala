@@ -609,6 +609,13 @@ object SparkEntry {
     // bounded-radius harmonic centrality of one source
     "q204_harmonic" -> ((s, d) =>
       graft.ops.Graph.harmonicCentrality(s, d)),
+    // k-anonymity release gate over the (nation, segment) QI
+    "q205_k_anonymity" -> ((s, d) => graft.ops.Curation.kAnonymity(s, d)),
+    // l-diversity of the sensitive balance bucket within QI groups
+    "q206_l_diversity" -> ((s, d) => graft.ops.Curation.lDiversity(s, d)),
+    // Flesch-style readability decade-band census
+    "q207_readability" -> ((s, d) =>
+      graft.ops.TextOps.readabilityBands(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1952,6 +1959,9 @@ object SparkEntry {
     "q202_kcore" -> graft.ops.Graph.kCoreSql(),
     "q203_local_cc" -> graft.ops.Graph.localClusteringSql(),
     "q204_harmonic" -> graft.ops.Graph.harmonicCentralitySql(),
+    "q205_k_anonymity" -> graft.ops.Curation.kAnonymitySql(),
+    "q206_l_diversity" -> graft.ops.Curation.lDiversitySql(),
+    "q207_readability" -> graft.ops.TextOps.readabilityBandsSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

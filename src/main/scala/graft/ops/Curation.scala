@@ -1102,4 +1102,70 @@ object Curation {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** k-anonymity audit over the (nation, market-segment)
+    * quasi-identifier: the single number k (the smallest group any
+    * record hides in), the group census, and the re-identification
+    * exposure — rows in groups smaller than `kMin`. The release gate
+    * a curation pipeline runs before publishing joined metadata. One
+    * map-side-combined groupBy (QI-cardinality rows, never the
+    * table) plus a 1-row agg; all counts exact BIGINTs, the exposure
+    * share one rounded division. */
+  def kAnonymity(s: SparkSession, d: String, kMin: Int = 5): DataFrame = {
+    val groups = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("gsz"))
+    groups.agg(count(lit(1)).as("n_groups"),
+        min(col("gsz")).as("k_anonymity"),
+        sum(col("gsz")).as("n_rows"),
+        coalesce(sum(when(col("gsz") < kMin, col("gsz"))), lit(0L))
+          .as("rows_at_risk"))
+      .select(col("n_groups"), col("k_anonymity"),
+        col("rows_at_risk"),
+        round(col("rows_at_risk").cast("double")
+          / col("n_rows").cast("double"), 6).as("risk_share"))
+  }
+
+  /** DuckDB oracle for [[kAnonymity]]. */
+  def kAnonymitySql(kMin: Int = 5): String =
+    s"""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS gsz
+       |           FROM customer GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(MIN(gsz) AS BIGINT) AS k_anonymity,
+       |  CAST(COALESCE(SUM(CASE WHEN gsz < $kMin THEN gsz END), 0)
+       |    AS BIGINT) AS rows_at_risk,
+       |  round(CAST(COALESCE(SUM(CASE WHEN gsz < $kMin THEN gsz END), 0)
+       |      AS DOUBLE) / CAST(SUM(gsz) AS DOUBLE), 6) AS risk_share
+       |FROM g""".stripMargin
+
+  /** l-diversity audit over the same quasi-identifier: within each
+    * (nation, segment) group, how many DISTINCT sensitive values
+    * (account-balance kilobuckets) appear — a group can be large yet
+    * still leak if everyone in it shares one sensitive value. Emits
+    * the worst group's l and the count of groups below `lMin`.
+    * Two-level aggregation over (QI, bucket) pairs — distinct-sized,
+    * never the table — all exact integers. */
+  def lDiversity(s: SparkSession, d: String, lMin: Int = 3): DataFrame = {
+    val perGroup = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("sens"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count_distinct(col("sens")).as("l"))
+    perGroup.agg(count(lit(1)).as("n_groups"),
+      min(col("l")).as("l_diversity"),
+      coalesce(sum(when(col("l") < lMin, 1L)), lit(0L))
+        .as("groups_below_l"))
+  }
+
+  /** DuckDB oracle for [[lDiversity]]. */
+  def lDiversitySql(lMin: Int = 3): String =
+    s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+       |    COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+       |      AS l
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(MIN(l) AS BIGINT) AS l_diversity,
+       |  CAST(COALESCE(SUM(CASE WHEN l < $lMin THEN 1 END), 0)
+       |    AS BIGINT) AS groups_below_l
+       |FROM g""".stripMargin
 }

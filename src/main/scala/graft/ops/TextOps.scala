@@ -1409,4 +1409,48 @@ object TextOps {
        |    (acc, x) -> acc + x), 6) AS jsd_nats
        |FROM terms CROSS JOIN tot
        |GROUP BY vocab, na, nb""".stripMargin
+
+  /** Readability-band census: a Flesch-style reading-ease score per
+    * document from three regexp counts — words (`[^ ]+`), sentence
+    * marks (`[.!?]`, floored at 1) and a vowel-group syllable proxy
+    * (`[aeiouyAEIOUY]+`, floored at 1) — bucketed into decade bands.
+    * The per-row score is one fixed-shape double expression over
+    * three exact INTs (identical IEEE evaluation in both engines, the
+    * q33/q145 device), so the floor'd band is exact; the census is a
+    * map-side-combined groupBy over band ids only. Quality screens
+    * use the band histogram to spot boilerplate (very high ease) and
+    * OCR noise (very low) without reading a single document. */
+  def readabilityBands(s: SparkSession, d: String): DataFrame = {
+    val words = regexp_count(col("text"), lit("[^ ]+"))
+    val w = words.cast("double")
+    val sent = greatest(regexp_count(col("text"), lit("[.!?]")), lit(1))
+      .cast("double")
+    val syl = greatest(
+      regexp_count(col("text"), lit("[aeiouyAEIOUY]+")), lit(1))
+      .cast("double")
+    val score =
+      lit(206.835) - lit(1.015) * (w / sent) - lit(84.6) * (syl / w)
+    graft.Tables.documents(s, d)
+      .filter(words > 0)
+      .select(least(greatest(floor(score / 10.0), lit(-30.0)),
+        lit(20.0)).cast("long").as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("band"))
+  }
+
+  /** DuckDB oracle for [[readabilityBands]]. */
+  def readabilityBandsSql: String =
+    """WITH t AS (SELECT
+      |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS w,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+      |      AS DOUBLE) AS s,
+      |    CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')),
+      |      1) AS DOUBLE) AS sy
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(text, '[^ ]+')) > 0)
+      |SELECT CAST(least(greatest(floor(
+      |    (206.835 - 1.015 * (w / s) - 84.6 * (sy / w)) / 10.0),
+      |    -30.0), 20.0) AS BIGINT) AS band,
+      |  COUNT(*) AS n_docs
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 }

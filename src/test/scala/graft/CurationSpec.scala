@@ -526,4 +526,57 @@ class CurationSpec extends SparkTestBase {
       out(0).getDouble(2) == 1.0)
     graft.ops.Dedup.clearLshCache()
   }
+
+  test("kAnonymity matches a brute-force group census") {
+    val d = sf("customer")
+    val row = Curation.kAnonymity(spark, d).head()
+    val rows = graft.Tables.customer(spark, d)
+      .select($"c_nationkey".cast("long"), $"c_mktsegment")
+      .as[(Long, String)].collect().toSeq
+    val sizes = rows.groupBy(identity).values.map(_.size).toSeq
+    assert(row.getLong(0) == sizes.size.toLong)          // n_groups
+    assert(row.getLong(1) == sizes.min.toLong)           // k
+    val atRisk = sizes.filter(_ < 5).sum
+    assert(row.getLong(2) == atRisk.toLong)              // rows_at_risk
+    assert(math.abs(row.getDouble(3)
+      - atRisk.toDouble / rows.size) < 1e-6)             // risk_share
+  }
+
+  test("lDiversity matches a brute-force distinct-sensitive census") {
+    val d = sf("customer")
+    val row = Curation.lDiversity(spark, d).head()
+    val rows = graft.Tables.customer(spark, d)
+      .select($"c_nationkey".cast("long"), $"c_mktsegment", $"c_acctbal")
+      .as[(Long, String, Double)].collect().toSeq
+    val ls = rows.groupBy(r => (r._1, r._2)).values
+      .map(_.map(r => math.floor(r._3 / 1000.0).toLong).toSet.size)
+      .toSeq
+    assert(row.getLong(0) == ls.size.toLong)
+    assert(row.getLong(1) == ls.min.toLong)
+    assert(row.getLong(2) == ls.count(_ < 3).toLong)
+  }
+
+  test("readabilityBands: bands partition the docs, brute per-doc score") {
+    val d = sf("documents")
+    val got = graft.ops.TextOps.readabilityBands(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = graft.Tables.documents(spark, d)
+      .select($"text").as[String].collect().toSeq
+    def cnt(t: String, re: String): Int =
+      re.r.findAllMatchIn(t).length
+    val brute = texts.flatMap { t =>
+      val w = cnt(t, "[^ ]+")
+      if (w == 0) None
+      else {
+        val s = math.max(cnt(t, "[.!?]"), 1)
+        val sy = math.max(cnt(t, "[aeiouyAEIOUY]+"), 1)
+        val score = 206.835 - 1.015 * (w.toDouble / s) -
+          84.6 * (sy.toDouble / w)
+        Some(math.min(math.max(math.floor(score / 10.0), -30.0), 20.0)
+          .toLong)
+      }
+    }.groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    assert(got == brute)
+    assert(got.values.sum == texts.count(t => cnt(t, "[^ ]+") > 0).toLong)
+  }
 }
