@@ -616,6 +616,9 @@ object SparkEntry {
     // Flesch-style readability decade-band census
     "q207_readability" -> ((s, d) =>
       graft.ops.TextOps.readabilityBands(s, d)),
+    // reproducible md5-nibble train/val/test split manifest
+    "q208_split_manifest" -> ((s, d) =>
+      graft.ops.Curation.splitManifest(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1962,6 +1965,7 @@ object SparkEntry {
     "q205_k_anonymity" -> graft.ops.Curation.kAnonymitySql(),
     "q206_l_diversity" -> graft.ops.Curation.lDiversitySql(),
     "q207_readability" -> graft.ops.TextOps.readabilityBandsSql,
+    "q208_split_manifest" -> graft.ops.Curation.splitManifestSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -1157,6 +1157,40 @@ object Curation {
         .as("groups_below_l"))
   }
 
+  /** Deterministic train/val/test split manifest: every document is
+    * assigned by its md5 first nibble (0-d train ≈ 87.5%, e val,
+    * f test ≈ 6.25% each) — the [[hashKeep]] coin widened to a
+    * 3-way partition, so the split is reproducible across runs,
+    * engines and re-shards, needs no stored assignment table, and
+    * any two documents land independently. Emits per-split doc and
+    * whitespace-token counts — the manifest a training run records
+    * before it starts. Map-side: one md5 + one regexp count per row,
+    * then a 3-group agg. */
+  def splitManifest(s: SparkSession, d: String): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables.documents(s, d)
+      .select(
+        when(nib === "f", lit("test"))
+          .when(nib === "e", lit("val"))
+          .otherwise(lit("train")).as("split"),
+        TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB oracle for [[splitManifest]]. */
+  def splitManifestSql: String =
+    """WITH t AS (SELECT
+      |    CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |      WHEN 'f' THEN 'test' WHEN 'e' THEN 'val'
+      |      ELSE 'train' END AS split,
+      |    len(regexp_extract_all(text, '[^ ]+')) AS toks
+      |  FROM documents)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+      |FROM t GROUP BY split ORDER BY split""".stripMargin
+
   /** DuckDB oracle for [[lDiversity]]. */
   def lDiversitySql(lMin: Int = 3): String =
     s"""WITH g AS (SELECT c_nationkey, c_mktsegment,

@@ -556,6 +556,21 @@ class CurationSpec extends SparkTestBase {
     assert(row.getLong(2) == ls.count(_ < 3).toLong)
   }
 
+  test("splitManifest: md5-nibble splits partition all docs, ~87/6/6") {
+    val d = sf("documents")
+    val rows = Curation.splitManifest(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    val total = graft.Tables.documents(spark, d).count()
+    assert(rows.values.map(_._1).sum == total)
+    // determinism: the same doc lands in the same split on re-run
+    val again = Curation.splitManifest(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == again)
+    // the train share must dominate (14/16 of the nibble space)
+    assert(rows("train")._1 > rows("val")._1 + rows("test")._1)
+  }
+
   test("readabilityBands: bands partition the docs, brute per-doc score") {
     val d = sf("documents")
     val got = graft.ops.TextOps.readabilityBands(spark, d).collect()
