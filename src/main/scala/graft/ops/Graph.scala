@@ -309,7 +309,9 @@ object Graph {
     var dist = GraftSession.cut(
       s.range(1).select(lit(source).as("node"), lit(0L).as("hops")))
     var frontier = dist.select(col("node"))
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       val next = edges
         .join(perRoundSide(frontier.withColumnRenamed("node", "src"),
           nNodes), "src")
@@ -318,12 +320,21 @@ object Graph {
           Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hops"))
       val cutNext = GraftSession.cut(next)
-      // the visited set is a union of ALREADY-CUT frontiers, so its
-      // plan is a stack of cached scans — no per-round re-materialize;
-      // cut only every 4th round to bound plan depth on deep walks
-      dist = dist.unionAll(cutNext)
-      if (h % 4 == 0 && h < maxHops) dist = GraftSession.cut(dist)
-      frontier = cutNext.select(col("node"))
+      // an empty frontier ends the walk: every later round expands
+      // nothing, so stopping here is result-identical to running out
+      // the remaining hops — on a small-diameter graph this bounds
+      // the traversal by the ACTUAL eccentricity, not the radius knob
+      if (cutNext.isEmpty) {
+        exhausted = true
+      } else {
+        // the visited set is a union of ALREADY-CUT frontiers, so its
+        // plan is a stack of cached scans — no per-round re-materialize;
+        // cut only every 4th round to bound plan depth on deep walks
+        dist = dist.unionAll(cutNext)
+        if (h % 4 == 0 && h < maxHops) dist = GraftSession.cut(dist)
+        frontier = cutNext.select(col("node"))
+        h += 1
+      }
     }
     dist
   }
@@ -666,7 +677,22 @@ object Graph {
     val s = edges.sparkSession
     var dist = GraftSession.cut(
       s.range(1).select(lit(source).as("node"), lit(0L).as("cost")))
-    for (_ <- 1 to rounds) {
+    // exact fixpoint witness over the already-materialized dist: the
+    // reach count only grows and min-plus costs only shrink, so an
+    // unchanged (count, sum(cost)) pair PROVES the round was the
+    // identity — and Bellman-Ford at a fixed point stays there, so
+    // skipping the remaining rounds returns exactly what the full
+    // fixed-round unroll (and the oracle CTE chain) computes. The
+    // witness is one scan of a nodes-sized pinned table per round;
+    // each skipped round saves an edges-sized join + shuffle.
+    def witness(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("cost"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var w = witness(dist)
+    var i = 1
+    var converged = false
+    while (i <= rounds && !converged) {
       val relaxed = edges
         .join(perRoundSide(
           dist.select(col("node").as("src"), col("cost").as("dc")),
@@ -674,6 +700,10 @@ object Graph {
         .select(col("dst").as("node"), (col("dc") + col("cost")).as("cost"))
       dist = GraftSession.cut(dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("cost")).as("cost")))
+      val w2 = witness(dist)
+      if (w2 == w) converged = true
+      w = w2
+      i += 1
     }
     dist
   }
@@ -792,9 +822,12 @@ object Graph {
     * (nodes, edges). The classic dense-subgraph census — with enough
     * rounds this converges to the true k-core; the FIXED round count
     * keeps it exactly oracle-able (unrolled CTE chain), the same
-    * trade as the PageRank iteration. Each round is one
-    * map-side-combined degree agg plus two semi-joins on BIGINT ids
-    * against a frontier-sized keep set, lineage-cut per round. */
+    * trade as the PageRank iteration — with an early exit the moment
+    * a round's bad set is empty, which is result-identical to
+    * running the remaining rounds (peeling is monotone; an empty bad
+    * set is a fixed point). Each round is one map-side-combined
+    * degree agg plus two semi-joins on BIGINT ids against a
+    * fringe-sized bad set, lineage-cut per round. */
   def kCore(s: SparkSession, d: String, kDeg: Int = 4,
       rounds: Int = 5, minSupport: Int = 7): DataFrame = {
     val e0 = copurchaseEdges(s, d, minSupport)
@@ -804,23 +837,40 @@ object Graph {
     // one count on the already-materialized cut bounds every round's
     // build side: und only shrinks while peeling
     val n0 = und.count()
-    for (i <- 1 to rounds) {
+    var i = 1
+    var converged = false
+    while (i <= rounds && !converged) {
       // peel by the BAD set (deg < k), not the keep set: after the
       // first round only the fringe gets removed, so the anti-join
       // build side is a handful of ids — broadcast under the same
       // measured-bound gate as the rank/frontier tables — where the
-      // keep set stays node-sized
-      val bad = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-        .filter(col("dg") < kDeg).select(col("u"))
-      // per-round cut (unlike PageRank's every-2nd-round cadence):
-      // bad is referenced twice, so an uncut und would be recomputed
-      // under each anti-join build — materializing first keeps the
-      // peels single-pass
-      und = GraftSession.cut(und
-        .join(perRoundSide(bad, n0), Seq("u"), "left_anti")
-        .join(perRoundSide(bad.select(col("u").as("v")), n0), Seq("v"),
-          "left_anti")
-        .select(col("u"), col("v")))
+      // keep set stays node-sized. Materialize bad once: it is
+      // consumed three times (the count plus both anti-join builds),
+      // and the cut turns those into reads of a fringe-sized table.
+      val bad = GraftSession.cut(
+        und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") < kDeg).select(col("u")))
+      if (bad.count() == 0L) {
+        // fixed point: an empty bad set makes this and every
+        // remaining round the identity, so skipping them returns
+        // EXACTLY what the full fixed-round unroll (and the oracle's
+        // CTE chain) computes — peeling is monotone, nothing can
+        // re-enter the bad set once it is empty. At scale this is
+        // the difference between paying `rounds` shuffles and paying
+        // only as many as the graph actually needs.
+        converged = true
+      } else {
+        // per-round cut (unlike PageRank's every-2nd-round cadence):
+        // bad is referenced twice, so an uncut und would be recomputed
+        // under each anti-join build — materializing first keeps the
+        // peels single-pass
+        und = GraftSession.cut(und
+          .join(perRoundSide(bad, n0), Seq("u"), "left_anti")
+          .join(perRoundSide(bad.select(col("u").as("v")), n0), Seq("v"),
+            "left_anti")
+          .select(col("u"), col("v")))
+        i += 1
+      }
     }
     und.agg(count_distinct(col("u")).as("n_core_nodes"),
       expr("COUNT(*) DIV 2").as("n_core_edges"))

@@ -281,6 +281,23 @@ class GraphSpec extends SparkTestBase {
     assert(out == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 21L))
   }
 
+  test("iterative early exits are result-identical to the full unroll") {
+    // a round budget far past convergence must return exactly the
+    // converged answer (and, via the fixpoint exits, without paying
+    // for the dead rounds): BFS stops on an empty frontier, SSSP on
+    // an unchanged (count, sum) witness
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val hops = Graph.bfsHopsFrom(edges, 1L, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    val wedges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L),
+      (3L, 4L, 1L)).toDF("src", "dst", "cost")
+    val costs = Graph.ssspFrom(wedges, 1L, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(costs == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 21L))
+  }
+
   test("ssspCost dominates bfsHops: cost path never uses more rounds") {
     val d = sf("orders")
     val costs = Graph.ssspCost(spark, d, rounds = 3).collect()
