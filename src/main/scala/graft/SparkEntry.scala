@@ -619,6 +619,12 @@ object SparkEntry {
     // reproducible md5-nibble train/val/test split manifest
     "q208_split_manifest" -> ((s, d) =>
       graft.ops.Curation.splitManifest(s, d)),
+    // connected-component size census via min-label propagation
+    "q209_components" -> ((s, d) => graft.ops.Graph.components(s, d)),
+    // nation-partition modularity of the co-purchase graph
+    "q210_modularity" -> ((s, d) => graft.ops.Graph.modularity(s, d)),
+    // rich-club edge density among nodes above each degree threshold
+    "q211_rich_club" -> ((s, d) => graft.ops.Graph.richClub(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1966,6 +1972,9 @@ object SparkEntry {
     "q206_l_diversity" -> graft.ops.Curation.lDiversitySql(),
     "q207_readability" -> graft.ops.TextOps.readabilityBandsSql,
     "q208_split_manifest" -> graft.ops.Curation.splitManifestSql,
+    "q209_components" -> graft.ops.Graph.componentsSql(),
+    "q210_modularity" -> graft.ops.Graph.modularitySql(),
+    "q211_rich_club" -> graft.ops.Graph.richClubSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

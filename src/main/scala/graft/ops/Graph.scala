@@ -996,4 +996,209 @@ object Graph {
        |SELECT CAST(COUNT(*) AS BIGINT) AS n_reached,
        |  round(CAST(SUM(12 // mh) AS DOUBLE) / 12.0, 6) AS harmonic
        |FROM m WHERE mh > 0""".stripMargin
+
+  /** Connected-component size census of the thresholded co-purchase
+    * graph by synchronous min-label propagation: every node starts
+    * labeled with its own id, each round takes the min over itself
+    * and its neighbors, and at the fixpoint each component carries
+    * its minimum member id. `rounds` bounds the propagation (labels
+    * cross one hop per round, so it must cover the largest component
+    * diameter to fully converge — the oracle unrolls the SAME count);
+    * the exact sum-of-labels witness stops early the moment a round
+    * changes nothing, since min-label is monotone non-increasing and
+    * any change strictly decreases the sum. Each round is one
+    * broadcast-gated join moving (node, lab) BIGINT pairs against the
+    * pinned edge list plus a map-side-combined min — ids, never
+    * payloads — and is lineage-cut like every iterative plan here.
+    * Emits (component_size, n_components), the census you read skew
+    * off before partitioning any per-component work. */
+  def components(s: SparkSession, d: String, minSupport: Int = 7,
+      rounds: Int = 8): DataFrame = {
+    val e = copurchaseEdges(s, d, minSupport)
+    val und = GraftSession.cut(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+    val n0 = und.count()
+    var lab = GraftSession.cut(und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")))
+    def labSum(df: DataFrame): Long =
+      df.agg(sum(col("lab"))).head().getLong(0)
+    var prev = labSum(lab)
+    var i = 1
+    var converged = false
+    while (i <= rounds && !converged) {
+      lab = GraftSession.cut(
+        und.join(perRoundSide(
+            lab.select(col("node").as("u"), col("lab")), n0), "u")
+          .select(col("v").as("node"), col("lab"))
+          .unionAll(lab)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab")))
+      val cur = labSum(lab)
+      if (cur == prev) converged = true
+      prev = cur
+      i += 1
+    }
+    lab.groupBy(col("lab")).agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy(col("component_size"))
+  }
+
+  /** DuckDB oracle for [[components]]: the same min-label rounds
+    * unrolled; every l$i is MATERIALIZED because it feeds both arms
+    * of the next round's union. */
+  def componentsSql(minSupport: Int = 7, rounds: Int = 8): String = {
+    val head =
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |      AND a.l_suppkey < b.l_suppkey
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+         |und AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+         |       UNION ALL SELECT b, a FROM e),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS node, u AS lab FROM und)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT node, MIN(lab) AS lab FROM (
+         |  SELECT und.v AS node, l.lab FROM und
+         |  JOIN l${i - 1} l ON l.node = und.u
+         |  UNION ALL SELECT node, lab FROM l${i - 1}) t
+         |  GROUP BY node)""".stripMargin
+    }
+    val tail =
+      s"""SELECT component_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_components FROM (
+         |  SELECT lab, CAST(COUNT(*) AS BIGINT) AS component_size
+         |  FROM l$rounds GROUP BY lab) sz
+         |GROUP BY component_size ORDER BY component_size""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** Modularity of the supplier-nation partition over the thresholded
+    * co-purchase graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] — how much more
+    * intra-nation co-purchasing there is than a degree-preserving
+    * random rewiring would produce. Computed EXACTLY in integers as
+    * (4·m·Σe_c − Σd_c²) / (4m²) with one final rounded double
+    * division: e_c and d_c are counts off the memoized edge/degree
+    * tables, the nation dim is broadcast (25 rows at any scale), and
+    * the whole statistic is two map-side-combined aggs — no shuffle
+    * grows with anything but the node count. */
+  def modularity(s: SparkSession, d: String,
+      minSupport: Int = 7): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = copurchaseEdges(s, d, minSupport)
+    val nat = broadcast(Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val labeled = e
+      .join(nat.select(col("s_suppkey").as("a"),
+        col("s_nationkey").as("ca")), "a")
+      .join(nat.select(col("s_suppkey").as("b"),
+        col("s_nationkey").as("cb")), "b")
+    val within = labeled.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+    val degC = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      .join(nat.select(col("s_suppkey").as("v"),
+        col("s_nationkey").as("c")), "v")
+      .groupBy(col("c")).agg(sum(col("dg")).as("dc"))
+    val m = e.count()
+    degC.join(within, Seq("c"), "left")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(coalesce(col("ec"), lit(0L))).as("se"),
+        sum(col("dc").cast(dec) * col("dc")).as("sd2"))
+      .select(lit(m).as("m_edges"), col("n_communities"),
+        round((lit(4L).cast(dec) * m * col("se")
+            - col("sd2")).cast("double")
+          / (lit(4.0) * m.toDouble * m.toDouble), 6).as("modularity"))
+  }
+
+  /** DuckDB oracle for [[modularity]]. */
+  def modularitySql(minSupport: Int = 7): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |      AND a.l_suppkey < b.l_suppkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |m AS (SELECT COUNT(*) AS m FROM e),
+       |w AS (SELECT sa.s_nationkey AS c, COUNT(*) AS ec FROM e
+       |      JOIN supplier sa ON sa.s_suppkey = e.a
+       |      JOIN supplier sb ON sb.s_suppkey = e.b
+       |      WHERE sa.s_nationkey = sb.s_nationkey GROUP BY 1),
+       |dg AS (SELECT v, COUNT(*) AS dg FROM (
+       |      SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+       |      GROUP BY v),
+       |dc AS (SELECT s_nationkey AS c, SUM(dg) AS dc FROM dg
+       |       JOIN supplier ON s_suppkey = v GROUP BY 1)
+       |SELECT CAST(m.m AS BIGINT) AS m_edges,
+       |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  round(CAST(4 * m.m * SUM(COALESCE(w.ec, 0))
+       |      - SUM(CAST(dc.dc AS HUGEINT) * dc.dc) AS DOUBLE)
+       |    / (4.0 * m.m * m.m), 6) AS modularity
+       |FROM dc LEFT JOIN w ON w.c = dc.c, m
+       |GROUP BY m.m""".stripMargin
+
+  /** Rich-club coefficients of the co-purchase graph: for each degree
+    * threshold k, the edge density φ(k) = 2·E_k / (N_k·(N_k−1)) among
+    * the nodes of degree > k — rising φ with k means the hubs form a
+    * club that trades with itself. One edges⋈degree join taken once,
+    * then each edge/node is replicated across the FIXED 4-row
+    * threshold list (an explode of a literal array — broadcast-scale,
+    * never data-scale) and counted; exact integer counts, one rounded
+    * division per row. */
+  def richClub(s: SparkSession, d: String, minSupport: Int = 7,
+      thresholds: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    val e = copurchaseEdges(s, d, minSupport)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val ks = array(thresholds.map(k => lit(k.toLong)): _*)
+    val nodesK = deg
+      .select(col("dg"), explode(ks).as("k"))
+      .filter(col("dg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rich_nodes"))
+    val edgesK = e
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(least(col("da"), col("db")).as("dmin"), explode(ks).as("k"))
+      .filter(col("dmin") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rich_edges"))
+    nodesK.join(edgesK, Seq("k"), "left")
+      .select(col("k"), col("n_rich_nodes"),
+        coalesce(col("n_rich_edges"), lit(0L)).as("n_rich_edges"),
+        round(lit(2.0) * coalesce(col("n_rich_edges"), lit(0L))
+            .cast("double")
+          / nullif((col("n_rich_nodes")
+            * (col("n_rich_nodes") - 1L)).cast("double"), lit(0.0)), 6)
+          .as("phi"))
+      .orderBy(col("k"))
+  }
+
+  /** DuckDB oracle for [[richClub]]. */
+  def richClubSql(minSupport: Int = 7,
+      thresholds: Seq[Int] = Seq(2, 4, 8, 16)): String = {
+    val vals = thresholds.map(k => s"($k)").mkString(", ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |      AND a.l_suppkey < b.l_suppkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |deg AS (SELECT v, COUNT(*) AS dg FROM (
+       |      SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+       |      GROUP BY v),
+       |ks(k) AS (VALUES $vals),
+       |nk AS (SELECT CAST(k AS BIGINT) AS k,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rich_nodes
+       |       FROM deg JOIN ks ON dg > k GROUP BY 1),
+       |ek AS (SELECT CAST(k AS BIGINT) AS k,
+       |       CAST(COUNT(*) AS BIGINT) AS n_rich_edges FROM e
+       |       JOIN deg da ON da.v = e.a
+       |       JOIN deg db ON db.v = e.b
+       |       JOIN ks ON least(da.dg, db.dg) > k GROUP BY 1)
+       |SELECT nk.k, n_rich_nodes,
+       |  COALESCE(n_rich_edges, 0) AS n_rich_edges,
+       |  round(2.0 * CAST(COALESCE(n_rich_edges, 0) AS DOUBLE)
+       |    / nullif(CAST(n_rich_nodes * (n_rich_nodes - 1) AS DOUBLE),
+       |      0.0), 6) AS phi
+       |FROM nk LEFT JOIN ek ON ek.k = nk.k
+       |ORDER BY nk.k""".stripMargin
+  }
 }

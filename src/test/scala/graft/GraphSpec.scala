@@ -870,6 +870,65 @@ class GraphSpec extends SparkTestBase {
       s"core edges ${row.getLong(1)} != brute ${core.size}")
   }
 
+  test("components matches a brute-force union-find census") {
+    val d = sf("lineitem")
+    val got = Graph.components(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = bruteCopurchaseEdges(d)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val census = parent.keys.toSeq.groupBy(find)
+      .map(_._2.size.toLong)                 // component sizes
+      .groupBy(identity).map { case (s, v) => s -> v.size.toLong }
+    assert(got == census, s"$got vs brute $census")
+  }
+
+  test("modularity matches brute force; random nations score near 0") {
+    val d = sf("lineitem")
+    val row = Graph.modularity(spark, d).head()
+    val edges = bruteCopurchaseEdges(d).toSeq
+    val nat = graft.Tables.supplier(spark, d)
+      .select($"s_suppkey", $"s_nationkey")
+      .as[(Long, Long)].collect().toMap
+    val m = edges.size.toDouble
+    val ec = edges.filter { case (a, b) => nat(a) == nat(b) }
+      .groupBy { case (a, _) => nat(a) }.map { case (c, v) => c -> v.size }
+    val dc = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(nat).map { case (c, v) => c -> v.size }
+    // .toSeq before mapping: dc.keys is a Set, and mapping a Set to
+    // per-nation contributions dedupes EQUAL contributions before the
+    // sum — nations with identical (ec, dc) would be counted once
+    val q = dc.keys.toSeq.map { c =>
+      ec.getOrElse(c, 0) / m - math.pow(dc(c) / (2 * m), 2)
+    }.sum
+    assert(row.getLong(0) == edges.size.toLong)
+    assert(row.getLong(1) == dc.size.toLong)
+    assert(math.abs(row.getDouble(2) - q) < 1e-5,
+      s"${row.getDouble(2)} vs brute $q")
+    // nations don't drive co-purchasing, so the partition should sit
+    // near the null model — well inside (-0.5, 0.5)
+    assert(math.abs(row.getDouble(2)) < 0.5)
+  }
+
+  test("richClub matches brute force at every threshold") {
+    val d = sf("lineitem")
+    val got = Graph.richClub(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val edges = bruteCopurchaseEdges(d).toSeq
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, l) => v -> l.size }
+    val brute = Seq(2, 4, 8, 16).map { k =>
+      val rich = deg.collect { case (v, dg) if dg > k => v }.toSet
+      (k.toLong, rich.size.toLong,
+        edges.count { case (a, b) => rich(a) && rich(b) }.toLong)
+    }.filter(_._2 > 0)
+    assert(got == brute, s"$got vs brute $brute")
+  }
+
   test("localClustering matches brute force and stays in [0, 1]") {
     val d = sf("lineitem")
     val got = Graph.localClustering(spark, d, k = 1000000).collect()
