@@ -138,4 +138,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(joins.size <= 2,
       s"dupClusters output plan carries ${joins.size} joins")
   }
+
+  test("components' returned plan is cut and joins only on BIGINT ids") {
+    // the min-label rounds each end in GraftSession.cut, so the census
+    // handed back must read a materialized label table — zero joins —
+    // and every intermediate (had the cuts leaked) would still move
+    // only (node, lab) BIGINT pairs, never payloads
+    val census = Graph.components(spark, sf(""), rounds = 6)
+    val plan = census.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.isEmpty,
+      s"components output plan carries ${joins.size} joins — lineage not cut")
+    val wide = plan.output.filterNot(a =>
+      a.dataType == org.apache.spark.sql.types.LongType)
+    assert(wide.isEmpty, s"non-BIGINT census columns: $wide")
+  }
 }
