@@ -625,6 +625,11 @@ object SparkEntry {
     "q210_modularity" -> ((s, d) => graft.ops.Graph.modularity(s, d)),
     // rich-club edge density among nodes above each degree threshold
     "q211_rich_club" -> ((s, d) => graft.ops.Graph.richClub(s, d)),
+    // near-dup pairs crossing the train/val/test boundary (contamination)
+    "q212_split_leakage" -> ((s, d) =>
+      graft.ops.Curation.splitLeakage(s, d)),
+    // Lorenz curve at decile resolution (the curve behind q156's Gini)
+    "q213_lorenz" -> ((s, d) => graft.ops.Profiling.lorenzDeciles(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1975,6 +1980,8 @@ object SparkEntry {
     "q209_components" -> graft.ops.Graph.componentsSql(),
     "q210_modularity" -> graft.ops.Graph.modularitySql(),
     "q211_rich_club" -> graft.ops.Graph.richClubSql(),
+    "q212_split_leakage" -> graft.ops.Curation.splitLeakageSql,
+    "q213_lorenz" -> graft.ops.Profiling.lorenzDecilesSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

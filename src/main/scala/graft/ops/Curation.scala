@@ -1191,6 +1191,61 @@ object Curation {
       |  CAST(SUM(toks) AS BIGINT) AS n_tokens
       |FROM t GROUP BY split ORDER BY split""".stripMargin
 
+  /** Split-leakage audit: the near-dup pair census of the corpus
+    * grouped by which [[splitManifest]] partitions the two documents
+    * land in. A cross-split near-dup pair (leak = true) is test/val
+    * contamination — the document the model is evaluated on has a
+    * near-copy in train — exactly what a deduplicate-THEN-split
+    * pipeline must verify is absent. Rides the memoized winnowing
+    * fingerprint pairs (q139's capped banded join; no new shuffle
+    * shape), then one map-side md5 per endpoint and a ≤6-group agg;
+    * the split assignment is recomputed from the id rather than
+    * joined from a manifest table, so the audit adds NO join at any
+    * scale. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val nib = substring(md5(c.cast("string")), 1, 1)
+      when(nib === "f", lit("test"))
+        .when(nib === "e", lit("val"))
+        .otherwise(lit("train"))
+    }
+    TextOps.winnowingNearDupPairs(s, d)
+      .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        (col("split_lo") =!= col("split_hi")).as("leak"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  /** DuckDB oracle for [[splitLeakage]]: the q139 pair chain as a
+    * derived table, endpoints mapped through the same md5-nibble
+    * split rule. */
+  def splitLeakageSql: String =
+    s"""SELECT split_lo, split_hi,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  split_lo <> split_hi AS leak
+       |FROM (
+       |  SELECT least(
+       |      CASE substr(md5(CAST(doc_a AS VARCHAR)), 1, 1)
+       |        WHEN 'f' THEN 'test' WHEN 'e' THEN 'val'
+       |        ELSE 'train' END,
+       |      CASE substr(md5(CAST(doc_b AS VARCHAR)), 1, 1)
+       |        WHEN 'f' THEN 'test' WHEN 'e' THEN 'val'
+       |        ELSE 'train' END) AS split_lo,
+       |    greatest(
+       |      CASE substr(md5(CAST(doc_a AS VARCHAR)), 1, 1)
+       |        WHEN 'f' THEN 'test' WHEN 'e' THEN 'val'
+       |        ELSE 'train' END,
+       |      CASE substr(md5(CAST(doc_b AS VARCHAR)), 1, 1)
+       |        WHEN 'f' THEN 'test' WHEN 'e' THEN 'val'
+       |        ELSE 'train' END) AS split_hi
+       |  FROM (${TextOps.winnowingNearDupPairsSql()}) pairs) t
+       |GROUP BY split_lo, split_hi
+       |ORDER BY split_lo, split_hi""".stripMargin
+
   /** DuckDB oracle for [[lDiversity]]. */
   def lDiversitySql(lMin: Int = 3): String =
     s"""WITH g AS (SELECT c_nationkey, c_mktsegment,

@@ -377,6 +377,64 @@ object Profiling {
       |    AS gini
       |FROM rk""".stripMargin
 
+  /** Lorenz curve at decile resolution: customers ascending-ranked by
+    * spend, cut into 10 exact-integer deciles (decile = (rank−1)·10
+    * DIV n + 1 — no float boundary), each row carrying its spend
+    * share and the cumulative share below it. The curve behind the
+    * [[giniSpend]] scalar — "the bottom 50% of customers hold 21% of
+    * revenue" — read directly. Ranks ride [[scalableRank]] (no
+    * single-partition row sort); the only window after aggregation
+    * orders the 10-row decile table, and every sum is exact cents
+    * until the two final rounded divisions. */
+  def lorenzDeciles(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val spend = GraftSession.cut(Tables.orders(s, d)
+      .select(col("o_custkey"), cents.as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("v")))
+    val n = spend.count()
+    // DIV, not `/`: Divide on longs returns DOUBLE and a float decile
+    // boundary could mis-bucket a rank at the edge
+    val byDecile = scalableRank(spend, "v", "o_custkey", 1L << 22, "rk")
+      .select(expr(s"(rk - 1) * 10 DIV $n + 1").as("decile"), col("v"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("v")).as("sv"))
+    val tot = byDecile.agg(sum(col("sv")).as("t"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum", sum(col("sv")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"),
+        round(col("sv").cast("double") / col("t").cast("double"), 6)
+          .as("share"),
+        round(col("cum").cast("double") / col("t").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB oracle for [[lorenzDeciles]]. */
+  def lorenzDecilesSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |rk AS (SELECT v,
+      |    row_number() OVER (ORDER BY v, o_custkey) AS i,
+      |    COUNT(*) OVER () AS n
+      |  FROM spend),
+      |d AS (SELECT (i - 1) * 10 // n + 1 AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(v) AS BIGINT) AS sv
+      |  FROM rk GROUP BY 1),
+      |t AS (SELECT CAST(SUM(sv) AS BIGINT) AS t FROM d)
+      |SELECT decile, n_customers,
+      |  round(CAST(sv AS DOUBLE) / t.t, 6) AS share,
+      |  round(CAST(SUM(sv) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.t, 6)
+      |    AS cum_share
+      |FROM d, t ORDER BY decile""".stripMargin
+
   /** Benford first-significant-digit profile of order totals — the
     * classic fraud / synthetic-data smell test. The leading digit is
     * read off the exact cents integer's string form (scaling by 100

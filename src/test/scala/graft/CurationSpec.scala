@@ -571,6 +571,22 @@ class CurationSpec extends SparkTestBase {
     assert(rows("train")._1 > rows("val")._1 + rows("test")._1)
   }
 
+  test("splitLeakage: censuses every near-dup pair, flags cross-split") {
+    val d = sf("documents")
+    val rows = Curation.splitLeakage(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    // the census partitions the full pair set — no pair dropped
+    val nPairs = graft.ops.TextOps.winnowingNearDupPairs(spark, d).count()
+    assert(rows.map(_._3).sum == nPairs)
+    // leak is exactly the off-diagonal, splits are canonically ordered
+    rows.foreach { case (lo, hi, n, leak) =>
+      assert(leak == (lo != hi), s"($lo,$hi) flagged $leak")
+      assert(lo <= hi, s"($lo,$hi) not canonical")
+      assert(n > 0)
+    }
+  }
+
   test("readabilityBands: bands partition the docs, brute per-doc score") {
     val d = sf("documents")
     val got = graft.ops.TextOps.readabilityBands(spark, d).collect()

@@ -423,6 +423,32 @@ class GraphSpec extends SparkTestBase {
     assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 1.0)
   }
 
+  test("lorenzDeciles matches the brute curve; monotone, ends at 1") {
+    val d = sf("orders")
+    val rows = Profiling.lorenzDeciles(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val spend = centsByCustomer(d).map { case (k, (_, _, m)) => (k, m) }
+      .toSeq.sortBy(x => (x._2, x._1))
+    val n = spend.length.toLong
+    val tot = spend.map(x => BigInt(x._2)).sum.toDouble
+    val brute = spend.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+      .toSeq.sortBy(_._1)
+      .map { case (dec, xs) =>
+        (dec, xs.length.toLong, xs.map(x => BigInt(x._1._2)).sum) }
+    assert(rows.map(r => (r._1, r._2)) === brute.map(b => (b._1, b._2)))
+    rows.zip(brute).foreach { case ((_, _, share, _), (_, _, sv)) =>
+      assert(math.abs(share - sv.toDouble / tot) < 5e-7)
+    }
+    // cum_share is monotone, each decile ≥ the previous (ascending
+    // ranks), and the curve closes at exactly 1
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._3 >= a._3 - 1e-9; case _ => true })
+    assert(math.abs(rows.last._4 - 1.0) < 1e-9)
+  }
+
   test("benfordDigits counts leading cents digits, shares sum to 1") {
     val d = sf("orders")
     val rows = Profiling.benfordDigits(spark, d).collect()
