@@ -630,6 +630,8 @@ object SparkEntry {
       graft.ops.Curation.splitLeakage(s, d)),
     // Lorenz curve at decile resolution (the curve behind q156's Gini)
     "q213_lorenz" -> ((s, d) => graft.ops.Profiling.lorenzDeciles(s, d)),
+    // Theil-T inequality with between/within-nation decomposition
+    "q214_theil" -> ((s, d) => graft.ops.Profiling.theilIndex(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1982,6 +1984,7 @@ object SparkEntry {
     "q211_rich_club" -> graft.ops.Graph.richClubSql(),
     "q212_split_leakage" -> graft.ops.Curation.splitLeakageSql,
     "q213_lorenz" -> graft.ops.Profiling.lorenzDecilesSql,
+    "q214_theil" -> graft.ops.Profiling.theilIndexSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

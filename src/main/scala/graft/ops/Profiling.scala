@@ -412,6 +412,80 @@ object Profiling {
       .orderBy(col("decile"))
   }
 
+  /** Theil-T inequality index of customer spend with its exact
+    * between/within-nation decomposition: T = Σ (xᵢ/X)·ln(N·xᵢ/X),
+    * T_between = Σ_g s_g·ln(s_g/p_g) (s_g = spend share, p_g = head
+    * share of nation g), T_within = T − T_between — how much of the
+    * inequality lives INSIDE nations versus between them, the
+    * decomposition Gini cannot give. Each customer's float term is
+    * quantized to nano-units and summed as BIGINT (the sq8Fidelity
+    * discipline), so the sum is partition-order invariant and
+    * hash-exact across engines; the 25 nation terms get the same
+    * treatment. One shuffle for the spend marginal, one join to the
+    * nation label, two tiny aggs. */
+  def theilIndex(s: SparkSession, d: String): DataFrame = {
+    val spend = GraftSession.cut(Tables.orders(s, d)
+      .select(col("o_custkey"), cents.as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("v"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey"))
+    val t = spend.agg(count(lit(1)).as("n"), sum(col("v")).as("x")).head()
+    val n = t.getLong(0)
+    val x = t.getLong(1)
+    // identical expression TEXT on both sides: same float op order,
+    // same round-then-cast, so the nano sums agree bit-for-bit
+    val totalNano = spend.agg(sum(expr(
+      s"CAST(round((CAST(v AS DOUBLE) / CAST($x AS DOUBLE)) * " +
+        s"ln(CAST($n AS DOUBLE) * CAST(v AS DOUBLE) / " +
+        s"CAST($x AS DOUBLE)) * 1e9) AS LONG)")).as("tn"))
+    val betweenNano = spend
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("v")).as("xg"), count(lit(1)).as("ng"))
+      .agg(sum(expr(
+        s"CAST(round((CAST(xg AS DOUBLE) / CAST($x AS DOUBLE)) * " +
+          s"ln((CAST(xg AS DOUBLE) / CAST($x AS DOUBLE)) / " +
+          s"(CAST(ng AS DOUBLE) / CAST($n AS DOUBLE))) * 1e9) " +
+          "AS LONG)")).as("bn"))
+    totalNano.crossJoin(betweenNano)
+      .select(lit(n).as("n_customers"),
+        round(col("tn").cast("double") / 1e9, 6).as("theil_total"),
+        round(col("bn").cast("double") / 1e9, 6).as("theil_between"),
+        round((col("tn") - col("bn")).cast("double") / 1e9, 6)
+          .as("theil_within"))
+  }
+
+  /** DuckDB oracle for [[theilIndex]]: the same nano-quantized terms;
+    * N and X come from scalar-subquery CTEs instead of driver
+    * scalars. */
+  def theilIndexSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |sp AS (SELECT v, c_nationkey FROM spend
+      |       JOIN customer ON c_custkey = o_custkey),
+      |tt AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x FROM sp),
+      |tn AS (SELECT CAST(SUM(CAST(round((CAST(v AS DOUBLE)
+      |      / CAST(x AS DOUBLE))
+      |    * ln(CAST(n AS DOUBLE) * CAST(v AS DOUBLE)
+      |      / CAST(x AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS tn
+      |  FROM sp, tt),
+      |g AS (SELECT c_nationkey, CAST(SUM(v) AS BIGINT) AS xg,
+      |    COUNT(*) AS ng FROM sp GROUP BY 1),
+      |bn AS (SELECT CAST(SUM(CAST(round((CAST(xg AS DOUBLE)
+      |      / CAST(x AS DOUBLE))
+      |    * ln((CAST(xg AS DOUBLE) / CAST(x AS DOUBLE))
+      |      / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9)
+      |    AS BIGINT)) AS BIGINT) AS bn
+      |  FROM g, tt)
+      |SELECT CAST(tt.n AS BIGINT) AS n_customers,
+      |  round(CAST(tn.tn AS DOUBLE) / 1e9, 6) AS theil_total,
+      |  round(CAST(bn.bn AS DOUBLE) / 1e9, 6) AS theil_between,
+      |  round(CAST(tn.tn - bn.bn AS DOUBLE) / 1e9, 6) AS theil_within
+      |FROM tn, bn, tt""".stripMargin
+
   /** DuckDB oracle for [[lorenzDeciles]]. */
   def lorenzDecilesSql: String =
     """WITH spend AS (

@@ -449,6 +449,31 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(rows.last._4 - 1.0) < 1e-9)
   }
 
+  test("theilIndex matches brute force; decomposition adds up") {
+    val d = sf("orders")
+    val row = Profiling.theilIndex(spark, d).head()
+    val spend = centsByCustomer(d).map { case (k, (_, _, m)) => (k, m) }
+    val nat = graft.Tables.customer(spark, d)
+      .select($"c_custkey", $"c_nationkey")
+      .as[(Long, Long)].collect().toMap
+    val n = spend.size.toDouble
+    val x = spend.values.map(BigInt(_)).sum.toDouble
+    val total = spend.values.map(v => v / x * math.log(n * v / x)).sum
+    val grp = spend.toSeq.groupBy { case (k, _) => nat(k) }
+    val between = grp.values.map { xs =>
+      val sg = xs.map(_._2).map(BigInt(_)).sum.toDouble / x
+      sg * math.log(sg / (xs.size / n))
+    }.sum
+    assert(row.getLong(0) == spend.size.toLong)
+    assert(math.abs(row.getDouble(1) - total) < 1e-5)
+    assert(math.abs(row.getDouble(2) - between) < 1e-5)
+    // the decomposition is exact by construction (within = total −
+    // between in the same nano units), and both parts are ≥ ~0
+    assert(math.abs(row.getDouble(1) - row.getDouble(2)
+      - row.getDouble(3)) < 2e-6)
+    assert(row.getDouble(1) > 0 && row.getDouble(2) >= -1e-9)
+  }
+
   test("benfordDigits counts leading cents digits, shares sum to 1") {
     val d = sf("orders")
     val rows = Profiling.benfordDigits(spark, d).collect()
