@@ -632,6 +632,9 @@ object SparkEntry {
     "q213_lorenz" -> ((s, d) => graft.ops.Profiling.lorenzDeciles(s, d)),
     // Theil-T inequality with between/within-nation decomposition
     "q214_theil" -> ((s, d) => graft.ops.Profiling.theilIndex(s, d)),
+    // TwoNN intrinsic dimension of the embedding manifold
+    "q215_twonn_id" -> ((s, d) =>
+      graft.ops.Similarity.twoNnDimension(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1985,6 +1988,7 @@ object SparkEntry {
     "q212_split_leakage" -> graft.ops.Curation.splitLeakageSql,
     "q213_lorenz" -> graft.ops.Profiling.lorenzDecilesSql,
     "q214_theil" -> graft.ops.Profiling.theilIndexSql,
+    "q215_twonn_id" -> graft.ops.Similarity.twoNnDimensionSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

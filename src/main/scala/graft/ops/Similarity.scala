@@ -478,6 +478,91 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
+  /** TwoNN intrinsic-dimension estimate of the embedding manifold
+    * (Facco et al. 2017): for each anchor point the ratio μ = d₂/d₁
+    * of its two nearest-neighbor distances follows a Pareto law with
+    * exponent equal to the intrinsic dimension, giving the MLE
+    * d̂ = n / Σ ln μᵢ — no density estimate, only two neighbors per
+    * point, the standard "is this 64-dim embedding really using 64
+    * dims" health check. Anchors are a deterministic 1-in-`sampleMod`
+    * id slice (the estimator is statistical; the full corpus is never
+    * self-joined) and are BROADCAST against one corpus pass — the
+    * cost is one scan × anchors, not N². Distances stay SQUARED
+    * (ln μ = ½·ln(d₂²/d₁²) — no sqrt), each a fixed-order
+    * xx + aa − 2·xa of codegen'd [[graft.expr.DotProduct]]s; the
+    * per-anchor ln is nano-quantized to BIGINT before the sum, so the
+    * estimate is partition-order invariant and hash-exact. */
+  def twoNnDimension(s: SparkSession, d: String,
+      sampleMod: Long = 11L): DataFrame = {
+    graft.parse.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val anchors = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+    val d2col = (call_function("dot_product",
+        col("embedding"), col("embedding"))
+      + call_function("dot_product", col("ae"), col("ae"))
+      - lit(2.0) * call_function("dot_product",
+        col("embedding"), col("ae"))).as("dd")
+    val top2 = udaf(new TopKByScore(2), ExpressionEncoder[Scored]())
+    val nn = emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id"), d2col)
+      // exact coincidences (dd == 0) carry no ratio information and
+      // would put 0 in the denominator — the TwoNN prescription drops
+      // them before picking the two neighbors
+      .filter(col("dd") > 0.0)
+      .groupBy(col("a_id"))
+      .agg(top2(col("vec_id"), -col("dd")).as("nn"))
+      .filter(size(col("nn")) === 2)
+      .select(col("a_id"), (-col("nn")(0)("score")).as("d1"),
+        (-col("nn")(1)("score")).as("d2"))
+    nn.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(0.5 * ln(d2 / d1) * 1e9) AS LONG)"))
+          .as("sn"))
+      .select(col("n").as("n_anchors"),
+        round(col("sn").cast("double") / 1e9, 6).as("sum_log_mu"),
+        round(col("n").cast("double")
+          / nullif(col("sn").cast("double") / 1e9, lit(0.0)), 6)
+          .as("id_twonn"))
+  }
+
+  /** DuckDB oracle for [[twoNnDimension]]: the same anchors, squared
+    * distances in the same float op order (list_sum over index-order
+    * products mirrors DotProduct's accumulation — the q42/q88
+    * transitivity), row_number with the same (d², id) tie-break, and
+    * the same nano-quantized ln sum. */
+  def twoNnDimensionSql(sampleMod: Long = 11L): String =
+    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ae
+       |  FROM embeddings WHERE vec_id % $sampleMod = 0),
+       |p AS (SELECT a_id, e.vec_id,
+       |    list_sum(list_transform(e.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |    + list_sum(list_transform(ae,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |    - 2.0 * list_sum(list_transform(
+       |        range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE)
+       |           * CAST(ae[i] AS DOUBLE))) AS dd
+       |  FROM embeddings e, a WHERE e.vec_id <> a.a_id),
+       |rk AS (SELECT a_id, dd,
+       |    row_number() OVER (PARTITION BY a_id
+       |      ORDER BY dd, vec_id) AS rn
+       |  FROM p WHERE dd > 0.0),
+       |nn AS (SELECT a_id,
+       |    MAX(CASE WHEN rn = 1 THEN dd END) AS d1,
+       |    MAX(CASE WHEN rn = 2 THEN dd END) AS d2
+       |  FROM rk WHERE rn <= 2 GROUP BY a_id
+       |  HAVING COUNT(*) = 2),
+       |t AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(round(0.5 * ln(d2 / d1) * 1e9) AS BIGINT))
+       |      AS BIGINT) AS sn
+       |  FROM nn)
+       |SELECT CAST(n AS BIGINT) AS n_anchors,
+       |  round(CAST(sn AS DOUBLE) / 1e9, 6) AS sum_log_mu,
+       |  round(CAST(n AS DOUBLE)
+       |    / nullif(CAST(sn AS DOUBLE) / 1e9, 0.0), 6) AS id_twonn
+       |FROM t""".stripMargin
+
   /** A built IVF index: the persisted inverted-list assignment plus
     * the coarse-quantizer centroids (driver-side metadata). */
   final case class IvfIndex(assigned: DataFrame,

@@ -292,4 +292,33 @@ class SimilaritySpec extends SparkTestBase {
       assert(sorted.head.getDouble(3) == brute.getDouble(1), s"q $q top-1 sim")
     }
   }
+
+  test("twoNnDimension matches the driver-side TwoNN MLE") {
+    val row = Similarity.twoNnDimension(spark, sf("embeddings")).head()
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var xx = 0.0; var aa = 0.0; var xa = 0.0
+      for (i <- a.indices) {
+        xx += a(i).toDouble * a(i); aa += b(i).toDouble * b(i)
+        xa += a(i).toDouble * b(i)
+      }
+      xx + aa - 2.0 * xa
+    }
+    val anchors = emb.filter(_._1 % 11 == 0)
+    val logs = anchors.flatMap { case (aid, ae) =>
+      val ds = emb.filter(_._1 != aid)
+        .map { case (vid, ve) => (sq(ve, ae), vid) }
+        .filter(_._1 > 0.0).sorted.take(2)
+      if (ds.length == 2) Some(0.5 * math.log(ds(1)._1 / ds(0)._1))
+      else None
+    }
+    assert(row.getLong(0) == logs.length.toLong)
+    assert(math.abs(row.getDouble(1) - logs.sum) < 1e-5)
+    assert(math.abs(row.getDouble(2) - logs.length / logs.sum) < 1e-3)
+    // the estimate must land in (0, 64]: a real manifold dimension,
+    // never more than the ambient width
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 64.0)
+  }
 }
