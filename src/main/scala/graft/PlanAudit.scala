@@ -21,7 +21,9 @@ object PlanAudit {
         "q124_pagerank", "q125_column_profile", "q126_scd2_intervals",
         "q130_join_size_est", "q131_fuzzy_pairs", "q132_triangles",
         "q133_equidepth_hist", "q134_anomaly_hours",
-        "q38_minhash_pairs", "q39_ngram_jaccard_pairs", "q140_frame_sample")
+        "q38_minhash_pairs", "q39_ngram_jaccard_pairs", "q140_frame_sample",
+        "q202_kcore", "q209_components", "q210_modularity",
+        "q212_split_leakage", "q213_lorenz", "q215_twonn_id")
     val spark = GraftSession.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     // PLAN_EXEC=1 executes each query first so the explain shows the

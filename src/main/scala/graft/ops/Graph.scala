@@ -1021,9 +1021,21 @@ object Graph {
   def components(s: SparkSession, d: String, minSupport: Int = 7,
       rounds: Int = 8): DataFrame = {
     val e = copurchaseEdges(s, d, minSupport)
-    val und = GraftSession.cut(
-      e.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+    val und = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    componentLabels(und, rounds)
+      .groupBy(col("lab")).agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy(col("component_size"))
+  }
+
+  /** Core of [[components]]: min-label propagation over an explicit
+    * symmetric (u, v) edge list, returning the (node, lab) table at
+    * the round-`rounds` (or earlier-fixpoint) state. */
+  private[graft] def componentLabels(und0: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = GraftSession.cut(und0)
     val n0 = und.count()
     var lab = GraftSession.cut(und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab")))
@@ -1044,10 +1056,7 @@ object Graph {
       prev = cur
       i += 1
     }
-    lab.groupBy(col("lab")).agg(count(lit(1)).as("component_size"))
-      .groupBy(col("component_size"))
-      .agg(count(lit(1)).as("n_components"))
-      .orderBy(col("component_size"))
+    lab
   }
 
   /** DuckDB oracle for [[components]]: the same min-label rounds

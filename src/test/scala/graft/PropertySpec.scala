@@ -178,4 +178,39 @@ class PropertySpec extends SparkTestBase {
       assert(total == want, s"ctx $ctx: token conservation")
     }
   }
+
+  test("property: componentLabels equals union-find on random graphs") {
+    // random sparse graphs (including isolated-edge fragments and a
+    // hub) through the REAL distributed min-label rounds, checked
+    // against a driver union-find — one Spark run per graph, 6 graphs
+    val edgeGen = for {
+      n <- Gen.choose(5, 40)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    sample(edgeGen, 6).filter(_.nonEmpty).foreach { es =>
+      val und = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .toDF("u", "v")
+      // 64 rounds >> any diameter here: the fixpoint witness must
+      // stop early AND land on the exact component labeling
+      val got = graft.ops.Graph.componentLabels(und, rounds = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = nodes.map { v =>
+        // min-label fixpoint = the component's minimum member id
+        val root = find(v)
+        v -> nodes.filter(find(_) == root).min
+      }.toMap
+      assert(got == want, s"edges $es")
+    }
+  }
 }
