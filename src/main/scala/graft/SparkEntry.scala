@@ -635,6 +635,11 @@ object SparkEntry {
     // TwoNN intrinsic dimension of the embedding manifold
     "q215_twonn_id" -> ((s, d) =>
       graft.ops.Similarity.twoNnDimension(s, d)),
+    // Fano-factor burstiness of the densified hourly event series
+    "q216_fano" -> ((s, d) =>
+      graft.ops.EventAnalytics.fanoBurstiness(s, d)),
+    // k-occurrence hubness histogram of the embedding kNN graph
+    "q217_hubness" -> ((s, d) => graft.ops.Similarity.knnHubness(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1989,6 +1994,8 @@ object SparkEntry {
     "q213_lorenz" -> graft.ops.Profiling.lorenzDecilesSql,
     "q214_theil" -> graft.ops.Profiling.theilIndexSql,
     "q215_twonn_id" -> graft.ops.Similarity.twoNnDimensionSql(),
+    "q216_fano" -> graft.ops.EventAnalytics.fanoBurstinessSql,
+    "q217_hubness" -> graft.ops.Similarity.knnHubnessSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -798,6 +798,63 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Fano-factor burstiness per event type: variance/mean of the
+    * DENSIFIED hourly count series (missing hours count as 0, the
+    * [[lag1Autocorr]] densify device — burstiness over observed
+    * buckets only would understate by construction). F = 1 is the
+    * Poisson baseline; F > 1 is overdispersion (bursty arrivals, the
+    * thing that decides whether a per-hour partition layout has hot
+    * shards). Exact BIGINT sufficient statistics, F as ONE rounded
+    * division of (n·Σy² − (Σy)²) by (n·Σy). */
+  def fanoBurstiness(s: SparkSession, d: String): DataFrame = {
+    val hours = GraftSession.cut(ev(s, d)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .agg(count(lit(1)).as("cnt")))
+    val span = hours.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val st = span
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hours, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    st.select(col("event_type"), col("n").as("n_hours"),
+        round(col("sy").cast("double") / col("n").cast("double"), 6)
+          .as("mean_rate"),
+        round((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double")
+          / nullif((col("n") * col("sy")).cast("double"), lit(0.0)), 6)
+          .as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[fanoBurstiness]]. */
+  def fanoBurstinessSql: String =
+    """WITH hrs AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+      |         FROM hrs GROUP BY 1),
+      |dense AS (
+      |  SELECT g.event_type, COALESCE(hrs.cnt, 0) AS y
+      |  FROM (SELECT event_type, unnest(generate_series(h0, h1)) AS h
+      |        FROM span) g
+      |  LEFT JOIN hrs ON hrs.event_type = g.event_type
+      |    AND hrs.h = g.h),
+      |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM dense GROUP BY 1)
+      |SELECT event_type, n AS n_hours,
+      |  round(CAST(sy AS DOUBLE) / n, 6) AS mean_rate,
+      |  round(CAST(n * syy - sy * sy AS DOUBLE)
+      |    / nullif(CAST(n * sy AS DOUBLE), 0.0), 6) AS fano
+      |FROM st ORDER BY event_type""".stripMargin
+
   /** DuckDB oracle for [[lag1Autocorr]]. */
   def lag1AutocorrSql: String =
     """WITH hrs AS (

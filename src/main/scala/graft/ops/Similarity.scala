@@ -563,6 +563,75 @@ object Similarity {
        |    / nullif(CAST(sn AS DOUBLE) / 1e9, 0.0), 6) AS id_twonn
        |FROM t""".stripMargin
 
+  /** kNN hubness census: run every anchor's top-`k` cosine retrieval
+    * against the full corpus and histogram how often each corpus
+    * vector is retrieved (its k-occurrence). High-dimensional spaces
+    * concentrate retrievals onto hub points (Radovanović et al.) —
+    * a heavy tail here means a few vectors dominate every neighbor
+    * list and ANN recall metrics are being carried by hubs, while the
+    * 0-bucket (never retrieved) counts the antihubs. Same plan shape
+    * as [[twoNnDimension]]: anchors broadcast against one corpus
+    * pass, bounded [[TopKByScore]] state, then two small aggs —
+    * retrieval cost is anchors × scan, histogram cost is
+    * corpus-sized. */
+  def knnHubness(s: SparkSession, d: String, sampleMod: Long = 11L,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val anchors = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+    val topk = udaf(new TopKByScore(k), ExpressionEncoder[Scored]())
+    val occ = emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id"),
+        round(nativeCosine(s, col("embedding"), col("ae")), 6)
+          .as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("a_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("nn"))
+      .select(explode(col("nn")("id")).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("occ"))
+    val occCut = graft.GraftSession.cut(occ)
+    val hist = occCut.groupBy(col("occ").as("k_occurrences"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val nCorpus = emb.count()
+    val nRetrieved = occCut.count()
+    hist.unionAll(s.range(1).select(lit(0L).as("k_occurrences"),
+        lit(nCorpus - nRetrieved).as("n_vectors")))
+      .orderBy(col("k_occurrences"))
+  }
+
+  /** DuckDB oracle for [[knnHubness]]: the same anchors, rounded
+    * cosines, (cosine DESC, id) top-k, occurrence histogram, and an
+    * explicit antihub 0-bucket. */
+  def knnHubnessSql(sampleMod: Long = 11L, k: Int = 10): String =
+    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ae
+       |  FROM embeddings WHERE vec_id % $sampleMod = 0),
+       |p AS (SELECT a_id, e.vec_id, round(
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE)
+       |         * CAST(ae[i] AS DOUBLE)))
+       |    / nullif(
+       |        sqrt(list_sum(list_transform(e.embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(ae,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+       |        CAST(0.0 AS DOUBLE)), 6) AS cosine
+       |  FROM embeddings e, a WHERE e.vec_id <> a.a_id),
+       |rk AS (SELECT a_id, vec_id,
+       |    row_number() OVER (PARTITION BY a_id
+       |      ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM p WHERE cosine IS NOT NULL),
+       |occ AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS occ
+       |  FROM rk WHERE rn <= $k GROUP BY 1),
+       |hist AS (SELECT occ AS k_occurrences,
+       |    CAST(COUNT(*) AS BIGINT) AS n_vectors FROM occ GROUP BY 1
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT),
+       |    (SELECT COUNT(*) FROM embeddings)
+       |      - (SELECT COUNT(*) FROM occ))
+       |SELECT k_occurrences, n_vectors FROM hist
+       |ORDER BY k_occurrences""".stripMargin
+
   /** A built IVF index: the persisted inverted-list assignment plus
     * the coarse-quantizer centroids (driver-side metadata). */
   final case class IvfIndex(assigned: DataFrame,

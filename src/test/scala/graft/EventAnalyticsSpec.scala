@@ -414,4 +414,27 @@ class EventAnalyticsSpec extends SparkTestBase {
       else assert(math.abs(r1 - num / den) < 1e-4, s"$tpe r1")
     }
   }
+
+  test("fanoBurstiness equals brute variance/mean over dense series") {
+    val rows = EventAnalytics.fanoBurstiness(spark, sf("events"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byType = events().groupBy(_._2)
+    rows.foreach { case (tpe, nHours, meanRate, fano) =>
+      val hs = byType(tpe).map(_._3 / 3600000000000L)
+      val counts = hs.groupBy(identity)
+        .map { case (h, xs) => h -> xs.length.toLong }
+      val dense = (hs.min to hs.max).map(h =>
+        counts.getOrElse(h, 0L).toDouble)
+      assert(nHours == dense.length.toLong, s"$tpe n_hours")
+      val m = dense.sum / dense.length
+      val v = dense.map(y => (y - m) * (y - m)).sum / dense.length
+      assert(math.abs(meanRate - m) < 1e-4, s"$tpe mean")
+      assert(math.abs(fano - v / m) < 1e-4, s"$tpe fano")
+      // the synthetic stream is near-Poisson: F must sit near 1, and
+      // a broken densify (dropping zero hours) would push it off
+      assert(fano > 0.5 && fano < 2.0, s"$tpe fano $fano")
+    }
+  }
 }

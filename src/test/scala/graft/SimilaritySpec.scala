@@ -321,4 +321,22 @@ class SimilaritySpec extends SparkTestBase {
     // never more than the ambient width
     assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 64.0)
   }
+
+  test("knnHubness: retrieval mass and corpus partition conservation") {
+    // the per-anchor rankings themselves are oracle-checked end to end
+    // (q217 hash-matches DuckDB's row_number mirror); here pin the
+    // structural invariants any histogram edit must preserve
+    val k = 10
+    val rows = Similarity.knnHubness(spark, sf("embeddings"), k = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+      .select($"vec_id").as[Long].collect()
+    val nAnchors = emb.count(_ % 11 == 0)
+    // every anchor retrieves exactly k: Σ occ·count = anchors·k
+    assert(rows.map { case (occ, n) => occ * n }.sum == nAnchors.toLong * k)
+    // the buckets (including the antihub 0-bucket) partition the corpus
+    assert(rows.map(_._2).sum == emb.length.toLong)
+    // no vector can be retrieved more often than there are anchors
+    assert(rows.map(_._1).max <= nAnchors.toLong)
+  }
 }
