@@ -640,6 +640,12 @@ object SparkEntry {
       graft.ops.EventAnalytics.fanoBurstiness(s, d)),
     // k-occurrence hubness histogram of the embedding kNN graph
     "q217_hubness" -> ((s, d) => graft.ops.Similarity.knnHubness(s, d)),
+    // TPC-H Q3 shape: unshipped revenue top-k for one market segment
+    "q218_tpch_q3" -> ((s, d) =>
+      graft.ops.Relational.shippingPriority(s, d)),
+    // TPC-H Q7 shape: bilateral nation trade volume by role and year
+    "q219_tpch_q7" -> ((s, d) =>
+      graft.ops.Relational.bilateralVolume(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -1996,6 +2002,8 @@ object SparkEntry {
     "q215_twonn_id" -> graft.ops.Similarity.twoNnDimensionSql(),
     "q216_fano" -> graft.ops.EventAnalytics.fanoBurstinessSql,
     "q217_hubness" -> graft.ops.Similarity.knnHubnessSql(),
+    "q218_tpch_q3" -> graft.ops.Relational.shippingPrioritySql(),
+    "q219_tpch_q7" -> graft.ops.Relational.bilateralVolumeSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

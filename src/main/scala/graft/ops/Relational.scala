@@ -647,6 +647,116 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY rev_cents DESC, n_name""".stripMargin
 
+  /** Shipping-priority ranking (the TPC-H Q3 shape): unshipped
+    * revenue per order for one market segment as of a cutoff date.
+    * Both date predicates push into the fact scans, the filtered
+    * customer dim broadcasts, the orders⋈lineitem join shuffles on
+    * the order key, and the top-k is one TakeOrderedAndProject —
+    * never a global sort. Revenue in exact cents. */
+  def shippingPriority(s: SparkSession, d: String,
+      segment: String = "BUILDING", cutoff: String = "1998-06-01",
+      topK: Int = 10): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey").as("o_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(cutoff).cast("date"))
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
+          " AS LONG)").as("c"))
+    li.join(o, "o_orderkey")
+      .join(broadcast(cust), "o_custkey")
+      .groupBy(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(col("c")).as("rev_cents"))
+      .select(col("l_orderkey"), col("rev_cents"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("rev_cents").desc, col("l_orderkey"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[shippingPriority]]. The synthetic orders
+    * table carries o_orderpriority (no shippriority column), which
+    * stands in for Q3's projection. */
+  def shippingPrioritySql(segment: String = "BUILDING",
+      cutoff: String = "1998-06-01", topK: Int = 10): String =
+    s"""SELECT l_orderkey,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+       |    * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+       |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = '$segment'
+       |  AND o_orderdate < DATE '$cutoff'
+       |  AND l_shipdate > DATE '$cutoff'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY rev_cents DESC, l_orderkey LIMIT $topK""".stripMargin
+
+  /** Bilateral trade volume (the TPC-H Q7 shape): shipped revenue
+    * between two nations by supplier-side/customer-side role and ship
+    * year. The nation pair filter broadcasts into BOTH dim joins
+    * (each prunes its fact side before the orders⋈lineitem shuffle);
+    * the date band pushes into the lineitem scan; exact cents, year
+    * as BIGINT on both engines. */
+  def bilateralVolume(s: SparkSession, d: String,
+      nationA: String = "NATION_9",
+      nationB: String = "NATION_10"): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), "s_nationkey")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))), "c_nationkey")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(lit("1995-01-01").cast("date"),
+        lit("1996-12-31").cast("date")))
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        expr("CAST(year(l_shipdate) AS LONG)").as("l_year"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
+          " AS LONG)").as("c"))
+    li.join(broadcast(sup.select(col("l_suppkey"), col("supp_nation"))),
+        "l_suppkey")
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey")), "o_orderkey")
+      .join(broadcast(cust.select(col("o_custkey"), col("cust_nation"))),
+        "o_custkey")
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_items"), sum(col("c")).as("rev_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** DuckDB oracle for [[bilateralVolume]]. */
+  def bilateralVolumeSql(nationA: String = "NATION_9",
+      nationB: String = "NATION_10"): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+       |    * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+       |FROM lineitem
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+       |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+       |WHERE n1.n_name IN ('$nationA', '$nationB')
+       |  AND n2.n_name IN ('$nationA', '$nationB')
+       |  AND n1.n_name <> n2.n_name
+       |  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Returned-revenue ranking (the TPC-H Q10 shape): top customers
     * by revenue on RETURNED line items — the churn-risk list a
     * support team works through. Fact joins shuffle on their keys,

@@ -194,6 +194,69 @@ class RelationalSpec extends SparkTestBase {
     assert(rows.toSeq == exp)
   }
 
+  test("shippingPriority: brute-force Q3 ranking") {
+    val d = sf("lineitem")
+    val cutoff = java.sql.Date.valueOf("1998-06-01")
+    val rows = Relational.shippingPriority(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val seg = graft.Tables.customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val ordOk = graft.Tables.orders(spark, d)
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .filter(r => seg(r.getLong(1))).map(_.getLong(0)).toSet
+    val exp = graft.Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") > lit("1998-06-01").cast("date"))
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
+          " AS LONG)")).collect()
+      .filter(r => ordOk(r.getLong(0)))
+      .groupBy(_.getLong(0))
+      .map { case (ok, xs) => (ok, xs.map(_.getLong(1)).sum) }
+      .toSeq.sortBy(x => (-x._2, x._1)).take(10)
+    assert(rows.toSeq == exp, s"cutoff $cutoff")
+  }
+
+  test("bilateralVolume: symmetric roles partition the pair traffic") {
+    val d = sf("lineitem")
+    // the default NATION_9/10 pair may have no in-window traffic at
+    // this tiny SF — pick the busiest pair from the data so the law
+    // is actually exercised
+    val (na, nb) = {
+      val pair = graft.Tables.lineitem(spark, d)
+        .filter(col("l_shipdate").between(
+          lit("1995-01-01").cast("date"), lit("1996-12-31").cast("date")))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(graft.Tables.orders(spark, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          "l_orderkey")
+        .join(graft.Tables.supplier(spark, d)
+          .select(col("s_suppkey").as("l_suppkey"),
+            col("s_nationkey").as("sn")), "l_suppkey")
+        .join(graft.Tables.customer(spark, d)
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey").as("cn")), "o_custkey")
+        .filter(col("sn") =!= col("cn"))
+        .groupBy(col("sn"), col("cn")).count()
+        .orderBy(col("count").desc, col("sn"), col("cn")).head()
+      (s"NATION_${pair.getAs[Number](0).longValue()}",
+        s"NATION_${pair.getAs[Number](1).longValue()}")
+    }
+    val rows = Relational.bilateralVolume(spark, d, na, nb).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, s"no traffic for $na/$nb")
+    // only the two nations appear, supp != cust on every row, the
+    // band bounds the years, and counts/cents are positive
+    rows.foreach { case (sn, cn, yr, n, cents) =>
+      assert(Set(na, nb)(sn) && Set(na, nb)(cn) && sn != cn)
+      assert(yr >= 1995L && yr <= 1996L)
+      assert(n > 0 && cents > 0)
+    }
+  }
+
   test("nationMarketShare: shares sum to 1 per year, cents exact") {
     val d = sf("lineitem")
     val rows = Relational.nationMarketShare(spark, d).collect()
