@@ -646,6 +646,8 @@ object SparkEntry {
     // TPC-H Q7 shape: bilateral nation trade volume by role and year
     "q219_tpch_q7" -> ((s, d) =>
       graft.ops.Relational.bilateralVolume(s, d)),
+    // CSN power-law MLE over the trade-graph degree tail
+    "q220_powerlaw" -> ((s, d) => graft.ops.Graph.degreePowerLaw(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2004,6 +2006,7 @@ object SparkEntry {
     "q217_hubness" -> graft.ops.Similarity.knnHubnessSql(),
     "q218_tpch_q3" -> graft.ops.Relational.shippingPrioritySql(),
     "q219_tpch_q7" -> graft.ops.Relational.bilateralVolumeSql(),
+    "q220_powerlaw" -> graft.ops.Graph.degreePowerLawSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -1003,6 +1003,49 @@ object Graph {
        |  round(CAST(SUM(12 // mh) AS DOUBLE) / 12.0, 6) AS harmonic
        |FROM m WHERE mh > 0""".stripMargin
 
+  /** Power-law tail exponent of the trade-graph degree distribution:
+    * the Clauset–Shalizi–Newman continuous-approximation MLE
+    * α = 1 + n / Σ ln(dᵢ / (d_min − ½)) over every node — the scalar
+    * companion to the q129 degree histogram (is the tail heavy enough
+    * that hub-aware partitioning matters, α ≲ 2.5, or benign, α ≳ 3).
+    * Reads the memoized degree table; per-node ln terms are
+    * nano-quantized to BIGINT before the sum (partition-order
+    * invariant, hash-exact), one rounded division at the end. */
+  def degreePowerLaw(s: SparkSession, d: String): DataFrame = {
+    val deg = tradeGraph(s, d)._2
+    val dmin = deg.agg(min(col("deg"))).head().getLong(0)
+    deg.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(ln(CAST(deg AS DOUBLE) / " +
+          s"(CAST($dmin AS DOUBLE) - 0.5)) * 1e9) AS LONG)")).as("sn"))
+      .select(col("n").as("n_nodes"), lit(dmin).as("d_min"),
+        round(lit(1.0) + col("n").cast("double")
+          / nullif(col("sn").cast("double") / 1e9, lit(0.0)), 6)
+          .as("alpha_mle"))
+  }
+
+  /** DuckDB oracle for [[degreePowerLaw]]. */
+  def degreePowerLawSql(): String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS cnode,
+      |         l_suppkey * 2 + 1 AS snode
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (
+      |  SELECT cnode AS src, snode AS dst FROM pairs
+      |  UNION ALL SELECT snode AS src, cnode AS dst FROM pairs),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM edges GROUP BY 1),
+      |dm AS (SELECT MIN(deg) AS dmin FROM deg),
+      |st AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(round(ln(CAST(deg AS DOUBLE)
+      |      / (CAST(dmin AS DOUBLE) - 0.5)) * 1e9) AS BIGINT))
+      |      AS BIGINT) AS sn
+      |  FROM deg, dm)
+      |SELECT CAST(st.n AS BIGINT) AS n_nodes,
+      |  CAST(dm.dmin AS BIGINT) AS d_min,
+      |  round(1.0 + CAST(st.n AS DOUBLE)
+      |    / nullif(CAST(st.sn AS DOUBLE) / 1e9, 0.0), 6) AS alpha_mle
+      |FROM st, dm""".stripMargin
+
   /** Connected-component size census of the thresholded co-purchase
     * graph by synchronous min-label propagation: every node starts
     * labeled with its own id, each round takes the min over itself

@@ -449,6 +449,20 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(rows.last._4 - 1.0) < 1e-9)
   }
 
+  test("degreePowerLaw matches the brute CSN MLE") {
+    val d = sf("orders")
+    val row = Graph.degreePowerLaw(spark, d).head()
+    val deg = Graph.tradeEdges(spark, d).groupBy("src").count()
+      .as[(Long, Long)].collect().map(_._2)
+    val dmin = deg.min
+    val sn = deg.map(x => math.log(x.toDouble / (dmin - 0.5))).sum
+    assert(row.getLong(0) == deg.length.toLong)
+    assert(row.getLong(1) == dmin)
+    assert(math.abs(row.getDouble(2) - (1.0 + deg.length / sn)) < 1e-4)
+    // a tail exponent must exceed 1 (normalizability)
+    assert(row.getDouble(2) > 1.0)
+  }
+
   test("theilIndex matches brute force; decomposition adds up") {
     val d = sf("orders")
     val row = Profiling.theilIndex(spark, d).head()
