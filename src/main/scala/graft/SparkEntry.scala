@@ -648,6 +648,11 @@ object SparkEntry {
       graft.ops.Relational.bilateralVolume(s, d)),
     // CSN power-law MLE over the trade-graph degree tail
     "q220_powerlaw" -> ((s, d) => graft.ops.Graph.degreePowerLaw(s, d)),
+    // undamped power-iteration eigenvector centrality
+    "q221_eigenvector" -> ((s, d) =>
+      graft.ops.Graph.eigenvectorCentrality(s, d)),
+    // Atkinson welfare inequality index at epsilon = 1
+    "q222_atkinson" -> ((s, d) => graft.ops.Profiling.atkinsonIndex(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2007,6 +2012,8 @@ object SparkEntry {
     "q218_tpch_q3" -> graft.ops.Relational.shippingPrioritySql(),
     "q219_tpch_q7" -> graft.ops.Relational.bilateralVolumeSql(),
     "q220_powerlaw" -> graft.ops.Graph.degreePowerLawSql(),
+    "q221_eigenvector" -> graft.ops.Graph.eigenvectorCentralitySql(),
+    "q222_atkinson" -> graft.ops.Profiling.atkinsonIndexSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -1003,6 +1003,67 @@ object Graph {
        |  round(CAST(SUM(12 // mh) AS DOUBLE) / 12.0, 6) AS harmonic
        |FROM m WHERE mh > 0""".stripMargin
 
+  /** Eigenvector centrality by power iteration over the trade graph —
+    * the undamped companion of [[pageRank]]: x ← A·x with a
+    * renormalization each round, so a node is central in proportion
+    * to its neighbors' centrality with NO out-degree division and no
+    * restart mass. All arithmetic is exact scaled-BIGINT: the
+    * per-round normalizer is `total DIV RankScale` (≥ 1 since every
+    * node has degree ≥ 1), and each round is the same one
+    * broadcast-gated join + map-side-combined sum as PageRank,
+    * lineage-cut on the same cadence. The oracle unrolls the
+    * identical integer chain. */
+  def eigenvectorCentrality(s: SparkSession, d: String, iters: Int = 4,
+      k: Int = 20): DataFrame = {
+    val (edges, deg, nBox) = tradeGraph(s, d)
+    val n = nBox.longValue()
+    var x = GraftSession.cut(
+      deg.select(col("src").as("node"), lit(RankScale / n).as("x")))
+    for (i <- 1 to iters) {
+      val raw = edges
+        .join(perRoundSide(x.withColumnRenamed("node", "src"), n), "src")
+        .select(col("dst"), col("x"))
+        .groupBy(col("dst")).agg(sum(col("x")).as("xr"))
+      val dScale = raw.agg(sum(col("xr"))).head().getLong(0) / RankScale
+      x = raw.select(col("dst").as("node"),
+        expr(s"xr DIV $dScale").as("x"))
+      if (i % 2 == 0 || i == iters) x = GraftSession.cut(x)
+    }
+    x.select(nodeLabel(col("node")).as("node"), col("x").as("ev_scaled"))
+      .orderBy(col("ev_scaled").desc, col("node")).limit(k)
+  }
+
+  /** DuckDB oracle for [[eigenvectorCentrality]]: the same power
+    * iteration unrolled, per-round normalizer as a scalar subquery
+    * with identical floor division. */
+  def eigenvectorCentralitySql(iters: Int = 4, k: Int = 20): String = {
+    val head =
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS cnode,
+         |         l_suppkey * 2 + 1 AS snode
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT cnode AS src, snode AS dst FROM pairs
+         |  UNION ALL SELECT snode AS src, cnode AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |x0 AS (SELECT node, $RankScale // n AS x FROM nodes, nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node, SUM(x.x) AS xr
+         |  FROM edges e JOIN x${i - 1} x ON x.node = e.src
+         |  GROUP BY e.dst),
+         |x$i AS (SELECT node,
+         |    xr // (SELECT SUM(xr) // $RankScale FROM r$i) AS x
+         |  FROM r$i)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END
+         |    || CAST(node // 2 AS VARCHAR) AS node,
+         |  CAST(x AS BIGINT) AS ev_scaled FROM x$iters
+         |ORDER BY ev_scaled DESC, node LIMIT $k""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
   /** Power-law tail exponent of the trade-graph degree distribution:
     * the Clauset–Shalizi–Newman continuous-approximation MLE
     * α = 1 + n / Σ ln(dᵢ / (d_min − ½)) over every node — the scalar

@@ -455,6 +455,45 @@ object Profiling {
           .as("theil_within"))
   }
 
+  /** Atkinson inequality index at ε = 1: A = 1 − geomean(x)/mean(x)
+    * over per-customer spend — the welfare-theoretic member of the
+    * inequality family (beside [[giniSpend]] and [[theilIndex]]),
+    * read as "the share of total spend society would give up for
+    * perfect equality". The geometric mean rides the same
+    * nano-quantized Σ ln x BIGINT sum as Theil (partition-order
+    * invariant); the arithmetic mean is exact cents; one exp and one
+    * division at the end, identical expression text on both
+    * engines. */
+  def atkinsonIndex(s: SparkSession, d: String): DataFrame = {
+    val spend = GraftSession.cut(Tables.orders(s, d)
+      .select(col("o_custkey"), cents.as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("v")))
+    spend.agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(expr("CAST(round(ln(CAST(v AS DOUBLE)) * 1e9) AS LONG)"))
+          .as("sl"))
+      .select(col("n").as("n_customers"),
+        round(lit(1.0)
+          - expr("exp(CAST(sl AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))")
+          / (col("sx").cast("double") / col("n").cast("double")), 6)
+          .as("atkinson"))
+  }
+
+  /** DuckDB oracle for [[atkinsonIndex]]. */
+  def atkinsonIndexSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE)) * 1e9) AS BIGINT))
+      |      AS BIGINT) AS sl
+      |  FROM spend)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  round(1.0 - exp(CAST(sl AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+      |    / (CAST(sx AS DOUBLE) / n), 6) AS atkinson
+      |FROM st""".stripMargin
+
   /** DuckDB oracle for [[theilIndex]]: the same nano-quantized terms;
     * N and X come from scalar-subquery CTEs instead of driver
     * scalars. */

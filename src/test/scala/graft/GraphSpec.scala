@@ -59,6 +59,21 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("components and kCore under reliable checkpoints match local-cut") {
+    val d = sf("lineitem")
+    val baseCensus = Graph.components(spark, d).collect().toSeq
+    val baseCore = Graph.kCore(spark, d).collect().toSeq
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-ck2").toString
+    GraftSession.enableReliableCheckpoints(spark, ckDir)
+    try {
+      assert(Graph.components(spark, d).collect().toSeq == baseCensus)
+      assert(Graph.kCore(spark, d).collect().toSeq == baseCore)
+    } finally {
+      spark.conf.set("spark.graft.reliableCheckpoints", "false")
+    }
+  }
+
   test("degreeProfile node count equals distinct trade endpoints") {
     val d = sf("orders")
     val profiled = Graph.degreeProfile(spark, d)
@@ -447,6 +462,40 @@ class GraphSpec extends SparkTestBase {
     assert(rows.sliding(2).forall {
       case Array(a, b) => b._3 >= a._3 - 1e-9; case _ => true })
     assert(math.abs(rows.last._4 - 1.0) < 1e-9)
+  }
+
+  test("eigenvectorCentrality matches a driver power iteration") {
+    val d = sf("orders")
+    val got = Graph.eigenvectorCentrality(spark, d, iters = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val edges = Graph.tradeEdges(spark, d)
+      .as[(Long, Long)].collect()
+    val nodes = edges.map(_._1).distinct.sorted
+    val scale = 1000000000000L
+    var x = nodes.map(_ -> scale / nodes.length).toMap
+    for (_ <- 1 to 3) {
+      val raw = edges.groupBy(_._2)
+        .map { case (v, es) => v -> es.map(e => x(e._1)).sum }
+      val dScale = raw.values.sum / scale
+      x = raw.map { case (v, xr) => v -> xr / dScale }
+    }
+    val label = (v: Long) =>
+      (if (v % 2 == 0) "c" else "s") + (v >> 1).toString
+    val brute = x.toSeq.map { case (v, s0) => label(v) -> s0 }
+      .sortBy { case (l, s0) => (-s0, l) }.take(10)
+    assert(got.toSeq == brute)
+  }
+
+  test("atkinsonIndex matches brute force and sits in [0, 1)") {
+    val d = sf("orders")
+    val row = Profiling.atkinsonIndex(spark, d).head()
+    val spend = centsByCustomer(d).map { case (_, (_, _, m)) => m }.toSeq
+    val n = spend.length.toDouble
+    val mean = spend.map(BigInt(_)).sum.toDouble / n
+    val gm = math.exp(spend.map(v => math.log(v.toDouble)).sum / n)
+    assert(row.getLong(0) == spend.length.toLong)
+    assert(math.abs(row.getDouble(1) - (1.0 - gm / mean)) < 1e-5)
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) < 1.0)
   }
 
   test("degreePowerLaw matches the brute CSN MLE") {
