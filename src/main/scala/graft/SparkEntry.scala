@@ -653,6 +653,9 @@ object SparkEntry {
       graft.ops.Graph.eigenvectorCentrality(s, d)),
     // Atkinson welfare inequality index at epsilon = 1
     "q222_atkinson" -> ((s, d) => graft.ops.Profiling.atkinsonIndex(s, d)),
+    // butterfly (C4) census of the bipartite trade graph
+    "q223_butterflies" -> ((s, d) =>
+      graft.ops.Graph.butterflyCensus(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2014,6 +2017,7 @@ object SparkEntry {
     "q220_powerlaw" -> graft.ops.Graph.degreePowerLawSql(),
     "q221_eigenvector" -> graft.ops.Graph.eigenvectorCentralitySql(),
     "q222_atkinson" -> graft.ops.Profiling.atkinsonIndexSql,
+    "q223_butterflies" -> graft.ops.Graph.butterflyCensusSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

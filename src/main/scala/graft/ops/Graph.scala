@@ -1064,6 +1064,73 @@ object Graph {
     (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
   }
 
+  /** Butterfly (C4) census of the bipartite trade graph: a butterfly
+    * is two suppliers sharing two customers (equivalently two
+    * customers sharing two suppliers — the motif is symmetric) — the
+    * smallest bipartite cohesion motif, the bipartite analogue of the
+    * triangle. Counted from SUPPLIER-pair wedges centered on
+    * customers: for each supplier pair sharing w customers the pair
+    * closes C(w, 2) butterflies, so the census is one
+    * customer-scoped self-join + a pair agg, never a 4-way join.
+    * Centering the wedge on the LOW-fan-out side is the whole game:
+    * customers hold ~7 suppliers each where suppliers hold hundreds
+    * of customers, so this orientation enumerates Σ C(7, 2)-ish
+    * wedges instead of Σ C(hundreds, 2) — measured 5.5 s → sub-second
+    * at sf0.1, and the gap widens with scale (the supplier-centered
+    * join grows quadratically in the growing customers-per-supplier
+    * fan-out; this one in the bounded suppliers-per-customer).
+    * Customers above `maxDegree` suppliers are dropped and mirrored
+    * in the oracle (the banded-join cap discipline). Exact BIGINT
+    * wedge counts; C(w,2) summed in DECIMAL(38,0). */
+  def butterflyCensus(s: SparkSession, d: String,
+      maxDegree: Int = 4000): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sc = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select(col("l_suppkey").as("sup"), col("o_custkey").as("cust"))
+      .distinct()
+    val keep = sc.groupBy(col("cust")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") <= maxDegree).select(col("cust"))
+    // keep is customer-sized: AQE turns the semi-join build into a
+    // runtime broadcast when it measures small, shuffle otherwise
+    val capped = GraftSession.cut(sc.join(keep, Seq("cust"), "left_semi"))
+    val wedges = capped.select(col("cust"), col("sup").as("s1"))
+      .join(capped.select(col("cust"), col("sup").as("s2")), Seq("cust"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("w"))
+    wedges.agg(count(lit(1)).as("n_connected_pairs"),
+        sum(when(col("w") >= 2, 1L)).as("np2"),
+        sum((col("w").cast(dec) * (col("w") - 1L)).cast(dec))
+          .as("bf2"))
+      .select(col("n_connected_pairs"),
+        coalesce(col("np2"), lit(0L)).as("n_multi_pairs"),
+        (col("bf2") / lit(2)).cast("long").as("n_butterflies"))
+  }
+
+  /** DuckDB oracle for [[butterflyCensus]]: the same capped
+    * customer-centered wedge join and C(w,2) sum. */
+  def butterflyCensusSql(maxDegree: Int = 4000): String =
+    s"""WITH sc AS (SELECT DISTINCT l_suppkey AS sup,
+       |    o_custkey AS cust
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |keep AS (SELECT cust FROM sc GROUP BY cust
+       |  HAVING COUNT(*) <= $maxDegree),
+       |capped AS (SELECT sc.sup, sc.cust FROM sc
+       |  JOIN keep ON keep.cust = sc.cust),
+       |wedges AS (SELECT a.sup AS s1, b.sup AS s2,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM capped a JOIN capped b ON a.cust = b.cust
+       |  AND a.sup < b.sup
+       |  GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_connected_pairs,
+       |  CAST(COALESCE(SUM(CASE WHEN w >= 2 THEN 1 END), 0) AS BIGINT)
+       |    AS n_multi_pairs,
+       |  CAST(SUM(CAST(w AS HUGEINT) * (w - 1)) // 2 AS BIGINT)
+       |    AS n_butterflies
+       |FROM wedges""".stripMargin
+
   /** Power-law tail exponent of the trade-graph degree distribution:
     * the Clauset–Shalizi–Newman continuous-approximation MLE
     * α = 1 + n / Σ ln(dᵢ / (d_min − ½)) over every node — the scalar

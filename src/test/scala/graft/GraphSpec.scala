@@ -498,6 +498,38 @@ class GraphSpec extends SparkTestBase {
     assert(row.getDouble(1) >= 0.0 && row.getDouble(1) < 1.0)
   }
 
+  test("butterflyCensus matches brute C4 counting, both orientations") {
+    val d = sf("orders")
+    val row = Graph.butterflyCensus(spark, d).head()
+    val sc = graft.Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.lineitem(spark, d)
+        .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+        "o_orderkey")
+      .select($"l_suppkey", $"o_custkey").distinct()
+      .as[(Long, Long)].collect()
+    // supplier-pair orientation (what the op returns)
+    val bySup = sc.groupBy(_._2).values // customer -> its suppliers
+      .flatMap { g =>
+        val ss = g.map(_._1).sorted
+        for (i <- ss.indices; j <- i + 1 until ss.length)
+          yield (ss(i), ss(j))
+      }.groupBy(identity).map(_._2.size.toLong)
+    val bf1 = bySup.map(w => BigInt(w) * (w - 1) / 2).sum
+    // customer-pair orientation must count the SAME butterflies
+    val byCust = sc.groupBy(_._1).values
+      .flatMap { g =>
+        val cs = g.map(_._2).sorted
+        for (i <- cs.indices; j <- i + 1 until cs.length)
+          yield (cs(i), cs(j))
+      }.groupBy(identity).map(_._2.size.toLong)
+    val bf2 = byCust.map(w => BigInt(w) * (w - 1) / 2).sum
+    assert(bf1 == bf2, "orientation symmetry broken")
+    assert(row.getLong(0) == bySup.size.toLong)
+    assert(row.getLong(1) == bySup.count(_ >= 2).toLong)
+    assert(BigInt(row.getLong(2)) == bf1)
+  }
+
   test("degreePowerLaw matches the brute CSN MLE") {
     val d = sf("orders")
     val row = Graph.degreePowerLaw(spark, d).head()
