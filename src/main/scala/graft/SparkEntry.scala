@@ -656,6 +656,9 @@ object SparkEntry {
     // butterfly (C4) census of the bipartite trade graph
     "q223_butterflies" -> ((s, d) =>
       graft.ops.Graph.butterflyCensus(s, d)),
+    // tie-strength-weighted PageRank (mass splits by shared orders)
+    "q224_weighted_pagerank" -> ((s, d) =>
+      graft.ops.Graph.weightedPageRank(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2018,6 +2021,7 @@ object SparkEntry {
     "q221_eigenvector" -> graft.ops.Graph.eigenvectorCentralitySql(),
     "q222_atkinson" -> graft.ops.Profiling.atkinsonIndexSql,
     "q223_butterflies" -> graft.ops.Graph.butterflyCensusSql(),
+    "q224_weighted_pagerank" -> graft.ops.Graph.weightedPageRankSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -643,12 +643,90 @@ object Graph {
         .agg(count(lit(1)).as("support"))
         .withColumn("cost", expr("1000000 DIV support"))
       val edges = pairs
-        .select(col("cnode").as("src"), col("snode").as("dst"), col("cost"))
+        .select(col("cnode").as("src"), col("snode").as("dst"),
+          col("cost"), col("support"))
         .unionAll(pairs.select(col("snode").as("src"),
-          col("cnode").as("dst"), col("cost")))
+          col("cnode").as("dst"), col("cost"), col("support")))
         .persist()
       (edges, Seq(edges))
     }
+
+  /** Support-weighted PageRank: the [[pageRank]] walk where a round's
+    * mass splits proportionally to TIE STRENGTH (distinct shared
+    * orders) instead of uniformly — a hub whose volume concentrates
+    * on one partner passes nearly all its rank there. Exact BIGINT
+    * floor arithmetic throughout: per-edge contribution is
+    * (rank · support) DIV wdeg with wdeg = Σ support folded into the
+    * pinned edge table (one join per round saved, the [[tradeGraph]]
+    * move), damping 0.85 in the same scaled-integer form, per-round
+    * broadcast gate and lineage cuts as every iterative plan here.
+    * Oracled by the identical unrolled integer chain. */
+  def weightedPageRank(s: SparkSession, d: String, iters: Int = 4,
+      k: Int = 20): DataFrame = {
+    val raw = weightedTradeEdges(s, d)
+    val wdeg = raw.groupBy(col("src")).agg(sum(col("support")).as("wdeg"))
+    val edges = IndexMemo.getOrBuild[DataFrame](
+      "wprEdges", "", Seq(raw)) {
+      val built = raw.select(col("src"), col("dst"), col("support"))
+        .join(wdeg, "src").persist()
+      (built, Seq(built))
+    }
+    val n = tradeGraph(s, d)._3.longValue()
+    val init = RankScale / n
+    val base = (15L * init) / 100L
+    var rank = GraftSession.cut(
+      wdeg.select(col("src").as("node"), lit(init).as("rank")))
+    for (i <- 1 to iters) {
+      rank = edges
+        .join(perRoundSide(rank.withColumnRenamed("node", "src"), n),
+          "src")
+        .select(col("dst"),
+          expr("(rank * support) DIV wdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * c) DIV 100")).as("rank"))
+      if (i % 2 == 0 || i == iters) rank = GraftSession.cut(rank)
+    }
+    rank.select(nodeLabel(col("node")).as("node"),
+        col("rank").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node")).limit(k)
+  }
+
+  /** DuckDB oracle for [[weightedPageRank]]. */
+  def weightedPageRankSql(iters: Int = 4, k: Int = 20): String = {
+    val head =
+      s"""WITH pairs AS (
+         |  SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode,
+         |         COUNT(DISTINCT o_orderkey) AS support
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT cnode AS src, snode AS dst, support FROM pairs
+         |  UNION ALL SELECT snode, cnode, support FROM pairs),
+         |wdeg AS (SELECT src, CAST(SUM(support) AS BIGINT) AS wdeg
+         |         FROM edges GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM wdeg),
+         |r0 AS (SELECT src AS node, $RankScale // n AS rank
+         |       FROM wdeg, nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    (15 * ($RankScale // nn.n)) // 100
+         |      + (85 * SUM((r.rank * e.support) // w.wdeg)) // 100
+         |      AS rank
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN wdeg w ON e.src = w.src, nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END
+         |    || CAST(node // 2 AS VARCHAR) AS node,
+         |  CAST(rank AS BIGINT) AS rank_scaled FROM r$iters
+         |ORDER BY rank_scaled DESC, node LIMIT $k""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
 
   /** Bellman-Ford single-source shortest path, `rounds` relaxation
     * rounds over the weighted trade graph — the weighted complement of

@@ -498,6 +498,21 @@ class GraphSpec extends SparkTestBase {
     assert(row.getDouble(1) >= 0.0 && row.getDouble(1) < 1.0)
   }
 
+  test("weightedPageRank: deterministic, positive, differs from uniform") {
+    val d = sf("orders")
+    val a = Graph.weightedPageRank(spark, d, iters = 3, k = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val b = Graph.weightedPageRank(spark, d, iters = 3, k = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(a.sameElements(b), "not deterministic")
+    assert(a.forall(_._2 > 0L))
+    // tie-strength weighting must actually change the ranking
+    // somewhere vs the uniform-split walk
+    val uni = Graph.pageRank(spark, d, iters = 3, k = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(!a.sameElements(uni), "weights had no effect")
+  }
+
   test("butterflyCensus matches brute C4 counting, both orientations") {
     val d = sf("orders")
     val row = Graph.butterflyCensus(spark, d).head()
