@@ -659,6 +659,8 @@ object SparkEntry {
     // tie-strength-weighted PageRank (mass splits by shared orders)
     "q224_weighted_pagerank" -> ((s, d) =>
       graft.ops.Graph.weightedPageRank(s, d)),
+    // fixed-round 3-truss peel (edge-cohesion census)
+    "q225_ktruss" -> ((s, d) => graft.ops.Graph.kTruss(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2022,6 +2024,7 @@ object SparkEntry {
     "q222_atkinson" -> graft.ops.Profiling.atkinsonIndexSql,
     "q223_butterflies" -> graft.ops.Graph.butterflyCensusSql(),
     "q224_weighted_pagerank" -> graft.ops.Graph.weightedPageRankSql(),
+    "q225_ktruss" -> graft.ops.Graph.kTrussSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -989,6 +989,83 @@ object Graph {
     (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
   }
 
+  /** Fixed-round k-truss peeling of the thresholded co-purchase
+    * graph: `rounds` synchronous passes each dropping every edge in
+    * fewer than `kTruss`−2 triangles, emitting the surviving
+    * (nodes, edges) — the edge-cohesion strengthening of [[kCore]]
+    * (every k-truss edge's endpoints lie in the (k−1)-core, never
+    * vice versa). Per round: per-edge triangle support from ONE
+    * common-neighbor join of the current edge list against its
+    * adjacency (O(E·d̄), the same bound as the triangle census — no
+    * 3-way join), a support filter, and a lineage cut; the peel stops
+    * early the moment a round drops nothing (monotone, so an
+    * unchanged edge count is a fixed point and the remaining rounds
+    * are the identity — result-identical to the oracle's fixed-round
+    * unroll). */
+  def kTruss(s: SparkSession, d: String, kTruss: Int = 3,
+      rounds: Int = 4, minSupport: Int = 7): DataFrame = {
+    val minTri = (kTruss - 2).toLong
+    var e = GraftSession.cut(
+      copurchaseEdges(s, d, minSupport).select(col("a"), col("b")))
+    var nEdges = e.count()
+    var i = 1
+    var converged = false
+    while (i <= rounds && !converged) {
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      // common-neighbor count per edge: c is adjacent to BOTH a and b
+      val support = e
+        .join(adj.select(col("u").as("a"), col("v").as("c")), "a")
+        .join(adj.select(col("u").as("b"), col("v").as("c")),
+          Seq("b", "c"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("tri"))
+      e = GraftSession.cut(e
+        .join(support.filter(col("tri") >= minTri)
+          .select(col("a"), col("b")), Seq("a", "b"), "left_semi"))
+      val n2 = e.count()
+      if (n2 == nEdges) converged = true
+      nEdges = n2
+      i += 1
+    }
+    e.agg(count(lit(1)).as("n_truss_edges"))
+      .crossJoin(broadcast(
+        e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .agg(count_distinct(col("v")).as("n_truss_nodes"))))
+  }
+
+  /** DuckDB oracle for [[kTruss]]: the same peel unrolled with
+    * MATERIALIZED per-round CTEs (each e$i feeds the next round's
+    * adjacency twice plus the support join). */
+  def kTrussSql(kTruss: Int = 3, rounds: Int = 4,
+      minSupport: Int = 7): String = {
+    val minTri = kTruss - 2
+    val head =
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |      AND a.l_suppkey < b.l_suppkey
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""adj$i AS MATERIALIZED (SELECT a AS u, b AS v FROM e${i - 1}
+         |  UNION ALL SELECT b, a FROM e${i - 1}),
+         |sup$i AS MATERIALIZED (SELECT e.a, e.b, COUNT(*) AS tri
+         |  FROM e${i - 1} e
+         |  JOIN adj$i x ON x.u = e.a
+         |  JOIN adj$i y ON y.u = e.b AND y.v = x.v
+         |  GROUP BY e.a, e.b),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN sup$i s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.tri >= $minTri)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_truss_edges,
+         |  (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM (
+         |     SELECT a AS v FROM e$rounds
+         |     UNION ALL SELECT b FROM e$rounds) t) AS n_truss_nodes
+         |FROM e$rounds""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
   /** Per-node (local) clustering coefficient, top-`k`: for each
     * supplier, the fraction of its neighbor pairs that are themselves
     * connected — 2·tri(v) / (deg·(deg−1)). Triangles-at-v come from

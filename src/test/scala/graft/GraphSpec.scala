@@ -498,6 +498,25 @@ class GraphSpec extends SparkTestBase {
     assert(row.getDouble(1) >= 0.0 && row.getDouble(1) < 1.0)
   }
 
+  test("kTruss matches a brute-force converged peel; nests in kCore") {
+    val d = sf("lineitem")
+    val row = Graph.kTruss(spark, d, kTruss = 3, rounds = 8).head()
+    var core = bruteCopurchaseEdges(d)
+    var changed = true
+    while (changed) {
+      val adj = core.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (u, v) => u -> v.map(_._2).toSet }
+      val next = core.filter { case (a, b) =>
+        (adj(a) & adj(b)).nonEmpty } // >= 1 triangle per edge
+      changed = next.size != core.size
+      core = next
+    }
+    val nodes = core.flatMap(e => Seq(e._1, e._2))
+    assert(row.getLong(0) == core.size.toLong,
+      s"truss edges ${row.getLong(0)} != brute ${core.size}")
+    assert(row.getLong(1) == nodes.size.toLong)
+  }
+
   test("weightedPageRank: deterministic, positive, differs from uniform") {
     val d = sf("orders")
     val a = Graph.weightedPageRank(spark, d, iters = 3, k = 50)
