@@ -1175,14 +1175,17 @@ object Graph {
     var x = GraftSession.cut(
       deg.select(col("src").as("node"), lit(RankScale / n).as("x")))
     for (i <- 1 to iters) {
-      val raw = edges
+      // cut BEFORE the normalizer read: raw feeds both the dScale
+      // scalar and the renormalized table, so an uncut raw would pay
+      // the join+agg twice per round (once for .head(), once when the
+      // next round's broadcast collects x)
+      val raw = GraftSession.cut(edges
         .join(perRoundSide(x.withColumnRenamed("node", "src"), n), "src")
         .select(col("dst"), col("x"))
-        .groupBy(col("dst")).agg(sum(col("x")).as("xr"))
+        .groupBy(col("dst")).agg(sum(col("x")).as("xr")))
       val dScale = raw.agg(sum(col("xr"))).head().getLong(0) / RankScale
       x = raw.select(col("dst").as("node"),
         expr(s"xr DIV $dScale").as("x"))
-      if (i % 2 == 0 || i == iters) x = GraftSession.cut(x)
     }
     x.select(nodeLabel(col("node")).as("node"), col("x").as("ev_scaled"))
       .orderBy(col("ev_scaled").desc, col("node")).limit(k)
