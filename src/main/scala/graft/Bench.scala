@@ -17,7 +17,12 @@ import scala.collection.mutable.ArrayBuffer
   * never sees; VARIANCE_r8.md has the `top -H` evidence, and BENCH_r08
   * recorded 173 s for a suite that re-ran clean at 22 s). A stall window
   * can span all three timed runs of consecutive queries, so best-of-N
-  * alone cannot save the record. Instead every timed run is bracketed by a
+  * alone cannot save the record. Timed runs are additionally
+  * BUILD-FREE: a sample during which [[ops.IndexMemo]] performed an
+  * index build is discarded and retried, and the cumulative build time
+  * is reported once as `memo_build_s` — so shared-index build bills
+  * never land on whichever query touched the index first and per-query
+  * times compare across rounds. Instead every timed run is bracketed by a
   * calibration probe — a fixed 32-partition job whose clean time is
   * measured at startup; if either adjacent probe exceeds 8x the calibrated
   * baseline (min 0.5 s), the host was stalling in that window and the run
@@ -201,13 +206,35 @@ object Bench {
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
         }
+        // A timed sample must not pay a memoized-index build: the warm
+        // run below absorbs the first build, but FIFO eviction (or a
+        // collision) can push a rebuild into a later timed run — and
+        // that bill then lands on whichever query touched the shared
+        // index, making cross-round per-query deltas noise. So a run
+        // whose IndexMemo build counter moved is discarded and retried
+        // (bounded); the cumulative build time is reported separately
+        // as memo_build_s.
+        def buildFree(): Double = {
+          var tries = 0
+          var t = -1.0
+          var paidBuild = true
+          while (paidBuild && tries < 3) {
+            val b0 = graft.ops.IndexMemo.buildNanos
+            t = once()
+            paidBuild = t >= 0 && graft.ops.IndexMemo.buildNanos > b0
+            tries += 1
+          }
+          t
+        }
         once() // untimed warm run (result discarded; failures surface below)
-        name -> measure(() => once(), () => probeOk())
+        name -> measure(() => buildFree(), () => probeOk())
     }
+    val memoBuildS = graft.ops.IndexMemo.buildNanos / 1e9
     val total = results.collect { case (_, m) if m.best >= 0 => m.best }.sum
     val stalled = results.collect { case (n, m) if m.stalled => "\"" + shortKey(n) + "\"" }
       .mkString("[", ",", "]")
-    val prevCmp = prevComparisonJson(calibration, sfDir, results)
+    val prevCmp = prevComparisonJson(calibration, sfDir, results) +
+      s""","memo_build_s":${fmt(memoBuildS, 3)}"""
     val out = assembleLine(results, total, calibration, sfDir, stalled,
       prevCmp)
     // the suite outgrew the stdout budget (180+ queries x 3 decimals >

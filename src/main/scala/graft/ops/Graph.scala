@@ -918,9 +918,6 @@ object Graph {
     var und = GraftSession.cut(
       e0.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e0.select(col("b").as("u"), col("a").as("v"))))
-    // one count on the already-materialized cut bounds every round's
-    // build side: und only shrinks while peeling
-    val n0 = und.count()
     var i = 1
     var converged = false
     while (i <= rounds && !converged) {
@@ -934,7 +931,12 @@ object Graph {
       val bad = GraftSession.cut(
         und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
           .filter(col("dg") < kDeg).select(col("u")))
-      if (bad.count() == 0L) {
+      // gate the broadcast on bad's OWN measured count (already paid
+      // for by the fixpoint check below) — not the edge count, which
+      // is orders of magnitude larger than the fringe and would
+      // withhold a broadcast the build side trivially fits
+      val nBad = bad.count()
+      if (nBad == 0L) {
         // fixed point: an empty bad set makes this and every
         // remaining round the identity, so skipping them returns
         // EXACTLY what the full fixed-round unroll (and the oracle's
@@ -949,8 +951,8 @@ object Graph {
         // under each anti-join build — materializing first keeps the
         // peels single-pass
         und = GraftSession.cut(und
-          .join(perRoundSide(bad, n0), Seq("u"), "left_anti")
-          .join(perRoundSide(bad.select(col("u").as("v")), n0), Seq("v"),
+          .join(perRoundSide(bad, nBad), Seq("u"), "left_anti")
+          .join(perRoundSide(bad.select(col("u").as("v")), nBad), Seq("v"),
             "left_anti")
           .select(col("u"), col("v")))
         i += 1
@@ -1004,6 +1006,12 @@ object Graph {
     * unroll). */
   def kTruss(s: SparkSession, d: String, kTruss: Int = 3,
       rounds: Int = 4, minSupport: Int = 7): DataFrame = {
+    // k = 2 would be the identity (every edge is a 2-truss), but the
+    // support left_semi below has no row for triangle-free edges and
+    // would drop them — so the trivial case is rejected rather than
+    // silently mis-answered (the oracle unroll shares the shape)
+    require(kTruss >= 3, s"kTruss must be >= 3 (got $kTruss); " +
+      "a 2-truss is the input edge set itself")
     val minTri = (kTruss - 2).toLong
     var e = GraftSession.cut(
       copurchaseEdges(s, d, minSupport).select(col("a"), col("b")))
@@ -1038,6 +1046,7 @@ object Graph {
     * adjacency twice plus the support join). */
   def kTrussSql(kTruss: Int = 3, rounds: Int = 4,
       minSupport: Int = 7): String = {
+    require(kTruss >= 3, s"kTruss must be >= 3 (got $kTruss)")
     val minTri = kTruss - 2
     val head =
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
@@ -1163,8 +1172,9 @@ object Graph {
     * renormalization each round, so a node is central in proportion
     * to its neighbors' centrality with NO out-degree division and no
     * restart mass. All arithmetic is exact scaled-BIGINT: the
-    * per-round normalizer is `total DIV RankScale` (≥ 1 since every
-    * node has degree ≥ 1), and each round is the same one
+    * per-round normalizer is `max(total DIV RankScale, 1)` — the
+    * clamp matters on degenerate graphs where init floor loss pushes
+    * sum(x) just under RankScale — and each round is the same one
     * broadcast-gated join + map-side-combined sum as PageRank,
     * lineage-cut on the same cadence. The oracle unrolls the
     * identical integer chain. */
@@ -1183,7 +1193,12 @@ object Graph {
         .join(perRoundSide(x.withColumnRenamed("node", "src"), n), "src")
         .select(col("dst"), col("x"))
         .groupBy(col("dst")).agg(sum(col("x")).as("xr")))
-      val dScale = raw.agg(sum(col("xr"))).head().getLong(0) / RankScale
+      // clamp: on a degenerate graph (all degrees 1) floor loss in the
+      // init makes sum(x) = n*(RankScale DIV n) < RankScale, so the
+      // unclamped normalizer would be 0 → NULL ranks; the oracle
+      // mirrors with greatest(..., 1)
+      val dScale = math.max(
+        raw.agg(sum(col("xr"))).head().getLong(0) / RankScale, 1L)
       x = raw.select(col("dst").as("node"),
         expr(s"xr DIV $dScale").as("x"))
     }
@@ -1211,7 +1226,7 @@ object Graph {
          |  FROM edges e JOIN x${i - 1} x ON x.node = e.src
          |  GROUP BY e.dst),
          |x$i AS (SELECT node,
-         |    xr // (SELECT SUM(xr) // $RankScale FROM r$i) AS x
+         |    xr // (SELECT greatest(SUM(xr) // $RankScale, 1) FROM r$i) AS x
          |  FROM r$i)""".stripMargin
     }
     val tail =
@@ -1365,9 +1380,12 @@ object Graph {
   private[graft] def componentLabels(und0: DataFrame,
       rounds: Int): DataFrame = {
     val und = GraftSession.cut(und0)
-    val n0 = und.count()
     var lab = GraftSession.cut(und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab")))
+    // gate per-round broadcasts on the NODE count (lab is one row per
+    // node, fixed across rounds) — the edge count would disqualify a
+    // build side that is far smaller than it
+    val nNodes = lab.count()
     def labSum(df: DataFrame): Long =
       df.agg(sum(col("lab"))).head().getLong(0)
     var prev = labSum(lab)
@@ -1376,7 +1394,7 @@ object Graph {
     while (i <= rounds && !converged) {
       lab = GraftSession.cut(
         und.join(perRoundSide(
-            lab.select(col("node").as("u"), col("lab")), n0), "u")
+            lab.select(col("node").as("u"), col("lab")), nNodes), "u")
           .select(col("v").as("node"), col("lab"))
           .unionAll(lab)
           .groupBy(col("node")).agg(min(col("lab")).as("lab")))

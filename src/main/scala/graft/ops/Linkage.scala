@@ -61,27 +61,37 @@ object Linkage {
       .limit(k)
   }
 
-  /** Near-identical customer-name pairs: block on the name's last two
-    * characters, fuzzy-match within capped blocks (see [[fuzzyPairs]]).
-    * Both engines define levenshtein as plain unit-cost edit distance,
-    * so the pair set hash-matches. Scale: the block join shuffles only
-    * (block, name) pairs; the edit distance — the expensive part —
-    * runs on the block-bounded candidates. */
+  /** Near-identical customer-name pairs: block on the name's last
+    * `blockWidth` characters, fuzzy-match within capped blocks (see
+    * [[fuzzyPairs]]). Both engines define levenshtein as plain
+    * unit-cost edit distance, so the pair set hash-matches. Scale: the
+    * block join shuffles only (block, name) pairs; the edit distance —
+    * the expensive part — runs on the block-bounded candidates.
+    *
+    * `blockWidth` IS the scale knob: digit-suffixed names land in
+    * 10^blockWidth blocks, so mean block size is corpus/10^w. The old
+    * fixed width of 2 saturated every block past ~1e5 names (the cap
+    * then drops ALL of them — a silently-empty result); width 3 holds
+    * to ~1e6 names and width 4 to ~1e7. Widening trades recall (pairs
+    * differing inside the key move to different blocks) for bounded
+    * block size — the standard blocking trade-off, mirrored exactly in
+    * the oracle so the result still hash-matches. */
   def fuzzyNamePairs(s: SparkSession, d: String,
-      maxDist: Int = 2, k: Int = 50, maxBucketSize: Int = 1000): DataFrame =
+      maxDist: Int = 2, k: Int = 50, maxBucketSize: Int = 1000,
+      blockWidth: Int = 3): DataFrame =
     fuzzyPairs(
       Tables.customer(s, d)
-        .select(substring(col("c_name"), -2, 2).as("blk"),
+        .select(substring(col("c_name"), -blockWidth, blockWidth).as("blk"),
           col("c_name").as("name")),
       maxDist, k, maxBucketSize)
 
-  /** DuckDB oracle for [[fuzzyNamePairs]]. `right(name, 2)` matches
-    * Spark's `substring(name, -2, 2)` for ALL lengths (DuckDB substr
+  /** DuckDB oracle for [[fuzzyNamePairs]]. `right(name, w)` matches
+    * Spark's `substring(name, -w, w)` for ALL lengths (DuckDB substr
     * with a computed start index diverges on 1-char strings); the
     * QUALIFY mirrors the block cap. */
   def fuzzyNamePairsSql(maxDist: Int = 2, k: Int = 50,
-      maxBucketSize: Int = 1000): String =
-    s"""WITH n AS (SELECT c_name AS name, right(c_name, 2) AS blk
+      maxBucketSize: Int = 1000, blockWidth: Int = 3): String =
+    s"""WITH n AS (SELECT c_name AS name, right(c_name, $blockWidth) AS blk
        |           FROM customer),
        |c AS (SELECT name, blk FROM n
        |      QUALIFY COUNT(*) OVER (PARTITION BY blk) <= $maxBucketSize)

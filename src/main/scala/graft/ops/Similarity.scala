@@ -486,12 +486,47 @@ object Similarity {
     * point, the standard "is this 64-dim embedding really using 64
     * dims" health check. Anchors are a deterministic 1-in-`sampleMod`
     * id slice (the estimator is statistical; the full corpus is never
-    * self-joined) and are BROADCAST against one corpus pass — the
-    * cost is one scan × anchors, not N². Distances stay SQUARED
+    * self-joined) and run against the corpus via the gated
+    * [[anchorCross]] (broadcast under the measured bound, chunked
+    * passes above it) — the cost is one scan × anchors, not N².
+    * Distances stay SQUARED
     * (ln μ = ½·ln(d₂²/d₁²) — no sqrt), each a fixed-order
     * xx + aa − 2·xa of codegen'd [[graft.expr.DotProduct]]s; the
     * per-anchor ln is nano-quantized to BIGINT before the sum, so the
     * estimate is partition-order invariant and hash-exact. */
+  /** Anchor-side gate for the scan×anchors retrieval plans
+    * ([[twoNnDimension]], [[knnHubness]]): anchors carry full
+    * embedding payloads (~8 B a dim plus row overhead), so unlike
+    * the graph ops' 16-byte rank pairs the broadcast bound is
+    * row-count-small — 200k anchors × ~700 B ≈ 140 MB against the
+    * 1 GiB ceiling. Below the bound: one corpus pass against the
+    * broadcast anchors. Above it (the fixed 1-in-sampleMod slice of
+    * a corpus large enough that the slice itself no longer fits) the
+    * anchors are hash-CHUNKED into broadcastable slices and the
+    * corpus is scanned once per chunk — the total compute is the
+    * inherent anchors×corpus either way, memory stays bounded, and
+    * the union of disjoint per-chunk results is row-identical to the
+    * single-pass plan (each a_id lives in exactly one chunk, so
+    * every per-anchor aggregate sees the same rows). Chunk key is
+    * xxhash64(a_id): a_id itself is a multiple of sampleMod, so
+    * `pmod(a_id, chunks)` could alias an entire slice onto one
+    * chunk. */
+  private[graft] val AnchorBroadcastBound = 200L * 1000
+  private[graft] def anchorCross(emb: DataFrame, anchors: DataFrame,
+      bound: Long = AnchorBroadcastBound): DataFrame = {
+    val n = anchors.count()
+    if (n <= bound) emb.crossJoin(broadcast(anchors))
+    else {
+      val chunks = ((n + bound - 1) / bound).toInt
+      log.info(s"anchorCross: $n anchors exceed broadcast bound $bound; " +
+        s"running $chunks chunked corpus passes")
+      (0 until chunks).map { c =>
+        emb.crossJoin(broadcast(
+          anchors.filter(pmod(xxhash64(col("a_id")), lit(chunks)) === c)))
+      }.reduce(_.unionAll(_))
+    }
+  }
+
   def twoNnDimension(s: SparkSession, d: String,
       sampleMod: Long = 11L): DataFrame = {
     graft.parse.GraftFunctions.register(s)
@@ -504,7 +539,7 @@ object Similarity {
       - lit(2.0) * call_function("dot_product",
         col("embedding"), col("ae"))).as("dd")
     val top2 = udaf(new TopKByScore(2), ExpressionEncoder[Scored]())
-    val nn = emb.crossJoin(broadcast(anchors))
+    val nn = anchorCross(emb, anchors)
       .filter(col("vec_id") =!= col("a_id"))
       .select(col("a_id"), col("vec_id"), d2col)
       // exact coincidences (dd == 0) carry no ratio information and
@@ -580,7 +615,7 @@ object Similarity {
     val anchors = emb.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("a_id"), col("embedding").as("ae"))
     val topk = udaf(new TopKByScore(k), ExpressionEncoder[Scored]())
-    val occ = emb.crossJoin(broadcast(anchors))
+    val occ = anchorCross(emb, anchors)
       .filter(col("vec_id") =!= col("a_id"))
       .select(col("a_id"), col("vec_id"),
         round(nativeCosine(s, col("embedding"), col("ae")), 6)

@@ -317,21 +317,26 @@ object TextOps {
     * per-doc fold reuses the lead-window's doc_id partitioning. */
   def bigramNll(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " "))
-        .as(Seq("pos", "t")))
-    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    // ONE tokenize + ONE lead-window sort, cut so the three derived
+    // tables (unigram counts, bigram counts, per-position pairs) read
+    // the materialized result instead of re-scanning + re-sorting the
+    // corpus three times. Rows with b IS NULL (each doc's last token)
+    // stay in: every token appears exactly once as `a`, so unigram
+    // counts fall out of the same table.
+    val paired = graft.GraftSession.cut(
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "t")))
+        .select(col("doc_id"), col("pos"), col("t").as("a"),
+          lead(col("t"), 1).over(w).as("b")))
+    val uni = paired.groupBy(col("a").as("t"))
+      .agg(count(lit(1)).as("c1"))
+      .select(col("t"), col("c1"))
     // N from the vocab table (sum of counts), not a second corpus scan
     val total = uni.agg(sum(col("c1")).as("n"))
-    val bi = toks
-      .select(col("doc_id"), col("t").as("a"),
-        lead(col("t"), 1).over(w).as("b"))
-      .filter(col("b").isNotNull)
+    val bi = paired.filter(col("b").isNotNull)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
-    val pairs = toks
-      .select(col("doc_id"), col("pos"), col("t").as("a"),
-        lead(col("t"), 1).over(w).as("b"))
-      .filter(col("b").isNotNull)
+    val pairs = paired.filter(col("b").isNotNull)
     val p =
       lit(0.7) * (col("c2").cast("double") / col("c1a").cast("double")) +
         lit(0.3) * (col("c1b").cast("double") / col("n").cast("double"))

@@ -167,8 +167,11 @@ class GraphSpec extends SparkTestBase {
 
   test("fuzzyNamePairs finds only within-threshold, canonical pairs") {
     val d = sf("customer")
+    // blockWidth = 2 explicitly: sf0.001's 150 names have unique
+    // last-3 suffixes (the r12 default would yield singleton blocks);
+    // the brute mirror below blocks on the same 2-char key
     val rows = graft.ops.Linkage.fuzzyNamePairs(spark, d, maxDist = 2,
-      k = 1000000).collect()
+      k = 1000000, blockWidth = 2).collect()
     assert(rows.nonEmpty) // TPC-H names differ in trailing digits
     rows.foreach { r =>
       assert(r.getString(0) < r.getString(1))
@@ -515,6 +518,16 @@ class GraphSpec extends SparkTestBase {
     assert(row.getLong(0) == core.size.toLong,
       s"truss edges ${row.getLong(0)} != brute ${core.size}")
     assert(row.getLong(1) == nodes.size.toLong)
+  }
+
+  test("kTruss rejects the trivial k = 2 it cannot answer") {
+    // minTri = 0 would still drop triangle-free edges (no support row
+    // survives the left_semi), silently mis-answering the identity
+    // case — so both generators refuse it up front
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(spark, sf("lineitem"), kTruss = 2)
+    }
+    intercept[IllegalArgumentException] { Graph.kTrussSql(kTruss = 2) }
   }
 
   test("weightedPageRank: deterministic, positive, differs from uniform") {

@@ -44,10 +44,34 @@ class LinkageSpec extends SparkTestBase {
     assert(got.length == 10) // C(5,2), all within dist 1 of each other
   }
 
-  test("q131 shape: customer pairs at sf0.001 match the oracle count") {
-    val got = Linkage.fuzzyNamePairs(spark, sf(""), maxDist = 2, k = 50)
-    // every TPC-H c_name is 'Customer#<9 digits>': within a 2-char
-    // block, dist <= 2 pairs abound; the query must return exactly k
+  test("widened block key recovers pairs a saturated 2-char key drops") {
+    // Digit-suffixed corpus where every 2-char block holds 21 names —
+    // past the cap of 8, so 2-char blocking drops EVERYTHING (the
+    // pre-r12 q131 failure mode at large SF). The same names under a
+    // 3-char key sit in blocks of 2-3 and the dist-1 pairs (names
+    // differing only in the thousands digit) come back.
+    import spark.implicits._
+    val names = (0 until 2100).map(i => f"N$i%05d").toDF("name")
+    def blocked(w: Int) =
+      names.select(substring(col("name"), -w, w).as("blk"), col("name"))
+    val narrow = Linkage.fuzzyPairs(blocked(2), maxDist = 2, k = 10000,
+      maxBucketSize = 8).count()
+    assert(narrow == 0, "2-char blocks must saturate the cap and drop all")
+    val wide = Linkage.fuzzyPairs(blocked(3), maxDist = 2, k = 10000,
+      maxBucketSize = 8).collect()
+    assert(wide.nonEmpty)
+    // a known recovered pair: N00042 / N01042 differ in one digit
+    assert(wide.exists(r => r.getString(0) == "N00042" &&
+      r.getString(1) == "N01042" && r.getLong(2) == 1L))
+  }
+
+  test("q131 shape: customer pairs at sf0.01 match the oracle count") {
+    // sf0.01, not sf0.001: with the r12 default 3-char key the 150
+    // customers of sf0.001 land in singleton blocks (ids 1..150 have
+    // unique last-3 digits) — the gate's own SF, 1500 names, pairs
+    // ids r and r+1000 inside each shared-suffix block
+    val got = Linkage.fuzzyNamePairs(spark, "/root/testdata/sf0.01",
+      maxDist = 2, k = 50)
     assert(got.count() == 50)
     // canonical orientation holds
     assert(got.filter(col("name_a") >= col("name_b")).count() == 0)

@@ -128,6 +128,21 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bigramNll tokenizes once: no Window or Generate above the cut") {
+    // r12 rewrite: ONE posexplode + ONE lead window, materialized by
+    // GraftSession.cut; uni/bi/pairs all read the cut table. A future
+    // edit that re-derives the token stream per consumer reintroduces
+    // Generate (the tokenize explode) or Window (the lead sort) into
+    // the returned plan — three corpus scans where one cut would do.
+    val plan = graft.ops.TextOps.bigramNll(spark, sf(""))
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Window => LWindow}
+    assert(plan.collect { case g: Generate => g }.isEmpty,
+      "bigramNll re-tokenizes above the cut")
+    assert(plan.collect { case w: LWindow => w }.isEmpty,
+      "bigramNll re-sorts a lead window above the cut")
+  }
+
   test("dupClusters' returned plan is cut: no per-round join chain") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
     val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")

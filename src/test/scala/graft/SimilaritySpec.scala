@@ -339,4 +339,23 @@ class SimilaritySpec extends SparkTestBase {
     // no vector can be retrieved more often than there are anchors
     assert(rows.map(_._1).max <= nAnchors.toLong)
   }
+
+  test("anchorCross chunked fallback is row-identical to the broadcast " +
+      "path") {
+    // force the chunked path with a tiny bound: the union of disjoint
+    // hash-chunk passes must reproduce the single broadcast pass
+    // exactly (same pairs, same multiplicity)
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+      .select($"vec_id", $"embedding").limit(200)
+    val anchors = emb.filter($"vec_id" % 11 === 0)
+      .select($"vec_id".as("a_id"), $"embedding".as("ae"))
+    def pairs(bound: Long) =
+      Similarity.anchorCross(emb, anchors, bound)
+        .select($"vec_id", $"a_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaBroadcast = pairs(1000000L)
+    val viaChunks = pairs(3L) // forces ceil(nAnchors/3) corpus passes
+    assert(viaChunks == viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
 }
