@@ -3,7 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.doc.ImageCodec
+import graft.doc.{AudioCodec, ImageCodec}
 
 /** Multimodal columns for a training-data pipeline: image/audio/video
   * as opaque BINARY plus typed metadata, with decode / feature-extract
@@ -11,14 +11,18 @@ import graft.doc.ImageCodec
   *
   * The Spark-side plumbing is real — schema, partition-local batched
   * processing (mapPartitions with fixed batch shape), explode-based
-  * frame sampling, deterministic outputs. The IMAGE path is real too:
+  * frame sampling, deterministic outputs. The IMAGE path is real:
   * `kind = image` rows decode through the engine's from-scratch
   * PNG/JPEG codec ([[graft.doc.ImageCodec]]) for true width / height /
-  * channel counts and pixel statistics. Only the AUDIO/VIDEO codec
-  * layer is a stub — this container has no ffmpeg — so those kinds
-  * take [[Codecs.decodeStub]], a deterministic content-derived
-  * descriptor behind the same signature a real decoder would use;
-  * every operator here is agnostic to that swap.
+  * channel counts and pixel statistics. The AUDIO path is real too
+  * (r12): `kind = audio` rows decode through the from-scratch WAV
+  * codec ([[graft.doc.AudioCodec]]) for authoritative sample rate /
+  * channel count / duration and PCM sample statistics (RMS,
+  * zero-crossing rate, amplitude histogram). Only the VIDEO codec
+  * layer remains a stub — this container has no ffmpeg — taking
+  * [[Codecs.decodeStub]], a deterministic content-derived descriptor
+  * behind the same signature a real decoder would use; every operator
+  * here is agnostic to that swap.
   */
 object Multimodal {
 
@@ -33,9 +37,11 @@ object Multimodal {
       fps: Double) // video
 
   /** Decoded features. `decoded = true` means a real codec produced
-    * the row (images only, today); `img_width`/`img_height`/`channels`
-    * are then the AUTHORITATIVE decoded geometry — the Media metadata
-    * columns are advisory, as in any scraped corpus. */
+    * the row (images and audio, today); `img_width`/`img_height`/
+    * `channels` are then the AUTHORITATIVE decoded geometry (for
+    * audio, `channels` is the decoded channel count and
+    * `sample_rate`/`duration_ms` the decoded timing) — the Media
+    * metadata columns are advisory, as in any scraped corpus. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -45,12 +51,19 @@ object Multimodal {
       img_width: Int,
       img_height: Int,
       channels: Int,
+      sample_rate: Int, // audio: decoded Hz; 0 otherwise
+      duration_ms: Long, // audio: decoded frames/rate; 0 otherwise
       feature: Array[Float]) // fixed 16-dim descriptor
 
   /** Result of a real image decode: authoritative geometry + the
     * 16-dim descriptor. */
   final case class DecodedImage(width: Int, height: Int, channels: Int,
       feature: Array[Float])
+
+  /** Result of a real audio decode: authoritative timing/shape + the
+    * 16-dim descriptor. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+      durationMs: Long, feature: Array[Float])
 
   /** Codec layer. Images: real (delegates to [[ImageCodec]]).
     * Audio/video: deterministic stub, documented swap seam. */
@@ -195,9 +208,58 @@ object Multimodal {
         }
       }
 
-    /** Stand-in for a real AUDIO/VIDEO decode + feature extraction:
+    /** Real audio decode + feature extraction over the from-scratch
+      * WAV codec. The 16-dim descriptor is:
+      * {{{
+      * [0] rate/192000  [1] channels/8  [2] bits/32  [3] dur_s/3600
+      * [4] RMS          [5] mean |x|    [6] zero-crossing rate
+      * [7] peak |x|     [8..15] 8-bin |amplitude| histogram (fractions)
+      * }}}
+      * over the normalized [-1, 1] interleaved PCM samples. Returns
+      * None for payloads the codec rejects (non-RIFF, ADPCM,
+      * truncated header, hostile sizes) — callers degrade to
+      * hash-only features. One pass over the samples, O(1) state. */
+    def decodeAudio(content: Array[Byte]): Option[DecodedAudio] =
+      AudioCodec.decode(content).map { a =>
+        val out = new Array[Float](FeatureDim)
+        out(0) = math.min(a.sampleRate, 192000) / 192000.0f
+        out(1) = math.min(a.channels, 8) / 8.0f
+        out(2) = a.bitsPerSample / 32.0f
+        out(3) = math.min(a.durationMs / 1000.0, 3600.0).toFloat / 3600.0f
+        val s = a.samples
+        if (s.length > 0) {
+          var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0f
+          var crossings = 0L
+          val hist = new Array[Long](8)
+          var prevNeg = s(0) < 0
+          var i = 0
+          while (i < s.length) {
+            val v = s(i)
+            val av = math.abs(v)
+            sumSq += v.toDouble * v; sumAbs += av
+            if (av > peak) peak = av
+            val neg = v < 0
+            if (neg != prevNeg) crossings += 1
+            prevNeg = neg
+            hist(math.min((av * 8).toInt, 7)) += 1
+            i += 1
+          }
+          val n = s.length.toDouble
+          out(4) = math.sqrt(sumSq / n).toFloat
+          out(5) = (sumAbs / n).toFloat
+          out(6) = (crossings / n).toFloat
+          out(7) = peak
+          var b = 0
+          while (b < 8) { out(8 + b) = (hist(b) / n).toFloat; b += 1 }
+        }
+        DecodedAudio(a.sampleRate, a.channels, a.durationMs, out)
+      }
+
+    /** Stand-in for a real VIDEO decode + feature extraction:
       * a seeded, content-derived descriptor. Deterministic so tests
-      * and re-runs are stable. Swap seam for ffmpeg-class bindings. */
+      * and re-runs are stable. Swap seam for ffmpeg-class bindings —
+      * images (PNG/JPEG) and audio (WAV) run real from-scratch codecs
+      * and no longer touch this. */
     def decodeStub(content: Array[Byte]): Array[Float] = {
       var h = 1125899906842597L // FNV-ish fold over the payload
       var i = 0
@@ -224,11 +286,19 @@ object Multimodal {
   /** Pixel edge of the synthetic PNGs below. */
   val SyntheticImageEdge = 16
 
+  /** Sample rate of the synthetic WAVs below — low on purpose, so a
+    * multi-second synthetic clip stays a few KB and the generate-
+    * per-pass table scales with the corpus, not with audio realism. */
+  val SyntheticAudioRate = 2000
+
   /** A deterministic synthetic media table derived from the documents
     * corpus (kinds round-robin). Image rows carry REAL PNG payloads —
     * a content-seeded 16×16 RGB encoded by [[ImageCodec.encodePngRgb]]
-    * — so the decode path below exercises the actual codec end to end;
-    * audio/video rows carry the utf-8 text as an opaque stand-in. */
+    * — and audio rows carry REAL WAV payloads — content-seeded mono
+    * PCM16 at [[SyntheticAudioRate]] Hz matching the row's declared
+    * duration, encoded by [[AudioCodec.encodePcm16]] — so both decode
+    * paths exercise the actual codecs end to end; video rows carry
+    * the utf-8 text as an opaque stand-in. */
   def syntheticMediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     val edge = SyntheticImageEdge
@@ -239,6 +309,7 @@ object Multimodal {
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
+        val durationMs = 1000L + (id % 10) * 500L
         val payload =
           if (kind == "image") {
             // content-seeded pixels: same text -> same PNG bytes
@@ -251,6 +322,19 @@ object Multimodal {
               i += 1
             }
             ImageCodec.encodePngRgb(edge, edge, rgb)
+          } else if (kind == "audio") {
+            // content-seeded PCM16 noise at the declared duration:
+            // same text -> same WAV bytes, decoded stats are real
+            var s = Codecs.contentHash(text.getBytes("UTF-8"))
+            val n = (SyntheticAudioRate * durationMs / 1000L).toInt
+            val pcm = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              s = s * 6364136223846793005L + 1442695040888963407L
+              pcm(i) = (s >>> 40).toShort
+              i += 1
+            }
+            AudioCodec.encodePcm16(SyntheticAudioRate, 1, pcm)
           } else text.getBytes("UTF-8")
         Media(id, kind, payload,
           format = kind match {
@@ -259,7 +343,7 @@ object Multimodal {
             else if (kind == "video") 640 else 0,
           height = if (kind == "image") edge
             else if (kind == "video") 480 else 0,
-          duration_ms = if (kind == "image") 0L else 1000L + (id % 10) * 500L,
+          duration_ms = if (kind == "image") 0L else durationMs,
           fps = if (kind == "video") 25.0 else 0.0)
       }
   }
@@ -271,10 +355,11 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition. One pass over
     * the binary column, no shuffle; at cluster scale this is the
-    * GPU/codec stage and parallelism = partitions. Image rows take the
-    * real codec; a payload the codec rejects falls back to the
-    * content-derived descriptor with `decoded = false`, so a corrupt
-    * image degrades to hash-only dedup instead of failing the task. */
+    * GPU/codec stage and parallelism = partitions. Image and audio
+    * rows take the real codecs; a payload the codec rejects falls
+    * back to the content-derived descriptor with `decoded = false`,
+    * so a corrupt payload degrades to hash-only dedup instead of
+    * failing the task. */
   def decodeFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -283,13 +368,21 @@ object Multimodal {
           val base = MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
             Codecs.contentHash(m.content), decoded = false,
             img_width = 0, img_height = 0, channels = 0,
+            sample_rate = 0, duration_ms = 0L,
             Codecs.decodeStub(m.content))
-          if (m.kind == "image")
-            Codecs.decodeImage(m.content).map(d =>
-              base.copy(decoded = true, img_width = d.width,
-                img_height = d.height, channels = d.channels,
-                feature = d.feature)).getOrElse(base)
-          else base
+          m.kind match {
+            case "image" =>
+              Codecs.decodeImage(m.content).map(d =>
+                base.copy(decoded = true, img_width = d.width,
+                  img_height = d.height, channels = d.channels,
+                  feature = d.feature)).getOrElse(base)
+            case "audio" =>
+              Codecs.decodeAudio(m.content).map(d =>
+                base.copy(decoded = true, channels = d.channels,
+                  sample_rate = d.sampleRate, duration_ms = d.durationMs,
+                  feature = d.feature)).getOrElse(base)
+            case _ => base
+          }
         }
       }
     }
