@@ -661,6 +661,22 @@ object SparkEntry {
       graft.ops.Graph.weightedPageRank(s, d)),
     // fixed-round 3-truss peel (edge-cohesion census)
     "q225_ktruss" -> ((s, d) => graft.ops.Graph.kTruss(s, d)),
+    // HITS hubs/authorities on the directed bipartite trade graph
+    "q226_hits" -> ((s, d) => graft.ops.Graph.hitsScores(s, d)),
+    // sync label-propagation community size census (deterministic LPA)
+    "q227_lpa" -> ((s, d) => graft.ops.Graph.lpaCommunities(s, d)),
+    // preferential-attachment + resource-allocation link prediction
+    "q228_linkpred_pa_ra" -> ((s, d) =>
+      graft.ops.Graph.linkPredPaRa(s, d)),
+    // contrastive hard negatives: top-k cross-label cosine neighbors
+    "q229_hard_negatives" -> ((s, d) =>
+      graft.ops.Similarity.hardNegatives(s, d)),
+    // Kneser-Ney smoothed probabilities for the top bigrams
+    "q230_kneser_ney" -> ((s, d) =>
+      graft.ops.TextOps.kneserNeyBigrams(s, d)),
+    // KMV sketch Jaccard between source vocabularies (vs exact)
+    "q231_kmv_jaccard" -> ((s, d) =>
+      graft.ops.Sketches.kmvSourceJaccard(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2025,6 +2041,12 @@ object SparkEntry {
     "q223_butterflies" -> graft.ops.Graph.butterflyCensusSql(),
     "q224_weighted_pagerank" -> graft.ops.Graph.weightedPageRankSql(),
     "q225_ktruss" -> graft.ops.Graph.kTrussSql(),
+    "q226_hits" -> graft.ops.Graph.hitsScoresSql(),
+    "q227_lpa" -> graft.ops.Graph.lpaCommunitiesSql(),
+    "q228_linkpred_pa_ra" -> graft.ops.Graph.linkPredPaRaSql(),
+    "q229_hard_negatives" -> graft.ops.Similarity.hardNegativesSql(),
+    "q230_kneser_ney" -> graft.ops.TextOps.kneserNeyBigramsSql(),
+    "q231_kmv_jaccard" -> graft.ops.Sketches.kmvSourceJaccardSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -1563,4 +1563,216 @@ object Graph {
        |FROM nk LEFT JOIN ek ON ek.k = nk.k
        |ORDER BY nk.k""".stripMargin
   }
+
+  /** HITS hubs & authorities over the DIRECTED bipartite trade graph
+    * (customer → supplier): hub(c) ← Σ auth(s) over c's suppliers,
+    * auth(s) ← Σ hub(c) over s's customers, renormalized each
+    * half-round — Kleinberg's mutually-recursive centrality pair,
+    * which on a directed bipartite graph is NOT [[eigenvectorCentrality]]
+    * (that walks the symmetrized graph): a hub is a customer who buys
+    * from authoritative suppliers, an authority a supplier bought by
+    * hub customers. All arithmetic is exact scaled-BIGINT with the
+    * same clamped floor normalizer as eigenvector; the directed edge
+    * table is the even-src half of the pinned [[tradeGraph]] edges, so
+    * no new graph build. Emits top-`k` per role.
+    *
+    * Scale: per half-round one broadcast-gated join + map-side sum
+    * over fixed-width (node, score) rows; lineage cut per round. */
+  def hitsScores(s: SparkSession, d: String, iters: Int = 3,
+      k: Int = 10): DataFrame = {
+    val (edges, _, _) = tradeGraph(s, d)
+    // customer → supplier half of the symmetric pinned table
+    val dir = edges.filter(col("src") % 2 === 0)
+      .select(col("src").as("c"), col("dst").as("sup"))
+    val nHubs = dir.select(col("c")).distinct().count()
+    var hub = GraftSession.cut(dir.select(col("c")).distinct()
+      .select(col("c"), lit(RankScale / nHubs).as("h")))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = GraftSession.cut(dir
+        .join(perRoundSide(hub, nHubs), "c")
+        .groupBy(col("sup")).agg(sum(col("h")).as("ar")))
+      val aScale = math.max(
+        aRaw.agg(sum(col("ar"))).head().getLong(0) / RankScale, 1L)
+      auth = GraftSession.cut(
+        aRaw.select(col("sup"), expr(s"ar DIV $aScale").as("a")))
+      val hRaw = GraftSession.cut(dir
+        .join(perRoundSide(auth, nHubs), "sup")
+        .groupBy(col("c")).agg(sum(col("a")).as("hr")))
+      val hScale = math.max(
+        hRaw.agg(sum(col("hr"))).head().getLong(0) / RankScale, 1L)
+      hub = GraftSession.cut(
+        hRaw.select(col("c"), expr(s"hr DIV $hScale").as("h")))
+    }
+    val topHubs = hub.select(lit("hub").as("role"),
+        nodeLabel(col("c")).as("node"), col("h").as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("node")).limit(k)
+    val topAuth = auth.select(lit("auth").as("role"),
+        nodeLabel(col("sup")).as("node"), col("a").as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("node")).limit(k)
+    topHubs.unionAll(topAuth).orderBy(col("role"),
+      col("score_scaled").desc, col("node"))
+  }
+
+  /** DuckDB oracle for [[hitsScores]]: the same alternating integer
+    * chain unrolled, normalizers as clamped scalar subqueries. */
+  def hitsScoresSql(iters: Int = 3, k: Int = 10): String = {
+    val head =
+      s"""WITH dir AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sup
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nh AS (SELECT COUNT(DISTINCT c) AS n FROM dir),
+         |h0 AS (SELECT DISTINCT c, $RankScale // nh.n AS h FROM dir, nh)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT d.sup, SUM(h.h) AS ar
+         |  FROM dir d JOIN h${i - 1} h ON h.c = d.c GROUP BY d.sup),
+         |a$i AS (SELECT sup,
+         |  ar // (SELECT greatest(SUM(ar) // $RankScale, 1) FROM ar$i) AS a
+         |  FROM ar$i),
+         |hr$i AS (SELECT d.c, SUM(a.a) AS hr
+         |  FROM dir d JOIN a$i a ON a.sup = d.sup GROUP BY d.c),
+         |h$i AS (SELECT c,
+         |  hr // (SELECT greatest(SUM(hr) // $RankScale, 1) FROM hr$i) AS h
+         |  FROM hr$i)""".stripMargin
+    }
+    val tail =
+      s"""SELECT * FROM (
+         |  (SELECT 'hub' AS role, 'c' || CAST(c // 2 AS VARCHAR) AS node,
+         |     CAST(h AS BIGINT) AS score_scaled FROM h$iters
+         |   ORDER BY score_scaled DESC, node LIMIT $k)
+         |  UNION ALL
+         |  (SELECT 'auth' AS role, 's' || CAST(sup // 2 AS VARCHAR) AS node,
+         |     CAST(a AS BIGINT) AS score_scaled FROM a$iters
+         |   ORDER BY score_scaled DESC, node LIMIT $k))
+         |ORDER BY role, score_scaled DESC, node""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** Synchronous label-propagation communities over the thresholded
+    * co-purchase graph: `rounds` passes in which every node adopts the
+    * most frequent label among its neighbors PLUS its own current
+    * label (the self-vote damps the 2-coloring oscillation sync LPA is
+    * notorious for), ties broken by the SMALLEST label — fully
+    * deterministic, no RNG. Emits the community-size histogram, the
+    * same census shape as [[components]] (LPA splits dense graphs into
+    * finer groups than connectivity does). Per round: one
+    * broadcast-gated join, a (node, label) count, and a node-keyed
+    * arg-max window over the label-count table (node-sized × mean
+    * degree, never the corpus); lineage cut per round. */
+  def lpaCommunities(s: SparkSession, d: String, minSupport: Int = 7,
+      rounds: Int = 4): DataFrame = {
+    val e = copurchaseEdges(s, d, minSupport)
+    val und = GraftSession.cut(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
+    var lab = GraftSession.cut(und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")))
+    val nNodes = lab.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("cnt").desc, col("lab"))
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(perRoundSide(
+          lab.select(col("node").as("u"), col("lab")), nNodes), "u")
+        .select(col("v").as("node"), col("lab"))
+        .unionAll(lab) // self-vote
+        .groupBy(col("node"), col("lab")).agg(count(lit(1)).as("cnt"))
+      lab = GraftSession.cut(votes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab")))
+    }
+    lab.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
+      .groupBy(col("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+      .orderBy(col("community_size"))
+  }
+
+  /** DuckDB oracle for [[lpaCommunities]]: the same sync rounds
+    * unrolled, arg-max via QUALIFY row_number. */
+  def lpaCommunitiesSql(minSupport: Int = 7, rounds: Int = 4): String = {
+    val head =
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |      AND a.l_suppkey < b.l_suppkey
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+         |und AS (SELECT a AS u, b AS v FROM e
+         |        UNION ALL SELECT b, a FROM e),
+         |lab0 AS (SELECT DISTINCT u AS node, u AS lab FROM und)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT e.v AS node, l.lab
+         |  FROM und e JOIN lab${i - 1} l ON l.node = e.u
+         |  UNION ALL SELECT node, lab FROM lab${i - 1}),
+         |c$i AS (SELECT node, lab, COUNT(*) AS cnt FROM v$i GROUP BY 1, 2),
+         |lab$i AS (SELECT node, lab FROM c$i
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY node ORDER BY cnt DESC, lab) = 1)""".stripMargin
+    }
+    val tail =
+      s"""SELECT community_size, CAST(COUNT(*) AS BIGINT) AS n_communities
+         |FROM (SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
+         |      FROM lab$rounds GROUP BY lab)
+         |GROUP BY community_size ORDER BY community_size""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** Link prediction by PREFERENTIAL ATTACHMENT and RESOURCE
+    * ALLOCATION — the remaining two classic local indices, closing the
+    * family with [[nodeJaccard]] and [[adamicAdar]]: PA(a,b) =
+    * deg(a)·deg(b) (exact BIGINT — hubs attract links), RA(a,b) =
+    * Σ over shared neighbors z of 1/deg(z) (Adamic-Adar's harsher
+    * sibling: each shared neighbor splits one unit of "resource"
+    * across its links). Both read the memoized [[sharedWedges]]
+    * fan-out and the degree table — no new joins over the corpus; the
+    * RA float sum folds in neighbor-id order (the q106 device), so
+    * both engines add in the same order. */
+  def linkPredPaRa(s: SparkSession, d: String, minSupport: Int = 7,
+      k: Int = 20): DataFrame = {
+    val e = copurchaseEdges(s, d, minSupport)
+    val und = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    sharedWedges(s, d, minSupport)
+      .select(col("x"), col("y"), col("z"),
+        (lit(1.0) / col("dg").cast("double")).as("w"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_shared"),
+        round(aggregate(
+          transform(sort_array(collect_list(struct(col("z"), col("w")))),
+            st => st.getField("w")),
+          lit(0.0), (acc, v) => acc + v), 6).as("ra_score"))
+      .join(deg.select(col("u").as("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("u").as("y"), col("dg").as("dy")), "y")
+      .select(col("x").as("supp_a"), col("y").as("supp_b"),
+        col("n_shared"), (col("dx") * col("dy")).as("pa_score"),
+        col("ra_score"))
+      .orderBy(col("ra_score").desc, col("supp_a"), col("supp_b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[linkPredPaRa]]. */
+  def linkPredPaRaSql(minSupport: Int = 7, k: Int = 20): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |e AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |      AND a.l_suppkey < b.l_suppkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |adj AS (SELECT a AS x, b AS z FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT x AS v, COUNT(*) AS dg FROM adj GROUP BY x),
+       |pairs AS (
+       |  SELECT a1.x AS supp_a, a2.x AS supp_b,
+       |    COUNT(*) AS n_shared,
+       |    round(list_sum(list(1.0 / CAST(dz.dg AS DOUBLE)
+       |      ORDER BY a1.z)), 6) AS ra_score
+       |  FROM adj a1
+       |  JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x
+       |  JOIN deg dz ON dz.v = a1.z
+       |  GROUP BY a1.x, a2.x)
+       |SELECT supp_a, supp_b, n_shared,
+       |  CAST(da.dg * db.dg AS BIGINT) AS pa_score, ra_score
+       |FROM pairs
+       |JOIN deg da ON da.v = supp_a JOIN deg db ON db.v = supp_b
+       |ORDER BY ra_score DESC, supp_a, supp_b LIMIT $k""".stripMargin
 }

@@ -111,6 +111,66 @@ object Similarity {
         col("nn.id").as("vec_id"), col("nn.score").as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (a deterministic 1-in-`sampleMod` id slice) the top-`k` most
+    * cosine-similar corpus vectors carrying a DIFFERENT label — the
+    * near-miss examples a contrastive or reranker objective learns
+    * most from (same-label neighbors are positives, not negatives, so
+    * they are filtered before ranking, not after — otherwise a hub of
+    * same-label twins would silently eat the k slots). Same plan
+    * family as [[knnJoinOf]]: anchors against one corpus pass through
+    * the gated [[anchorCross]] (broadcast under the measured bound,
+    * chunked passes above), bounded [[TopKByScore]] state, so the
+    * shuffle carries anchors × partitions × k rows only. */
+  def hardNegatives(s: SparkSession, d: String, sampleMod: Long = 25L,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val anchors = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("label").as("a_label"))
+    val topk = udaf(new TopKByScore(k), ExpressionEncoder[Scored]())
+    anchorCross(emb.select(col("vec_id"), col("embedding"), col("label")),
+        anchors)
+      .filter(col("label") =!= col("a_label"))
+      .select(col("a_id"), col("vec_id"),
+        round(nativeCosine(s, col("embedding"), col("ae")), 6)
+          .as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .groupBy(col("a_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("nn"))
+      .select(col("a_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col("a_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("nn.id").as("neg_id"), col("nn.score").as("cosine"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[hardNegatives]]: the q84 cosine device with
+    * the cross-label filter before ranking. */
+  def hardNegativesSql(sampleMod: Long = 25L, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS a_id, embedding AS ae,
+       |             label AS a_label
+       |           FROM embeddings WHERE vec_id % $sampleMod = 0),
+       |p AS (SELECT q.a_id, e.vec_id, round(
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)))
+       |    / nullif(
+       |        sqrt(list_sum(list_transform(e.embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        * sqrt(list_sum(list_transform(ae,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+       |        CAST(0.0 AS DOUBLE)),
+       |    6) AS cosine
+       |  FROM embeddings e, q
+       |  WHERE e.label <> q.a_label),
+       |r AS (SELECT a_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY a_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM p WHERE cosine IS NOT NULL)
+       |SELECT a_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS neg_id, cosine
+       |FROM r WHERE rank <= $k ORDER BY a_id, rank""".stripMargin
+
   /** Matryoshka-style prefix retrieval: rank by cosine over only the
     * first `dims` dimensions of the embedding (MRL-trained embeddings
     * concentrate signal in the prefix, so a 16-of-64 scan reads 4x

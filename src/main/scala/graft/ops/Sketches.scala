@@ -310,6 +310,126 @@ object Sketches {
        |FROM tot""".stripMargin
   }
 
+  /** KMV set-operation estimates: per-source-pair vocabulary overlap
+    * from k-minimum-values sketches — the mergeable-sketch answer to
+    * "how much do these two crawls' vocabularies overlap" when the
+    * vocabularies are billions of tokens and an exact pair join is a
+    * corpus-sized shuffle. Per source, the sketch is the bottom-`k`
+    * token md5-fractions; for a pair, the merged bottom-k of the
+    * union K is computable from the two sketches alone, and
+    * ρ = |K ∩ A ∩ B| / |K| is the standard unbiased Jaccard estimate
+    * (Beyer et al., SIGMOD'07). The EXACT jaccard rides along as the
+    * reference column — at sketch scale you would drop it; here it
+    * makes the estimate's error visible and the oracle exact. Every
+    * value is md5-deterministic, so both engines compute bit-equal
+    * sketches. Scale shape: sketches are k rows per source (window
+    * over per-source tokens, vocabulary-sized input, k-sized output);
+    * pair work runs on sketch rows only. */
+  def kmvSourceJaccard(s: SparkSession, d: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+    val fr = toks.withColumn("fr", Curation.md5Frac32(col("t")))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("fr"), col("t"))
+    val sk = graft.GraftSession.cut(
+      fr.withColumn("rn", row_number().over(wSrc))
+        .filter(col("rn") <= k).drop("rn"))
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val skA = sk.select(col("source").as("sa"), col("t"), col("fr"))
+    val skB = sk.select(col("source").as("sb"), col("t"), col("fr"))
+    // merged bottom-k of the union, from the two sketches only
+    val wPair = Window.partitionBy(col("sa"), col("sb"))
+      .orderBy(col("fr"), col("t"))
+    val merged = pairs.join(skA, Seq("sa"))
+      .select(col("sa"), col("sb"), col("t"), col("fr"))
+      .unionAll(pairs.join(skB, Seq("sb"))
+        .select(col("sa"), col("sb"), col("t"), col("fr")))
+      .distinct()
+      .withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= k)
+    val est = merged
+      .join(skA.select(col("sa"), col("t"), lit(1L).as("in_a")),
+        Seq("sa", "t"), "left")
+      .join(skB.select(col("sb"), col("t"), lit(1L).as("in_b")),
+        Seq("sb", "t"), "left")
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_merged"),
+        coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("n_shared"))
+    // exact reference: full vocabulary pair join
+    val sizes = toks.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = toks.select(col("source").as("sa"), col("t"))
+      .join(toks.select(col("source").as("sb"), col("t")), "t")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("ninter"))
+    est
+      .join(inter, Seq("sa", "sb"), "left")
+      .join(sizes.select(col("source").as("sa"), col("nv").as("na")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("nv").as("nb")), "sb")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        round(col("n_shared").cast("double")
+          / col("n_merged").cast("double"), 6).as("jaccard_kmv"),
+        round(coalesce(col("ninter"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("ninter"), lit(0L)))
+            .cast("double"), 6).as("jaccard_exact"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** DuckDB oracle for [[kmvSourceJaccard]]: the same md5-fraction
+    * sketches via QUALIFY row_number. */
+  def kmvSourceJaccardSql(k: Int = 64): String = {
+    val nibbleSum = (1 to 8).map { i =>
+      s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
+        s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT DISTINCT source,
+       |    unnest(string_split(text, ' ')) AS t FROM documents),
+       |f AS (SELECT source, t,
+       |        CAST(($nibbleSum) AS DOUBLE) / 4294967296.0 AS fr
+       |      FROM (SELECT source, t, md5(t) AS h FROM toks)),
+       |sk AS (SELECT source, t, fr FROM f
+       |       QUALIFY row_number() OVER (
+       |         PARTITION BY source ORDER BY fr, t) <= $k),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |          FROM srcs a JOIN srcs b ON a.source < b.source),
+       |m0 AS (SELECT DISTINCT sa, sb, t, fr FROM (
+       |    SELECT p.sa, p.sb, s.t, s.fr FROM pairs p
+       |    JOIN sk s ON s.source = p.sa
+       |    UNION ALL
+       |    SELECT p.sa, p.sb, s.t, s.fr FROM pairs p
+       |    JOIN sk s ON s.source = p.sb)),
+       |merged AS (SELECT sa, sb, t FROM m0
+       |           QUALIFY row_number() OVER (
+       |             PARTITION BY sa, sb ORDER BY fr, t) <= $k),
+       |est AS (SELECT m.sa, m.sb, COUNT(*) AS n_merged,
+       |    COALESCE(SUM(CASE WHEN a.t IS NOT NULL AND b.t IS NOT NULL
+       |      THEN 1 ELSE 0 END), 0) AS n_shared
+       |  FROM merged m
+       |  LEFT JOIN sk a ON a.source = m.sa AND a.t = m.t
+       |  LEFT JOIN sk b ON b.source = m.sb AND b.t = m.t
+       |  GROUP BY m.sa, m.sb),
+       |sizes AS (SELECT source, COUNT(*) AS nv FROM toks GROUP BY source),
+       |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ninter
+       |  FROM toks a JOIN toks b ON a.t = b.t AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT est.sa AS source_a, est.sb AS source_b,
+       |  round(CAST(n_shared AS DOUBLE) / CAST(n_merged AS DOUBLE), 6)
+       |    AS jaccard_kmv,
+       |  round(CAST(COALESCE(ninter, 0) AS DOUBLE)
+       |    / CAST(na.nv + nb.nv - COALESCE(ninter, 0) AS DOUBLE), 6)
+       |    AS jaccard_exact
+       |FROM est
+       |LEFT JOIN inter ON inter.sa = est.sa AND inter.sb = est.sb
+       |JOIN sizes na ON na.source = est.sa
+       |JOIN sizes nb ON nb.source = est.sb
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** Per-group heavy hitters: one MG summary per key — per-language /
     * per-source frequent terms with per-stratum N_g/k bounds. Shuffle
     * volume is k counters per GROUP, never the vocabulary. */

@@ -1458,4 +1458,80 @@ object TextOps {
       |    -30.0), 20.0) AS BIGINT) AS band,
       |  COUNT(*) AS n_docs
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Kneser-Ney smoothed bigram probabilities for the corpus's
+    * top-`topK` bigrams — the LM-quality counterpart of the
+    * interpolated [[bigramNll]]: instead of raw-count backoff, the
+    * continuation distribution (how many DISTINCT contexts a word
+    * follows — the "San Francisco" device: "Francisco" is frequent
+    * but only ever continues "San", so its unigram backoff weight
+    * should be tiny). Absolute discount D = 0.75:
+    * {{{
+    * P_KN(b|a) = max(c(a,b) − D, 0)/c(a·)
+    *           + (D · N1+(a,·)/c(a·)) · (N1+(·,b)/n_bigram_types)
+    * }}}
+    * Every count is an exact BIGINT from one bigram table; the float
+    * combination is one fixed parenthesization both engines share,
+    * round-6 absorbing division ulp. Scale shape: ONE tokenize + ONE
+    * lead window (the q116 device), map-side-combined counts on term
+    * keys, the probability join runs on the bounded top-K rows. */
+  def kneserNeyBigrams(s: SparkSession, d: String,
+      topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = graft.GraftSession.cut(
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "t")))
+        .select(col("doc_id"), col("t").as("a"),
+          lead(col("t"), 1).over(w).as("b"))
+        .filter(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2")))
+    val ctx = bi.groupBy(col("a"))
+      .agg(sum(col("c2")).as("c1a"), count(lit(1)).as("n1fwd"))
+    val cont = bi.groupBy(col("b")).agg(count(lit(1)).as("n1back"))
+    val types = bi.agg(count(lit(1)).as("nt"))
+    val pKn =
+      (greatest(col("c2").cast("double") - lit(0.75), lit(0.0)) /
+        col("c1a").cast("double")) +
+        ((lit(0.75) * col("n1fwd").cast("double") /
+          col("c1a").cast("double")) *
+          (col("n1back").cast("double") / col("nt").cast("double")))
+    bi.orderBy(col("c2").desc, col("a"), col("b")).limit(topK)
+      .join(ctx, "a")
+      .join(cont, "b")
+      .crossJoin(broadcast(types))
+      .select(col("a"), col("b"), col("c2"),
+        round(pKn, 6).as("p_kn"))
+      .orderBy(col("c2").desc, col("a"), col("b"))
+  }
+
+  /** DuckDB oracle for [[kneserNeyBigrams]]: identical counts and the
+    * same float parenthesization. */
+  def kneserNeyBigramsSql(topK: Int = 20): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS t,
+       |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+       |  FROM documents),
+       |pr AS (SELECT t1.t AS a, t2.t AS b
+       |       FROM tok t1 JOIN tok t2
+       |         ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+       |bi AS (SELECT a, b, COUNT(*) AS c2 FROM pr GROUP BY a, b),
+       |ctx AS (SELECT a, SUM(c2) AS c1a, COUNT(*) AS n1fwd
+       |        FROM bi GROUP BY a),
+       |cont AS (SELECT b, COUNT(*) AS n1back FROM bi GROUP BY b),
+       |types AS (SELECT COUNT(*) AS nt FROM bi),
+       |top AS (SELECT a, b, c2 FROM bi
+       |        ORDER BY c2 DESC, a, b LIMIT $topK)
+       |SELECT t.a, t.b, t.c2,
+       |  round(
+       |    greatest(CAST(t.c2 AS DOUBLE) - 0.75, 0.0)
+       |      / CAST(ctx.c1a AS DOUBLE) +
+       |    (0.75 * CAST(ctx.n1fwd AS DOUBLE) / CAST(ctx.c1a AS DOUBLE))
+       |      * (CAST(cont.n1back AS DOUBLE) / CAST(types.nt AS DOUBLE)),
+       |    6) AS p_kn
+       |FROM top t
+       |JOIN ctx ON ctx.a = t.a
+       |JOIN cont ON cont.b = t.b
+       |CROSS JOIN types
+       |ORDER BY t.c2 DESC, t.a, t.b""".stripMargin
 }

@@ -990,6 +990,84 @@ class GraphSpec extends SparkTestBase {
 
   /** Driver-side support-7 co-purchase edge set (a < b), the brute
     * twin of Graph.copurchaseEdges for small-SF comparisons. */
+  test("hitsScores matches an exact integer HITS replication") {
+    val d = sf("orders")
+    val got = Graph.hitsScores(spark, d, iters = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // brute: the same alternating scaled-BIGINT chain on the directed
+    // customer -> supplier pairs
+    val RS = 1000000000000L
+    val dir = graft.Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.lineitem(spark, d)
+        .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+        "o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().as[(Long, Long)].collect()
+    val nH = dir.map(_._1).distinct.length
+    var hub = dir.map(_._1).distinct.map(_ -> RS / nH).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val ar = dir.groupBy(_._2).map { case (sx, es) =>
+        sx -> es.map(e => hub(e._1)).sum }
+      val as1 = math.max(ar.values.sum / RS, 1L)
+      auth = ar.map { case (k2, v) => k2 -> v / as1 }
+      val hr = dir.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+      val hs = math.max(hr.values.sum / RS, 1L)
+      hub = hr.map { case (k2, v) => k2 -> v / hs }
+    }
+    def lbl(n: Long) = (if (n % 2 == 0) "c" else "s") + (n >> 1)
+    val expHubs = hub.toSeq.map { case (n, v) => ("hub", lbl(n), v) }
+      .sortBy(t => (-t._3, t._2)).take(10)
+    val expAuth = auth.toSeq.map { case (n, v) => ("auth", lbl(n), v) }
+      .sortBy(t => (-t._3, t._2)).take(10)
+    val exp = (expHubs ++ expAuth).sortBy(t => (t._1, -t._3, t._2))
+    assert(got.toSeq == exp)
+    assert(got.filter(_._1 == "hub").forall(_._2.startsWith("c")))
+    assert(got.filter(_._1 == "auth").forall(_._2.startsWith("s")))
+  }
+
+  test("lpaCommunities matches a brute sync-LPA with min-label ties") {
+    val d = sf("lineitem")
+    val got = Graph.lpaCommunities(spark, d, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = bruteCopurchaseEdges(d)
+    val und = edges.toSeq.flatMap(e => Seq(e, e.swap))
+    val adj = und.groupBy(_._1).map { case (u, v) => u -> v.map(_._2) }
+    var lab = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lab = lab.map { case (n, own) =>
+        val votes = (adj(n).map(lab) :+ own)
+          .groupBy(identity).map { case (l, v) => (l, v.size) }
+        val best = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        n -> best
+      }
+    }
+    val exp = lab.values.groupBy(identity).map(_._2.size.toLong)
+      .groupBy(identity).map { case (sz, v) => sz -> v.size.toLong }
+    assert(got == exp)
+  }
+
+  test("linkPredPaRa: PA and RA match brute per-pair computation") {
+    val d = sf("lineitem")
+    val got = Graph.linkPredPaRa(spark, d, k = 20).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val edges = bruteCopurchaseEdges(d)
+    val und = edges.toSeq.flatMap(e => Seq(e, e.swap))
+    val adj = und.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).toSet }
+    val deg = adj.map { case (u, v) => u -> v.size.toLong }
+    for (((a, b), (nShared, pa, ra)) <- got) {
+      val shared = (adj(a) & adj(b)).toSeq.sorted
+      assert(nShared == shared.size.toLong)
+      assert(pa == deg(a) * deg(b))
+      val raBrute = shared.map(z => 1.0 / deg(z)).sum
+      assert(math.abs(ra - raBrute) < 1e-5)
+    }
+    assert(got.nonEmpty)
+  }
+
   private def bruteCopurchaseEdges(d: String): Set[(Long, Long)] = {
     val li: Seq[(Long, Long)] = graft.Tables.lineitem(spark, d)
       .select($"l_orderkey", $"l_suppkey").distinct()

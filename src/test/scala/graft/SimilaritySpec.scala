@@ -340,6 +340,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.map(_._1).max <= nAnchors.toLong)
   }
 
+  test("hardNegatives: cross-label only, ranked by cosine, brute match") {
+    val d = sf("embeddings")
+    val got = Similarity.hardNegatives(spark, d, sampleMod = 25L, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val emb = graft.Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    val byId = emb.map(e => e._1 -> e).toMap
+    def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb == 0.0) None
+      else Some(BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // every returned negative carries a different label than its anchor
+    for ((aId, _, negId, _) <- got)
+      assert(byId(aId)._3 != byId(negId)._3)
+    // brute top-5 for each anchor matches (score desc, id asc ties)
+    val anchors = emb.filter(_._1 % 25 == 0)
+    for ((aId, ae, aLab) <- anchors) {
+      val brute = emb.filter(_._3 != aLab)
+        .flatMap(e => cos(e._2, ae).map(c => (e._1, c)))
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      val mine = got.filter(_._1 == aId).sortBy(_._2)
+        .map(g => (g._3, g._4)).toSeq
+      assert(mine == brute.toSeq, s"anchor $aId")
+    }
+  }
+
   test("anchorCross chunked fallback is row-identical to the broadcast " +
       "path") {
     // force the chunked path with a tiny bound: the union of disjoint

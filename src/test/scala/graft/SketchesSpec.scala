@@ -166,4 +166,38 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(row.getLong(3) - row.getLong(2)).toDouble /
       row.getLong(2) < 0.25, "p50 estimate way off")
   }
+
+  test("kmvSourceJaccard: brute KMV replication + exact column truth") {
+    val d = sf("documents")
+    val k = 64
+    val got = Sketches.kmvSourceJaccard(spark, d, k = k).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3))))
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, d)
+      .select($"source", $"text").as[(String, String)].collect()
+    val vocab = docs.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.flatMap(_._2.split(" ")).toSet }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def frac(t: String): Double = {
+      val h = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16).toDouble /
+        4294967296.0
+    }
+    def sketch(ts: Set[String]): Seq[String] =
+      ts.toSeq.map(t => (frac(t), t)).sortBy(identity).take(k).map(_._2)
+    for (((sa, sb), (kmv, exact)) <- got) {
+      val (va, vb) = (vocab(sa), vocab(sb))
+      val bruteExact = (va & vb).size.toDouble / (va | vb).size
+      assert(math.abs(exact - bruteExact) < 1e-5, s"exact $sa/$sb")
+      val (ska, skb) = (sketch(va).toSet, sketch(vb).toSet)
+      val merged = sketch(ska | skb).toSet
+      val bruteKmv =
+        merged.count(t => ska(t) && skb(t)).toDouble / merged.size
+      assert(math.abs(kmv - bruteKmv) < 1e-5, s"kmv $sa/$sb")
+      // the estimate is in range and not absurdly far from truth
+      assert(kmv >= 0.0 && kmv <= 1.0)
+      assert(math.abs(kmv - bruteExact) < 0.35)
+    }
+  }
 }

@@ -552,4 +552,36 @@ class TextOpsSpec extends SparkTestBase {
     val self = TextOps.jsDivergence(spark, d, "src0", "src0").head
     assert(self.getDouble(3) == 0.0)
   }
+
+  test("kneserNeyBigrams matches brute KN math; probabilities sane") {
+    val d = sf("documents")
+    val got = TextOps.kneserNeyBigrams(spark, d, topK = 20).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+    val texts = graft.Tables.documents(spark, d)
+      .select($"text").as[String].collect()
+    val bigr = texts.flatMap { t =>
+      val ws = t.split(" ")
+      ws.zip(ws.drop(1))
+    }
+    val c2 = bigr.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1a = c2.groupBy(_._1._1).map { case (a, m) =>
+      a -> m.values.sum }
+    val n1fwd = c2.groupBy(_._1._1).map { case (a, m) => a -> m.size.toLong }
+    val n1back = c2.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+    val nt = c2.size.toLong
+    val expTop = c2.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(20)
+    assert(got.map(g => (g._1, g._2._1)).toSeq ==
+      expTop.map { case (k, c) => (k, c) })
+    for (((a, b), (c, p)) <- got) {
+      val brute = math.max(c - 0.75, 0.0) / c1a(a) +
+        (0.75 * n1fwd(a) / c1a(a)) * (n1back(b).toDouble / nt)
+      assert(math.abs(p - brute) < 1e-5, s"($a,$b)")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // KN must weight continuation diversity: the smoothed probability
+    // never exceeds the raw MLE plus the full discount mass
+    for (((a, _), (c, p)) <- got)
+      assert(p <= c.toDouble / c1a(a) + 0.75 * n1fwd(a).toDouble / c1a(a))
+  }
 }
