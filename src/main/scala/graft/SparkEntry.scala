@@ -677,6 +677,18 @@ object SparkEntry {
     // KMV sketch Jaccard between source vocabularies (vs exact)
     "q231_kmv_jaccard" -> ((s, d) =>
       graft.ops.Sketches.kmvSourceJaccard(s, d)),
+    // TPC-H Q13 shape: order-count distribution incl. the 0-bucket
+    "q232_tpch_q13" -> ((s, d) =>
+      graft.ops.Relational.orderCountDistribution(s, d)),
+    // TPC-H Q18 shape: large-volume orders over the quantity HAVING
+    "q233_tpch_q18" -> ((s, d) =>
+      graft.ops.Relational.largeVolumeOrders(s, d)),
+    // TPC-H Q21 shape: sole late supplier (semi + anti correlation)
+    "q234_tpch_q21" -> ((s, d) =>
+      graft.ops.Relational.soleLateSupplier(s, d)),
+    // TPC-H Q22 shape: dormant high-balance customers per nation
+    "q235_tpch_q22" -> ((s, d) =>
+      graft.ops.Relational.dormantHighBalance(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2047,6 +2059,11 @@ object SparkEntry {
     "q229_hard_negatives" -> graft.ops.Similarity.hardNegativesSql(),
     "q230_kneser_ney" -> graft.ops.TextOps.kneserNeyBigramsSql(),
     "q231_kmv_jaccard" -> graft.ops.Sketches.kmvSourceJaccardSql(),
+    "q232_tpch_q13" ->
+      graft.ops.Relational.orderCountDistributionSql(),
+    "q233_tpch_q18" -> graft.ops.Relational.largeVolumeOrdersSql(),
+    "q234_tpch_q21" -> graft.ops.Relational.soleLateSupplierSql(),
+    "q235_tpch_q22" -> graft.ops.Relational.dormantHighBalanceSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

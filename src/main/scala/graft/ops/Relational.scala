@@ -848,4 +848,184 @@ object Relational {
       |JOIN supplier ON s_suppkey = l_suppkey
       |JOIN nation ON n_nationkey = s_nationkey
       |GROUP BY 1 ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT join
+    * customers to their non-urgent orders, count per customer (zero
+    * included — the left join is the point: the 0-bucket is the
+    * inactive-customer census a pure inner join silently drops), then
+    * histogram the counts. Two shuffles (per-customer count, then the
+    * tiny count-of-counts agg); the priority predicate lands in the
+    * join condition, NOT a WHERE after it, or the 0-bucket would
+    * absorb urgent-only customers incorrectly. */
+  def orderCountDistribution(s: SparkSession, d: String,
+      excludePriorityPrefix: String = "1"): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(!col("o_orderpriority").startsWith(excludePriorityPrefix))
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(o, Seq("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** DuckDB oracle for [[orderCountDistribution]]. */
+  def orderCountDistributionSql(
+      excludePriorityPrefix: String = "1"): String =
+    s"""SELECT c_count, COUNT(*) AS custdist FROM (
+       |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+       |  FROM customer c LEFT JOIN orders o
+       |    ON o.o_custkey = c.c_custkey
+       |    AND o.o_orderpriority NOT LIKE '$excludePriorityPrefix%'
+       |  GROUP BY c.c_custkey)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total line
+    * quantity exceeds `minQty`, with customer name and order facts,
+    * largest first. The HAVING runs on the per-order aggregate BEFORE
+    * any wide join: the quantity filter shrinks the order set to the
+    * tail, and only that tail joins orders/customer (broadcast-sized
+    * after the filter at any scale where the threshold means
+    * something). */
+  def largeVolumeOrders(s: SparkSession, d: String,
+      minQty: Long = 170L, topK: Int = 100): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)")
+          .as("total_cents"))
+    big.join(o, "l_orderkey")
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))), "o_custkey")
+      .select(col("c_name"), col("o_custkey").as("c_custkey"),
+        col("l_orderkey").as("o_orderkey"), col("o_orderdate"),
+        col("total_cents"), col("total_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[largeVolumeOrders]]. */
+  def largeVolumeOrdersSql(minQty: Long = 170L,
+      topK: Int = 100): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT))
+       |    AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS BIGINT)) > $minQty)
+       |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       |  CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       |  big.total_qty
+       |FROM big
+       |JOIN orders o ON o.o_orderkey = big.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |ORDER BY total_cents DESC, o.o_orderkey LIMIT $topK""".stripMargin
+
+  /** TPC-H Q21 shape — sole late supplier: suppliers who shipped late
+    * (> `lateDays` after the order date) on a multi-supplier order
+    * where EVERY OTHER supplier shipped on time — the
+    * exists/not-exists double correlation, expressed as one semi-join
+    * (another supplier exists) plus one anti-join (no other LATE
+    * supplier), both on the order key. The synthetic schema has no
+    * commit/receipt dates, so lateness is ship-vs-order-date. All
+    * joins carry (orderkey, suppkey) pairs only; the count per
+    * supplier is the final map-side-combined agg. */
+  def soleLateSupplier(s: SparkSession, d: String, lateDays: Int = 60,
+      topK: Int = 20): DataFrame = {
+    val os = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+    val pairs = os.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val late = os
+      .filter(col("l_shipdate").cast("date") >
+        date_add(col("o_orderdate").cast("date"), lateDays))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val hasOther = late.as("l1")
+      .join(pairs.as("p"),
+        col("l1.l_orderkey") === col("p.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("p.l_suppkey"),
+        "left_semi")
+    val sole = hasOther.as("l1")
+      .join(late.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"),
+        "left_anti")
+    sole.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[soleLateSupplier]]. */
+  def soleLateSupplierSql(lateDays: Int = 60, topK: Int = 20): String =
+    s"""WITH os AS (
+       |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+       |pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM os),
+       |late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM os
+       |  WHERE CAST(l_shipdate AS DATE) >
+       |    CAST(o_orderdate AS DATE) + INTERVAL $lateDays DAY)
+       |SELECT l1.l_suppkey, COUNT(*) AS numwait
+       |FROM late l1
+       |WHERE EXISTS (SELECT 1 FROM pairs p
+       |    WHERE p.l_orderkey = l1.l_orderkey
+       |      AND p.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM late l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |GROUP BY l1.l_suppkey
+       |ORDER BY numwait DESC, l1.l_suppkey LIMIT $topK""".stripMargin
+
+  /** TPC-H Q22 shape — dormant high-balance customers: per nation,
+    * the count and total balance of customers whose balance exceeds
+    * the positive-balance average but who placed NO order since
+    * `sinceDate` (the synthetic schema has no phone country code, so
+    * the nation key is the grouping). The average is one scalar
+    * cross-joined in (broadcast by construction); dormancy is a
+    * left_anti against the date-filtered orders — never a per-
+    * customer existence probe. Balance cents are exact BIGINTs. */
+  def dormantHighBalance(s: SparkSession, d: String,
+      sinceDate: String = "2001-05-01"): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS LONG)").as("bal_cents"))
+    val avgPos = cust.filter(col("bal_cents") > 0L)
+      .agg((sum(col("bal_cents")) / count(lit(1))).as("avg_cents"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast("date") >=
+        lit(sinceDate).cast("date"))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents").cast("double") > col("avg_cents"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_cents")).as("total_bal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** DuckDB oracle for [[dormantHighBalance]]. */
+  def dormantHighBalanceSql(sinceDate: String = "2001-05-01"): String =
+    s"""WITH cust AS (SELECT c_custkey,
+       |    CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+       |  FROM customer),
+       |avgpos AS (SELECT CAST(SUM(bal_cents) AS DOUBLE) / COUNT(*)
+       |    AS avg_cents FROM cust WHERE bal_cents > 0),
+       |recent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+       |  WHERE CAST(o_orderdate AS DATE) >= DATE '$sinceDate')
+       |SELECT c_nationkey, COUNT(*) AS numcust,
+       |  CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+       |FROM cust, avgpos
+       |WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+       |  AND NOT EXISTS (SELECT 1 FROM recent r
+       |    WHERE r.c_custkey = cust.c_custkey)
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 }

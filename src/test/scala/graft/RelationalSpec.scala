@@ -306,4 +306,90 @@ class RelationalSpec extends SparkTestBase {
       assert(hhi >= 1.0 / revs.length - 1e-9 && hhi <= 1.0 + 1e-9)
     }
   }
+
+  test("orderCountDistribution: 0-bucket present, counts conserve") {
+    val d = sf("orders")
+    val rows = Relational.orderCountDistribution(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = graft.Tables.customer(spark, d).count()
+    // buckets partition the customer set
+    assert(rows.values.sum == nCust)
+    // brute per-customer non-urgent order counts
+    val perCust = graft.Tables.orders(spark, d)
+      .filter(!$"o_orderpriority".startsWith("1"))
+      .groupBy($"o_custkey").count()
+      .as[(Long, Long)].collect().toMap
+    val zeros = nCust - perCust.size
+    assert(rows.getOrElse(0L, 0L) == zeros)
+    val exp = perCust.values.groupBy(identity)
+      .map { case (c, v) => c -> v.size.toLong } ++
+      (if (zeros > 0) Map(0L -> zeros) else Map.empty)
+    assert(rows == exp)
+  }
+
+  test("largeVolumeOrders: every row exceeds the quantity floor") {
+    val d = sf("lineitem")
+    val rows = Relational.largeVolumeOrders(spark, d, minQty = 140L,
+      topK = 1000).collect()
+    assert(rows.nonEmpty)
+    val qty = graft.Tables.lineitem(spark, d)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("q"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_qty") > 140L)
+      assert(qty(r.getAs[Long]("o_orderkey")) == r.getAs[Long]("total_qty"))
+    }
+    // completeness: all qualifying orders are present (topK large)
+    assert(rows.length == qty.count(_._2 > 140L))
+  }
+
+  test("soleLateSupplier: brute exists/not-exists double correlation") {
+    val d = sf("lineitem")
+    val got = Relational.soleLateSupplier(spark, d, topK = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val os = graft.Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate".cast("date"))
+      .join(graft.Tables.orders(spark, d)
+        .select($"o_orderkey".as("l_orderkey"),
+          date_add($"o_orderdate".cast("date"), 60).as("deadline")),
+        "l_orderkey")
+      .as[(Long, Long, java.sql.Date, java.sql.Date)].collect()
+    val pairs = os.map(t => (t._1, t._2)).distinct
+    val late = os.filter(t => t._3.after(t._4)).map(t => (t._1, t._2))
+      .distinct
+    val suppliersByOrder = pairs.groupBy(_._1)
+      .map { case (o, v) => o -> v.map(_._2).toSet }
+    val lateByOrder = late.groupBy(_._1)
+      .map { case (o, v) => o -> v.map(_._2).toSet }
+    val exp = late.filter { case (o, sup) =>
+      (suppliersByOrder(o) - sup).nonEmpty &&
+        (lateByOrder(o) - sup).isEmpty
+    }.groupBy(_._2).map { case (sup, v) => sup -> v.length.toLong }
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("dormantHighBalance: anti-join census matches brute") {
+    val d = sf("customer")
+    val got = Relational.dormantHighBalance(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cust = graft.Tables.customer(spark, d)
+      .select($"c_custkey", $"c_nationkey".cast("long").as("n"),
+        expr("CAST(round(c_acctbal * 100) AS LONG)").as("b"))
+      .as[(Long, Long, Long)].collect()
+    val avg = {
+      val pos = cust.map(_._3).filter(_ > 0)
+      pos.sum.toDouble / pos.length
+    }
+    val active = graft.Tables.orders(spark, d)
+      .filter($"o_orderdate".cast("date") >= lit("2001-05-01").cast("date"))
+      .select($"o_custkey").as[Long].collect().toSet
+    val exp = cust
+      .filter(c => c._3.toDouble > avg && !active(c._1))
+      .groupBy(_._2)
+      .map { case (n, v) => n -> (v.length.toLong, v.map(_._3).sum) }
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
 }
