@@ -689,6 +689,15 @@ object SparkEntry {
     // TPC-H Q22 shape: dormant high-balance customers per nation
     "q235_tpch_q22" -> ((s, d) =>
       graft.ops.Relational.dormantHighBalance(s, d)),
+    // containment near-dups (short-doc-inside-long-doc, capped grams)
+    "q236_containment" -> ((s, d) =>
+      graft.ops.Curation.containmentPairs(s, d)),
+    // tokenizer vocab coverage curve (two-level rank, no global sort)
+    "q237_vocab_coverage" -> ((s, d) =>
+      graft.ops.TextOps.vocabCoverage(s, d)),
+    // inter-centroid cosine matrix (label separability)
+    "q238_centroid_dist" -> ((s, d) =>
+      graft.ops.Pq.centroidDistances(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2064,6 +2073,9 @@ object SparkEntry {
     "q233_tpch_q18" -> graft.ops.Relational.largeVolumeOrdersSql(),
     "q234_tpch_q21" -> graft.ops.Relational.soleLateSupplierSql(),
     "q235_tpch_q22" -> graft.ops.Relational.dormantHighBalanceSql(),
+    "q236_containment" -> graft.ops.Curation.containmentPairsSql(),
+    "q237_vocab_coverage" -> graft.ops.TextOps.vocabCoverageSql(),
+    "q238_centroid_dist" -> graft.ops.Pq.centroidDistancesSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

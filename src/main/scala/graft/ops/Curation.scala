@@ -1257,4 +1257,82 @@ object Curation {
        |  CAST(COALESCE(SUM(CASE WHEN l < $lMin THEN 1 END), 0)
        |    AS BIGINT) AS groups_below_l
        |FROM g""".stripMargin
+
+  private val log2 = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Asymmetric CONTAINMENT near-dup pairs: document pairs ranked by
+    * |grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|) — the
+    * statistic that catches a short document EMBEDDED in a long one,
+    * which resemblance (Jaccard) scores near zero because the union is
+    * dominated by the long side (Broder's containment vs resemblance
+    * distinction; the quote/boilerplate-inclusion case MinHash-Jaccard
+    * dedup systematically misses). Candidates come from an equi-join
+    * on distinct 64-bit token-k-gram hashes; grams occurring in more
+    * than `maxDf` documents are dropped first with a logged count (the
+    * stop-gram cap — a boilerplate gram shared by half the corpus
+    * would otherwise quadratically explode the join), and the SAME
+    * capped gram set feeds both the intersection counts and the
+    * per-doc sizes, so the score is self-consistent and the oracle
+    * mirrors it exactly. Shuffles carry (gh, doc_id) pairs only. */
+  def containmentPairs(s: SparkSession, d: String, k: Int = 8,
+      maxDf: Int = 100, minShared: Int = 3, topK: Int = 50): DataFrame = {
+    val gramDoc = posGramHashes(Tables.documents(s, d), k)
+      .select(col("doc_id"), col("gh")).distinct()
+    val dfc = gramDoc.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val hot = dfc.filter(col("df") > maxDf)
+      .agg(coalesce(count(lit(1)), lit(0L))).head().getLong(0)
+    if (hot > 0)
+      log2.warn(s"containment: dropped $hot grams in more than " +
+        s"$maxDf docs (stop-gram cap)")
+    val kept = gramDoc.join(dfc.filter(col("df") <= maxDf)
+      .select(col("gh")), "gh")
+    val keptCut = graft.GraftSession.cut(kept)
+    val sizes = keptCut.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    keptCut.select(col("gh"), col("doc_id").as("doc_a"))
+      .join(keptCut.select(col("gh"), col("doc_id").as("doc_b")), "gh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ng").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ng").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double")
+          / least(col("na"), col("nb")).cast("double"), 6)
+          .as("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[containmentPairs]]: gram STRINGS stand in
+    * for the 64-bit gram hashes (equal sets modulo hash collisions —
+    * the q102 device). */
+  def containmentPairsSql(k: Int = 8, maxDf: Int = 100,
+      minShared: Int = 3, topK: Int = 50): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |              FROM documents),
+       |p AS (SELECT doc_id, tk,
+       |        unnest(range(1, len(tk) - ${k - 2})) AS pos
+       |      FROM toks WHERE len(tk) >= $k),
+       |g0 AS (SELECT DISTINCT doc_id,
+       |         array_to_string(tk[pos:pos+${k - 1}], ' ') AS g
+       |       FROM p),
+       |dfc AS (SELECT g, COUNT(*) AS df FROM g0 GROUP BY g),
+       |kept AS (SELECT g0.doc_id, g0.g FROM g0
+       |         JOIN dfc ON dfc.g = g0.g AND dfc.df <= $maxDf),
+       |sizes AS (SELECT doc_id, COUNT(*) AS ng FROM kept GROUP BY 1),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         COUNT(*) AS shared_grams
+       |       FROM kept a JOIN kept b
+       |         ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $minShared)
+       |SELECT doc_a, doc_b, shared_grams,
+       |  round(CAST(shared_grams AS DOUBLE)
+       |    / CAST(least(na.ng, nb.ng) AS DOUBLE), 6) AS containment
+       |FROM pr
+       |JOIN sizes na ON na.doc_id = doc_a
+       |JOIN sizes nb ON nb.doc_id = doc_b
+       |ORDER BY containment DESC, doc_a, doc_b LIMIT $topK""".stripMargin
 }

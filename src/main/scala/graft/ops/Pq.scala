@@ -391,4 +391,64 @@ object Pq {
       |  round(CAST(SUM(cos_micro) AS DOUBLE)
       |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_cos
       |FROM pc""".stripMargin
+
+  /** Inter-centroid cosine matrix: pairwise cosine between the
+    * per-label embedding centroids — [[labelCohesion]]'s companion
+    * (cohesion says members hug their OWN centroid; this says whether
+    * DIFFERENT labels' centroids are actually separated — high
+    * inter-centroid cosine + high cohesion = two labels the embedding
+    * cannot tell apart, the classic label-taxonomy smell). Centroids
+    * use the same micro-quantized exact-BIGINT device as cohesion;
+    * the pair stage runs on the labels × dims table (broadcast-tiny —
+    * label count is a taxonomy, never data-scale), so the corpus is
+    * read exactly once. */
+  def centroidDistances(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v0")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(v0 AS DOUBLE) * 1e6) AS LONG)").as("vq"))
+    val cent = e.groupBy(col("label"), col("dim"))
+      .agg(expr("CAST(round(CAST(SUM(vq) AS DOUBLE) / COUNT(*))" +
+        " AS LONG)").as("cq"))
+    val a = cent.select(col("label").as("label_a"), col("dim"),
+      col("cq").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("dim"),
+      col("cq").as("cb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("na"),
+        sum(col("cb") * col("cb")).as("nb"))
+      .select(col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double"))
+            * sqrt(col("nb").cast("double"))), 6).as("centroid_cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  /** DuckDB oracle for [[centroidDistances]]. */
+  def centroidDistancesSql: String =
+    """WITH ix AS (SELECT label, embedding,
+      |        unnest(range(1, len(embedding) + 1)) AS i
+      |      FROM embeddings),
+      |e AS (SELECT label, i,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS vq
+      |  FROM ix),
+      |cent AS (SELECT label, i,
+      |    CAST(round(CAST(SUM(vq) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS cq
+      |  FROM e GROUP BY 1, 2)
+      |SELECT CAST(a.label AS BIGINT) AS label_a,
+      |  CAST(b.label AS BIGINT) AS label_b,
+      |  round(CAST(SUM(a.cq * b.cq) AS DOUBLE)
+      |    / (sqrt(CAST(SUM(a.cq * a.cq) AS DOUBLE))
+      |      * sqrt(CAST(SUM(b.cq * b.cq) AS DOUBLE))), 6)
+      |    AS centroid_cos
+      |FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      |GROUP BY a.label, b.label
+      |ORDER BY label_a, label_b""".stripMargin
 }

@@ -1459,6 +1459,75 @@ object TextOps {
       |  COUNT(*) AS n_docs
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Tokenizer vocabulary coverage curve: for each candidate
+    * vocabulary size N, the fraction of all token OCCURRENCES covered
+    * by the N most frequent types — the "how big must the vocab be"
+    * design curve for tokenizer budgeting (the complement of the OOV
+    * rate under a top-N vocab). Ranking runs over the AGGREGATED
+    * (type, count) table, never the token stream, via the two-level
+    * subsplit rank (sub-bucket window + broadcast offsets — the
+    * scalableRank device), so no plan stage sorts a row-stream in one
+    * partition; the per-N sums then read the bounded ranked table
+    * once through a small explode. Counts are exact BIGINTs; the
+    * coverage division is the only float, round-6. */
+  def vocabCoverage(s: SparkSession, d: String,
+      vocabSizes: Seq[Int] = Seq(100, 300, 1000, 3000)): DataFrame = {
+    val vocab = graft.GraftSession.cut(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt")))
+    // two-level DESCENDING rank: sub-bucket on -cnt (value-range
+    // partitioning), window inside buckets, broadcast running offsets
+    val wSub = Window.partitionBy(col("__sub"))
+      .orderBy(col("cnt").desc, col("t"))
+    val wOff = Window.orderBy(col("__sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sub = vocab.withColumn("__sub", expr("(-cnt) DIV 16"))
+    val offs = sub.groupBy(col("__sub")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__sub"), col("__off"))
+    val ranked = sub.withColumn("__rn", row_number().over(wSub))
+      .join(broadcast(offs), "__sub")
+      .select(col("cnt"), (col("__off") + col("__rn")).as("rk"))
+    val total = vocab.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    ranked
+      .select(col("cnt"), col("rk"),
+        explode(array(vocabSizes.map(lit(_)): _*)).as("vocab_size"))
+      .filter(col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size").cast("long").as("vocab_size"))
+      .agg(sum(col("cnt")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered_tokens"),
+        col("total_tokens"), col("n_types"),
+        round(col("covered_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
+
+  /** DuckDB oracle for [[vocabCoverage]]. */
+  def vocabCoverageSql(
+      vocabSizes: Seq[Int] = Seq(100, 300, 1000, 3000)): String = {
+    val vals = vocabSizes.map(n => s"($n)").mkString(", ")
+    s"""WITH vocab AS (SELECT t, COUNT(*) AS cnt FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS t
+       |     FROM documents) GROUP BY t),
+       |ranked AS (SELECT cnt, row_number() OVER (
+       |    ORDER BY cnt DESC, t) AS rk FROM vocab),
+       |tot AS (SELECT SUM(cnt) AS total_tokens, COUNT(*) AS n_types
+       |        FROM vocab),
+       |ns(n) AS (VALUES $vals)
+       |SELECT CAST(n AS BIGINT) AS vocab_size,
+       |  CAST(SUM(cnt) AS BIGINT) AS covered_tokens,
+       |  CAST(total_tokens AS BIGINT) AS total_tokens,
+       |  CAST(n_types AS BIGINT) AS n_types,
+       |  round(CAST(SUM(cnt) AS DOUBLE)
+       |    / CAST(total_tokens AS DOUBLE), 6) AS coverage
+       |FROM ranked JOIN ns ON rk <= n, tot
+       |GROUP BY n, total_tokens, n_types
+       |ORDER BY vocab_size""".stripMargin
+  }
+
   /** Kneser-Ney smoothed bigram probabilities for the corpus's
     * top-`topK` bigrams — the LM-quality counterpart of the
     * interpolated [[bigramNll]]: instead of raw-count backoff, the

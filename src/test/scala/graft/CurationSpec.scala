@@ -610,4 +610,35 @@ class CurationSpec extends SparkTestBase {
     assert(got == brute)
     assert(got.values.sum == texts.count(t => cnt(t, "[^ ]+") > 0).toLong)
   }
+
+  test("containmentPairs matches brute gram-set containment") {
+    import spark.implicits._
+    val d = sf("documents")
+    val got = graft.ops.Curation.containmentPairs(spark, d, topK = 10000)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val docs = graft.Tables.documents(spark, d)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val k = 8
+    val gramSets = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(k).filter(_.length == k)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    // stop-gram cap: drop grams in > 100 docs, like the operator
+    val dfc = gramSets.toSeq.flatMap { case (id, g) => g.map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.size }
+    val kept = gramSets.map { case (id, g) =>
+      id -> g.filter(dfc(_) <= 100) }
+    val exp = (for {
+      (a, ga) <- kept.toSeq; (b, gb) <- kept.toSeq
+      if a < b
+      shared = (ga & gb).size
+      if shared >= 3
+    } yield ((a, b), (shared.toLong,
+      BigDecimal(shared.toDouble / math.min(ga.size, gb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
 }

@@ -162,4 +162,37 @@ class PqSpec extends SparkTestBase {
       assert(meanCos >= minCos)
     }
   }
+
+  test("centroidDistances matches brute quantized centroid cosines") {
+    val d = sf("embeddings")
+    val got = graft.ops.Pq.centroidDistances(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val emb = graft.Tables.embeddings(spark, d)
+      .select($"label".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    // HALF_UP rounding to match Spark/DuckDB round() on negatives
+    // (java math.round rounds -2.5 toward +inf, SQL round away from 0)
+    def rnd(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val cent = emb.groupBy(_._1).map { case (lab, vs) =>
+      val dims = vs.head._2.length
+      lab -> Array.tabulate(dims) { i =>
+        val q = vs.map(v => rnd(v._2(i).toDouble * 1e6))
+        rnd(q.sum.toDouble / q.length)
+      }
+    }
+    val labs = cent.keys.toSeq.sorted
+    for (a <- labs; b <- labs if a < b) {
+      val (ca, cb) = (cent(a), cent(b))
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(ca.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(cb.map(x => x.toDouble * x).sum)
+      val exp = BigDecimal(dot.toDouble / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got((a, b)) - exp) < 2e-6, s"($a,$b)")
+    }
+    assert(got.size == labs.size * (labs.size - 1) / 2)
+    // separated labels: no centroid pair should be identical
+    assert(got.values.forall(_ < 1.0))
+  }
 }

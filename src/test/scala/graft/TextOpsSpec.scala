@@ -553,6 +553,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(self.getDouble(3) == 0.0)
   }
 
+  test("vocabCoverage: brute cumulative coverage at each vocab size") {
+    val d = sf("documents")
+    val sizes = Seq(100, 300, 1000, 3000)
+    val got = TextOps.vocabCoverage(spark, d, sizes).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val toks = graft.Tables.documents(spark, d)
+      .select($"text").as[String].collect().flatMap(_.split(" "))
+    val cnt = toks.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val ranked = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.map(_._2)
+    val total = ranked.sum
+    assert(got.keySet == sizes.map(_.toLong).toSet)
+    for (n <- sizes) {
+      val covered = ranked.take(n).sum
+      val (gc, gt, gtypes, gcov) = got(n.toLong)
+      assert(gc == covered && gt == total && gtypes == cnt.size.toLong)
+      assert(math.abs(gcov - covered.toDouble / total) < 1e-6)
+    }
+    // the curve is monotone non-decreasing in vocab size
+    val cov = sizes.map(n => got(n.toLong)._4)
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+  }
+
   test("kneserNeyBigrams matches brute KN math; probabilities sane") {
     val d = sf("documents")
     val got = TextOps.kneserNeyBigrams(spark, d, topK = 20).collect()
