@@ -698,6 +698,14 @@ object SparkEntry {
     // inter-centroid cosine matrix (label separability)
     "q238_centroid_dist" -> ((s, d) =>
       graft.ops.Pq.centroidDistances(s, d)),
+    // MMR diversified retrieval (relevance minus redundancy greedy)
+    "q239_mmr" -> ((s, d) => graft.ops.Similarity.mmrTopK(s, d)),
+    // Johnson-Lindenstrauss +-1 projection distortion audit
+    "q240_jl_distortion" -> ((s, d) =>
+      graft.ops.Similarity.jlDistortion(s, d)),
+    // event-time out-of-orderness census (watermark sizing)
+    "q241_out_of_order" -> ((s, d) =>
+      graft.ops.EventAnalytics.outOfOrderCensus(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2076,6 +2084,10 @@ object SparkEntry {
     "q236_containment" -> graft.ops.Curation.containmentPairsSql(),
     "q237_vocab_coverage" -> graft.ops.TextOps.vocabCoverageSql(),
     "q238_centroid_dist" -> graft.ops.Pq.centroidDistancesSql,
+    "q239_mmr" -> graft.ops.Similarity.mmrTopKSql(),
+    "q240_jl_distortion" -> graft.ops.Similarity.jlDistortionSql(),
+    "q241_out_of_order" ->
+      graft.ops.EventAnalytics.outOfOrderCensusSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

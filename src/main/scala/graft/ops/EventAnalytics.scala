@@ -885,4 +885,52 @@ object EventAnalytics {
       |           * sqrt(CAST(n * szz - sz * sz AS DOUBLE)), 0.0), 6)
       |    AS r1
       |FROM st ORDER BY event_type""".stripMargin
+
+  /** Event-time out-of-orderness census — the number a streaming
+    * watermark is sized from: per event type, over each user's
+    * ARRIVAL stream (event_id is the ingest sequence), how often the
+    * event time runs backwards and by how much. `n_inversions` counts
+    * consecutive arrival pairs whose ts decreases, `max_backstep_ns`
+    * is the largest backward jump (exact BIGINT nanos — exactly the
+    * minimum watermark delay that would have kept every event of that
+    * type), and the fraction is the only float. One lag window per
+    * user stream (the trigram device), map-side-combined counts. */
+  def outOfOrderCensus(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+    ev(s, d)
+      .select(col("event_type"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .filter(col("prev_ts").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ts") < col("prev_ts"), 1L).otherwise(0L))
+          .as("n_inversions"),
+        coalesce(max(when(col("ts") < col("prev_ts"),
+          col("prev_ts") - col("ts"))), lit(0L)).as("max_backstep_ns"))
+      .select(col("event_type"), col("n_pairs"), col("n_inversions"),
+        round(col("n_inversions").cast("double")
+          / col("n_pairs").cast("double"), 6).as("inversion_frac"),
+        col("max_backstep_ns"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[outOfOrderCensus]]. */
+  def outOfOrderCensusSql: String =
+    """WITH p AS (SELECT event_type, epoch_ns(ts) AS ts,
+      |    lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id
+      |      ORDER BY event_id) AS prev_ts
+      |  FROM events),
+      |g AS (SELECT event_type, COUNT(*) AS n_pairs,
+      |    COALESCE(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END), 0)
+      |      AS n_inversions,
+      |    COALESCE(MAX(CASE WHEN ts < prev_ts THEN prev_ts - ts END),
+      |      0) AS max_backstep_ns
+      |  FROM p WHERE prev_ts IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n_pairs,
+      |  CAST(n_inversions AS BIGINT) AS n_inversions,
+      |  round(CAST(n_inversions AS DOUBLE) / CAST(n_pairs AS DOUBLE),
+      |    6) AS inversion_frac,
+      |  CAST(max_backstep_ns AS BIGINT) AS max_backstep_ns
+      |FROM g ORDER BY event_type""".stripMargin
 }

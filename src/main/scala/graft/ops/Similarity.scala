@@ -171,6 +171,215 @@ object Similarity {
        |  vec_id AS neg_id, cosine
        |FROM r WHERE rank <= $k ORDER BY a_id, rank""".stripMargin
 
+  /** Deterministic ±1 Johnson-Lindenstrauss sign matrix, seeded from
+    * md5("jl|i|j") parity — pure driver-side arithmetic, embedded as
+    * LITERALS in both engines' expressions (the [[hyperplanes]]
+    * device), so neither engine needs an in-engine hash. */
+  private[graft] def jlSigns(inDim: Int, outDim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(inDim, outDim) { (i, j) =>
+      val h = md.digest(s"jl|$i|$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson-Lindenstrauss distortion audit: project the embeddings
+    * through a deterministic ±1 sign matrix to `outDim` dims and
+    * measure, over a deterministic anchor-pair sample, the ratio of
+    * (projected squared distance / outDim) to the true squared
+    * distance — for ±1 sign entries E[p_j²] = ‖d‖², so this
+    * concentrates near 1, and the
+    * spread you actually measure is the accuracy bill for running
+    * downstream dedup/ANN at outDim/inDim of the vector cost. Pairs
+    * are (id, id + sampleMod) anchor joins — no window, no self-join;
+    * projections and distances fold in index order (each a literal
+    * left-assoc chain, mirrored term-for-term in the oracle), and the
+    * per-pair ratio is nano-quantized to BIGINT before the sum, so
+    * mean/min/max are partition-order invariant and hash-exact. */
+  def jlDistortion(s: SparkSession, d: String, outDim: Int = 16,
+      sampleMod: Long = 7L): DataFrame = {
+    val inDim = 64
+    val w = jlSigns(inDim, outDim)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val anchors = emb.filter(col("vec_id") % sampleMod === 0)
+    val pairs = anchors.select(col("vec_id").as("a_id"),
+        col("embedding").as("ea"))
+      .join(anchors.select((col("vec_id") - sampleMod).as("a_id"),
+        col("embedding").as("eb")), "a_id")
+    def el(e: String, i: Int) =
+      element_at(col(e), i + 1).cast("double")
+    // three explicit stages so every float op has one site, mirrored
+    // term-for-term by the oracle's CTE chain: element diffs, then
+    // sign-projected diffs (projection is linear, so projecting the
+    // DIFF is the cheap and numerically identical formulation), then
+    // the two squared norms
+    val dd = pairs.select(col("a_id") +:
+      (0 until inDim).map(i => (el("ea", i) - el("eb", i)).as(s"d$i")): _*)
+    val pj = dd.select(col("a_id") +:
+      ((0 until outDim).map { j =>
+        (0 until inDim).map(i => col(s"d$i") * lit(w(i)(j)))
+          .reduce(_ + _).as(s"p$j")
+      } :+ (0 until inDim).map(i => col(s"d$i") * col(s"d$i"))
+        .reduce(_ + _).as("st")): _*)
+    pj
+      .select(col("a_id"),
+        (0 until outDim).map(j => col(s"p$j") * col(s"p$j"))
+          .reduce(_ + _).as("sp"),
+        col("st"))
+      .filter(col("st") > 0.0)
+      .select(col("a_id"),
+        expr(s"CAST(round((sp / $outDim.0) / st * 1e9)" +
+          " AS LONG)").as("rq"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("rq")).cast("double")
+          / (count(lit(1)).cast("double") * 1e9), 6).as("mean_ratio"),
+        round(min(col("rq")).cast("double") / 1e9, 6).as("min_ratio"),
+        round(max(col("rq")).cast("double") / 1e9, 6).as("max_ratio"))
+  }
+
+  /** DuckDB oracle for [[jlDistortion]]: the same literal sign chains
+    * term for term. */
+  def jlDistortionSql(outDim: Int = 16, sampleMod: Long = 7L): String = {
+    val inDim = 64
+    val w = jlSigns(inDim, outDim)
+    def el(e: String, i: Int) = s"CAST($e[${i + 1}] AS DOUBLE)"
+    val diffs = (0 until inDim).map(i =>
+      s"(${el("ea", i)} - ${el("eb", i)}) AS d$i").mkString(", ")
+    val projs = (0 until outDim).map { j =>
+      (0 until inDim).map(i => s"d$i * (${w(i)(j)})")
+        .mkString("(", " + ", s") AS p$j")
+    }.mkString(", ")
+    val st = (0 until inDim).map(i => s"d$i * d$i")
+      .mkString("(", " + ", ")")
+    val sp = (0 until outDim).map(j => s"p$j * p$j")
+      .mkString("(", " + ", ")")
+    s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id % $sampleMod = 0),
+       |p AS (SELECT x.vec_id AS a_id, x.embedding AS ea,
+       |        y.embedding AS eb
+       |      FROM a x JOIN a y ON y.vec_id = x.vec_id + $sampleMod),
+       |dd AS (SELECT a_id, $diffs FROM p),
+       |pj AS (SELECT a_id, $projs, $st AS st FROM dd),
+       |r AS (SELECT a_id, $sp AS sp, st FROM pj),
+       |q AS (SELECT a_id,
+       |    CAST(round((sp / $outDim.0) / st * 1e9)
+       |      AS BIGINT) AS rq
+       |  FROM r WHERE st > 0.0)
+       |SELECT COUNT(*) AS n_pairs,
+       |  round(CAST(SUM(rq) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 1e9), 6) AS mean_ratio,
+       |  round(CAST(MIN(rq) AS DOUBLE) / 1e9, 6) AS min_ratio,
+       |  round(CAST(MAX(rq) AS DOUBLE) / 1e9, 6) AS max_ratio
+       |FROM q""".stripMargin
+  }
+
+  /** Maximal-marginal-relevance (MMR) diversified top-k retrieval
+    * (Carbonell & Goldstein '98): greedily pick the result maximizing
+    * λ·cos(q, c) − (1−λ)·max over already-selected s of cos(c, s) —
+    * relevance minus redundancy, the standard fix for a result list
+    * of k near-identical neighbors. Two distributed stages bound the
+    * greedy part: the candidate POOL is the top-`poolSize` by query
+    * cosine (one corpus scan, bounded [[TopKByScore]] state) and the
+    * pool's pairwise cosine matrix is a poolSize² self-join — then
+    * the k-step greedy argmax runs on that collected bounded matrix
+    * (poolSize² rows, the same documented driver-side bound as the PQ
+    * training sample: it NEVER grows with the corpus). Every cosine
+    * is round-6 before scoring and λ arithmetic is fixed-
+    * parenthesization doubles, so the oracle's unrolled selection
+    * chain picks identical ids. */
+  def mmrTopK(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 5, lambda: Double = 0.7, poolSize: Int = 50): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val pool = graft.GraftSession.cut(emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(nativeCosine(s, col("embedding"), col("qe")), 6).as("cq"),
+        col("embedding"))
+      .filter(col("cq").isNotNull)
+      // TakeOrderedAndProject: bounded top-poolSize, embedding kept
+      // for the pair stage below
+      .orderBy(col("cq").desc, col("vec_id")).limit(poolSize))
+    val pairs = pool.select(col("vec_id").as("a"), col("cq").as("cqa"),
+        col("embedding").as("ea"))
+      .join(pool.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("cqa"), col("b"),
+        round(nativeCosine(s, col("ea"), col("eb")), 6).as("cab"))
+    // bounded collect: poolSize^2 rows, corpus-independent
+    val rows = pairs.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    val cq = rows.map(t => t._1 -> t._2).toMap
+    val sim = rows.map(t => (t._1, t._3) -> t._4).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val first = cq.toSeq.sortBy { case (id, c) => (-c, id) }.head._1
+    selected += first
+    while (selected.length < math.min(k, cq.size)) {
+      val best = cq.keys.filterNot(selected.contains).map { c =>
+        val ms = selected.map(sel => sim((c, sel))).max
+        val score = lambda * cq(c) - (1.0 - lambda) * ms
+        (c, score)
+      }.toSeq.sortBy { case (id, sc) => (-sc, id) }.head._1
+      selected += best
+    }
+    selected.toSeq.zipWithIndex
+      .map { case (id, i) => ((i + 1).toLong, id, cq(id)) }
+      .toDF("rank", "vec_id", "rel_cos")
+  }
+
+  /** DuckDB oracle for [[mmrTopK]]: the same pool and the k−1 greedy
+    * steps unrolled, each a QUALIFY argmax over remaining candidates
+    * with identical double arithmetic (explicit CAST(.. AS DOUBLE)
+    * literals — DuckDB parses bare 0.7 as DECIMAL). */
+  def mmrTopKSql(queryId: Long = 0L, k: Int = 5,
+      lambda: Double = 0.7, poolSize: Int = 50): String = {
+    val cosExpr = (x: String, y: String) => s"""round(
+      |    list_sum(list_transform(range(1, len($x) + 1),
+      |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))
+      |    / nullif(
+      |        sqrt(list_sum(list_transform($x,
+      |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      |        * sqrt(list_sum(list_transform($y,
+      |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))),
+      |        CAST(0.0 AS DOUBLE)), 6)""".stripMargin
+    val head =
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+         |           WHERE vec_id = $queryId),
+         |pool AS (SELECT vec_id, cq, embedding FROM (
+         |    SELECT e.vec_id, ${cosExpr("e.embedding", "qe")} AS cq,
+         |      e.embedding
+         |    FROM embeddings e, q WHERE e.vec_id <> $queryId)
+         |  WHERE cq IS NOT NULL
+         |  ORDER BY cq DESC, vec_id LIMIT $poolSize),
+         |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    ${cosExpr("a.embedding", "b.embedding")} AS cab
+         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT vec_id, cq, 1 AS rk FROM pool
+         |         ORDER BY cq DESC, vec_id LIMIT 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val prior = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""sel$i AS (
+         |  SELECT p.vec_id, p.cq, $i AS rk FROM pool p
+         |  WHERE p.vec_id NOT IN ($prior)
+         |  QUALIFY row_number() OVER (ORDER BY
+         |    CAST($lambda AS DOUBLE) * p.cq
+         |      - (CAST(1.0 AS DOUBLE) - CAST($lambda AS DOUBLE))
+         |        * (SELECT MAX(cab) FROM pairs
+         |           WHERE pairs.a = p.vec_id
+         |             AND pairs.b IN ($prior)) DESC,
+         |    p.vec_id) = 1)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CAST(rk AS BIGINT) AS rank, vec_id, cq AS rel_cos
+         |FROM (${(1 to k).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")})
+         |ORDER BY rank""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
   /** Matryoshka-style prefix retrieval: rank by cosine over only the
     * first `dims` dimensions of the embedding (MRL-trained embeddings
     * concentrate signal in the prefix, so a 16-of-64 scan reads 4x

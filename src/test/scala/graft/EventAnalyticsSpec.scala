@@ -437,4 +437,32 @@ class EventAnalyticsSpec extends SparkTestBase {
       assert(fano > 0.5 && fano < 2.0, s"$tpe fano $fano")
     }
   }
+
+  test("outOfOrderCensus matches a brute per-user arrival-stream scan") {
+    import spark.implicits._
+    val d = sf("events")
+    val got = graft.ops.EventAnalytics.outOfOrderCensus(spark, d)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val ev = graft.Tables.events(spark, d)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+    val pairs = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val s0 = g.sortBy(_._4) // arrival order = event_id
+      s0.zip(s0.drop(1)).map { case (p, c) => (c._2, p._3, c._3) }
+    }
+    val exp = pairs.groupBy(_._1).map { case (tpe, v) =>
+      val inv = v.count { case (_, prev, cur) => cur < prev }
+      val back = v.collect { case (_, prev, cur) if cur < prev =>
+        prev - cur }
+      tpe -> (v.size.toLong, inv.toLong,
+        BigDecimal(inv.toDouble / v.size).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (back.isEmpty) 0L else back.max)
+    }
+    assert(got == exp)
+    // the synthetic stream is mostly ordered but not perfectly
+    assert(got.values.map(_._2).sum >= 0L)
+  }
 }

@@ -373,6 +373,72 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("mmrTopK: brute greedy replication; diversity actually bites") {
+    val d = sf("embeddings")
+    val got = Similarity.mmrTopK(spark, d, queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    val emb = graft.Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+      BigDecimal(dot / n).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q = emb(0L)
+    val pool = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cos(e, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(50)
+    val cq = pool.toMap
+    var sel = List(pool.head._1)
+    while (sel.length < 5) {
+      val next = cq.keys.filterNot(sel.contains).map { c =>
+        val ms = sel.map(sid => cos(emb(c), emb(sid))).max
+        (c, 0.7 * cq(c) - (1.0 - 0.7) * ms)
+      }.toSeq.sortBy { case (id, sc) => (-sc, id) }.head._1
+      sel = sel :+ next
+    }
+    assert(got.map(_._2).toSeq == sel)
+    assert(got.forall { case (_, id, rc) => math.abs(rc - cq(id)) < 1e-9 })
+    // MMR must have reordered vs plain top-k somewhere (else the
+    // diversity term did nothing on this corpus)
+    val plain = pool.take(5).map(_._1)
+    assert(sel != plain.toList, "diversity term had no effect")
+  }
+
+  test("jlDistortion: ratios concentrate near 1 and match brute") {
+    val d = sf("embeddings")
+    val row = Similarity.jlDistortion(spark, d).head()
+    val emb = graft.Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val w = Similarity.jlSigns(64, 16)
+    val anchors = emb.keys.filter(_ % 7 == 0).toSeq.sorted
+    val ratios = anchors.flatMap { a =>
+      emb.get(a + 7).filter(_ => a % 7 == 0).map { eb0 =>
+        val ea = emb(a); val eb = eb0
+        val dd = Array.tabulate(64)(i => ea(i).toDouble - eb(i).toDouble)
+        val st = dd.map(x => x * x).sum
+        val sp = (0 until 16).map { j =>
+          val p = dd.zipWithIndex.map { case (x, i) => x * w(i)(j) }.sum
+          p * p
+        }.sum
+        (sp / 16.0) / st
+      }
+    }
+    assert(row.getLong(0) == ratios.length.toLong)
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(row.getDouble(1) - mean) < 1e-4)
+    assert(row.getDouble(2) <= row.getDouble(1) &&
+      row.getDouble(1) <= row.getDouble(3))
+    // JL with 16 of 64 dims: ratios concentrate loosely around 1
+    assert(row.getDouble(1) > 0.5 && row.getDouble(1) < 1.5)
+    assert(row.getDouble(2) > 0.0)
+  }
+
   test("anchorCross chunked fallback is row-identical to the broadcast " +
       "path") {
     // force the chunked path with a tiny bound: the union of disjoint
