@@ -706,6 +706,14 @@ object SparkEntry {
     // event-time out-of-orderness census (watermark sizing)
     "q241_out_of_order" -> ((s, d) =>
       graft.ops.EventAnalytics.outOfOrderCensus(s, d)),
+    // graph diameter lower bound by BFS double sweep
+    "q242_diameter" -> ((s, d) => graft.ops.Graph.diameterSweep(s, d)),
+    // partition-pruning ROI audit: natural vs date-clustered layout
+    "q243_pruning_audit" -> ((s, d) =>
+      graft.ops.Maintenance.pruningAudit(s, d)),
+    // data-constrained epoch water-filling across sources
+    "q244_epoch_waterfill" -> ((s, d) =>
+      graft.ops.Curation.epochWaterfill(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2088,6 +2096,9 @@ object SparkEntry {
     "q240_jl_distortion" -> graft.ops.Similarity.jlDistortionSql(),
     "q241_out_of_order" ->
       graft.ops.EventAnalytics.outOfOrderCensusSql,
+    "q242_diameter" -> graft.ops.Graph.diameterSweepSql(),
+    "q243_pruning_audit" -> graft.ops.Maintenance.pruningAuditSql(),
+    "q244_epoch_waterfill" -> graft.ops.Curation.epochWaterfillSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

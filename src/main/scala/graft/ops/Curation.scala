@@ -1260,6 +1260,99 @@ object Curation {
 
   private val log2 = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Data-constrained epoch WATER-FILLING across sources: allocate a
+    * training-token budget `budgetX`× the corpus size to sources
+    * proportionally to √n (the temperature-mix target) but capped at
+    * `maxEpochs` passes over any single source — the allocator behind
+    * "we want T tokens at temperature 0.5 but may repeat nothing more
+    * than E times" (the data-constrained-scaling regime). Solved in
+    * closed form by the sorted-threshold scan: a source saturates its
+    * cap exactly when the water level λ ≥ E·n/√n = E·√n, so sources
+    * cap in ascending-√n order; windows over the SOURCE table (tiny,
+    * aggregated) find the unique boundary where
+    * λ = (T − E·Σ_capped n) / Σ_uncapped √n is consistent with both
+    * sides. All comparisons are the same double ops in both engines;
+    * allocations round half-up to BIGINT tokens at the end. Emits per
+    * source: n_tokens, allocation, epochs. */
+  def epochWaterfill(s: SparkSession, d: String, budgetX: Double = 2.0,
+      maxEpochs: Double = 4.0): DataFrame = {
+    // budgets at or past maxEpochs x corpus would cap EVERY source
+    // (the boundary row's denominator is 0 — there is no water level)
+    require(budgetX < maxEpochs,
+      s"budgetX ($budgetX) must be < maxEpochs ($maxEpochs)")
+    val src = Tables.documents(s, d)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("n"))
+    val w = Window.orderBy(col("n"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cum sums in ascending-(n, source) order over the aggregated
+    // source table; sqrt folds in that DETERMINISTIC order, so the
+    // totals (read off the scan's maxima, order-insensitive) are the
+    // same doubles in both engines — an agg-side sum of sqrt would
+    // fold in partition order and break hash parity
+    val scan = graft.GraftSession.cut(src
+      .select(col("source"), col("n"), sqrt(col("n").cast("double")).as("sw"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_w", sum(col("sw")).over(w)))
+    val tot = scan.agg(max(col("cum_w")).as("tw"),
+      max(col("cum_n")).cast("double").as("tnd"))
+    // boundary candidate: this source is the LAST capped one; its
+    // boundary lambda must still cap it (the threshold scan — caps
+    // happen in ascending-sqrt(n) order)
+    val candidates = scan.crossJoin(broadcast(tot))
+      .withColumn("lam",
+        (lit(budgetX) * col("tnd")
+          - lit(maxEpochs) * col("cum_n").cast("double"))
+          / nullif(col("tw") - col("cum_w"), lit(0.0)))
+      .withColumn("caps",
+        col("lam") * col("sw") >= lit(maxEpochs) * col("n").cast("double"))
+    val lamRow = candidates.filter(col("caps"))
+      .orderBy(col("n").desc, col("source").desc).limit(1)
+      .select(col("lam")).collect()
+    val lamV =
+      if (lamRow.nonEmpty) lamRow(0).getDouble(0)
+      else tot.select((lit(budgetX) * col("tnd") / col("tw")).as("lam"))
+        .head().getDouble(0)
+    src
+      .select(col("source"), col("n").as("n_tokens"),
+        expr(s"CAST(round(least($lamV * sqrt(CAST(n AS DOUBLE)), " +
+          s"$maxEpochs * CAST(n AS DOUBLE))) AS LONG)").as("alloc_tokens"))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double")
+          / col("n_tokens").cast("double"), 6).as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[epochWaterfill]]: the same threshold scan. */
+  def epochWaterfillSql(budgetX: Double = 2.0,
+      maxEpochs: Double = 4.0): String =
+    s"""WITH src AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n
+       |             FROM documents GROUP BY source),
+       |scan AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS sw,
+       |    SUM(n) OVER (ORDER BY n, source
+       |      ROWS UNBOUNDED PRECEDING) AS cum_n,
+       |    SUM(sqrt(CAST(n AS DOUBLE))) OVER (ORDER BY n, source
+       |      ROWS UNBOUNDED PRECEDING) AS cum_w
+       |  FROM src),
+       |tot AS (SELECT MAX(cum_w) AS tw,
+       |          CAST(MAX(cum_n) AS DOUBLE) AS tnd FROM scan),
+       |cand AS (SELECT scan.*, tot.tnd, tot.tw,
+       |    ($budgetX * tnd - $maxEpochs * CAST(cum_n AS DOUBLE))
+       |      / nullif(tw - cum_w, 0.0) AS lam
+       |  FROM scan, tot),
+       |capped AS (SELECT lam FROM cand
+       |  WHERE lam * sw >= $maxEpochs * CAST(n AS DOUBLE)
+       |  ORDER BY n DESC, source DESC LIMIT 1),
+       |lam0 AS (SELECT $budgetX * tnd / tw AS lam FROM tot),
+       |eff AS (SELECT COALESCE((SELECT lam FROM capped),
+       |                        (SELECT lam FROM lam0)) AS lam)
+       |SELECT source, n AS n_tokens,
+       |  CAST(round(least(lam * sqrt(CAST(n AS DOUBLE)),
+       |    $maxEpochs * CAST(n AS DOUBLE))) AS BIGINT) AS alloc_tokens,
+       |  round(CAST(CAST(round(least(lam * sqrt(CAST(n AS DOUBLE)),
+       |      $maxEpochs * CAST(n AS DOUBLE))) AS BIGINT) AS DOUBLE)
+       |    / CAST(n AS DOUBLE), 6) AS epochs
+       |FROM src, eff ORDER BY source""".stripMargin
+
   /** Asymmetric CONTAINMENT near-dup pairs: document pairs ranked by
     * |grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|) — the
     * statistic that catches a short document EMBEDDED in a long one,

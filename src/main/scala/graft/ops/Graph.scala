@@ -1717,6 +1717,66 @@ object Graph {
     (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
   }
 
+  /** Diameter lower bound by the classic DOUBLE SWEEP: BFS from
+    * `source`, take the farthest reached node (max hops, min node id
+    * on ties — a one-row driver witness, the same scalar-gate shape
+    * as the fixpoint checks), BFS again from there; the second
+    * sweep's eccentricity is the standard tight diameter lower bound
+    * at two BFS passes' cost where the exact diameter needs all-pairs.
+    * Both sweeps reuse the memoized [[bfsDist]] frontier walk over the
+    * pinned trade edges. Emits one row: (source eccentricity, the far
+    * node, its eccentricity = the bound, nodes reached by sweep 2). */
+  def diameterSweep(s: SparkSession, d: String, source: Long = 2L,
+      maxHops: Int = 6): DataFrame = {
+    val d1 = bfsDist(s, d, source, maxHops)
+    val farRow = d1.orderBy(col("hops").desc, col("node"))
+      .select(col("node").cast("long"), col("hops").cast("long")).head()
+    val far = farRow.getLong(0)
+    val ecc1 = farRow.getLong(1)
+    val d2 = bfsDist(s, d, far, maxHops)
+    d2.agg(max(col("hops")).cast("long").as("diameter_lb"),
+        count(lit(1)).as("n_reached_sweep2"))
+      .select(lit(ecc1).as("ecc_source"),
+        lit(nodeLabelString(far)).as("far_node"),
+        col("diameter_lb"), col("n_reached_sweep2"))
+  }
+
+  private def nodeLabelString(n: Long): String =
+    (if (n % 2 == 0) "c" else "s") + (n >> 1)
+
+  /** DuckDB oracle for [[diameterSweep]]: two recursive walks, the
+    * second seeded by the first's argmax row. */
+  def diameterSweepSql(source: Long = 2L, maxHops: Int = 6): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cnode,
+       |         l_suppkey * 2 + 1 AS snode
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL SELECT snode AS src, cnode AS dst FROM pairs),
+       |walk1(node, hops) AS (
+       |  SELECT CAST($source AS BIGINT) AS node, 0 AS hops
+       |  UNION
+       |  SELECT e.dst, w.hops + 1
+       |  FROM walk1 w JOIN edges e ON e.src = w.node
+       |  WHERE w.hops < $maxHops),
+       |m1 AS (SELECT node, MIN(hops) AS mh FROM walk1 GROUP BY node),
+       |far AS (SELECT node, mh FROM m1
+       |        ORDER BY mh DESC, node LIMIT 1),
+       |walk2(node, hops) AS (
+       |  SELECT node, 0 AS hops FROM far
+       |  UNION
+       |  SELECT e.dst, w.hops + 1
+       |  FROM walk2 w JOIN edges e ON e.src = w.node
+       |  WHERE w.hops < $maxHops),
+       |m2 AS (SELECT node, MIN(hops) AS mh FROM walk2 GROUP BY node)
+       |SELECT (SELECT CAST(mh AS BIGINT) FROM far) AS ecc_source,
+       |  (SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END
+       |     || CAST(node // 2 AS VARCHAR) FROM far) AS far_node,
+       |  CAST(MAX(mh) AS BIGINT) AS diameter_lb,
+       |  COUNT(*) AS n_reached_sweep2
+       |FROM m2""".stripMargin
+
   /** Link prediction by PREFERENTIAL ATTACHMENT and RESOURCE
     * ALLOCATION — the remaining two classic local indices, closing the
     * family with [[nodeJaccard]] and [[adamicAdar]]: PA(a,b) =

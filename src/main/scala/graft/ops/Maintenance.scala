@@ -187,4 +187,66 @@ object Maintenance {
       |    THEN 1 ELSE 0 END) AS BIGINT)
       |FROM lineitem
       |ORDER BY "constraint"""".stripMargin
+
+  /** Partition-pruning audit: how many row-group-sized buckets a
+    * date-range predicate could SKIP under two physical layouts — the
+    * quantified ROI of clustering data on the filter column, the
+    * decision behind [[compactClustered]]. Each layout assigns orders
+    * to key-range buckets (o_orderkey DIV step for the natural /
+    * insertion layout, epoch-day DIV step for the date-clustered
+    * layout — value-range buckets, not ntile, so no global window);
+    * a bucket is prunable when its [min, max] o_orderdate interval
+    * misses the predicate range, exactly the parquet row-group
+    * min/max stats test. Emits per layout: bucket count, prunable
+    * count, prune fraction — on insertion-ordered data expect ~0,
+    * on clustered data expect ~the predicate's selectivity
+    * complement. All exact integer arithmetic. */
+  def pruningAudit(s: SparkSession, d: String,
+      lo: String = "1997-01-01", hi: String = "1998-01-01",
+      keyStep: Long = 1L << 9, dayStep: Long = 64L): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+    val loD = java.time.LocalDate.parse(lo).toEpochDay
+    val hiD = java.time.LocalDate.parse(hi).toEpochDay
+    def audit(layout: String, bucket: Column): DataFrame =
+      o.groupBy(bucket.as("b"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("mx") < loD || col("mn") >= hiD, 1L)
+            .otherwise(0L)).as("n_prunable"))
+        .select(lit(layout).as("layout"), col("n_buckets"),
+          col("n_prunable"),
+          round(col("n_prunable").cast("double")
+            / col("n_buckets").cast("double"), 6).as("prune_frac"))
+    audit("1_natural", expr(s"o_orderkey DIV $keyStep"))
+      .unionAll(audit("2_date_clustered", expr(s"day DIV $dayStep")))
+      .orderBy(col("layout"))
+  }
+
+  /** DuckDB oracle for [[pruningAudit]]. */
+  def pruningAuditSql(lo: String = "1997-01-01", hi: String = "1998-01-01",
+      keyStep: Long = 1L << 9, dayStep: Long = 64L): String = {
+    val loD = java.time.LocalDate.parse(lo).toEpochDay
+    val hiD = java.time.LocalDate.parse(hi).toEpochDay
+    def audit(layout: String, bucket: String): String =
+      s"""SELECT '$layout' AS layout,
+         |  COUNT(*) AS n_buckets,
+         |  CAST(COALESCE(SUM(CASE WHEN mx < $loD OR mn >= $hiD
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_prunable,
+         |  round(CAST(COALESCE(SUM(CASE WHEN mx < $loD OR mn >= $hiD
+         |      THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS prune_frac
+         |FROM (SELECT $bucket AS b, MIN(day) AS mn, MAX(day) AS mx
+         |      FROM o GROUP BY 1)""".stripMargin
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(datediff('day', DATE '1970-01-01',
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+       |  FROM orders)
+       |${audit("1_natural", s"o_orderkey // $keyStep")}
+       |UNION ALL
+       |${audit("2_date_clustered", s"day // $dayStep")}
+       |ORDER BY layout""".stripMargin
+  }
 }

@@ -611,6 +611,43 @@ class CurationSpec extends SparkTestBase {
     assert(got.values.sum == texts.count(t => cnt(t, "[^ ]+") > 0).toLong)
   }
 
+  test("epochWaterfill: budget conservation, caps honored, brute scan") {
+    import spark.implicits._
+    val d = sf("documents")
+    val rows = graft.ops.Curation.epochWaterfill(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val totalN = rows.map(_._2._1).sum
+    val totalAlloc = rows.map(_._2._2).sum
+    // no source exceeds the epoch cap (tolerate round-up by one)
+    rows.foreach { case (src, (n, a, e)) =>
+      assert(a <= 4L * n + 1, s"$src over cap")
+      assert(math.abs(e - a.toDouble / n) < 1e-5)
+    }
+    // the budget is conserved within per-source rounding slack
+    assert(math.abs(totalAlloc - 2.0 * totalN) <= rows.length.toLong + 1)
+    // brute threshold scan reproduces the allocations
+    val ns = rows.map { case (src, (n, _, _)) => (src, n) }
+      .sortBy { case (src, n) => (n, src) }
+    val tw = ns.map { case (_, n) => math.sqrt(n.toDouble) }.sum
+    val tnd = ns.map(_._2).sum.toDouble
+    var lam = 2.0 * tnd / tw
+    var cumN = 0L; var cumW = 0.0; var best = Option.empty[Double]
+    for (((src, n), i) <- ns.zipWithIndex) {
+      cumN += n; cumW += math.sqrt(n.toDouble)
+      if (i < ns.length - 1) { // last row has no uncapped remainder
+        val l = (2.0 * tnd - 4.0 * cumN) / (tw - cumW)
+        if (l * math.sqrt(n.toDouble) >= 4.0 * n) best = Some(l)
+      }
+    }
+    lam = best.getOrElse(lam)
+    for ((src, (n, a, _)) <- rows) {
+      val exp = math.min(lam * math.sqrt(n.toDouble), 4.0 * n)
+      assert(math.abs(a - exp) <= 1.0, s"$src alloc $a vs $exp")
+    }
+  }
+
   test("containmentPairs matches brute gram-set containment") {
     import spark.implicits._
     val d = sf("documents")

@@ -990,6 +990,43 @@ class GraphSpec extends SparkTestBase {
 
   /** Driver-side support-7 co-purchase edge set (a < b), the brute
     * twin of Graph.copurchaseEdges for small-SF comparisons. */
+  test("diameterSweep: brute BFS double sweep agrees") {
+    val d = sf("orders")
+    val row = Graph.diameterSweep(spark, d, source = 2L, maxHops = 6).head()
+    val dir = graft.Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.lineitem(spark, d)
+        .select($"l_orderkey".as("o_orderkey"), $"l_suppkey"),
+        "o_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().as[(Long, Long)].collect()
+    val adj = (dir ++ dir.map(_.swap)).groupBy(_._1)
+      .map { case (u, v) => u -> v.map(_._2) }
+    def bfs(src: Long): Map[Long, Int] = {
+      val seen = scala.collection.mutable.Map(src -> 0)
+      var frontier = Seq(src)
+      var h = 0
+      while (frontier.nonEmpty && h < 6) {
+        h += 1
+        frontier = frontier
+          .flatMap(n => adj.get(n).toSeq.flatten)
+          .distinct.filterNot(n => seen.contains(n))
+        frontier.foreach(seen(_) = h)
+      }
+      seen.toMap
+    }
+    val d1 = bfs(2L)
+    val far = d1.toSeq.sortBy { case (n, h) => (-h, n) }.head
+    val d2 = bfs(far._1)
+    assert(row.getLong(0) == far._2.toLong) // ecc_source
+    val lbl = (if (far._1 % 2 == 0) "c" else "s") + (far._1 >> 1)
+    assert(row.getString(1) == lbl)
+    assert(row.getLong(2) == d2.values.max.toLong) // diameter_lb
+    assert(row.getLong(3) == d2.size.toLong)
+    // the bound is at least the first sweep's eccentricity
+    assert(row.getLong(2) >= row.getLong(0))
+  }
+
   test("hitsScores matches an exact integer HITS replication") {
     val d = sf("orders")
     val got = Graph.hitsScores(spark, d, iters = 3, k = 10).collect()

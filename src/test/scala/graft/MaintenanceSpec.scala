@@ -168,4 +168,34 @@ class MaintenanceSpec extends SparkTestBase {
     // 53 checked; only the -1 orphan violates FK, the two NULLs don't
     assert(rows("orders_fk_customer") == (53L, 1L))
   }
+
+  test("pruningAudit: brute min/max bucket stats; clustering wins") {
+    val d = sf("orders")
+    val got = Maintenance.pruningAudit(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val o = graft.Tables.orders(spark, d)
+      .select($"o_orderkey",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long"))
+      .as[(Long, Long)].collect()
+    val lo = java.time.LocalDate.parse("1997-01-01").toEpochDay
+    val hi = java.time.LocalDate.parse("1998-01-01").toEpochDay
+    def audit(bucket: ((Long, Long)) => Long): (Long, Long) = {
+      val stats = o.groupBy(bucket).map { case (_, v) =>
+        (v.map(_._2).min, v.map(_._2).max) }
+      (stats.size.toLong,
+        stats.count { case (mn, mx) => mx < lo || mn >= hi }.toLong)
+    }
+    val nat = audit { case (k, _) => k / 512 }
+    val clu = audit { case (_, day) => day / 64 }
+    assert(got("1_natural") ==
+      (nat._1, nat._2, BigDecimal(nat._2.toDouble / nat._1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got("2_date_clustered")._1 == clu._1 &&
+      got("2_date_clustered")._2 == clu._2)
+    // the point of the audit: clustering on the filter column prunes
+    // strictly more buckets (fraction-wise) than insertion order
+    assert(got("2_date_clustered")._3 > got("1_natural")._3)
+  }
 }
