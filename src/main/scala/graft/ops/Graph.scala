@@ -1580,29 +1580,38 @@ object Graph {
     * over fixed-width (node, score) rows; lineage cut per round. */
   def hitsScores(s: SparkSession, d: String, iters: Int = 3,
       k: Int = 10): DataFrame = {
-    val (edges, _, _) = tradeGraph(s, d)
-    // customer → supplier half of the symmetric pinned table
-    val dir = edges.filter(col("src") % 2 === 0)
-      .select(col("src").as("c"), col("dst").as("sup"))
-    val nHubs = dir.select(col("c")).distinct().count()
+    // customer → supplier half of the symmetric pinned table,
+    // memoized on its own: every half-round joins it, and filtering
+    // the symmetric cache per join would scan 2x the edges six times
+    val (dir, nHubsBox) = IndexMemo.getOrBuild[(DataFrame, java.lang.Long)](
+      "hitsDir", "", Seq(tradeEdges(s, d))) {
+      val (edges, _, _) = tradeGraph(s, d)
+      val built = edges.filter(col("src") % 2 === 0)
+        .select(col("src").as("c"), col("dst").as("sup")).persist()
+      val n = java.lang.Long.valueOf(
+        built.select(col("c")).distinct().count())
+      ((built, n), Seq(built))
+    }
+    val nHubs = nHubsBox.longValue()
     var hub = GraftSession.cut(dir.select(col("c")).distinct()
       .select(col("c"), lit(RankScale / nHubs).as("h")))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      // cut the RAW half-round table only: the normalized view is a
+      // scalar projection over it (cutting both would double the
+      // materializations per round for no lineage benefit)
       val aRaw = GraftSession.cut(dir
         .join(perRoundSide(hub, nHubs), "c")
         .groupBy(col("sup")).agg(sum(col("h")).as("ar")))
       val aScale = math.max(
         aRaw.agg(sum(col("ar"))).head().getLong(0) / RankScale, 1L)
-      auth = GraftSession.cut(
-        aRaw.select(col("sup"), expr(s"ar DIV $aScale").as("a")))
+      auth = aRaw.select(col("sup"), expr(s"ar DIV $aScale").as("a"))
       val hRaw = GraftSession.cut(dir
         .join(perRoundSide(auth, nHubs), "sup")
         .groupBy(col("c")).agg(sum(col("a")).as("hr")))
       val hScale = math.max(
         hRaw.agg(sum(col("hr"))).head().getLong(0) / RankScale, 1L)
-      hub = GraftSession.cut(
-        hRaw.select(col("c"), expr(s"hr DIV $hScale").as("h")))
+      hub = hRaw.select(col("c"), expr(s"hr DIV $hScale").as("h"))
     }
     val topHubs = hub.select(lit("hub").as("role"),
         nodeLabel(col("c")).as("node"), col("h").as("score_scaled"))
@@ -1668,8 +1677,6 @@ object Graph {
     var lab = GraftSession.cut(und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab")))
     val nNodes = lab.count()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("cnt").desc, col("lab"))
     for (_ <- 1 to rounds) {
       val votes = und
         .join(perRoundSide(
@@ -1677,10 +1684,14 @@ object Graph {
         .select(col("v").as("node"), col("lab"))
         .unionAll(lab) // self-vote
         .groupBy(col("node"), col("lab")).agg(count(lit(1)).as("cnt"))
+      // arg-max WITHOUT a window sort: max(struct(cnt, -lab)) picks
+      // the highest count and, on ties, the SMALLEST label — a plain
+      // map-side-combinable aggregate where a per-node row_number
+      // window would sort the node×label vote table every round
       lab = GraftSession.cut(votes
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lab")))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lab")))
     }
     lab.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
       .groupBy(col("community_size"))
