@@ -714,6 +714,15 @@ object SparkEntry {
     // data-constrained epoch water-filling across sources
     "q244_epoch_waterfill" -> ((s, d) =>
       graft.ops.Curation.epochWaterfill(s, d)),
+    // Efraimidis-Spirakis weighted sample without replacement
+    "q245_priority_sample" -> ((s, d) =>
+      graft.ops.Curation.prioritySample(s, d)),
+    // containment-cluster size census (components over q236 pairs)
+    "q246_containment_clusters" -> ((s, d) =>
+      graft.ops.Curation.containmentClusters(s, d)),
+    // dedup ROI: pairs/docs/chars removed per Jaccard threshold
+    "q247_dedup_roi" -> ((s, d) =>
+      graft.ops.Curation.dedupRoiCurve(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2099,6 +2108,10 @@ object SparkEntry {
     "q242_diameter" -> graft.ops.Graph.diameterSweepSql(),
     "q243_pruning_audit" -> graft.ops.Maintenance.pruningAuditSql(),
     "q244_epoch_waterfill" -> graft.ops.Curation.epochWaterfillSql(),
+    "q245_priority_sample" -> graft.ops.Curation.prioritySampleSql(),
+    "q246_containment_clusters" ->
+      graft.ops.Curation.containmentClustersSql(),
+    "q247_dedup_roi" -> graft.ops.Curation.dedupRoiCurveSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

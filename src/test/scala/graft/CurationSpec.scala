@@ -648,6 +648,104 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("prioritySample: brute ES-key replication; weight bias holds") {
+    import spark.implicits._
+    val d = sf("orders")
+    val got = graft.ops.Curation.prioritySample(spark, d, k = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to 30L))
+    val orders = graft.Tables.orders(spark, d)
+      .select($"o_orderkey",
+        expr("CAST(round(o_totalprice * 100) AS LONG)").as("w"))
+      .as[(Long, Long)].collect().filter(_._2 > 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keyQ(id: Long, w: Long): Long = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val n = java.lang.Long.parseLong(h.substring(0, 8), 16)
+      val u = (n.toDouble / 4294967296.0 * 4294967296.0 + 1.0) /
+        4294967297.0
+      BigDecimal(math.log(u) / w.toDouble * 1e18)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val brute = orders.map { case (id, w) => (keyQ(id, w), id, w) }
+      .sortBy { case (kq, id, _) => (-kq, id) }.take(30)
+      .zipWithIndex.map { case ((_, id, w), i) => (i + 1L, id, w) }
+    assert(got.toSeq == brute.toSeq)
+    // weight-proportional sampling must favor heavy orders: the
+    // sample's mean weight sits clearly above the population mean
+    val popMean = orders.map(_._2).sum.toDouble / orders.length
+    val sampMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampMean > popMean)
+  }
+
+  test("containmentClusters: brute union-find over brute pairs") {
+    import spark.implicits._
+    val d = sf("documents")
+    val got = graft.ops.Curation.containmentClusters(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute pairs at thr 0.5 (same recipe as the containment spec)
+    val docs = graft.Tables.documents(spark, d)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val gramSets = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val dfc = gramSets.toSeq.flatMap { case (id, g) => g.map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.size }
+    val kept = gramSets.map { case (id, g) =>
+      id -> g.filter(dfc(_) <= 100) }
+    val pairs = for {
+      (a, ga) <- kept.toSeq; (b, gb) <- kept.toSeq
+      if a < b
+      shared = (ga & gb).size
+      if shared >= 3
+      c = BigDecimal(shared.toDouble / math.min(ga.size, gb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.5
+    } yield (a, b)
+    // union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val exp = members.groupBy(find).map(_._2.size.toLong)
+      .groupBy(identity).map { case (sz, v) => sz -> v.size.toLong }
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("dedupRoiCurve: brute from the verified pair table, monotone") {
+    import spark.implicits._
+    val d = sf("documents")
+    val got = graft.ops.Curation.dedupRoiCurve(spark, d).collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == Seq(0.7, 0.8, 0.9))
+    val pairs = graft.ops.Curation.charJaccardVerifiedPairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val chars = graft.Tables.documents(spark, d)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val total = chars.values.sum
+    for ((t, (np, nd, cr, fr)) <- got) {
+      val fired = pairs.filter(_._3 >= t)
+      assert(np == fired.length.toLong, s"pairs at $t")
+      val removed = fired.map(_._2).distinct
+      assert(nd == removed.length.toLong, s"docs at $t")
+      assert(cr == removed.map(chars).sum, s"chars at $t")
+      assert(math.abs(fr - cr.toDouble / total) < 1e-6)
+    }
+    // tightening the threshold can only remove less
+    val byT = got.sortBy(_._1).map(_._2._3)
+    assert(byT.zip(byT.tail).forall { case (a, b) => a >= b })
+  }
+
   test("containmentPairs matches brute gram-set containment") {
     import spark.implicits._
     val d = sf("documents")
