@@ -723,6 +723,12 @@ object SparkEntry {
     // dedup ROI: pairs/docs/chars removed per Jaccard threshold
     "q247_dedup_roi" -> ((s, d) =>
       graft.ops.Curation.dedupRoiCurve(s, d)),
+    // TPC-H Q4 shape: priority classes with at least one late line
+    "q248_tpch_q4" -> ((s, d) =>
+      graft.ops.Relational.priorityLateOrders(s, d)),
+    // within-label scatter (covariance trace per label)
+    "q249_label_scatter" -> ((s, d) =>
+      graft.ops.Pq.withinLabelScatter(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2112,6 +2118,8 @@ object SparkEntry {
     "q246_containment_clusters" ->
       graft.ops.Curation.containmentClustersSql(),
     "q247_dedup_roi" -> graft.ops.Curation.dedupRoiCurveSql(),
+    "q248_tpch_q4" -> graft.ops.Relational.priorityLateOrdersSql(),
+    "q249_label_scatter" -> graft.ops.Pq.withinLabelScatterSql,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -392,6 +392,63 @@ object Pq {
       |    / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_cos
       |FROM pc""".stripMargin
 
+  /** Within-label scatter: per label, the mean squared distance of
+    * member embeddings to their centroid (the covariance trace — the
+    * "how tight is this label" number that pairs with
+    * [[labelCohesion]]'s angular view and [[centroidDistances]]'
+    * between-label view to complete the scatter decomposition). Same
+    * micro-quantized device: (vq − cq)² sums are exact integers,
+    * accumulated in DECIMAL(38,0) (a squared micro-unit times dims
+    * times members passes 2^63 well before a web-scale corpus does —
+    * the gini discipline); one corpus pass + the broadcast centroid
+    * table. Scatter is reported in (1e-6)² units /1e12 → double,
+    * round-6. */
+  def withinLabelScatter(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"),
+        col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v0")))
+      .select(col("label"), col("vec_id"),
+        col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(v0 AS DOUBLE) * 1e6) AS LONG)").as("vq"))
+    val cent = e.groupBy(col("label"), col("dim"))
+      .agg(expr("CAST(round(CAST(SUM(vq) AS DOUBLE) / COUNT(*))" +
+        " AS LONG)").as("cq"))
+    e.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg((count(lit(1)) / lit(64)).cast("long").as("n_vectors"),
+        sum(((col("vq") - col("cq")) * (col("vq") - col("cq")))
+          .cast("decimal(38,0)")).as("ss"))
+      .select(col("label").cast("long").as("label"), col("n_vectors"),
+        round(col("ss").cast("double")
+          / (col("n_vectors").cast("double") * 1e12), 6)
+          .as("mean_sq_dist"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB oracle for [[withinLabelScatter]]. */
+  def withinLabelScatterSql: String =
+    """WITH ix AS (SELECT vec_id, label, embedding,
+      |        unnest(range(1, len(embedding) + 1)) AS i
+      |      FROM embeddings),
+      |e AS (SELECT vec_id, label, i,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS vq
+      |  FROM ix),
+      |cent AS (SELECT label, i,
+      |    CAST(round(CAST(SUM(vq) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS cq
+      |  FROM e GROUP BY 1, 2),
+      |g AS (SELECT e.label, COUNT(*) // 64 AS n_vectors,
+      |    SUM(CAST((vq - cq) * (vq - cq) AS HUGEINT)) AS ss
+      |  FROM e JOIN cent ON cent.label = e.label AND cent.i = e.i
+      |  GROUP BY e.label)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(n_vectors AS BIGINT) AS n_vectors,
+      |  round(CAST(ss AS DOUBLE)
+      |    / (CAST(n_vectors AS DOUBLE) * 1e12), 6) AS mean_sq_dist
+      |FROM g ORDER BY label""".stripMargin
+
   /** Inter-centroid cosine matrix: pairwise cosine between the
     * per-label embedding centroids — [[labelCohesion]]'s companion
     * (cohesion says members hug their OWN centroid; this says whether

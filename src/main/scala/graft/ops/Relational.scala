@@ -983,6 +983,41 @@ object Relational {
        |GROUP BY l1.l_suppkey
        |ORDER BY numwait DESC, l1.l_suppkey LIMIT $topK""".stripMargin
 
+  /** TPC-H Q4 shape — order-priority checking: count orders per
+    * priority class that had AT LEAST ONE late line (shipped more
+    * than `lateDays` after the order date) — the classic correlated-
+    * EXISTS aggregate, expressed as a left_semi from orders to their
+    * late lines so each order counts once no matter how many lines
+    * were late. The semi-join condition carries the date bound; the
+    * count is map-side combined on the tiny priority domain. */
+  def priorityLateOrders(s: SparkSession, d: String,
+      lateDays: Int = 60): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("od"))
+    val late = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        col("l_shipdate").cast("date").as("sd"))
+    o.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("sd") > date_add(col("od"), lateDays),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** DuckDB oracle for [[priorityLateOrders]]. */
+  def priorityLateOrdersSql(lateDays: Int = 60): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM orders o
+       |WHERE EXISTS (SELECT 1 FROM lineitem l
+       |  WHERE l.l_orderkey = o.o_orderkey
+       |    AND CAST(l.l_shipdate AS DATE) >
+       |      CAST(o.o_orderdate AS DATE) + INTERVAL $lateDays DAY)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q22 shape — dormant high-balance customers: per nation,
     * the count and total balance of customers whose balance exceeds
     * the positive-balance average but who placed NO order since

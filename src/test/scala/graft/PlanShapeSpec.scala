@@ -128,6 +128,28 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("hardNegatives shuffles bounded top-k state, no embedding arrays") {
+    // the anchors broadcast (gated) and the only shuffle is the
+    // per-anchor TopKByScore partial aggregation — k Scored entries
+    // per partition, never candidate rows with their vectors. A
+    // future edit that ranks with a window or ships embeddings
+    // through the exchange fails here.
+    val exs = shuffles(graft.ops.Similarity.hardNegatives(spark, sf("")))
+    assert(exs.nonEmpty, "expected the top-k aggregation shuffle")
+    val offenders = exs.flatMap(_.output).filter { a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          // the bounded Seq[Scored] buffer is fine; raw float vectors
+          // are not
+          et == org.apache.spark.sql.types.FloatType
+        case _ => false
+      }
+    }
+    assert(offenders.isEmpty,
+      s"hardNegatives ships embeddings through a shuffle: " +
+        offenders.map(_.name).mkString(","))
+  }
+
   test("bigramNll tokenizes once: no Window or Generate above the cut") {
     // r12 rewrite: ONE posexplode + ONE lead window, materialized by
     // GraftSession.cut; uni/bi/pairs all read the cut table. A future

@@ -163,6 +163,33 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("withinLabelScatter matches brute quantized scatter") {
+    val d = sf("embeddings")
+    val got = graft.ops.Pq.withinLabelScatter(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val emb = graft.Tables.embeddings(spark, d)
+      .select($"label".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    def rnd(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    for ((lab, vs0) <- emb.groupBy(_._1)) {
+      val vs = vs0.map(_._2)
+      val q = vs.map(_.map(v => rnd(v.toDouble * 1e6)))
+      val cent = Array.tabulate(64)(i =>
+        rnd(q.map(_(i)).sum.toDouble / q.length))
+      val ss = q.map(v => (0 until 64).map { i =>
+        val dd = v(i) - cent(i); BigInt(dd) * BigInt(dd)
+      }.sum).sum
+      val exp = (BigDecimal(ss) / (BigDecimal(q.length) * BigDecimal(1e12)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, msd) = got(lab)
+      assert(n == vs.length.toLong)
+      assert(math.abs(msd - exp) < 2e-6, s"label $lab")
+    }
+    // tight labels: scatter is positive and finite
+    assert(got.values.forall(v => v._2 > 0.0))
+  }
+
   test("centroidDistances matches brute quantized centroid cosines") {
     val d = sf("embeddings")
     val got = graft.ops.Pq.centroidDistances(spark, d).collect()

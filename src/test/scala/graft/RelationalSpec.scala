@@ -370,6 +370,26 @@ class RelationalSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("priorityLateOrders: each late order counts once per class") {
+    val d = sf("orders")
+    val got = Relational.priorityLateOrders(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val od = graft.Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_orderpriority",
+        $"o_orderdate".cast("date"))
+      .as[(Long, String, java.sql.Date)].collect()
+    val lateOrders = graft.Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_shipdate".cast("date"))
+      .as[(Long, java.sql.Date)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2.toLocalDate) }
+    val exp = od.filter { case (ok, _, date) =>
+      lateOrders.get(ok).exists(_.exists(sd =>
+        sd.isAfter(date.toLocalDate.plusDays(60))))
+    }.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("dormantHighBalance: anti-join census matches brute") {
     val d = sf("customer")
     val got = Relational.dormantHighBalance(spark, d).collect()
