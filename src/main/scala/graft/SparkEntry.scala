@@ -729,6 +729,9 @@ object SparkEntry {
     // within-label scatter (covariance trace per label)
     "q249_label_scatter" -> ((s, d) =>
       graft.ops.Pq.withinLabelScatter(s, d)),
+    // SimHash-vs-Jaccard calibration (pick the Hamming cutoff)
+    "q250_simhash_calibration" -> ((s, d) =>
+      graft.ops.Curation.simhashCalibration(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2120,6 +2123,23 @@ object SparkEntry {
     "q247_dedup_roi" -> graft.ops.Curation.dedupRoiCurveSql(),
     "q248_tpch_q4" -> graft.ops.Relational.priorityLateOrdersSql(),
     "q249_label_scatter" -> graft.ops.Pq.withinLabelScatterSql,
+    "q250_simhash_calibration" ->
+      s"""WITH ${simhash60Ctes()},
+         |pr AS (SELECT * FROM (
+         |  ${graft.ops.Curation.charJaccardVerifiedPairsSql}) q),
+         |j AS (SELECT
+         |    CAST(floor(pr.jaccard * 10.0 + 1e-9) AS BIGINT)
+         |      AS jaccard_decile,
+         |    CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT)
+         |      AS hamming
+         |  FROM pr JOIN sk a ON a.doc_id = pr.id_a
+         |  JOIN sk b ON b.doc_id = pr.id_b)
+         |SELECT jaccard_decile, COUNT(*) AS n_pairs,
+         |  round(CAST(SUM(hamming) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_hamming,
+         |  CAST(MIN(hamming) AS BIGINT) AS min_hamming,
+         |  CAST(MAX(hamming) AS BIGINT) AS max_hamming
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

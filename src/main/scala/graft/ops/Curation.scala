@@ -1541,6 +1541,35 @@ object Curation {
     (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
   }
 
+  /** SimHash calibration curve: for the verified near-dup pairs,
+    * mean/min/max 60-bit SimHash Hamming distance per exact-Jaccard
+    * decile — the empirical answer to "what Hamming cutoff
+    * corresponds to the Jaccard threshold I actually care about",
+    * read before picking the pigeonhole band radius. Joins the
+    * bounded verified pair table against the per-doc sketches
+    * (ids + one BIGINT each through the shuffle); every Hamming
+    * count is exact integer popcount, the only float is the mean. */
+  def simhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val pairs = charJaccardVerifiedPairs(s, d)
+    val sig = simhashMd5(s, d)
+    pairs
+      .join(sig.select(col("doc_id").as("id_a"),
+        col("simhash60").as("sa")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"),
+        col("simhash60").as("sb")), "id_b")
+      .select(col("jaccard"),
+        expr("CAST(bit_count(sa ^ sb) AS LONG)").as("hamming"))
+      .withColumn("jaccard_decile",
+        expr("CAST(floor(jaccard * 10.0 + 1e-9) AS LONG)"))
+      .groupBy(col("jaccard_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("hamming")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_hamming"),
+        min(col("hamming")).as("min_hamming"),
+        max(col("hamming")).as("max_hamming"))
+      .orderBy(col("jaccard_decile"))
+  }
+
   /** Dedup ROI curve: for each candidate Jaccard threshold, how many
     * verified near-dup pairs fire, how many documents a keep-smallest
     * policy removes (every doc that appears as the LARGER id of a

@@ -721,6 +721,49 @@ class CurationSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("simhashCalibration: brute md5 simhash + pair recount") {
+    import spark.implicits._
+    val d = sf("documents")
+    val got = graft.ops.Curation.simhashCalibration(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    // brute 60-bit md5 simhash per doc
+    val docs = graft.Tables.documents(spark, d)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sim60(text: String): Long = {
+      val votes = new Array[Long](60)
+      text.split(" ").foreach { t =>
+        val h = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        for (j <- 0 until 60) {
+          val c = h(j / 4)
+          val nib = if (c <= '9') c - '0' else c - 'a' + 10
+          votes(j) += (if (((nib >> (j % 4)) & 1) == 1) 1L else -1L)
+        }
+      }
+      (0 until 60).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    val sig = docs.map { case (id, t) => id -> sim60(t) }.toMap
+    val pairs = graft.ops.Curation.charJaccardVerifiedPairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exp = pairs.map { case (a, b, j) =>
+      (math.floor(j * 10.0 + 1e-9).toLong,
+        java.lang.Long.bitCount(sig(a) ^ sig(b)).toLong)
+    }.groupBy(_._1).map { case (dec, v) =>
+      val hs = v.map(_._2)
+      dec -> (hs.length.toLong,
+        BigDecimal(hs.sum.toDouble / hs.length).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, hs.min, hs.max)
+    }
+    assert(got == exp)
+    // calibration sanity: exact-dup bucket (if present) sits at the
+    // lowest mean Hamming
+    val means = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(means.last <= means.head + 1e-9 || means.size == 1)
+  }
+
   test("dedupRoiCurve: brute from the verified pair table, monotone") {
     import spark.implicits._
     val d = sf("documents")
