@@ -3,7 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.doc.{AudioCodec, ImageCodec}
+import graft.doc.{AudioCodec, ImageCodec, VideoCodec}
 
 /** Multimodal columns for a training-data pipeline: image/audio/video
   * as opaque BINARY plus typed metadata, with decode / feature-extract
@@ -18,11 +18,14 @@ import graft.doc.{AudioCodec, ImageCodec}
   * (r12): `kind = audio` rows decode through the from-scratch WAV
   * codec ([[graft.doc.AudioCodec]]) for authoritative sample rate /
   * channel count / duration and PCM sample statistics (RMS,
-  * zero-crossing rate, amplitude histogram). Only the VIDEO codec
-  * layer remains a stub — this container has no ffmpeg — taking
-  * [[Codecs.decodeStub]], a deterministic content-derived descriptor
-  * behind the same signature a real decoder would use; every operator
-  * here is agnostic to that swap.
+  * zero-crossing rate, amplitude histogram). VIDEO headers are real
+  * as well (r12): `kind = video` rows parse through the from-scratch
+  * AVI/RIFF header codec ([[graft.doc.VideoCodec]]) for authoritative
+  * width / height / fps / frame count / duration — only frame-pixel
+  * DECODE remains out of scope (no ffmpeg in this container), so
+  * [[Codecs.decodeStub]] survives solely as the documented fallback
+  * for payloads no from-scratch codec recognizes; every operator here
+  * is agnostic to that swap.
   */
 object Multimodal {
 
@@ -31,13 +34,14 @@ object Multimodal {
       media_id: Long,
       kind: String, // image | audio | video
       content: Array[Byte], // opaque payload
-      format: String, // e.g. png / wav / mp4
+      format: String, // e.g. png / wav / avi
       width: Int, height: Int, // images/video
       duration_ms: Long, // audio/video
       fps: Double) // video
 
   /** Decoded features. `decoded = true` means a real codec produced
-    * the row (images and audio, today); `img_width`/`img_height`/
+    * the row (all three kinds, today — video from its container
+    * header); `img_width`/`img_height`/
     * `channels` are then the AUTHORITATIVE decoded geometry (for
     * audio, `channels` is the decoded channel count and
     * `sample_rate`/`duration_ms` the decoded timing) — the Media
@@ -65,8 +69,16 @@ object Multimodal {
   final case class DecodedAudio(sampleRate: Int, channels: Int,
       durationMs: Long, feature: Array[Float])
 
-  /** Codec layer. Images: real (delegates to [[ImageCodec]]).
-    * Audio/video: deterministic stub, documented swap seam. */
+  /** Result of a real video HEADER decode: authoritative geometry and
+    * timing from the container header + the 16-dim descriptor (frame
+    * pixels are not decoded — no codec library in this container). */
+  final case class DecodedVideo(width: Int, height: Int, fps: Double,
+      durationMs: Long, nFrames: Long, feature: Array[Float])
+
+  /** Codec layer. Images, audio and video headers: real (delegating
+    * to [[ImageCodec]]/[[AudioCodec]]/[[VideoCodec]]). The
+    * deterministic stub remains only as the unknown-format
+    * fallback / swap seam. */
   object Codecs {
     val FeatureDim = 16
 
@@ -255,11 +267,57 @@ object Multimodal {
         DecodedAudio(a.sampleRate, a.channels, a.durationMs, out)
       }
 
-    /** Stand-in for a real VIDEO decode + feature extraction:
-      * a seeded, content-derived descriptor. Deterministic so tests
-      * and re-runs are stable. Swap seam for ffmpeg-class bindings —
-      * images (PNG/JPEG) and audio (WAV) run real from-scratch codecs
-      * and no longer touch this. */
+    /** Real video HEADER decode over the from-scratch AVI/RIFF
+      * parser: authoritative width/height/fps/frame count/duration
+      * from the `avih` header. The 16-dim descriptor is:
+      * {{{
+      * [0] width/65535  [1] height/65535  [2] fps/120
+      * [3] dur_s/3600   [4] frames/1e6    [5] payload mean/255
+      * [6] payload std/255  [7] zero-byte fraction
+      * [8..15] 8-bin byte histogram (fractions, whole payload)
+      * }}}
+      * Byte stats run over the container bytes (frame DATA is not
+      * decoded — deterministic and discriminative for dedup, the same
+      * documented proxy as the JPEG DCT path). None for payloads that
+      * are not parseable AVI. */
+    def decodeVideo(content: Array[Byte]): Option[DecodedVideo] =
+      VideoCodec.decode(content).map { m =>
+        val out = new Array[Float](FeatureDim)
+        out(0) = math.min(m.width, 65535) / 65535.0f
+        out(1) = math.min(m.height, 65535) / 65535.0f
+        out(2) = math.min(m.fps, 120.0).toFloat / 120.0f
+        out(3) = math.min(m.durationMs / 1000.0, 3600.0).toFloat / 3600.0f
+        out(4) = math.min(m.nFrames, 1000000L) / 1000000.0f
+        if (content.length > 0) {
+          var sum = 0.0; var sumSq = 0.0; var zeros = 0L
+          val hist = new Array[Long](8)
+          var i = 0
+          while (i < content.length) {
+            val v = content(i) & 0xff
+            sum += v; sumSq += v.toDouble * v
+            if (v == 0) zeros += 1
+            hist(v >>> 5) += 1
+            i += 1
+          }
+          val n = content.length.toDouble
+          val mean = sum / n
+          out(5) = (mean / 255.0).toFloat
+          out(6) = (math.sqrt(math.max(0.0, sumSq / n - mean * mean))
+            / 255.0).toFloat
+          out(7) = (zeros / n).toFloat
+          var b = 0
+          while (b < 8) { out(8 + b) = (hist(b) / n).toFloat; b += 1 }
+        }
+        DecodedVideo(m.width, m.height, m.fps, m.durationMs,
+          m.nFrames, out)
+      }
+
+    /** Stand-in for decoding payloads in a format none of the
+      * from-scratch codecs recognize: a seeded, content-derived
+      * descriptor. Deterministic so tests and re-runs are stable.
+      * Swap seam for ffmpeg-class bindings — images (PNG/JPEG), audio
+      * (WAV) and video headers (AVI) all run real from-scratch codecs
+      * and reach this only on a failed parse. */
     def decodeStub(content: Array[Byte]): Array[Float] = {
       var h = 1125899906842597L // FNV-ish fold over the payload
       var i = 0
@@ -296,9 +354,11 @@ object Multimodal {
     * a content-seeded 16×16 RGB encoded by [[ImageCodec.encodePngRgb]]
     * — and audio rows carry REAL WAV payloads — content-seeded mono
     * PCM16 at [[SyntheticAudioRate]] Hz matching the row's declared
-    * duration, encoded by [[AudioCodec.encodePcm16]] — so both decode
-    * paths exercise the actual codecs end to end; video rows carry
-    * the utf-8 text as an opaque stand-in. */
+    * duration, encoded by [[AudioCodec.encodePcm16]] — and video rows
+    * carry REAL AVI headers at the declared 640x480 / 25 fps timing
+    * ([[VideoCodec.encodeAviHeader]]) wrapping the utf-8 text as the
+    * opaque movi payload — so all three decode paths exercise the
+    * actual codecs end to end. */
   def syntheticMediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     val edge = SyntheticImageEdge
@@ -335,10 +395,16 @@ object Multimodal {
               i += 1
             }
             AudioCodec.encodePcm16(SyntheticAudioRate, 1, pcm)
-          } else text.getBytes("UTF-8")
+          } else {
+            // real AVI header at the declared geometry/timing, text
+            // bytes as the (opaque, undecodable) movi payload
+            VideoCodec.encodeAviHeader(640, 480, 25.0,
+              nFrames = durationMs * 25L / 1000L,
+              moviPayload = text.getBytes("UTF-8"))
+          }
         Media(id, kind, payload,
           format = kind match {
-            case "image" => "png"; case "audio" => "wav"; case _ => "mp4" },
+            case "image" => "png"; case "audio" => "wav"; case _ => "avi" },
           width = if (kind == "image") edge
             else if (kind == "video") 640 else 0,
           height = if (kind == "image") edge
@@ -380,6 +446,11 @@ object Multimodal {
               Codecs.decodeAudio(m.content).map(d =>
                 base.copy(decoded = true, channels = d.channels,
                   sample_rate = d.sampleRate, duration_ms = d.durationMs,
+                  feature = d.feature)).getOrElse(base)
+            case "video" =>
+              Codecs.decodeVideo(m.content).map(d =>
+                base.copy(decoded = true, img_width = d.width,
+                  img_height = d.height, duration_ms = d.durationMs,
                   feature = d.feature)).getOrElse(base)
             case _ => base
           }

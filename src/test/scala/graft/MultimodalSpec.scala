@@ -71,10 +71,48 @@ class MultimodalSpec extends SparkTestBase {
       val s = (8 until 16).map(f.feature(_)).sum
       math.abs(s - 1.0f) < 1e-3
     })
-    // video stays on the stub path, undecoded; audio decodes for real
-    val rest = Multimodal.decodeFeatures(media)
+    // video decodes its real AVI header too (r12)
+    val vids = Multimodal.decodeFeatures(media)
       .filter(_.kind == "video").collect()
-    assert(rest.forall(f => !f.decoded && f.img_width == 0))
+    assert(vids.forall(f => f.decoded && f.img_width == 640 &&
+      f.img_height == 480))
+  }
+
+  test("video rows decode real AVI headers with true geometry/timing") {
+    val vids = Multimodal.decodeFeatures(media)
+      .filter(_.kind == "video").collect()
+    assert(vids.nonEmpty)
+    val declared = media.filter(_.kind == "video").collect()
+      .map(m => m.media_id -> m.duration_ms).toMap
+    // durations round-trip through the WHOLE-FRAME count at 25 fps:
+    // a 1500 ms clip is 37 frames = 1480 ms — within one 40 ms frame
+    assert(vids.forall(f =>
+      declared(f.media_id) - f.duration_ms >= 0 &&
+        declared(f.media_id) - f.duration_ms < 40))
+    // descriptor head encodes the decoded header, not metadata
+    assert(vids.forall(f => f.feature(0) == 640 / 65535.0f &&
+      f.feature(2) == 25.0f / 120.0f))
+  }
+
+  test("AVI header codec: round-trip, junk-chunk walk, rejects") {
+    import graft.doc.VideoCodec
+    val avi = VideoCodec.encodeAviHeader(1920, 1080, 30.0, 900L,
+      "opaque-frames".getBytes)
+    val m = VideoCodec.decode(avi).get
+    assert(m.width == 1920 && m.height == 1080 && m.nFrames == 900L)
+    assert(math.abs(m.fps - 30.0) < 0.01)
+    assert(m.durationMs == 900L * 33333L / 1000L)
+    // garbage / WAV payloads reject cleanly (RIFF but not AVI)
+    assert(VideoCodec.decode("not a video".getBytes).isEmpty)
+    assert(VideoCodec.decode(
+      graft.doc.AudioCodec.encodePcm16(8000, 1, new Array[Short](8)))
+      .isEmpty)
+    // corrupt video payload degrades to the stub in decodeFeatures
+    import spark.implicits._
+    val one = spark.createDataset(Seq(Multimodal.Media(
+      4L, "video", "junk".getBytes, "avi", 0, 0, 0L, 0.0)))
+    val f = Multimodal.decodeFeatures(one).head()
+    assert(!f.decoded && f.img_width == 0)
   }
 
   test("audio rows decode through the real WAV codec with true timing") {
