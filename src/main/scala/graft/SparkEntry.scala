@@ -1720,10 +1720,7 @@ object SparkEntry {
     // DSIR: hashed-bigram bucket models (exact BIGINT counts), one ln
     // per bucket, per-doc sum folded in position order (q106 device)
     "q115_dsir_weights" -> {
-      val nibbleSum = (1 to 8).map { i =>
-        s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
-          s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
-      }.mkString(" + ")
+      val nibbleSum = graft.ops.Curation.md5NibbleSumSql
       s"""WITH tok AS (SELECT doc_id, lang,
          |    unnest(string_split(text, ' ')) AS t,
          |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
@@ -1883,10 +1880,7 @@ object SparkEntry {
     // KMV: k-th smallest md5-nibble fraction per group, (k-1)/r_k,
     // exact-count fallback under k distinct values
     "q121_kmv_distinct" -> {
-      val nibbleSum = (1 to 8).map { i =>
-        s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
-          s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
-      }.mkString(" + ")
+      val nibbleSum = graft.ops.Curation.md5NibbleSumSql
       s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
          |f AS (SELECT event_type, user_id,
          |        CAST(($nibbleSum) AS DOUBLE) / 4294967296.0 AS fr
@@ -2146,10 +2140,7 @@ object SparkEntry {
     // winnowing mirror: same md5-nibble gram hashes, per-window argmin
     // via ORDER BY gh, p DESC = Spark's min(struct(gh, -p))
     "q138_winnowing" -> {
-      val nibbleSum = (1 to 8).map { i =>
-        s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
-          s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
-      }.mkString(" + ")
+      val nibbleSum = graft.ops.Curation.md5NibbleSumSql
       s"""WITH tok AS (SELECT doc_id,
          |    unnest(string_split(text, ' ')) AS t,
          |    unnest(range(0, len(string_split(text, ' ')))) AS p
@@ -2248,10 +2239,7 @@ object SparkEntry {
     // md5('j|' || term) addresses the same (j, bucket) cells as the
     // Spark side, estimates are min over the term's 4 cells
     "q92_cms_estimate" -> {
-      val nibbleSum = (1 to 8).map { i =>
-        s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
-          s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
-      }.mkString(" + ")
+      val nibbleSum = graft.ops.Curation.md5NibbleSumSql
       val branches = (0 until 4).map(j =>
         s"SELECT term, $j AS j, md5('$j|' || term) AS h FROM toks")
         .mkString("\n  UNION ALL ")

@@ -855,6 +855,17 @@ object Curation {
       "cg|", numHashes = 8, rowsPerBand = 2, threshold = 0.7,
       maxBucketSize = 1000)
 
+  /** DuckDB fragment decoding the first 8 hex chars of a column
+    * named `h` into the same BIGINT [[md5Frac32]] computes — ONE
+    * definition for every md5-draw oracle (this arithmetic existed in
+    * five inline copies; a fix applied to four of them would silently
+    * diverge the fifth engine's hashes). */
+  private[graft] def md5NibbleSumSql: String =
+    (1 to 8).map { i =>
+      s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
+        s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
+    }.mkString(" + ")
+
   /** 32-bit uniform hash fraction from the first 8 hex nibbles of
     * md5(id), decoded with the same ascii arithmetic both engines
     * share — the deterministic "random" draw behind oracle-checkable
@@ -1372,8 +1383,12 @@ object Curation {
         expr("CAST(round(o_totalprice * 100) AS LONG)").as("weight_cents"))
       .filter(col("weight_cents") > 0L)
       .withColumn("key_q",
-        round(log(u) / col("weight_cents").cast("double") * lit(1e18), 0)
-          .cast("long"))
+        // clamped: a 1-cent weight with a tiny u pushes the scaled
+        // key past Long range, where Spark's cast clamps but DuckDB's
+        // errors — the floor keeps both engines in-range and ordering
+        // for legitimate keys (~1e12 magnitude) untouched
+        round(greatest(log(u) / col("weight_cents").cast("double")
+          * lit(1e18), lit(-9.0e18)), 0).cast("long"))
       .orderBy(col("key_q").desc, col("o_orderkey"))
       .limit(k)
     val w2 = Window.orderBy(col("key_q").desc, col("o_orderkey"))
@@ -1384,10 +1399,7 @@ object Curation {
 
   /** DuckDB oracle for [[prioritySample]]. */
   def prioritySampleSql(k: Int = 30): String = {
-    val nibbleSum = (1 to 8).map { i =>
-      s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
-        s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
-    }.mkString(" + ")
+    val nibbleSum = md5NibbleSumSql
     s"""WITH f AS (SELECT o_orderkey,
        |    CAST(round(o_totalprice * 100) AS BIGINT) AS weight_cents,
        |    (CAST(($nibbleSum) AS DOUBLE) / 4294967296.0
@@ -1396,8 +1408,8 @@ object Curation {
        |          md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders)
        |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
        |kq AS (SELECT o_orderkey, weight_cents,
-       |    CAST(round(ln(u) / CAST(weight_cents AS DOUBLE) * 1e18)
-       |      AS BIGINT) AS key_q
+       |    CAST(round(greatest(ln(u) / CAST(weight_cents AS DOUBLE)
+       |      * 1e18, -9.0e18)) AS BIGINT) AS key_q
        |  FROM f),
        |top AS (SELECT o_orderkey, weight_cents, key_q FROM kq
        |        ORDER BY key_q DESC, o_orderkey LIMIT $k)
@@ -1596,9 +1608,16 @@ object Curation {
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_docs_removed"),
         sum(col("n_chars")).as("chars_removed"))
-    nPairs.join(removed, Seq("threshold"), "left")
+    // drive from the threshold literals: a threshold at which zero
+    // pairs fire must still emit its 0-row — an inner start would
+    // silently drop curve points
+    val ths = s.range(1).select(
+      explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
+    ths.join(nPairs, Seq("threshold"), "left")
+      .join(removed, Seq("threshold"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("threshold"), col("n_pairs"),
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"),
         coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
         round(coalesce(col("chars_removed"), lit(0L)).cast("double")
@@ -1625,12 +1644,14 @@ object Curation {
        |  GROUP BY threshold),
        |tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |        FROM documents)
-       |SELECT threshold, n_pairs,
+       |SELECT threshold,
+       |  COALESCE(n_pairs, 0) AS n_pairs,
        |  COALESCE(n_docs_removed, 0) AS n_docs_removed,
        |  COALESCE(chars_removed, 0) AS chars_removed,
        |  round(CAST(COALESCE(chars_removed, 0) AS DOUBLE)
        |    / CAST(total_chars AS DOUBLE), 6) AS frac_chars_removed
-       |FROM np LEFT JOIN rem USING (threshold), tot
+       |FROM ths LEFT JOIN np USING (threshold)
+       |LEFT JOIN rem USING (threshold), tot
        |ORDER BY threshold""".stripMargin
   }
 

@@ -1580,6 +1580,10 @@ object Graph {
     * over fixed-width (node, score) rows; lineage cut per round. */
   def hitsScores(s: SparkSession, d: String, iters: Int = 3,
       k: Int = 10): DataFrame = {
+    // auth only exists after the first half-round; iters = 0 would
+    // NPE below instead of answering — reject it like kTruss rejects
+    // its degenerate k
+    require(iters >= 1, s"hitsScores needs iters >= 1 (got $iters)")
     // customer → supplier half of the symmetric pinned table,
     // memoized on its own: every half-round joins it, and filtering
     // the symmetric cache per join would scan 2x the edges six times

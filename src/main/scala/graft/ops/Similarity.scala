@@ -308,15 +308,18 @@ object Similarity {
         col("a") =!= col("b"))
       .select(col("a"), col("cqa"), col("b"),
         round(nativeCosine(s, col("ea"), col("eb")), 6).as("cab"))
-    // bounded collect: poolSize^2 rows, corpus-independent
+    // bounded collects: poolSize + poolSize^2 rows, corpus-independent.
+    // cq comes from the POOL, not the pair join — a 0/1-vector pool
+    // has no pairs but still has a (possibly empty) valid answer
+    val cq = pool.select(col("vec_id"), col("cq")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val rows = pairs.collect().map(r =>
       (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
-    val cq = rows.map(t => t._1 -> t._2).toMap
     val sim = rows.map(t => (t._1, t._3) -> t._4).toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val first = cq.toSeq.sortBy { case (id, c) => (-c, id) }.head._1
-    selected += first
-    while (selected.length < math.min(k, cq.size)) {
+    cq.toSeq.sortBy { case (id, c) => (-c, id) }.headOption
+      .foreach(selected += _._1)
+    while (selected.nonEmpty && selected.length < math.min(k, cq.size)) {
       val best = cq.keys.filterNot(selected.contains).map { c =>
         val ms = selected.map(sel => sim((c, sel))).max
         val score = lambda * cq(c) - (1.0 - lambda) * ms
@@ -783,7 +786,13 @@ object Similarity {
   private[graft] val AnchorBroadcastBound = 200L * 1000
   private[graft] def anchorCross(emb: DataFrame, anchors: DataFrame,
       bound: Long = AnchorBroadcastBound): DataFrame = {
-    val n = anchors.count()
+    // the gate count is memoized per anchor plan: an eager count()
+    // here would otherwise add a corpus scan to EVERY call (and every
+    // timed bench run) of the anchor-retrieval family
+    val n = IndexMemo.getOrBuild[java.lang.Long]("anchorCount", "",
+      Seq(anchors)) {
+      (java.lang.Long.valueOf(anchors.count()), Seq.empty)
+    }.longValue()
     if (n <= bound) emb.crossJoin(broadcast(anchors))
     else {
       val chunks = ((n + bound - 1) / bound).toInt

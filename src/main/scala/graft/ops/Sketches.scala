@@ -275,10 +275,7 @@ object Sketches {
 
   /** DuckDB oracle for [[quantileSketch]]. */
   def quantileSketchSql(k: Int = 256): String = {
-    val nibbleSum = (1 to 8).map { i =>
-      s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
-        s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
-    }.mkString(" + ")
+    val nibbleSum = Curation.md5NibbleSumSql
     def r(qn: Int, qd: Int) = s"(n * $qn + ${qd - 1}) // $qd"
     s"""WITH vals AS (SELECT o_orderkey AS id,
        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
@@ -382,10 +379,7 @@ object Sketches {
   /** DuckDB oracle for [[kmvSourceJaccard]]: the same md5-fraction
     * sketches via QUALIFY row_number. */
   def kmvSourceJaccardSql(k: Int = 64): String = {
-    val nibbleSum = (1 to 8).map { i =>
-      s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
-        s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
-    }.mkString(" + ")
+    val nibbleSum = Curation.md5NibbleSumSql
     s"""WITH toks AS (SELECT DISTINCT source,
        |    unnest(string_split(text, ' ')) AS t FROM documents),
        |f AS (SELECT source, t,

@@ -559,10 +559,7 @@ object TextOps {
     * chain through `sel`, then caps buckets and joins identically. */
   def winnowingNearDupPairsSql(minShared: Int = 2,
       maxBucketSize: Int = 64): String = {
-    val nibbleSum = (1 to 8).map { i =>
-      s"CAST(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1)" +
-        s" <= '9' THEN 48 ELSE 87 END AS BIGINT) * ${1L << (4 * (8 - i))}"
-    }.mkString(" + ")
+    val nibbleSum = Curation.md5NibbleSumSql
     s"""WITH tok AS (SELECT doc_id,
        |    unnest(string_split(text, ' ')) AS t,
        |    unnest(range(0, len(string_split(text, ' ')))) AS p

@@ -19,11 +19,25 @@ object OperatorIndex {
 
   private val QKey = "^(q\\d+)_(.*)$".r
 
-  /** All .scala files under `root`, stable order. */
-  private def sources(root: Path): Seq[Path] =
-    Files.walk(root).iterator().asScala
+  /** All .scala files under `root`, stable order. The walk stream is
+    * closed explicitly — iterator-draining alone leaks the OS
+    * directory handles until GC. */
+  private def sources(root: Path): Seq[Path] = {
+    val stream = Files.walk(root)
+    try stream.iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .toSeq.sortBy(_.toString)
+    finally stream.close()
+  }
+
+  /** Only operator-package files count as implementation homes: a
+    * qNN mention in the harness mains (Bench, Verify, …) or in this
+    * generator's own scaladoc is commentary, not a home — anchoring
+    * there sends readers to unrelated comments. */
+  private def isImplSource(root: Path, p: Path): Boolean = {
+    val rel = root.relativize(p).toString
+    rel.contains("/") && !rel.startsWith("tools/")
+  }
 
   /** (file, line) anchors per qNN id: word-bounded mentions in source
     * comments/code. Implementation-home anchors (the ops scaladoc
@@ -40,6 +54,7 @@ object OperatorIndex {
     for {
       p <- sources(root)
       isEntry = p.getFileName.toString.equals("SparkEntry.scala")
+      if isEntry || isImplSource(root, p)
       (line, i) <- Files.readAllLines(p).asScala.zipWithIndex
       m <- (if (isEntry) regRx else rx).findAllMatchIn(line)
       id = s"q${m.group(1)}"

@@ -36,4 +36,17 @@ class OperatorIndexSpec extends AnyFunSuite {
     assert(unanchored.isEmpty,
       s"no anchor for: ${unanchored.take(5).mkString(" / ")}")
   }
+
+  test("the COMMITTED docs/OPERATORS.md matches a fresh regeneration") {
+    // without this, the committed artifact can silently drift from
+    // the source it anchors (a code edit moves a cited line, the
+    // in-memory checks above stay green, and the index points at the
+    // wrong lines) — the README's "cannot drift" claim is only true
+    // if CI compares the file itself
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("docs/OPERATORS.md"))
+    assert(committed == doc,
+      "docs/OPERATORS.md is stale — run " +
+        "`sbt \"runMain graft.tools.OperatorIndex\"` and commit it")
+  }
 }
