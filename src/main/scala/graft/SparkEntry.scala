@@ -732,6 +732,51 @@ object SparkEntry {
     // SimHash-vs-Jaccard calibration (pick the Hamming cutoff)
     "q250_simhash_calibration" -> ((s, d) =>
       graft.ops.Curation.simhashCalibration(s, d)),
+    // TPC-H Q2 shape: min-cost supplier (aggregate-argmin join-back)
+    "q251_tpch_q2" -> ((s, d) =>
+      graft.ops.Relational.minCostSupplier(s, d)),
+    // TPC-H Q6 shape: forecast revenue change (pure pushdown scan)
+    "q252_tpch_q6" -> ((s, d) =>
+      graft.ops.Relational.forecastRevenueChange(s, d)),
+    // TPC-H Q8 shape: national market share by order year
+    "q253_tpch_q8" -> ((s, d) =>
+      graft.ops.Relational.marketShare(s, d)),
+    // quarterly return-rate drift by customer nation
+    "q254_return_rate" -> ((s, d) =>
+      graft.ops.Relational.returnRateByNation(s, d)),
+    // TPC-H Q11 shape: important parts (HAVING over global scalar)
+    "q255_tpch_q11" -> ((s, d) =>
+      graft.ops.Relational.importantParts(s, d)),
+    // TPC-H Q14 shape: promo revenue share (conditional aggregate)
+    "q256_tpch_q14" -> ((s, d) =>
+      graft.ops.Relational.promoRevenueShare(s, d)),
+    // TPC-H Q15 shape: top supplier (scalar-max equality join)
+    "q257_tpch_q15" -> ((s, d) =>
+      graft.ops.Relational.topSupplier(s, d)),
+    // TPC-H Q16 shape: supplier diversity census with exclusions
+    "q258_tpch_q16" -> ((s, d) =>
+      graft.ops.Relational.supplierClassCensus(s, d)),
+    // TPC-H Q17 shape: small-quantity revenue (correlated per-part avg)
+    "q259_tpch_q17" -> ((s, d) =>
+      graft.ops.Relational.smallQuantityRevenue(s, d)),
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicates
+    "q260_tpch_q19" -> ((s, d) =>
+      graft.ops.Relational.disjunctiveRevenue(s, d)),
+    // TPC-H Q20 shape: big shippers of a part family (nested semi)
+    "q261_tpch_q20" -> ((s, d) =>
+      graft.ops.Relational.bigShipperSuppliers(s, d)),
+    // hashed-feature linear classifier score histogram
+    "q262_classifier_hist" -> ((s, d) =>
+      graft.ops.TextOps.classifierScoreHistogram(s, d)),
+    // train/val split unigram KL divergence (split drift gate)
+    "q263_split_kl" -> ((s, d) =>
+      graft.ops.TextOps.splitKlDivergence(s, d)),
+    // TPC-H Q9 shape: product-line profit by nation and year
+    "q264_tpch_q9" -> ((s, d) =>
+      graft.ops.Relational.productProfit(s, d)),
+    // TPC-H Q12 shape: late-shipment priority census
+    "q265_tpch_q12" -> ((s, d) =>
+      graft.ops.Relational.lateShipmentCensus(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2134,6 +2179,22 @@ object SparkEntry {
          |  CAST(MIN(hamming) AS BIGINT) AS min_hamming,
          |  CAST(MAX(hamming) AS BIGINT) AS max_hamming
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q251_tpch_q2" -> graft.ops.Relational.minCostSupplierSql(),
+    "q252_tpch_q6" -> graft.ops.Relational.forecastRevenueChangeSql(),
+    "q253_tpch_q8" -> graft.ops.Relational.marketShareSql(),
+    "q254_return_rate" -> graft.ops.Relational.returnRateByNationSql,
+    "q255_tpch_q11" -> graft.ops.Relational.importantPartsSql(),
+    "q256_tpch_q14" -> graft.ops.Relational.promoRevenueShareSql(),
+    "q257_tpch_q15" -> graft.ops.Relational.topSupplierSql(),
+    "q258_tpch_q16" -> graft.ops.Relational.supplierClassCensusSql(),
+    "q259_tpch_q17" -> graft.ops.Relational.smallQuantityRevenueSql(),
+    "q260_tpch_q19" -> graft.ops.Relational.disjunctiveRevenueSql,
+    "q261_tpch_q20" -> graft.ops.Relational.bigShipperSuppliersSql(),
+    "q262_classifier_hist" ->
+      graft.ops.TextOps.classifierScoreHistogramSql(),
+    "q263_split_kl" -> graft.ops.TextOps.splitKlDivergenceSql,
+    "q264_tpch_q9" -> graft.ops.Relational.productProfitSql(),
+    "q265_tpch_q12" -> graft.ops.Relational.lateShipmentCensusSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

@@ -1063,4 +1063,626 @@ object Relational {
        |  AND NOT EXISTS (SELECT 1 FROM recent r
        |    WHERE r.c_custkey = cust.c_custkey)
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------- remaining TPC-H shapes
+  //
+  // The synthetic star schema has no partsupp table, so the Q2/Q11/
+  // Q20 shapes re-anchor their part-supplier relationship on the
+  // lineitem fact (which records who actually shipped what) — the
+  // plan SHAPES (correlated min, HAVING-over-global-scalar, nested
+  // semi-join) are preserved exactly. Money stays in exact cents
+  // BIGINTs throughout (the shippingPriority convention): integer
+  // sums are fold-order-free, so map-side partials at 1000-executor
+  // scale are bit-identical to any other partitioning.
+
+  /** Exact cents column for the discounted lineitem price. */
+  private def revCents: Column =
+    expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS LONG)")
+  private val revCentsSql =
+    "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
+
+  /** TPC-H Q2 shape — min-cost supplier (q251): for each part of one
+    * type/size band, the EUROPE supplier(s) whose cheapest observed
+    * sale of that part hits the per-part minimum. The argmin is the
+    * standard aggregate-then-equijoin-back (never a per-row correlated
+    * probe); the supplier dim (10k rows/SF) and the filtered part
+    * slice broadcast, so the only fact-sized work is one lineitem
+    * scan + one (part,supp)-keyed aggregation. */
+  def minCostSupplier(s: SparkSession, d: String, maxSize: Int = 5,
+      ptype: String = "LARGE"): DataFrame = {
+    val pf = Tables.part(s, d)
+      .filter(col("p_size") <= maxSize && col("p_type") === ptype)
+      .select(col("p_partkey"), col("p_name"))
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val cost = Tables.lineitem(s, d)
+      .join(broadcast(pf.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(eu.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+        .as("cost_cents"))
+    val minc = cost.groupBy(col("l_partkey"))
+      .agg(min(col("cost_cents")).as("min_cents"))
+    cost.join(minc, "l_partkey")
+      .filter(col("cost_cents") === col("min_cents"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("n_name"), col("cost_cents"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  /** DuckDB oracle for [[minCostSupplier]]. */
+  def minCostSupplierSql(maxSize: Int = 5,
+      ptype: String = "LARGE"): String =
+    s"""WITH pf AS (SELECT p_partkey, p_name FROM part
+       |  WHERE p_size <= $maxSize AND p_type = '$ptype'),
+       |eu AS (SELECT s_suppkey, s_name, n_name FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'),
+       |cost AS (SELECT l_partkey, l_suppkey,
+       |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS cost_cents
+       |  FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM pf)
+       |    AND l_suppkey IN (SELECT s_suppkey FROM eu)
+       |  GROUP BY l_partkey, l_suppkey),
+       |minc AS (SELECT l_partkey, MIN(cost_cents) AS min_cents
+       |  FROM cost GROUP BY l_partkey)
+       |SELECT p_partkey, p_name, s_name, n_name, cost_cents
+       |FROM cost JOIN minc USING (l_partkey)
+       |JOIN pf ON l_partkey = p_partkey
+       |JOIN eu ON l_suppkey = s_suppkey
+       |WHERE cost_cents = min_cents
+       |ORDER BY p_partkey, s_name""".stripMargin
+
+  /** TPC-H Q6 shape — forecast revenue change (q252): the revenue
+    * that would vanish if discounts in a band were dropped, over one
+    * ship-year and a quantity cap. Single-table scan-and-aggregate:
+    * all three predicates push to the parquet scan (PushedFilters),
+    * no join, no shuffle beyond the final 1-row combine. The
+    * discount-band bounds compare in exact basis points (round(d *
+    * 10000)), so no float boundary can flip a row. */
+  def forecastRevenueChange(s: SparkSession, d: String,
+      from: String = "1999-01-01", until: String = "2000-01-01",
+      discLoBp: Long = 500L, discHiBp: Long = 700L,
+      maxQty: Long = 24L): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        expr("CAST(round(l_discount * 10000) AS LONG)")
+          .between(discLoBp, discHiBp) &&
+        col("l_quantity") < lit(maxQty.toDouble))
+      .agg(coalesce(sum(
+          expr("CAST(round(l_extendedprice * l_discount * 100)" +
+            " AS LONG)")), lit(0L)).as("rev_cents"),
+        count(lit(1)).as("n_lines"))
+
+  /** DuckDB oracle for [[forecastRevenueChange]]. */
+  def forecastRevenueChangeSql(from: String = "1999-01-01",
+      until: String = "2000-01-01", discLoBp: Long = 500L,
+      discHiBp: Long = 700L, maxQty: Long = 24L): String =
+    s"""SELECT CAST(coalesce(SUM(CAST(round(l_extendedprice
+       |    * l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+       |    AS rev_cents,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$from'
+       |  AND l_shipdate < TIMESTAMP '$until'
+       |  AND CAST(round(l_discount * 10000) AS BIGINT)
+       |    BETWEEN $discLoBp AND $discHiBp
+       |  AND l_quantity < $maxQty""".stripMargin
+
+  /** TPC-H Q8 shape, strict form (q253): among lineitems of one part
+    * type sold to customers of one region, the share of revenue
+    * supplied by one nation, per order year. This is Q8's actual
+    * two-sided market restriction + conditional single-nation share
+    * — [[nationMarketShare]] (q193) is the unconditional all-nations
+    * share matrix; here the CASE'd numerator and the denominator
+    * come out of ONE pass, never two scans differenced. Integer cent
+    * sums are exact; only the final division is floating point. */
+  def marketShare(s: SparkSession, d: String,
+      ptype: String = "ECONOMY", custRegion: String = "AMERICA",
+      supNation: String = "NATION_3"): DataFrame = {
+    val pf = Tables.part(s, d).filter(col("p_type") === ptype)
+      .select(col("p_partkey"))
+    val amCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+              .filter(col("r_name") === custRegion)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(amCust, col("o_custkey") === col("c_custkey"), "left_semi")
+    val supNat = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"), revCents.as("rc"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("rc")).as("total_cents"),
+        coalesce(sum(when(col("n_name") === supNation, col("rc"))),
+          lit(0L)).as("nation_cents"))
+      .select(col("o_year"), col("total_cents"), col("nation_cents"),
+        round(col("nation_cents").cast("double")
+          / col("total_cents").cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** DuckDB oracle for [[marketShare]]. */
+  def marketShareSql(ptype: String = "ECONOMY",
+      custRegion: String = "AMERICA",
+      supNation: String = "NATION_3"): String =
+    s"""WITH t AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    $revCentsSql AS rc, n_name
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part
+       |      WHERE p_type = '$ptype')
+       |    AND o_custkey IN (SELECT c_custkey FROM customer
+       |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |      JOIN region ON n2.n_regionkey = r_regionkey
+       |      WHERE r_name = '$custRegion'))
+       |SELECT o_year, CAST(SUM(rc) AS BIGINT) AS total_cents,
+       |  CAST(coalesce(SUM(CASE WHEN n_name = '$supNation'
+       |    THEN rc END), 0) AS BIGINT) AS nation_cents,
+       |  round(CAST(coalesce(SUM(CASE WHEN n_name = '$supNation'
+       |      THEN rc END), 0) AS DOUBLE)
+       |    / CAST(SUM(rc) AS DOUBLE), 6) AS mkt_share
+       |FROM t GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Quarterly return-rate drift by customer nation (q254): per
+    * (nation, order quarter), the share of lineitem revenue that
+    * came back flagged 'R' — the returns-quality drift matrix a
+    * fulfilment dashboard watches (complements [[topReturners]]'s
+    * all-time per-customer Q10 ranking with a time-resolved
+    * per-nation rate). One conditional aggregate over the
+    * orders⋈lineitem⋈customer join — returned and total revenue in
+    * the same pass, exact cents, never two differenced scans. */
+  def returnRateByNation(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (year(col("o_orderdate")).cast("long") * 10L +
+          quarter(col("o_orderdate")).cast("long")).as("o_quarter"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), revCents.as("rc"),
+        (col("l_returnflag") === "R").as("ret"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_quarter"))
+      .agg(sum(col("rc")).as("total_cents"),
+        coalesce(sum(when(col("ret"), col("rc"))), lit(0L))
+          .as("returned_cents"))
+      .select(col("n_name"), col("o_quarter"), col("total_cents"),
+        col("returned_cents"),
+        round(col("returned_cents").cast("double")
+          / col("total_cents").cast("double"), 6).as("return_rate"))
+      .orderBy(col("n_name"), col("o_quarter"))
+  }
+
+  /** DuckDB oracle for [[returnRateByNation]]. */
+  def returnRateByNationSql: String =
+    s"""SELECT n_name,
+       |  CAST(year(o_orderdate) * 10 + quarter(o_orderdate)
+       |    AS BIGINT) AS o_quarter,
+       |  CAST(SUM($revCentsSql) AS BIGINT) AS total_cents,
+       |  CAST(coalesce(SUM(CASE WHEN l_returnflag = 'R'
+       |    THEN $revCentsSql END), 0) AS BIGINT) AS returned_cents,
+       |  round(CAST(coalesce(SUM(CASE WHEN l_returnflag = 'R'
+       |      THEN $revCentsSql END), 0) AS DOUBLE)
+       |    / CAST(SUM($revCentsSql) AS DOUBLE), 6) AS return_rate
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name, o_quarter
+       |ORDER BY n_name, o_quarter""".stripMargin
+
+  /** TPC-H Q11 shape — important parts (q255): per-part shipped value
+    * from one nation's suppliers, kept only where it exceeds a
+    * fraction of the global total. The global scalar is one
+    * aggregated row cross-joined back in (broadcast by construction)
+    * — the HAVING-over-global-subquery shape without re-scanning. */
+  def importantParts(s: SparkSession, d: String,
+      nationName: String = "NATION_7",
+      fraction: Double = 0.001): DataFrame = {
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = Tables.lineitem(s, d)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+        .as("value_cents"))
+    val tot = v.agg(sum(col("value_cents")).as("total_cents"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value_cents").cast("double") >
+        col("total_cents").cast("double") * fraction)
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** DuckDB oracle for [[importantParts]]. */
+  def importantPartsSql(nationName: String = "NATION_7",
+      fraction: Double = 0.001): String =
+    s"""WITH v AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS value_cents
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+       |    JOIN nation ON s_nationkey = n_nationkey
+       |    WHERE n_name = '$nationName')
+       |  GROUP BY l_partkey),
+       |tot AS (SELECT SUM(value_cents) AS total_cents FROM v)
+       |SELECT l_partkey, value_cents FROM v, tot
+       |WHERE CAST(value_cents AS DOUBLE) >
+       |  CAST(total_cents AS DOUBLE) * $fraction
+       |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q14 shape — promo revenue share (q256): the fraction of
+    * one ship-month's revenue that came from PROMO-type parts. The
+    * part type rides a plain partkey equi-join (no filter — every
+    * part classifies a side of the CASE), sized for AQE to broadcast
+    * at small SF and shuffle at scale. One pass, one division. */
+  def promoRevenueShare(s: SparkSession, d: String,
+      from: String = "1999-09-01", until: String = "1999-10-01"): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_partkey"), revCents.as("rc"))
+    li.join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(coalesce(sum(when(col("p_type") === "PROMO", col("rc"))),
+          lit(0L)).as("promo_cents"),
+        sum(col("rc")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        round(lit(100.0) * col("promo_cents").cast("double")
+          / col("total_cents").cast("double"), 6).as("promo_pct"))
+  }
+
+  /** DuckDB oracle for [[promoRevenueShare]]. */
+  def promoRevenueShareSql(from: String = "1999-09-01",
+      until: String = "1999-10-01"): String =
+    s"""SELECT
+       |  CAST(coalesce(SUM(CASE WHEN p_type = 'PROMO'
+       |    THEN $revCentsSql END), 0) AS BIGINT) AS promo_cents,
+       |  CAST(SUM($revCentsSql) AS BIGINT) AS total_cents,
+       |  round(100.0 * CAST(coalesce(SUM(CASE WHEN p_type = 'PROMO'
+       |      THEN $revCentsSql END), 0) AS DOUBLE)
+       |    / CAST(SUM($revCentsSql) AS DOUBLE), 6) AS promo_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '$from'
+       |  AND l_shipdate < TIMESTAMP '$until'""".stripMargin
+
+  /** TPC-H Q15 shape — top supplier (q257): the supplier(s) whose
+    * quarter revenue equals the maximum. The max is one scalar row
+    * cross-joined back (Q15's CREATE VIEW + subquery-max, collapsed
+    * into one plan); cent-exact sums make the equality well-defined
+    * across engines and partitionings. */
+  def topSupplier(s: SparkSession, d: String,
+      from: String = "1999-01-01", until: String = "1999-04-01"): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revCents).as("total_rev_cents"))
+    val mx = rev.agg(max(col("total_rev_cents")).as("max_cents"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev_cents") === col("max_cents"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** DuckDB oracle for [[topSupplier]]. */
+  def topSupplierSql(from: String = "1999-01-01",
+      until: String = "1999-04-01"): String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, CAST(SUM($revCentsSql) AS BIGINT)
+       |      AS total_rev_cents
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$from'
+       |    AND l_shipdate < TIMESTAMP '$until'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_rev_cents
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 shape — supplier diversity census (q258): distinct
+    * suppliers who shipped each surviving (brand, type, size) part
+    * class, excluding one brand, off-list sizes, and "complaint"
+    * suppliers (negative balance stands in for Q16's LIKE
+    * '%Complaints%'). The exclusion set is tiny → broadcast
+    * left_anti; the count-distinct shuffles (brand,type,size,supp)
+    * pairs, already deduped map-side by the partial aggregate. */
+  def supplierClassCensus(s: SparkSession, d: String,
+      exclBrand: String = "Brand#3",
+      sizes: Seq[Int] = Seq(1, 5, 10, 15, 20)): DataFrame = {
+    val pf = Tables.part(s, d)
+      .filter(col("p_brand") =!= exclBrand &&
+        col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+    val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"),
+        col("p_type"), col("p_size"))
+  }
+
+  /** DuckDB oracle for [[supplierClassCensus]]. */
+  def supplierClassCensusSql(exclBrand: String = "Brand#3",
+      sizes: Seq[Int] = Seq(1, 5, 10, 15, 20)): String =
+    s"""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> '$exclBrand'
+       |  AND p_size IN (${sizes.mkString(", ")})
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+       |    WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q17 shape — small-quantity revenue (q259): revenue of
+    * lineitems of one brand whose quantity is under 20% of that
+    * part's average. The correlated AVG becomes one per-part
+    * aggregate joined back; the threshold compare is PURE BIGINT
+    * (qty_cents · 5 · n < sum_qty_cents ⟺ qty < 0.2·avg), so no
+    * float boundary can flip a row between engines. */
+  def smallQuantityRevenue(s: SparkSession, d: String,
+      brand: String = "Brand#11"): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === brand)
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_quantity * 100) AS LONG)").as("qc"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)").as("pc"))
+    val avgq = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qc")).as("qs"), count(lit(1)).as("qn"))
+    li.join(avgq, "l_partkey")
+      .filter(col("qc") * lit(5L) * col("qn") < col("qs"))
+      .agg(coalesce(sum(col("pc")), lit(0L)).as("rev_cents"),
+        count(lit(1)).as("n_lines"))
+      .select(col("rev_cents"), col("n_lines"),
+        round(col("rev_cents").cast("double") / 100.0 / 7.0, 6)
+          .as("avg_yearly"))
+  }
+
+  /** DuckDB oracle for [[smallQuantityRevenue]]. */
+  def smallQuantityRevenueSql(brand: String = "Brand#11"): String =
+    s"""WITH li AS (SELECT l_partkey,
+       |    CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+       |  FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part
+       |    WHERE p_brand = '$brand')),
+       |avgq AS (SELECT l_partkey, SUM(qc) AS qs, COUNT(*) AS qn
+       |  FROM li GROUP BY l_partkey)
+       |SELECT CAST(coalesce(SUM(pc), 0) AS BIGINT) AS rev_cents,
+       |  COUNT(*) AS n_lines,
+       |  round(CAST(coalesce(SUM(pc), 0) AS DOUBLE) / 100.0 / 7.0, 6)
+       |    AS avg_yearly
+       |FROM li JOIN avgq USING (l_partkey)
+       |WHERE qc * 5 * qn < qs""".stripMargin
+
+  /** TPC-H Q19 shape — disjunctive predicate revenue (q260): revenue
+    * over an OR of three (brand, size-band, quantity-band) branches.
+    * The three-brand part slice broadcasts; the disjunction lives in
+    * ONE codegen'd filter after the join (Catalyst extracts the
+    * common partkey equi-key, so the join itself stays hash-based —
+    * the Q19 plan trap of a nested-loop join never materializes). */
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val branches = Seq(("Brand#12", 1, 5, 1, 11), ("Brand#21", 1, 10, 10, 20),
+      ("Brand#23", 1, 15, 20, 30))
+    val pf = Tables.part(s, d)
+      .filter(col("p_brand").isin(branches.map(_._1): _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cond = branches.map { case (b, s0, s1, q0, q1) =>
+      col("p_brand") === b && col("p_size").between(s0, s1) &&
+        col("l_quantity").between(q0, q1)
+    }.reduce(_ || _)
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), revCents.as("rc"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(coalesce(sum(col("rc")), lit(0L)).as("rev_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** DuckDB oracle for [[disjunctiveRevenue]]. */
+  def disjunctiveRevenueSql: String =
+    s"""SELECT CAST(coalesce(SUM($revCentsSql), 0) AS BIGINT)
+       |    AS rev_cents,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |    AND l_quantity BETWEEN 1 AND 11)
+       |  OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10
+       |    AND l_quantity BETWEEN 10 AND 20)
+       |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q9 shape — product-line profit (q264): per supplier
+    * nation and order year, revenue minus cost of goods for one
+    * part-name family. The schema has no partsupp.ps_supplycost, so
+    * cost re-anchors on part.p_retailprice (qty · retail cents — the
+    * same dim-sourced per-unit cost role). Profit stays exact cents:
+    * rev_cents − qty·unit_cents, summed as BIGINTs. Plan: filtered
+    * part dim broadcasts with its price, supplier→nation broadcasts,
+    * lineitem⋈orders shuffles once on orderkey. */
+  def productProfit(s: SparkSession, d: String,
+      nameToken: String = "red"): DataFrame = {
+    val pf = Tables.part(s, d)
+      .filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS LONG)").as("unit_cents"))
+    val supNat = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(s, d)
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (revCents - expr("CAST(round(l_quantity) AS LONG)")
+          * col("unit_cents")).as("profit_cents"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("profit_cents")).as("profit_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** DuckDB oracle for [[productProfit]]. */
+  def productProfitSql(nameToken: String = "red"): String =
+    s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM($revCentsSql
+       |    - CAST(round(l_quantity) AS BIGINT)
+       |      * CAST(round(p_retailprice * 100) AS BIGINT))
+       |    AS BIGINT) AS profit_cents,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%$nameToken%'
+       |GROUP BY n_name, o_year
+       |ORDER BY n_name, o_year DESC""".stripMargin
+
+  /** TPC-H Q12 shape — late-shipment priority census (q265): per
+    * shipping-delay class (the schema has no shipmode; days from
+    * order to ship bucketed at `lateDays` plays its role), how many
+    * lines belong to urgent/high orders vs the rest, over one ship
+    * year. Q12's defining conditional aggregation over the
+    * orders⋈lineitem join is kept verbatim. */
+  def lateShipmentCensus(s: SparkSession, d: String,
+      from: String = "2000-01-01", until: String = "2001-01-01",
+      lateDays: Int = 60): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("od"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(when(col("sd") > date_add(col("od"), lateDays),
+          lit("late")).otherwise(lit("ontime")).as("ship_class"),
+        col("o_orderpriority"))
+      .groupBy(col("ship_class"))
+      .agg(coalesce(sum(when(
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)),
+          lit(0L)).as("high_line_count"),
+        coalesce(sum(when(
+          !col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)),
+          lit(0L)).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  /** DuckDB oracle for [[lateShipmentCensus]]. */
+  def lateShipmentCensusSql(from: String = "2000-01-01",
+      until: String = "2001-01-01", lateDays: Int = 60): String =
+    s"""SELECT CASE WHEN CAST(l_shipdate AS DATE) >
+       |    CAST(o_orderdate AS DATE) + INTERVAL $lateDays DAY
+       |    THEN 'late' ELSE 'ontime' END AS ship_class,
+       |  CAST(coalesce(SUM(CASE WHEN o_orderpriority IN
+       |    ('1-URGENT', '2-HIGH') THEN 1 END), 0) AS BIGINT)
+       |    AS high_line_count,
+       |  CAST(coalesce(SUM(CASE WHEN o_orderpriority NOT IN
+       |    ('1-URGENT', '2-HIGH') THEN 1 END), 0) AS BIGINT)
+       |    AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate >= TIMESTAMP '$from'
+       |  AND l_shipdate < TIMESTAMP '$until'
+       |GROUP BY ship_class ORDER BY ship_class""".stripMargin
+
+  /** TPC-H Q20 shape — big shippers of a part family (q261):
+    * suppliers who shipped more than `minQty` units of name-prefix
+    * parts in one year, with their nation. Q20's nested
+    * partsupp/availqty EXISTS chain becomes: prefix parts broadcast
+    * → one lineitem aggregate per supplier → HAVING → semi-join the
+    * supplier dim. Threshold compare in exact quantity-cents. */
+  def bigShipperSuppliers(s: SparkSession, d: String,
+      prefix: String = "small", from: String = "2000-01-01",
+      until: String = "2001-01-01", minQty: Long = 100L): DataFrame = {
+    val pf = Tables.part(s, d)
+      .filter(col("p_name").startsWith(prefix))
+      .select(col("p_partkey"))
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr("CAST(round(l_quantity * 100) AS LONG)"))
+        .as("qty_cents"))
+      .filter(col("qty_cents") > minQty * 100L)
+    Tables.supplier(s, d)
+      .join(shipped, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("qty_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** DuckDB oracle for [[bigShipperSuppliers]]. */
+  def bigShipperSuppliersSql(prefix: String = "small",
+      from: String = "2000-01-01", until: String = "2001-01-01",
+      minQty: Long = 100L): String =
+    s"""WITH shipped AS (
+       |  SELECT l_suppkey,
+       |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+       |      AS BIGINT) AS qty_cents
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$from'
+       |    AND l_shipdate < TIMESTAMP '$until'
+       |    AND l_partkey IN (SELECT p_partkey FROM part
+       |      WHERE p_name LIKE '$prefix%')
+       |  GROUP BY l_suppkey
+       |  HAVING qty_cents > ${minQty * 100L})
+       |SELECT s_suppkey, s_name, n_name, qty_cents
+       |FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |ORDER BY s_suppkey""".stripMargin
 }

@@ -1600,4 +1600,149 @@ object TextOps {
        |JOIN cont ON cont.b = t.b
        |CROSS JOIN types
        |ORDER BY t.c2 DESC, t.a, t.b""".stripMargin
+
+  // -------------------- hashed linear quality classifier (q262)
+
+  /** 60-bit value of md5 hex nibbles 1..15 — the oracle-shared hash
+    * decode (the q38/q86/q44 family's device, local twin of
+    * Similarity.md5Nibs15Col). */
+  private def nibs15(src: Column): Column = {
+    val hh = md5(src)
+    (0 until 15).map { i =>
+      val nib = substring(hh, 1 + i, 1)
+      (ascii(nib) - when(nib <= "9", 48).otherwise(87)).cast("long") *
+        (1L << (4 * (14 - i)))
+    }.reduce(_ + _)
+  }
+  /** Decode of md5 hex nibbles 1..15 over a column named `hh`. */
+  private def nibs15Sql: String = (0 until 15).map { i =>
+    val nib = s"substr(hh, ${1 + i}, 1)"
+    s"CAST(ascii($nib) - CASE WHEN $nib <= '9' THEN 48 ELSE 87 END" +
+      s" AS BIGINT) * ${1L << (4 * (14 - i))}"
+  }.mkString(" + ")
+
+  /** Hashed-feature linear classifier score histogram — the
+    * fastText-style quality scorer every corpus-curation funnel runs
+    * (score each document with a linear model over hashed token
+    * features, then threshold): per-token weights are integers in
+    * [-2^19, 2^19) derived from md5("qw|" ‖ token) — a FIXED public
+    * model both engines share bit-for-bit, standing in for trained
+    * weights (the plumbing, not the training, is the operator). A
+    * document's score is the mean token weight; docs bucket by
+    * floor(score / bucketWidth). All sums are exact BIGINTs — one
+    * token explode, one per-doc aggregate, one small histogram
+    * aggregate; at 100 TB this is two map-side-combinable passes
+    * with fixed-width keys, no joins.
+    *
+    * The mean→bucket step is the only float op and both engines
+    * compute the identical expression tree (one cast, two divides,
+    * one floor). */
+  def classifierScoreHistogram(s: SparkSession, d: String,
+      bucketWidth: Long = 10000L): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        (nibs15(concat(lit("qw|"), col("t"))) % 1048576L - 524288L)
+          .as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("sw"), count(lit(1)).as("n"))
+    perDoc
+      .select(floor(col("sw").cast("double") / col("n").cast("double")
+          / lit(bucketWidth.toDouble)).cast("long").as("bucket"),
+        col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[classifierScoreHistogram]]. */
+  def classifierScoreHistogramSql(bucketWidth: Long = 10000L): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, md5('qw|' || t) AS hh FROM tok),
+       |w AS (SELECT doc_id,
+       |    ($nibs15Sql) % 1048576 - 524288 AS w
+       |  FROM h),
+       |perdoc AS (SELECT doc_id, SUM(w) AS sw, COUNT(*) AS n
+       |  FROM w GROUP BY doc_id)
+       |SELECT CAST(floor(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)
+       |    / $bucketWidth.0) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+       |FROM perdoc GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ----------------------- train/val split KL divergence (q263)
+
+  /** KL divergence between the train and val splits' unigram
+    * distributions — the drift check a pipeline runs before trusting
+    * a held-out split (a high KL means the split is not exchangeable
+    * and val loss won't track train loss). Splits follow the
+    * [[graft.ops.Curation.splitManifest]] md5-first-nibble rule
+    * (0-d train, e val; f/test excluded here); distributions are
+    * add-1 smoothed over the union vocabulary V:
+    * {{{
+    * KL(P‖Q) = Σ_t P(t) · ln(P(t)/Q(t)),
+    *   P(t) = (c_train(t)+1)/(N_train+V),  Q(t) likewise for val
+    * }}}
+    * Counts, totals and V are exact BIGINTs from ONE token pass
+    * (both split counts are conditional aggregates of the same
+    * groupBy — never two scans); each per-type ln term is
+    * nano-quantized to BIGINT before the final sum, so the result is
+    * partition-order invariant. At 100 TB: one explode + one
+    * vocab-keyed aggregate + one broadcast scalar row. */
+  def splitKlDivergence(s: SparkSession, d: String): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val counts = Tables.documents(s, d)
+      .filter(nib =!= "f")
+      .select(when(nib === "e", lit("val")).otherwise(lit("train"))
+          .as("split"),
+        explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t"))
+      .agg(coalesce(sum(when(col("split") === "train", 1L)), lit(0L))
+          .as("ctr"),
+        coalesce(sum(when(col("split") === "val", 1L)), lit(0L))
+          .as("cv"))
+    val tot = counts.agg(sum(col("ctr")).as("ntr"),
+      sum(col("cv")).as("nv"), count(lit(1)).as("v"))
+    val p = (col("ctr") + lit(1L)).cast("double") /
+      (col("ntr") + col("v")).cast("double")
+    val q = (col("cv") + lit(1L)).cast("double") /
+      (col("nv") + col("v")).cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("ntr"), col("nv"), col("v"),
+        round(p * log(p / q) * lit(1e9), 0).cast("long").as("term"))
+      .groupBy(col("ntr"), col("nv"), col("v"))
+      .agg(sum(col("term")).as("st"))
+      .select(col("ntr").as("n_train_tokens"),
+        col("nv").as("n_val_tokens"), col("v").as("vocab_size"),
+        round(col("st").cast("double") / 1e9, 6).as("kl_nats"))
+  }
+
+  /** DuckDB oracle for [[splitKlDivergence]]: identical counts and
+    * the same float expression tree per vocabulary type. */
+  def splitKlDivergenceSql: String =
+    """WITH tok AS (SELECT
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e'
+      |      THEN 'val' ELSE 'train' END AS split,
+      |    unnest(string_split(text, ' ')) AS t
+      |  FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+      |counts AS (SELECT t,
+      |    coalesce(SUM(CASE WHEN split = 'train' THEN 1 END), 0)
+      |      AS ctr,
+      |    coalesce(SUM(CASE WHEN split = 'val' THEN 1 END), 0) AS cv
+      |  FROM tok GROUP BY t),
+      |tot AS (SELECT SUM(ctr) AS ntr, SUM(cv) AS nv, COUNT(*) AS v
+      |  FROM counts),
+      |terms AS (SELECT ntr, nv, v,
+      |    CAST(round(
+      |      (CAST(ctr + 1 AS DOUBLE) / CAST(ntr + v AS DOUBLE))
+      |      * ln((CAST(ctr + 1 AS DOUBLE) / CAST(ntr + v AS DOUBLE))
+      |          / (CAST(cv + 1 AS DOUBLE) / CAST(nv + v AS DOUBLE)))
+      |      * 1e9) AS BIGINT) AS term
+      |  FROM counts, tot)
+      |SELECT CAST(ntr AS BIGINT) AS n_train_tokens,
+      |  CAST(nv AS BIGINT) AS n_val_tokens,
+      |  CAST(v AS BIGINT) AS vocab_size,
+      |  round(CAST(SUM(term) AS DOUBLE) / 1e9, 6) AS kl_nats
+      |FROM terms GROUP BY ntr, nv, v""".stripMargin
 }

@@ -190,4 +190,27 @@ class PlanShapeSpec extends SparkTestBase {
       a.dataType == org.apache.spark.sql.types.LongType)
     assert(wide.isEmpty, s"non-BIGINT census columns: $wide")
   }
+
+  test("forecastRevenueChange scan is pruned and date-pushed (q252)") {
+    // the Q6 shape is the pushdown benchmark: a scan that reads more
+    // than the 4 referenced columns, or one that lost its shipdate
+    // bounds, re-reads the whole fact at 100 TB
+    // static plan (same reasoning as `shuffles`: AQE hides the tree)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      graft.ops.Relational.forecastRevenueChange(spark, sf(""))
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.size == 1)
+    val cols = scans.head.output.map(_.name).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_shipdate"), s"scan reads $cols")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_shipdate"),
+      s"shipdate bounds not pushed: $pushed")
+    assert(pushed.contains("l_quantity"),
+      s"quantity bound not pushed: $pushed")
+  }
 }

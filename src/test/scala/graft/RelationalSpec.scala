@@ -412,4 +412,88 @@ class RelationalSpec extends SparkTestBase {
     assert(got == exp)
     assert(got.nonEmpty)
   }
+
+  test("minCostSupplier keeps exactly the per-part argmin rows (q251)") {
+    // widen the part slice so sf0.001 yields several parts
+    val got = Relational.minCostSupplier(spark, sf(""), maxSize = 50)
+      .select($"p_partkey", $"s_name", $"cost_cents")
+      .as[(Long, String, Long)].collect()
+    assert(got.nonEmpty)
+    // independent recompute of the per-(part,supp) min over the same
+    // EUROPE slice, straight over the raw tables
+    val eu = graft.Tables.supplier(spark, sf(""))
+      .join(graft.Tables.nation(spark, sf("")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(graft.Tables.region(spark, sf(""))
+          .filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name")
+    val cost = graft.Tables.lineitem(spark, sf(""))
+      .join(eu, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey", $"s_name")
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+        .as("c"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1)
+    for ((part, rows) <- got.groupBy(_._1)) {
+      val exp = cost(part).map(_._3).min
+      assert(rows.forall(_._3 == exp),
+        s"part $part returned a non-minimal cost")
+      // ALL suppliers achieving the min are present (ties kept)
+      val winners = cost(part).filter(_._3 == exp).map(_._2).toSet
+      assert(rows.map(_._2).toSet == winners)
+    }
+  }
+
+  test("smallQuantityRevenue BIGINT threshold == the float 0.2*avg rule (q259)") {
+    // every brand at sf0.001, so the integer-only comparison is
+    // exercised across many parts; compare to a direct double-filter
+    // recompute
+    for (brand <- Seq("Brand#1", "Brand#11", "Brand#23")) {
+      val got = Relational.smallQuantityRevenue(spark, sf(""), brand)
+        .select($"rev_cents", $"n_lines").as[(Long, Long)].head()
+      val li = graft.Tables.lineitem(spark, sf(""))
+        .join(graft.Tables.part(spark, sf(""))
+            .filter($"p_brand" === brand).select($"p_partkey"),
+          $"l_partkey" === $"p_partkey", "left_semi")
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      val avgq = li.groupBy($"l_partkey")
+        .agg(avg($"l_quantity").as("aq"))
+      val exp = li.join(avgq, "l_partkey")
+        .filter($"l_quantity" < $"aq" * 0.2)
+        .agg(coalesce(sum(expr(
+            "CAST(round(l_extendedprice * 100) AS LONG)")), lit(0L)),
+          count(lit(1)))
+        .as[(Long, Long)].head()
+      assert((got._1, got._2) == exp, s"mismatch for $brand")
+    }
+  }
+
+  test("topSupplier returns every supplier at the exact max (q257)") {
+    val got = Relational.topSupplier(spark, sf(""),
+      from = "1998-01-01", until = "2000-01-01")
+      .select($"s_suppkey", $"total_rev_cents").as[(Long, Long)]
+      .collect()
+    val perSupp = graft.Tables.lineitem(spark, sf(""))
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("2000-01-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount)" +
+        " * 100) AS LONG)")).as("r"))
+      .as[(Long, Long)].collect()
+    val mx = perSupp.map(_._2).max
+    assert(got.map(_._2).distinct.sameElements(Array(mx)))
+    assert(got.map(_._1).toSet == perSupp.filter(_._2 == mx).map(_._1).toSet)
+  }
+
+  test("marketShare: nation_cents <= total_cents and share in [0,1] (q253)") {
+    val rows = Relational.marketShare(spark, sf(""))
+      .select($"o_year", $"total_cents", $"nation_cents", $"mkt_share")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((_, tot, nat, share) <- rows) {
+      assert(nat >= 0L && nat <= tot)
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
 }

@@ -607,4 +607,37 @@ class TextOpsSpec extends SparkTestBase {
     for (((a, _), (c, p)) <- got)
       assert(p <= c.toDouble / c1a(a) + 0.75 * n1fwd(a).toDouble / c1a(a))
   }
+
+  test("classifierScoreHistogram partitions the corpus; buckets bounded (q262)") {
+    val rows = graft.ops.TextOps.classifierScoreHistogram(spark, sf(""))
+      .select($"bucket", $"n_docs", $"n_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf(""))
+    val nDocs = docs.filter(length(col("text")) > 0).count()
+    // every doc with at least one token lands in exactly one bucket
+    assert(rows.map(_._2).sum == nDocs)
+    // token-mean weights live in [-2^19, 2^19): |bucket| <= ceil(2^19/1e4)
+    assert(rows.forall(r => math.abs(r._1) <= 53L))
+    assert(rows.map(_._3).sum ==
+      docs.agg(sum(graft.ops.TextOps.tokenCount(col("text"))))
+        .head().getLong(0))
+  }
+
+  test("splitKlDivergence: Gibbs nonneg, totals add up (q263)") {
+    val (ntr, nv, v, kl) = graft.ops.TextOps.splitKlDivergence(spark, sf(""))
+      .as[(Long, Long, Long, Double)].head()
+    // KL(P||Q) >= 0 for the two PROPER (add-1) distributions; the
+    // nano-quantization can push an exactly-zero KL to at most a few
+    // ulps below, never materially negative
+    assert(kl >= -1e-6, s"negative KL: $kl")
+    assert(v > 0 && ntr > 0 && nv > 0)
+    // token totals equal the raw non-test-split token count
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val exp = graft.Tables.documents(spark, sf(""))
+      .filter(nib =!= "f")
+      .agg(sum(graft.ops.TextOps.tokenCount(col("text"))))
+      .head().getLong(0)
+    assert(ntr + nv == exp)
+  }
 }
