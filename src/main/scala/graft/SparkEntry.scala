@@ -777,6 +777,12 @@ object SparkEntry {
     // TPC-H Q12 shape: late-shipment priority census
     "q265_tpch_q12" -> ((s, d) =>
       graft.ops.Relational.lateShipmentCensus(s, d)),
+    // per-type value skewness / excess kurtosis (one-pass power sums)
+    "q266_value_moments" -> ((s, d) =>
+      graft.ops.Profiling.valueMoments(s, d)),
+    // basket association rules (support / confidence / lift)
+    "q267_basket_rules" -> ((s, d) =>
+      graft.ops.Graph.basketRules(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -2195,6 +2201,8 @@ object SparkEntry {
     "q263_split_kl" -> graft.ops.TextOps.splitKlDivergenceSql,
     "q264_tpch_q9" -> graft.ops.Relational.productProfitSql(),
     "q265_tpch_q12" -> graft.ops.Relational.lateShipmentCensusSql(),
+    "q266_value_moments" -> graft.ops.Profiling.valueMomentsSql,
+    "q267_basket_rules" -> graft.ops.Graph.basketRulesSql(),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

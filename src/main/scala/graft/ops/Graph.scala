@@ -187,6 +187,96 @@ object Graph {
       .limit(k)
   }
 
+  /** Association rules over order baskets (q267): every directed rule
+    * a → b between parts that co-occur in at least `minSupport`
+    * orders, scored by the classic trio — support c(a,b)/N,
+    * confidence c(a,b)/c(a), lift N·c(a,b)/(c(a)·c(b)) — the
+    * recommender/affinity mining step that [[basketPairs]]'s raw
+    * co-occurrence census stops short of (a pair can co-occur often
+    * yet have lift < 1 when both parts are simply popular).
+    *
+    * Counts are exact BIGINTs; each score is ONE divide of two
+    * exact integer products carried in DECIMAL(38,0)/HUGEINT (so
+    * N·c(a,b) cannot overflow at a 10^11-basket corpus), written as
+    * the identical float tree on both engines. The pair join is
+    * order-scoped — quadratic only in basket size — and `minSupport`
+    * bounds the rule set the same way it bounds the co-purchase
+    * graph: unthresholded, every popular pair eventually qualifies;
+    * thresholded, output grows sublinearly and the two dim-sized
+    * count joins stay cheap at any corpus size (raise `minSupport`
+    * as N grows to keep the rule set meaningful). */
+  def basketRules(s: SparkSession, d: String,
+      minSupport: Int = 2): DataFrame = {
+    val dec = "decimal(38,0)"
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nb = items.agg(
+      countDistinct(col("l_orderkey")).as("n_baskets"))
+    val itemN = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = items
+      .select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+    val rules = pairs
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("pair_n"))
+      .unionAll(pairs.select(col("b").as("antecedent"),
+        col("a").as("consequent"), col("pair_n")))
+    rules
+      .join(itemN.select(col("l_partkey").as("antecedent"),
+        col("cnt").as("ante_n")), "antecedent")
+      .join(itemN.select(col("l_partkey").as("consequent"),
+        col("cnt").as("cons_n")), "consequent")
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"), col("pair_n"),
+        col("ante_n"), col("cons_n"),
+        round(col("pair_n").cast("double")
+          / col("n_baskets").cast("double"), 6).as("support"),
+        round(col("pair_n").cast("double")
+          / col("ante_n").cast("double"), 6).as("confidence"),
+        round((col("pair_n").cast(dec) * col("n_baskets"))
+            .cast("double")
+          / (col("ante_n").cast(dec) * col("cons_n")).cast("double"),
+          6).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  /** DuckDB oracle for [[basketRules]]. */
+  def basketRulesSql(minSupport: Int = 2): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+       |  FROM lineitem),
+       |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets
+       |  FROM items),
+       |itemn AS (SELECT l_partkey, COUNT(*) AS cnt
+       |  FROM items GROUP BY 1),
+       |pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
+       |    COUNT(*) AS pair_n
+       |  FROM items a JOIN items b USING (l_orderkey)
+       |  WHERE a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport),
+       |rules AS (
+       |  SELECT a AS antecedent, b AS consequent, pair_n FROM pairs
+       |  UNION ALL
+       |  SELECT b AS antecedent, a AS consequent, pair_n FROM pairs)
+       |SELECT antecedent, consequent, pair_n,
+       |  ia.cnt AS ante_n, ic.cnt AS cons_n,
+       |  round(CAST(pair_n AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+       |    AS support,
+       |  round(CAST(pair_n AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6)
+       |    AS confidence,
+       |  round(CAST(CAST(pair_n AS HUGEINT) * n_baskets AS DOUBLE)
+       |    / CAST(CAST(ia.cnt AS HUGEINT) * ic.cnt AS DOUBLE), 6)
+       |    AS lift
+       |FROM rules
+       |JOIN itemn ia ON ia.l_partkey = antecedent
+       |JOIN itemn ic ON ic.l_partkey = consequent
+       |CROSS JOIN nb
+       |ORDER BY antecedent, consequent""".stripMargin
+
   /** Triangle count over the supplier co-purchase graph (suppliers are
     * adjacent when they supply the same order in at least `minSupport`
     * orders). The classic distributed formulation: orient every edge

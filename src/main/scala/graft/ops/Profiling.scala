@@ -1450,4 +1450,82 @@ object Profiling {
       |  FROM base)
       |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers
       |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Per-event-type population skewness and excess kurtosis of the
+    * event value (q266) — the higher-moments profile the rest of the
+    * stats family stops short of (mean/variance ride q170/q172's
+    * sufficient statistics; this extends the same device to third and
+    * fourth powers). A symmetric value distribution has skewness 0,
+    * a Gaussian has excess kurtosis 0, and a curation gate watching
+    * either drift is how heavy-tailed corruption (a stuck sensor, a
+    * bot spamming one value) shows up before a mean ever moves.
+    *
+    * All five power sums are exact: n and Σv in BIGINT, Σv²/Σv³/Σv⁴
+    * in DECIMAL(38,0) (HUGEINT in the oracle) over cent-quantized
+    * values, so map-side combine at any partitioning is bit-exact.
+    * With |v| ≤ 10^6 cents, Σv⁴ stays under 10^38 up to 10^14 rows
+    * per group — comfortably past a 100 TB event stream. The float
+    * finish (central moments from raw moments, then m₃/m₂^1.5 and
+    * m₄/m₂² − 3) is written as the identical expression tree on both
+    * engines, the q170 discipline, so the rows hash-match. One scan,
+    * one 5-sum aggregate per type — state is types × 5 numbers. */
+  def valueMoments(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = round(col("value") * 100, 0).cast("long")
+    val st = Tables.events(s, d)
+      .select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v").cast(dec) * col("v")).as("s2"),
+        sum(col("v").cast(dec) * col("v") * col("v")).as("s3"),
+        sum(col("v").cast(dec) * col("v") * col("v") * col("v"))
+          .as("s4"))
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mean * mean
+    val m3 = col("s3").cast("double") / n -
+      lit(3.0) * mean * (col("s2").cast("double") / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4").cast("double") / n -
+      lit(4.0) * mean * (col("s3").cast("double") / n) +
+      lit(6.0) * mean * mean * (col("s2").cast("double") / n) -
+      lit(3.0) * mean * mean * mean * mean
+    st.select(col("event_type"), col("n").as("n_events"),
+        round(mean, 6).as("mean_cents"),
+        round(m2, 6).as("var_pop"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_ex"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle for [[valueMoments]]: the same exact power sums in
+    * HUGEINT and the identical central-moment float tree. */
+  def valueMomentsSql: String =
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(v) AS BIGINT) AS s1,
+      |    SUM(CAST(v AS HUGEINT) * v) AS s2,
+      |    SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+      |    SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+      |  FROM (SELECT event_type,
+      |      CAST(round(value * 100, 0) AS BIGINT) AS v FROM events)
+      |  GROUP BY event_type),
+      |m AS (SELECT event_type, n, s1,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |  FROM st),
+      |c AS (SELECT event_type, n, mean,
+      |    r2 - mean * mean AS m2,
+      |    r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+      |    r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+      |      - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM m)
+      |SELECT event_type, n AS n_events,
+      |  round(mean, 6) AS mean_cents,
+      |  round(m2, 6) AS var_pop,
+      |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+      |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_ex
+      |FROM c ORDER BY event_type""".stripMargin
 }

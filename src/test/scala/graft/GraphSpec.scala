@@ -1278,4 +1278,51 @@ class GraphSpec extends SparkTestBase {
     assert(j.keySet.forall(k => j(k) == aa(k)),
       "n_shared diverged between the two consumers of sharedWedges")
   }
+
+  test("valueMoments equals the brute-force central moments") {
+    val d = sf("events")
+    val rows = Profiling.valueMoments(spark, d).collect()
+    assert(rows.nonEmpty)
+    val vals = graft.Tables.events(spark, d)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    rows.foreach { r =>
+      val xs = vals(r.getString(0))
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      def cm(p: Int) = xs.map(x => math.pow(x - mean, p)).sum / n
+      val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-4)
+      // raw-moment expansion vs direct centering: same up to float noise
+      assert(math.abs(r.getDouble(3) / m2 - 1.0) < 1e-6)
+      assert(math.abs(r.getDouble(4) - m3 / (m2 * math.sqrt(m2))) < 1e-4)
+      assert(math.abs(r.getDouble(5) - (m4 / (m2 * m2) - 3.0)) < 1e-4)
+    }
+  }
+
+  test("basketRules: both directions, exact scores, support floor") {
+    val d = sf("lineitem")
+    val minSup = 2
+    val rows = Graph.basketRules(spark, d, minSup).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val nb = Tables.lineitem(spark, d)
+      .select($"l_orderkey").distinct().count()
+    rows.foreach { r =>
+      val (a, b, pn, an, cn) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pn >= minSup && pn <= math.min(an, cn))
+      // the reverse rule exists with the same pair count and lift
+      val rev = byKey((b, a))
+      assert(rev.getLong(2) == pn)
+      assert(math.abs(rev.getDouble(7) - r.getDouble(7)) < 1e-9)
+      assert(math.abs(r.getDouble(5) - pn.toDouble / nb) < 1e-6)
+      assert(math.abs(r.getDouble(6) - pn.toDouble / an) < 1e-6)
+      assert(math.abs(r.getDouble(7) -
+        pn.toDouble * nb / (an.toDouble * cn)) < 1e-6)
+    }
+  }
 }

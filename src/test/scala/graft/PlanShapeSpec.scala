@@ -213,4 +213,45 @@ class PlanShapeSpec extends SparkTestBase {
     assert(pushed.contains("l_quantity"),
       s"quantity bound not pushed: $pushed")
   }
+
+  test("valueMoments is one joinless aggregate over a 2-column scan (q266)") {
+    // the moments profile must stay a single scan + map-side-combined
+    // aggregate: a join or a third scanned column means the power-sum
+    // device regressed into something that re-reads the fact at scale
+    val df = graft.ops.Profiling.valueMoments(spark, sf(""))
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }
+    assert(joins.isEmpty, s"moments plan grew ${joins.size} joins")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.size == 1)
+    val cols = scans.head.output.map(_.name).toSet
+    assert(cols == Set("event_type", "value"), s"scan reads $cols")
+  }
+
+  test("basketRules' basket-count side is broadcast, never shuffled (q267)") {
+    // the 1-row n_baskets scalar must ride a broadcast exchange; if it
+    // ever lands in a shuffle the plan degraded to a general join on a
+    // corpus-wide scalar
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      graft.ops.Graph.basketRules(spark, sf("")).queryExecution
+        .executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val bcast = plan.collect {
+      case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => b
+    }
+    assert(bcast.nonEmpty, "n_baskets cross join lost its broadcast")
+    val shuffled = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.output.map(_.name).contains("n_baskets") => e
+    }
+    assert(shuffled.isEmpty, "n_baskets row travelled through a shuffle")
+  }
 }
