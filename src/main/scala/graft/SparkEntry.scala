@@ -783,6 +783,9 @@ object SparkEntry {
     // basket association rules (support / confidence / lift)
     "q267_basket_rules" -> ((s, d) =>
       graft.ops.Graph.basketRules(s, d)),
+    // hybrid retrieval: reciprocal-rank fusion of BM25 + cosine
+    "q268_rrf_fusion" -> ((s, d) =>
+      graft.ops.Retrieval.rrfFusion(s, d)),
   )
 
   /** Shared decimal-sum fragment (see Relational.dsum). The scale-4
@@ -861,22 +864,85 @@ object SparkEntry {
        |FROM n ORDER BY doc_id""".stripMargin
   }
 
-  /** Brute-force cosine top-10 for query vector 0 — the oracle for both
-    * the brute-force scan (q42) and the exhaustive IVF probe (q87). */
-  private val bruteForceTop10Sql: String =
-    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-      |SELECT vec_id, round(
-      |  list_sum(list_transform(range(1, len(embedding) + 1),
-      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
-      |  / nullif(
-      |      sqrt(list_sum(list_transform(embedding,
-      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |      * sqrt(list_sum(list_transform(qe,
-      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
-      |      CAST(0.0 AS DOUBLE)),
-      |  6) AS cosine
-      |FROM embeddings, q WHERE vec_id <> 0
-      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  /** Brute-force cosine top-`limit` for query vector 0 — the oracle
+    * for the brute-force scan (q42), the exhaustive IVF probe (q87),
+    * and the semantic channel of the RRF fusion (q268). */
+  private def cosineTopSql(limit: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(
+       |  list_sum(list_transform(range(1, len(embedding) + 1),
+       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+       |  / nullif(
+       |      sqrt(list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(qe,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+       |      CAST(0.0 AS DOUBLE)),
+       |  6) AS cosine
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY cosine DESC, vec_id LIMIT $limit""".stripMargin
+
+  private val bruteForceTop10Sql: String = cosineTopSql(10)
+
+  /** BM25 top-`limit` oracle (q103's SQL, parameterized so the RRF
+    * fusion q268 can reuse the lexical channel at a different k). */
+  private def bm25TopSql(terms: Seq[String], limit: Int): String = {
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      s"""ln((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE))
+         |    / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |    + CAST(1.0 AS DOUBLE))
+         |  * (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+         |    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |  / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+         |    + CAST(1.2 AS DOUBLE)
+         |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |        * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE)
+         |            / CAST(n_docs AS DOUBLE)))))""".stripMargin
+    }
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n  ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+       |  $dfAggs
+       |  FROM docs)
+       |SELECT doc_id, bm25 FROM (
+       |  SELECT doc_id, round(
+       |    ${contribs.mkString("\n  + ")}, 6) AS bm25
+       |  FROM docs CROSS JOIN stats) t
+       |WHERE bm25 > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT $limit""".stripMargin
+  }
+
+  /** DuckDB oracle for the RRF fusion (q268): the two channel
+    * queries verbatim as derived tables, ranked, full-outer fused
+    * with the identical 1/(rrfK + r) two-term tree. */
+  private def rrfFusionSql(terms: Seq[String], k: Int, rrfK: Int,
+      topK: Int): String = {
+    def rt(r: String): String =
+      s"""CASE WHEN $r > 0
+         |    THEN CAST(1.0 AS DOUBLE)
+         |      / (CAST($rrfK.0 AS DOUBLE) + CAST($r AS DOUBLE))
+         |    ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    s"""WITH lex AS (SELECT doc_id AS id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+       |  FROM (${bm25TopSql(terms, k)}) lexbase),
+       |sem AS (SELECT vec_id AS id,
+       |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_sem
+       |  FROM (${cosineTopSql(k)}) sembase),
+       |j AS (SELECT coalesce(lex.id, sem.id) AS id,
+       |    CAST(coalesce(r_lex, 0) AS BIGINT) AS r_lex,
+       |    CAST(coalesce(r_sem, 0) AS BIGINT) AS r_sem
+       |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+       |SELECT id, r_lex, r_sem,
+       |  round(${rt("r_lex")}
+       |    + ${rt("r_sem")}, 6) AS rrf
+       |FROM j ORDER BY rrf DESC, id LIMIT $topK""".stripMargin
+  }
 
   /** 16-dim-prefix variant of [[bruteForceTop10Sql]] (q109/q110, and
     * at limit=50 the candidate stage of the q111 cascade): same
@@ -1561,38 +1627,7 @@ object SparkEntry {
     // BM25: constants are spelled as the same IEEE operations the
     // Scala side compiles (1.2 + 1.0, not a 2.2 literal) so every
     // double matches; ln's last ulp is absorbed by round-6 (q61)
-    "q103_bm25" -> {
-      val terms = Seq("spark", "hash", "window")
-      val contribs = terms.zipWithIndex.map { case (t, i) =>
-        s"""ln((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE)
-           |      + CAST(0.5 AS DOUBLE))
-           |    / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
-           |    + CAST(1.0 AS DOUBLE))
-           |  * (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
-           |    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-           |  / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
-           |    + CAST(1.2 AS DOUBLE)
-           |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
-           |        * (CAST(dl AS DOUBLE)
-           |          / (CAST(sum_dl AS DOUBLE)
-           |            / CAST(n_docs AS DOUBLE)))))""".stripMargin
-      }
-      val dfAggs = terms.zipWithIndex.map { case (t, i) =>
-        s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
-      }.mkString(",\n  ")
-      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |  FROM documents),
-         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
-         |  $dfAggs
-         |  FROM docs)
-         |SELECT doc_id, bm25 FROM (
-         |  SELECT doc_id, round(
-         |    ${contribs.mkString("\n  + ")}, 6) AS bm25
-         |  FROM docs CROSS JOIN stats) t
-         |WHERE bm25 > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "q103_bm25" -> bm25TopSql(Seq("spark", "hash", "window"), 20),
     "q104_inverted_index" ->
       """WITH pairs AS (SELECT DISTINCT doc_id,
         |    unnest(string_split(text, ' ')) AS term FROM documents),
@@ -2203,6 +2238,8 @@ object SparkEntry {
     "q265_tpch_q12" -> graft.ops.Relational.lateShipmentCensusSql(),
     "q266_value_moments" -> graft.ops.Profiling.valueMomentsSql,
     "q267_basket_rules" -> graft.ops.Graph.basketRulesSql(),
+    "q268_rrf_fusion" ->
+      rrfFusionSql(Seq("spark", "hash", "window"), 50, 60, 20),
     "q177_supplier_hhi" -> graft.ops.Relational.supplierHhiSql,
     "q178_windowed_funnel" ->
       graft.ops.EventAnalytics.windowedFunnelSql(),

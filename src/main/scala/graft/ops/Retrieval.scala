@@ -69,6 +69,49 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion of the lexical and semantic rankings
+    * (q268) — the standard hybrid-search combiner (Cormack et al.'s
+    * RRF): each retrieval list contributes 1/(rrfK + rank) for the
+    * documents it ranked, and documents found by both channels float
+    * to the top without any score normalization across channels
+    * (ranks, not raw scores, are fused — BM25 logits and cosines are
+    * not commensurable). Channel ranks come from the two existing
+    * ranked retrievers — [[bm25TopK]] and
+    * [[Similarity.knnBruteForce]] (doc_id and vec_id share the id
+    * space) — each already a bounded top-`k`
+    * (TakeOrderedAndProject), so the rank windows and the fusion
+    * full-outer join run over two k-row sets: the whole fusion stage
+    * is constant-size no matter the corpus, and the corpus-sized work
+    * is exactly the two retrievals' own (already-audited) plans. A
+    * missing rank is 0 ("not retrieved by this channel"), keeping the
+    * output BIGINT-dense. The 1/(rrfK + r) terms are float but both
+    * engines build the identical two-term tree from identical integer
+    * ranks, the q103 discipline. */
+  def rrfFusion(s: SparkSession, d: String,
+      terms: Seq[String] = Seq("spark", "hash", "window"),
+      queryId: Long = 0L, k: Int = 50, rrfK: Int = 60,
+      topK: Int = 20): DataFrame = {
+    val lex = bm25TopK(s, d, terms, k)
+      .select(col("doc_id").as("id"), col("bm25"))
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("id"))).cast("long"))
+    val sem = Similarity.knnBruteForce(s, d, queryId, k)
+      .select(col("vec_id").as("id"), col("cosine"))
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("cosine").desc, col("id"))).cast("long"))
+    val term: Column => Column = r =>
+      when(r > 0, lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")))
+        .otherwise(lit(0.0))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"))
+      .select(col("id"), col("r_lex"), col("r_sem"),
+        round(term(col("r_lex")) + term(col("r_sem")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Inverted index: one row per term with its document frequency and
     * a postings list CAPPED at `maxPostings` lowest doc_ids (df stays
     * the FULL count). The cap is the same discipline as the banded-join

@@ -57,4 +57,35 @@ class RetrievalSpec extends SparkTestBase {
     assert(df == expectIds.length)
     assert(postings == expectIds.take(5).mkString(","))
   }
+
+  test("rrfFusion fuses the two channel rankings by reciprocal rank") {
+    val d = sf("documents")
+    val (k, rrfK) = (50, 60)
+    val out = Retrieval.rrfFusion(spark, d, k = k, rrfK = rrfK)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // rebuild the channel rank maps from the retrievers themselves
+    def ranks(rows: Array[(Long, Double)]): Map[Long, Long] =
+      rows.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val lex = ranks(Retrieval.bm25TopK(spark, d, topK = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))))
+    val sem = ranks(graft.ops.Similarity.knnBruteForce(spark, d, 0L, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))))
+    out.foreach { case (id, rl, rs, rrf) =>
+      assert(rl == lex.getOrElse(id, 0L))
+      assert(rs == sem.getOrElse(id, 0L))
+      def t(r: Long) = if (r > 0) 1.0 / (rrfK + r) else 0.0
+      assert(math.abs(rrf - (t(rl) + t(rs))) < 1e-6)
+      // every fused row was retrieved by at least one channel
+      assert(rl > 0 || rs > 0)
+    }
+    // a doc ranked by BOTH channels outscores one found by a single
+    // channel at similar depth — the point of fusion
+    val both = out.filter(r => r._2 > 0 && r._3 > 0)
+    val single = out.filter(r => r._2 == 0 || r._3 == 0)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_._4).max > single.map(_._4).max)
+  }
 }
