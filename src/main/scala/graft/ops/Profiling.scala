@@ -1460,22 +1460,25 @@ object Profiling {
     * either drift is how heavy-tailed corruption (a stuck sensor, a
     * bot spamming one value) shows up before a mean ever moves.
     *
-    * All five power sums are exact: n and Σv in BIGINT, Σv²/Σv³/Σv⁴
-    * in DECIMAL(38,0) (HUGEINT in the oracle) over cent-quantized
+    * All five power sums are exact: n in BIGINT, Σv…Σv⁴ in
+    * DECIMAL(38,0) (HUGEINT in the oracle) over cent-quantized
     * values, so map-side combine at any partitioning is bit-exact.
     * With |v| ≤ 10^6 cents, Σv⁴ stays under 10^38 up to 10^14 rows
     * per group — comfortably past a 100 TB event stream. The float
     * finish (central moments from raw moments, then m₃/m₂^1.5 and
     * m₄/m₂² − 3) is written as the identical expression tree on both
-    * engines, the q170 discipline, so the rows hash-match. One scan,
-    * one 5-sum aggregate per type — state is types × 5 numbers. */
+    * engines, the q170 discipline, so the rows hash-match; a
+    * degenerate group (constant value → m₂ ≤ 0, where the engines'
+    * 0/0 and sqrt(−ε) behaviors diverge) yields NULL shape stats via
+    * an explicit m₂ > 0 gate mirrored in the oracle. One scan, one
+    * 5-sum aggregate per type — state is types × 5 numbers. */
   def valueMoments(s: SparkSession, d: String): DataFrame = {
     val dec = "decimal(38,0)"
     val v = round(col("value") * 100, 0).cast("long")
     val st = Tables.events(s, d)
       .select(col("event_type"), v.as("v"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("s1"),
         sum(col("v").cast(dec) * col("v")).as("s2"),
         sum(col("v").cast(dec) * col("v") * col("v")).as("s3"),
         sum(col("v").cast(dec) * col("v") * col("v") * col("v"))
@@ -1493,8 +1496,9 @@ object Profiling {
     st.select(col("event_type"), col("n").as("n_events"),
         round(mean, 6).as("mean_cents"),
         round(m2, 6).as("var_pop"),
-        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
-        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_ex"))
+        when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+        when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 6))
+          .as("kurtosis_ex"))
       .orderBy(col("event_type"))
   }
 
@@ -1503,7 +1507,7 @@ object Profiling {
   def valueMomentsSql: String =
     """WITH st AS (
       |  SELECT event_type, COUNT(*) AS n,
-      |    CAST(SUM(v) AS BIGINT) AS s1,
+      |    SUM(CAST(v AS HUGEINT)) AS s1,
       |    SUM(CAST(v AS HUGEINT) * v) AS s2,
       |    SUM(CAST(v AS HUGEINT) * v * v) AS s3,
       |    SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
@@ -1525,7 +1529,9 @@ object Profiling {
       |SELECT event_type, n AS n_events,
       |  round(mean, 6) AS mean_cents,
       |  round(m2, 6) AS var_pop,
-      |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-      |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_ex
+      |  CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END
+      |    AS skewness,
+      |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END
+      |    AS kurtosis_ex
       |FROM c ORDER BY event_type""".stripMargin
 }
