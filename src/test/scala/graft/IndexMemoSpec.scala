@@ -187,4 +187,20 @@ class IndexMemoSpec extends SparkTestBase {
       numQueries = 1, k = 2)
     assert(out2.collect().isEmpty)
   }
+
+  test("basket memos: repeated q127/q267 calls pin no new storage") {
+    val d = sf("lineitem")
+    // first calls build (and pin) the items + pair-count tables
+    val p1 = graft.ops.Graph.basketPairs(spark, d, k = 10).collect()
+    val r1 = graft.ops.Graph.basketRules(spark, d).count()
+    val after1 = pinnedIds
+    // repeats — including the OTHER consumer of the shared pair
+    // table — must be pure cache reads
+    val p2 = graft.ops.Graph.basketPairs(spark, d, k = 10).collect()
+    val r2 = graft.ops.Graph.basketRules(spark, d).count()
+    assert(p1.toSeq == p2.toSeq && r1 == r2)
+    val grown = pinnedIds -- after1
+    assert(grown.isEmpty,
+      s"basket memo storage grew across repeated calls: new ids $grown")
+  }
 }
