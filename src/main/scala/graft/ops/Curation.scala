@@ -470,26 +470,35 @@ object Curation {
     * scores at ranks ceil(m/3) and ceil(2m/3) in (score, doc_id)
     * order — the q108 rank device, so both engines pick the same two
     * constants (scores are already round-6). Returns per
-    * (lang, bucket) counts with round-6 score min/max. */
+    * (lang, bucket) counts with round-6 score min/max.
+    *
+    * The rank lookup is ONE sorted-array aggregate over the sample
+    * (sort_array on (score, doc_id) structs ties exactly like the
+    * window's ORDER BY), not a count-broadcast + global-window +
+    * re-aggregate chain: same two constants, one scheduled stage pair
+    * instead of four — per-call latency is stage overhead, not data,
+    * once [[TextOps.bigramNll]]'s memoized score table is warm. The
+    * sample lands on one node either way (the window device was a
+    * single-partition sort); CCNet itself bounds it by sampling. */
   def perplexityBuckets(s: SparkSession, d: String): DataFrame = {
     // the LM score table feeds both the cutoff branch and the labeling
-    // branch; memoize one persisted copy (docs-sized, tiny next to the
-    // token stream it cost to compute) instead of scoring twice
-    val raw = graft.ops.TextOps.bigramNll(s, d)
-    val nll = IndexMemo.getOrBuild[DataFrame]("pplScores", "", Seq(raw)) {
-      val p = raw.persist()
-      (p, Seq(p))
-    }
+    // branch; bigramNll memoizes one persisted copy internally (keyed
+    // on the pre-cut token plan — see its doc for why keying on the
+    // returned plan can never hit), so both reads here are cache scans
+    val nll = graft.ops.TextOps.bigramNll(s, d)
     val sample = nll.filter(hashKeep(col("doc_id"), lit("3f")))
-    val ranked = sample
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("mean_nll"), col("doc_id"))))
-      .crossJoin(broadcast(sample.agg(count(lit(1)).as("m"))))
-    val cuts = ranked.agg(
-      max(when(col("rn") === ceil(col("m") / lit(3.0)), col("mean_nll")))
-        .as("c1"),
-      max(when(col("rn") === ceil(col("m") * 2 / lit(3.0)),
-        col("mean_nll"))).as("c2"))
+    def rankScore(arr: Column, rank: Column): Column =
+      when(size(arr) > 0,
+        element_at(arr, greatest(lit(1), rank.cast("int")))
+          .getField("mean_nll"))
+    val cuts = sample
+      .agg(sort_array(collect_list(struct(col("mean_nll"),
+        col("doc_id")))).as("arr"))
+      .select(
+        rankScore(col("arr"), ceil(size(col("arr")) / lit(3.0)))
+          .as("c1"),
+        rankScore(col("arr"), ceil(size(col("arr")) * 2 / lit(3.0)))
+          .as("c2"))
     nll
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
