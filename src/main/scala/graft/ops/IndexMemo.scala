@@ -58,6 +58,20 @@ private[graft] object IndexMemo {
   private val buildNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] def buildNanos: Long = buildNanosAcc.get()
 
+  /** Per-tag build COUNTS since startup. The bench emits these next to
+    * `memo_build_s` so a build-time anomaly in the record (r12's
+    * unexplained 93.5 s vs 42.6 s on identical code) is attributable
+    * from the record alone: a tag at its expected count on a slow host
+    * reads differently from a tag rebuilding 9× (eviction thrash or an
+    * unstable memo key — the q119 defect class). */
+  private val buildCountsMap =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private[graft] def buildCounts: Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    buildCountsMap.forEach((k, v) => b += k -> v.get())
+    b.result()
+  }
+
   /** Plan-hash provider for memo keys. A test seam: real plans cannot
     * fabricate a 32-bit `semanticHash` collision on demand, so the
     * collision-path spec swaps in a constant; production always uses
@@ -96,6 +110,8 @@ private[graft] object IndexMemo {
     val t0 = System.nanoTime()
     val (value, pinned) = build
     buildNanosAcc.addAndGet(System.nanoTime() - t0)
+    buildCountsMap.computeIfAbsent(tag,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     val prev = cache.putIfAbsent(key, Entry(inputs, value, pinned))
     if (prev == null) { boundTag(tag, key); value }
     else if (sameInputs(prev, inputs)) { // lost the race: adopt the winner

@@ -188,6 +188,43 @@ class IndexMemoSpec extends SparkTestBase {
     assert(out2.collect().isEmpty)
   }
 
+  test("buildCounts attributes builds to tags; hits leave them frozen") {
+    val df = Seq(1L).toDF("x")
+    val tag = "specBuildCount"
+    def count() = graft.ops.IndexMemo.buildCounts.getOrElse(tag, 0L)
+    val c0 = count()
+    graft.ops.IndexMemo.getOrBuild[org.apache.spark.sql.DataFrame](
+      tag, "", Seq(df)) { (df, Seq.empty) }
+    assert(count() == c0 + 1, "a build must increment its tag's count")
+    graft.ops.IndexMemo.getOrBuild[org.apache.spark.sql.DataFrame](
+      tag, "", Seq(df)) { (df, Seq.empty) }
+    assert(count() == c0 + 1, "a memo hit must not move the count")
+    graft.ops.IndexMemo.getOrBuild[org.apache.spark.sql.DataFrame](
+      tag, "p2", Seq(df)) { (df, Seq.empty) }
+    assert(count() == c0 + 2, "new params are a distinct build")
+  }
+
+  test("pplScores memo: repeated bigramNll/perplexityBuckets calls " +
+      "move neither build nanos nor storage") {
+    val d = sf("documents")
+    // first calls build (and pin) the memoized score table; the r12
+    // regression was an eager cut INSIDE the memoized plan, which gave
+    // every call a fresh LogicalRDD key — so this asserts the key is
+    // derived from the stable pre-cut plan
+    val n1 = graft.ops.TextOps.bigramNll(spark, d).count()
+    val b1 = graft.ops.Curation.perplexityBuckets(spark, d).collect()
+    val after1 = pinnedIds
+    val nanos1 = graft.ops.IndexMemo.buildNanos
+    val n2 = graft.ops.TextOps.bigramNll(spark, d).count()
+    val b2 = graft.ops.Curation.perplexityBuckets(spark, d).collect()
+    assert(n1 == n2 && b1.toSeq == b2.toSeq)
+    assert(graft.ops.IndexMemo.buildNanos == nanos1,
+      "a repeated pplScores call paid an index build")
+    val grown = pinnedIds -- after1
+    assert(grown.isEmpty,
+      s"pplScores memo storage grew across repeated calls: new ids $grown")
+  }
+
   test("basket memos: repeated q127/q267 calls pin no new storage") {
     val d = sf("lineitem")
     // first calls build (and pin) the items + pair-count tables
