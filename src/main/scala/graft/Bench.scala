@@ -163,6 +163,31 @@ object Bench {
       } else ""
     }.getOrElse("")
 
+  /** Queries whose measured best is implausibly above the previous
+    * round's committed record — the stall-survivor signature the r12
+    * verdict adjudicated: q43 recorded at 7.88 s where a same-host
+    * warm re-measure read 0.43 s, because a host-pause window milder
+    * than the 8×cal probe gate inflated every bracketed sample. A
+    * query qualifies when this run's best exceeds BOTH 2.5× and
+    * +0.25 s over its prior clean value (the absolute floor keeps
+    * 0.03→0.09 s micro-query jitter from triggering re-runs),
+    * host-speed-adjusted when this host is slower (cal ratio > 1).
+    * Only same-SF priors with both sides bracket-clean count. Pure
+    * logic: unit-tested in BenchProtocolSpec. */
+  private[graft] def reverifyTargets(results: Seq[(String, Measured)],
+      prev: Option[PrevBench], sfDir: String, cal: Double): Seq[String] =
+    prev match {
+      case Some(p) if p.sfDir == sfDir && p.cal > 0 && cal > 0 =>
+        val host = math.max(1.0, cal / p.cal)
+        results.collect {
+          case (n, m) if m.best >= 0 && !m.stalled &&
+              p.queries.get(shortKey(n)).exists(v => v > 0 &&
+                !p.stalled(shortKey(n)) &&
+                m.best > math.max(2.5 * v, v + 0.25) * host) => n
+        }
+      case _ => Nil
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -199,42 +224,72 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-    val results: Seq[(String, Measured)] = selected.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
-        }
-        // A timed sample must not pay a memoized-index build: the warm
-        // run below absorbs the first build, but FIFO eviction (or a
-        // collision) can push a rebuild into a later timed run — and
-        // that bill then lands on whichever query touched the shared
-        // index, making cross-round per-query deltas noise. So a run
-        // whose IndexMemo build counter moved is discarded and retried
-        // (bounded); the cumulative build time is reported separately
-        // as memo_build_s.
-        def buildFree(): Double = {
-          var tries = 0
-          var t = -1.0
-          var paidBuild = true
-          while (paidBuild && tries < 3) {
-            val b0 = graft.ops.IndexMemo.buildNanos
-            t = once()
-            paidBuild = t >= 0 && graft.ops.IndexMemo.buildNanos > b0
-            tries += 1
-          }
-          t
-        }
-        once() // untimed warm run (result discarded; failures surface below)
-        name -> measure(() => buildFree(), () => probeOk())
+    def onceOf(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)(): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    // A timed sample must not pay a memoized-index build: the warm
+    // run below absorbs the first build, but FIFO eviction (or a
+    // collision) can push a rebuild into a later timed run — and
+    // that bill then lands on whichever query touched the shared
+    // index, making cross-round per-query deltas noise. So a run
+    // whose IndexMemo build counter moved is discarded and retried
+    // (bounded); the cumulative build time is reported separately
+    // as memo_build_s.
+    def buildFreeOf(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)(): Double = {
+      var tries = 0
+      var t = -1.0
+      var paidBuild = true
+      while (paidBuild && tries < 3) {
+        val b0 = graft.ops.IndexMemo.buildNanos
+        t = onceOf(fn)()
+        paidBuild = t >= 0 && graft.ops.IndexMemo.buildNanos > b0
+        tries += 1
+      }
+      t
+    }
+    val firstPass: Seq[(String, Measured)] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        onceOf(fn)() // untimed warm run (failures surface below)
+        name -> measure(() => buildFreeOf(fn)(), () => probeOk())
+      }
+    // Stall-survivor re-verify: the bracket gate passes host pauses
+    // milder than 8×cal, so a query can ship 10-30× inflated with
+    // stalled=[] (the r12 record did). Any query implausibly above
+    // its prior-round value re-runs once at suite end — by then the
+    // stall window has usually passed — and the minimum wins; the
+    // record lists re-run queries so a reader knows which numbers
+    // were adjudicated.
+    val targets = reverifyTargets(firstPass, latestPrevBench(), sfDir,
+      calibration)
+    val targetSet = targets.toSet
+    val results = firstPass.map { case (name, m) =>
+      if (!targetSet(name)) name -> m
+      else {
+        val again = measure(() => buildFreeOf(selected(name))(),
+          () => probeOk(), wantClean = 1, maxAttempts = 3)
+        if (again.best >= 0 && again.best < m.best)
+          name -> Measured(again.best, m.cleanRuns + again.cleanRuns,
+            stalled = false)
+        else name -> m
+      }
     }
     val memoBuildS = graft.ops.IndexMemo.buildNanos / 1e9
+    val buildCounts = graft.ops.IndexMemo.buildCounts
+    val buildsJson = buildCounts.toSeq.sortBy(_._1)
+      .map { case (t, n) => "\"" + t + "\":" + n }.mkString("{", ",", "}")
+    val reverifiedJson = targets.take(40)
+      .map(n => "\"" + shortKey(n) + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, m) if m.best >= 0 => m.best }.sum
     val stalled = results.collect { case (n, m) if m.stalled => "\"" + shortKey(n) + "\"" }
       .mkString("[", ",", "]")
     val prevCmp = prevComparisonJson(calibration, sfDir, results) +
-      s""","memo_build_s":${fmt(memoBuildS, 3)}"""
+      s""","memo_build_s":${fmt(memoBuildS, 3)}""" +
+      s""","memo_builds_n":${buildCounts.values.sum}""" +
+      s""","reverified":$reverifiedJson"""
     val out = assembleLine(results, total, calibration, sfDir, stalled,
       prevCmp)
     // the suite outgrew the stdout budget (180+ queries x 3 decimals >
@@ -246,8 +301,8 @@ object Bench {
     if (args.isEmpty) {
       val sidecar = java.nio.file.Paths.get("BENCH_full_local.json")
       try java.nio.file.Files.writeString(sidecar,
-        fullLine(results, total, calibration, sfDir, stalled, prevCmp)
-          + "\n")
+        fullLine(results, total, calibration, sfDir, stalled, prevCmp,
+          buildsJson) + "\n")
       catch {
         case scala.util.control.NonFatal(e) =>
           // a stale sidecar from an earlier run must not silently
@@ -264,10 +319,16 @@ object Bench {
     spark.stop()
   }
 
+  /** Full-precision sidecar line; `builds`, when nonempty, is the
+    * per-tag `memo_builds` map — sidecar-only because ~26 tags cost
+    * ~500 chars the stdout tail budget cannot spare (stdout carries
+    * the `memo_builds_n` total instead). */
   private[graft] def fullLine(results: Seq[(String, Measured)],
       total: Double, calibration: Double, sfDir: String,
-      stalled: String, prevCmp: String): String =
-    lineOf(results, total, calibration, sfDir, stalled, prevCmp,
+      stalled: String, prevCmp: String, builds: String = ""): String =
+    lineOf(results, total, calibration, sfDir, stalled,
+      prevCmp +
+        (if (builds.isEmpty) "" else s""","memo_builds":$builds"""),
       decimals = 3, withPrev = true)
 
   private[graft] def lineOf(results: Seq[(String, Measured)],

@@ -102,6 +102,36 @@ class BenchProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("reverifyTargets flags stall survivors, not honest movers") {
+    val prev = Some(Bench.PrevBench("BENCH_r12.json", Sf, cal = 0.2,
+      stalled = Set("q5"),
+      queries = Map("q1" -> 0.5, "q2" -> 0.03, "q3" -> 2.0, "q4" -> 0.5,
+        "q5" -> 0.5)))
+    val results = Seq(
+      // 7.9 s vs a 0.5 s prior: the r12 q43-class survivor — flagged
+      "q1_a" -> Bench.Measured(7.9, 3, stalled = false),
+      // 0.09 vs 0.03: >2.5x but under the +0.25 s floor — micro-query
+      // jitter, not a stall
+      "q2_b" -> Bench.Measured(0.09, 3, stalled = false),
+      // 3.0 vs 2.0: a real 1.5x regression to REPORT, not re-measure
+      "q3_c" -> Bench.Measured(3.0, 3, stalled = false),
+      // already flagged stalled: the record self-describes it
+      "q4_d" -> Bench.Measured(9.0, 0, stalled = true),
+      // prior itself stalled: no trustworthy bar to compare against
+      "q5_e" -> Bench.Measured(7.0, 3, stalled = false),
+      // no prior entry at all
+      "q6_f" -> Bench.Measured(7.0, 3, stalled = false))
+    assert(Bench.reverifyTargets(results, prev, Sf, cal = 0.2) ==
+      Seq("q1_a"))
+    // a 2x-slower host raises the bar: 1.9 s on cal 0.4 vs prior 0.5 s
+    // on cal 0.2 is within the host-adjusted 2.5x band
+    val slow = Seq("q1_a" -> Bench.Measured(1.9, 3, stalled = false))
+    assert(Bench.reverifyTargets(slow, prev, Sf, cal = 0.4).isEmpty)
+    // scale-factor mismatch or no prior: nothing to adjudicate
+    assert(Bench.reverifyTargets(results, prev, "/other/sf", 0.2).isEmpty)
+    assert(Bench.reverifyTargets(results, None, Sf, 0.2).isEmpty)
+  }
+
   test("prevComparisonJson normalizes by the calibration ratio") {
     // prev: cal 0.2, q1+q2 = 1.0s. now: cal 0.4 (host 2x slower),
     // q1+q2 = 2.0s -> raw ratio 2.0, cal ratio 2.0, normalized 1.0.
