@@ -169,14 +169,6 @@ object Graph {
     (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
   }
 
-  /** Memoized part-pair co-occurrence counts (a < b, one row per pair
-    * with its order count): the order-scoped self-join over the whole
-    * fact table is the expensive pass BOTH basket consumers need —
-    * the co-occurrence census (q127) ranks it, the association rules
-    * (q267) threshold it — so like the co-purchase edge list it is
-    * built once per (session, dataset) and pinned. The join is
-    * quadratic only in the per-order item count (TPC-H caps it at 7),
-    * so the table is O(rows x basket), not O(rows^2). */
   /** Memoized distinct (order, part) item table — the corpus-sized
     * scan+distinct both the pair build and the rule scorer's
     * basket/item counters read; pinned so q267 pays it once, not once
@@ -191,6 +183,14 @@ object Graph {
     }
   }
 
+  /** Memoized part-pair co-occurrence counts (a < b, one row per pair
+    * with its order count): the order-scoped self-join over the whole
+    * fact table is the expensive pass BOTH basket consumers need —
+    * the co-occurrence census (q127) ranks it, the association rules
+    * (q267) threshold it — so like the co-purchase edge list it is
+    * built once per (session, dataset) and pinned. The join is
+    * quadratic only in the per-order item count (TPC-H caps it at 7),
+    * so the table is O(rows x basket), not O(rows^2). */
   private def basketPairCounts(s: SparkSession, d: String): DataFrame = {
     val items = basketItems(s, d)
     IndexMemo.getOrBuild[DataFrame]("basketPairCounts", "", Seq(items)) {

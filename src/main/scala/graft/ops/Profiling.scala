@@ -1463,8 +1463,11 @@ object Profiling {
     * All five power sums are exact: n in BIGINT, Σv…Σv⁴ in
     * DECIMAL(38,0) (HUGEINT in the oracle) over cent-quantized
     * values, so map-side combine at any partitioning is bit-exact.
-    * With |v| ≤ 10^6 cents, Σv⁴ stays under 10^38 up to 10^14 rows
-    * per group — comfortably past a 100 TB event stream. The float
+    * With |v| ≤ 10^6 cents, Σv⁴ stays within DECIMAL(38,0)'s
+    * 10^38 − 1 max below 10^14 rows per group (at exactly 10^14
+    * worst-case rows the sum reaches 10^38 and non-ANSI Spark yields
+    * NULL — an overflow that surfaces as a null row, never a wrong
+    * value) — comfortably past a 100 TB event stream. The float
     * finish (central moments from raw moments, then m₃/m₂^1.5 and
     * m₄/m₂² − 3) is written as the identical expression tree on both
     * engines, the q170 discipline, so the rows hash-match; a

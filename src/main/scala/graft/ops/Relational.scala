@@ -1305,7 +1305,12 @@ object Relational {
     * from one nation's suppliers, kept only where it exceeds a
     * fraction of the global total. The global scalar is one
     * aggregated row cross-joined back in (broadcast by construction)
-    * — the HAVING-over-global-subquery shape without re-scanning. */
+    * — the HAVING-over-global-subquery shape. Single-scan relies on
+    * exchange reuse: the per-part aggregate's shuffle feeds both the
+    * scalar and the filter branch as a `ReusedExchange`
+    * (spark.sql.exchangeReuseEnabled, default on; with it off the
+    * fact is scanned twice) — pinned by a PlanShapeSpec scan-count
+    * test. */
   def importantParts(s: SparkSession, d: String,
       nationName: String = "NATION_7",
       fraction: Double = 0.001): DataFrame = {

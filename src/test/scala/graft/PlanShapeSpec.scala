@@ -234,6 +234,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(cols == Set("event_type", "value"), s"scan reads $cols")
   }
 
+  test("importantParts reuses the per-part exchange: one lineitem " +
+      "scan (q255)") {
+    // the global-total branch and the filter branch both hang off the
+    // per-part aggregate; exchange reuse must collapse them onto ONE
+    // lineitem scan — two scans means the HAVING-over-global shape
+    // re-reads the fact table at 100 TB
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      graft.ops.Relational.importantParts(spark, sf(""))
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val lineitemScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.getOrElse("Location", "").contains("lineitem") =>
+        f
+    }
+    assert(lineitemScans.size == 1,
+      s"expected one reused lineitem scan, found ${lineitemScans.size}")
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r
+    }
+    assert(reused.nonEmpty, "per-part exchange was not reused")
+  }
+
   test("basketRules' basket-count side is broadcast, never shuffled (q267)") {
     // the 1-row n_baskets scalar must ride a broadcast exchange; if it
     // ever lands in a shuffle the plan degraded to a general join on a
