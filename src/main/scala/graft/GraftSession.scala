@@ -67,7 +67,19 @@ object GraftSession {
     * discipline of every iterative operator. Local (in-memory, fast)
     * by default; reliable when [[enableReliableCheckpoints]] has
     * configured a checkpoint dir, so a 1000-executor PageRank does not
-    * restart from round zero on one lost executor. */
+    * restart from round zero on one lost executor.
+    *
+    * EAGER by design, audited (r13): every call site cuts a shared
+    * intermediate whose caller materializes it immediately (an
+    * iterative round, or a multi-branch read inside one query's
+    * action), so laziness would shift no cost — it would only reopen
+    * the one pathology eagerness has: a cut INSIDE a memoized plan
+    * mints a fresh `LogicalRDD`, so a memo keyed on the post-cut plan
+    * never hits (the r12 q119 regression). The rule is therefore
+    * structural, not a flag: key memos on the PRE-cut plan and place
+    * the cut inside the build block ([[graft.ops.TextOps.bigramNll]]);
+    * MemoStabilitySpec enforces it mechanically for every gate
+    * query. */
   def cut[T](ds: Dataset[T]): Dataset[T] = {
     val s = ds.sparkSession
     val reliable =
