@@ -195,12 +195,22 @@ object Bench {
     // Calibration probe: a fixed, scan-free 32-partition job. Big enough to
     // schedule real tasks on every core (so a paused executor thread shows
     // up), small enough to cost ~0.1 s clean.
+    // Every probe taken anywhere in the suite is recorded: the startup
+    // min alone is a snapshot of one host moment, and same-day runs have
+    // measured it drifting 0.143-0.256 on unchanged code — so the record
+    // also carries the MEDIAN over the whole suite's in-band probes
+    // (hundreds of them, two per timed sample), a host-speed figure that
+    // covers the same wall window as the queries it normalizes.
+    val probeLog = ArrayBuffer.empty[Double]
     def probe(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 4000000L, 1L, 32).selectExpr("sum(id % 7)").collect()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      probeLog += t
+      t
     }
     (1 to 3).foreach(_ => probe()) // warm the probe's own codegen/JIT
+    probeLog.clear() // warmup probes are JIT noise, not host speed
     val calibration = (1 to 5).map(_ => probe()).min
     val probeLimit = math.max(0.5, calibration * 8)
 
@@ -286,7 +296,16 @@ object Bench {
     val total = results.collect { case (_, m) if m.best >= 0 => m.best }.sum
     val stalled = results.collect { case (n, m) if m.stalled => "\"" + shortKey(n) + "\"" }
       .mkString("[", ",", "]")
+    // whole-suite in-band host speed: median of every bracketing probe
+    // taken while the queries ran (startup-cal `cal` stays the
+    // cross-round normalizer for continuity; `cal_med` tells a reader
+    // whether the startup snapshot represented the run)
+    val calMed = {
+      val sorted = probeLog.sorted
+      if (sorted.isEmpty) calibration else sorted(sorted.size / 2)
+    }
     val prevCmp = prevComparisonJson(calibration, sfDir, results) +
+      s""","cal_med":${fmt(calMed, 3)}""" +
       s""","memo_build_s":${fmt(memoBuildS, 3)}""" +
       s""","memo_builds_n":${buildCounts.values.sum}""" +
       s""","reverified":$reverifiedJson"""
