@@ -100,12 +100,16 @@ object Bench {
 
   private val QNum = "\"(q\\d+)\":(-?[0-9.]+)".r
   private val CalField = "\"cal\":([0-9.]+)".r
+  private val CalMedField = "\"cal_med\":([0-9.]+)".r
   private val StalledField = "\"stalled\":\\[([^\\]]*)\\]".r
   private val SfField = "\"sf\":\"([^\"]+)\"".r
 
-  /** Parsed prior-round record: the bench line's own fields. */
+  /** Parsed prior-round record: the bench line's own fields. `calMed`
+    * is the steady-state in-band probe median (absent in records from
+    * before r13). */
   private[graft] final case class PrevBench(name: String, sfDir: String,
-      cal: Double, stalled: Set[String], queries: Map[String, Double])
+      cal: Double, stalled: Set[String], queries: Map[String, Double],
+      calMed: Option[Double] = None)
 
   /** The latest committed `BENCH_r<N>.json` in `dir`. The driver wraps
     * the bench line ESCAPED inside its own JSON (`"tail": "...\"cal\":
@@ -135,17 +139,33 @@ object Bench {
               .getOrElse(Set.empty[String])
             val qs = QNum.findAllMatchIn(text)
               .map(m2 => m2.group(1) -> m2.group(2).toDouble).toMap
-            PrevBench(f.getName, sf, cal, stalled, qs)
+            val calMed = CalMedField.findFirstMatchIn(text)
+              .map(_.group(1).toDouble).filter(_ > 0)
+            PrevBench(f.getName, sf, cal, stalled, qs, calMed)
           }
         }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The host-speed normalizer between two records: the steady-state
+    * in-band probe medians when BOTH records carry one, else the
+    * startup calibrations. The probe JIT-warms ~0.27 → ~0.11 s over
+    * its first ~20 executions (measured r13), so the 3-warmup startup
+    * `cal` sits mid-curve and drifts 0.143-0.256 on unchanged code —
+    * the medians, taken over hundreds of steady-state probes spanning
+    * the same wall window as the queries, are the comparable pair. */
+  private def calPair(cal: Double, calMed: Option[Double],
+      p: PrevBench): (Double, Double) = (calMed, p.calMed) match {
+    case (Some(a), Some(b)) => (a, b)
+    case _ => (cal, p.cal)
+  }
 
   /** The `,"prev":...` JSON fragment comparing this run to the previous
     * round's record, cal-normalized; empty when no sound comparison
     * exists (no prior file, different scale factor, zero shared clean
     * queries). */
   private[graft] def prevComparisonJson(cal: Double, sfDir: String,
-      results: Seq[(String, Measured)], dir: String = "."): String =
+      results: Seq[(String, Measured)], dir: String = ".",
+      calMed: Option[Double] = None): String =
     latestPrevBench(dir).map { p =>
       val shared = results.collect {
         case (n, m) if m.best >= 0 && !m.stalled => (shortKey(n), m.best)
@@ -153,9 +173,10 @@ object Bench {
         p.queries.get(k).exists(_ > 0) && !p.stalled(k) }
       val now = shared.map(_._2).sum
       val before = shared.map { case (k, _) => p.queries(k) }.sum
+      val (c, pc) = calPair(cal, calMed, p)
       if (p.sfDir == sfDir && shared.nonEmpty && before > 0 &&
-          p.cal > 0 && cal > 0) {
-        val calRatio = cal / p.cal
+          pc > 0 && c > 0) {
+        val calRatio = c / pc
         val norm = (now / before) / calRatio
         s""","prev":"${p.name}","shared_q":${shared.size}""" +
           s""","cal_ratio_vs_prev":${fmt(calRatio, 3)}""" +
@@ -175,10 +196,12 @@ object Bench {
     * Only same-SF priors with both sides bracket-clean count. Pure
     * logic: unit-tested in BenchProtocolSpec. */
   private[graft] def reverifyTargets(results: Seq[(String, Measured)],
-      prev: Option[PrevBench], sfDir: String, cal: Double): Seq[String] =
+      prev: Option[PrevBench], sfDir: String, cal: Double,
+      calMed: Option[Double] = None): Seq[String] =
     prev match {
       case Some(p) if p.sfDir == sfDir && p.cal > 0 && cal > 0 =>
-        val host = math.max(1.0, cal / p.cal)
+        val (c, pc) = calPair(cal, calMed, p)
+        val host = math.max(1.0, c / pc)
         results.collect {
           case (n, m) if m.best >= 0 && !m.stalled &&
               p.queries.get(shortKey(n)).exists(v => v > 0 &&
@@ -212,6 +235,14 @@ object Bench {
     (1 to 3).foreach(_ => probe()) // warm the probe's own codegen/JIT
     probeLog.clear() // warmup probes are JIT noise, not host speed
     val calibration = (1 to 5).map(_ => probe()).min
+    // Whole-suite steady-state host speed: the median over the in-band
+    // bracketing probes, trusted only once enough have run to be past
+    // the probe's own JIT curve (~20 executions to steady state,
+    // measured; a full suite takes 1000+). None on a short targeted
+    // run, so normalization falls back to the startup calibrations.
+    def runMedian(): Option[Double] =
+      if (probeLog.size < 50) None
+      else { val sorted = probeLog.sorted; Some(sorted(sorted.size / 2)) }
     val probeLimit = math.max(0.5, calibration * 8)
 
     // Global bound on time spent waiting for stall windows to pass, so a
@@ -274,7 +305,7 @@ object Bench {
     // record lists re-run queries so a reader knows which numbers
     // were adjudicated.
     val targets = reverifyTargets(firstPass, latestPrevBench(), sfDir,
-      calibration)
+      calibration, calMed = runMedian())
     val targetSet = targets.toSet
     val results = firstPass.map { case (name, m) =>
       if (!targetSet(name)) name -> m
@@ -296,15 +327,9 @@ object Bench {
     val total = results.collect { case (_, m) if m.best >= 0 => m.best }.sum
     val stalled = results.collect { case (n, m) if m.stalled => "\"" + shortKey(n) + "\"" }
       .mkString("[", ",", "]")
-    // whole-suite in-band host speed: median of every bracketing probe
-    // taken while the queries ran (startup-cal `cal` stays the
-    // cross-round normalizer for continuity; `cal_med` tells a reader
-    // whether the startup snapshot represented the run)
-    val calMed = {
-      val sorted = probeLog.sorted
-      if (sorted.isEmpty) calibration else sorted(sorted.size / 2)
-    }
-    val prevCmp = prevComparisonJson(calibration, sfDir, results) +
+    val calMed = runMedian().getOrElse(calibration)
+    val prevCmp = prevComparisonJson(calibration, sfDir, results,
+        calMed = runMedian()) +
       s""","cal_med":${fmt(calMed, 3)}""" +
       s""","memo_build_s":${fmt(memoBuildS, 3)}""" +
       s""","memo_builds_n":${buildCounts.values.sum}""" +

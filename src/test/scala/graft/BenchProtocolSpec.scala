@@ -132,6 +132,26 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.reverifyTargets(results, None, Sf, 0.2).isEmpty)
   }
 
+  test("reverifyTargets prefers steady-state medians when both sides " +
+      "carry one") {
+    // startup cals say host is 2x slower (0.4 vs 0.2) which would
+    // excuse 1.9 s vs a 0.5 s prior; the steady-state medians say the
+    // hosts ran at the SAME speed, so the survivor is flagged
+    val prevMed = Some(Bench.PrevBench("BENCH_r13.json", Sf, cal = 0.2,
+      stalled = Set.empty, queries = Map("q1" -> 0.5),
+      calMed = Some(0.1)))
+    val r = Seq("q1_a" -> Bench.Measured(1.9, 3, stalled = false))
+    assert(Bench.reverifyTargets(r, prevMed, Sf, cal = 0.4,
+      calMed = Some(0.1)) == Seq("q1_a"))
+    // either side missing a median: fall back to startup cals (2x
+    // slower host, within band — not flagged)
+    assert(Bench.reverifyTargets(r, prevMed, Sf, cal = 0.4,
+      calMed = None).isEmpty)
+    val prevNoMed = Some(prevMed.get.copy(calMed = None))
+    assert(Bench.reverifyTargets(r, prevNoMed, Sf, cal = 0.4,
+      calMed = Some(0.1)).isEmpty)
+  }
+
   test("prevComparisonJson normalizes by the calibration ratio") {
     // prev: cal 0.2, q1+q2 = 1.0s. now: cal 0.4 (host 2x slower),
     // q1+q2 = 2.0s -> raw ratio 2.0, cal ratio 2.0, normalized 1.0.
