@@ -72,6 +72,102 @@ object VideoCodec {
     }
   }
 
+  /** Find the body range of the `LIST movi` container: (start, end)
+    * byte offsets of its chunk stream (after the `movi` type tag). */
+  private def findMovi(b: Array[Byte], from: Int, to: Int,
+      depth: Int): Option[(Int, Int)] = {
+    if (depth > 8) return None
+    var off = from
+    while (off + 8 <= to) {
+      val id = tag(b, off)
+      val declared = u32(b, off + 4)
+      if (declared > Int.MaxValue.toLong) return None
+      val size = declared.toInt
+      val body = off + 8
+      val end = math.min(to, body + size)
+      if (id == "LIST" && body + 4 <= b.length) {
+        if (tag(b, body) == "movi") return Some((body + 4, end))
+        val hit = findMovi(b, body + 4, end, depth + 1)
+        if (hit.isDefined) return hit
+      }
+      off = body + size + (size & 1)
+      if (off <= body) return None
+    }
+    None
+  }
+
+  /** One video frame inside the `movi` stream: its stream number, byte
+    * offset and length within the container, so a caller can slice the
+    * payload out without this walker copying anything. */
+  final case class FrameRef(stream: Int, offset: Int, length: Int)
+
+  /** Walk `LIST movi` for video-frame chunks (`NNdc` compressed /
+    * `NNdb` uncompressed, NN the two-digit stream number — the public
+    * AVI chunk-id grammar). In an MJPEG AVI every `NNdc` payload is a
+    * standalone JPEG, so slicing these ranges yields per-frame images
+    * the image-side parser can read — real frame EXTRACTION without
+    * pixel-level entropy decode (which still needs a codec library).
+    * `LIST rec ` groupings are descended; non-frame chunks (`NNwb`
+    * audio, `idx1`) are skipped by size. Hostile input: size-capped
+    * walk, `maxFrames` bound, None-shaped empty on malformed files. */
+  def frames(bytes: Array[Byte], maxFrames: Int = 100000)
+      : Seq[FrameRef] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" ||
+      tag(bytes, 8) != "AVI ") return Seq.empty
+    findMovi(bytes, 12, bytes.length, 0) match {
+      case None => Seq.empty
+      case Some((start, end)) =>
+        val out = Seq.newBuilder[FrameRef]
+        var n = 0
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          if (depth > 8) return
+          var off = from
+          while (off + 8 <= to && n < maxFrames) {
+            val id = tag(bytes, off)
+            val declared = u32(bytes, off + 4)
+            if (declared > Int.MaxValue.toLong) return
+            val size = declared.toInt
+            val body = off + 8
+            if (id == "LIST" && body + 4 <= bytes.length &&
+              tag(bytes, body) == "rec ")
+              walk(body + 4, math.min(to, body + size), depth + 1)
+            else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              (id.endsWith("dc") || id.endsWith("db")) &&
+              size > 0 && body + size <= bytes.length) {
+              out += FrameRef((id(0) - '0') * 10 + (id(1) - '0'),
+                body, size)
+              n += 1
+            }
+            off = body + size + (size & 1)
+            if (off <= body) return
+          }
+        }
+        walk(start, end, 0)
+        out.result()
+    }
+  }
+
+  /** Slice a frame's payload out of the container. */
+  def framePayload(bytes: Array[Byte], f: FrameRef): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, f.offset, f.offset + f.length)
+
+  /** MJPEG AVI writer: the header-only writer's movi payload is the
+    * frame JPEGs wrapped as `00dc` chunks (even-padded, per the RIFF
+    * grammar) — a container [[frames]] round-trips, for specs and the
+    * synthetic tables. */
+  def encodeMjpegAvi(width: Int, height: Int, fps: Double,
+      frameJpegs: Seq[Array[Byte]]): Array[Byte] = {
+    val moviLen = frameJpegs.map(f => 8 + f.length + (f.length & 1)).sum
+    val buf = java.nio.ByteBuffer.allocate(moviLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    frameJpegs.foreach { f =>
+      buf.put("00dc".getBytes("US-ASCII")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    encodeAviHeader(width, height, fps, frameJpegs.size.toLong,
+      buf.array())
+  }
+
   /** Minimal header-only AVI writer: RIFF(AVI ) > LIST(hdrl) > avih,
     * followed by an opaque `movi` payload (not decodable frame data —
     * the synthetic tables carry text bytes there). */

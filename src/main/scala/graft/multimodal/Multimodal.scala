@@ -21,8 +21,13 @@ import graft.doc.{AudioCodec, ImageCodec, VideoCodec}
   * zero-crossing rate, amplitude histogram). VIDEO headers are real
   * as well (r12): `kind = video` rows parse through the from-scratch
   * AVI/RIFF header codec ([[graft.doc.VideoCodec]]) for authoritative
-  * width / height / fps / frame count / duration — only frame-pixel
-  * DECODE remains out of scope (no ffmpeg in this container), so
+  * width / height / fps / frame count / duration, and (r13) frame
+  * EXTRACTION is real for MJPEG-style AVIs: [[extractFrames]] walks
+  * the `movi` chunk stream and emits each video frame as a standalone
+  * payload row with its header-parsed geometry — the operation a
+  * frame-level pipeline (sampling, dedup, shipping frames to an
+  * image model) actually needs. Only frame-pixel entropy DECODE
+  * remains out of scope (no ffmpeg in this container), so
   * [[Codecs.decodeStub]] survives solely as the documented fallback
   * for payloads no from-scratch codec recognizes; every operator here
   * is agnostic to that swap.
@@ -469,6 +474,51 @@ object Multimodal {
           lit(everyMs))).as("ts_ms"))
       .withColumn("frame_idx",
         floor(col("ts_ms") / 1000.0 * col("fps")).cast("long"))
+
+  /** One extracted video frame: a standalone image payload sliced out
+    * of its container, with geometry parsed from the frame's own
+    * header. `t_ms` comes from the container's per-frame timing. */
+  final case class VideoFrame(
+      media_id: Long,
+      frame_idx: Int,
+      t_ms: Long,
+      frame_w: Int, // 0 when the frame payload has no parseable header
+      frame_h: Int,
+      n_bytes: Int,
+      frame: Array[Byte])
+
+  /** REAL frame extraction for video rows: walk each container's
+    * `movi` stream ([[graft.doc.VideoCodec.frames]]) and emit one row
+    * per video frame, the payload sliced out as a standalone image the
+    * downstream image path can treat like any other binary column
+    * (MJPEG frames are standalone JPEGs, so [[graft.doc.ImageCodec]]
+    * reads their geometry). Partition-local mapPartitions, no shuffle:
+    * a 100 TB video corpus explodes into frames at scan parallelism,
+    * and the per-video `maxFramesPerVideo` cap bounds a single row's
+    * expansion (drops past the cap are a visible design bound, not a
+    * silent truncation — the cap lands in the last row's frame_idx).
+    * Rows whose container has no parseable frames emit nothing —
+    * header-only or foreign-codec videos degrade to the metadata path,
+    * never to fake frames. */
+  def extractFrames(media: Dataset[Media],
+      maxFramesPerVideo: Int = 10000): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.kind == "video").flatMap { m =>
+        val usPerFrame = VideoCodec.decode(m.content)
+          .map(_.usPerFrame).getOrElse(0L)
+        VideoCodec.frames(m.content, maxFramesPerVideo).iterator
+          .zipWithIndex.map { case (f, i) =>
+            val payload = VideoCodec.framePayload(m.content, f)
+            val dims = ImageCodec.decode(payload)
+            VideoFrame(m.media_id, i, i * usPerFrame / 1000L,
+              dims.map(_.width).getOrElse(0),
+              dims.map(_.height).getOrElse(0),
+              f.length, payload)
+          }
+      }
+    }
+  }
 
   /** Resize metadata transform (the plumbing of an image resize: the
     * payload stays opaque; real deployments rewrite content too). */

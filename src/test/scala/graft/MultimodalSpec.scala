@@ -268,4 +268,67 @@ class MultimodalSpec extends SparkTestBase {
     assert(cands.exists(r =>
       r.getAs[Seq[Long]]("ids").contains(100000L)))
   }
+
+  /** Minimal baseline JPEG (SOI + SOF0 with dims + EOI, 3 components):
+    * a valid marker stream the header parser reads geometry from. At
+    * 23 bytes it is ODD-length, so wrapping it as a movi chunk also
+    * exercises RIFF's even-padding rule. */
+  private def miniJpg(w: Int, h: Int): Array[Byte] =
+    (Array(0xFF, 0xD8,
+      0xFF, 0xC0, 0x00, 0x11, 0x08,
+      (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF, 0x03,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1,
+      0xFF, 0xD9)).map(_.toByte)
+
+  test("extractFrames slices standalone JPEG frames out of an MJPEG " +
+      "AVI with per-frame geometry and container timing") {
+    import spark.implicits._
+    val jpgs = Seq(miniJpg(64, 48), miniJpg(64, 48), miniJpg(32, 24))
+    val avi = graft.doc.VideoCodec.encodeMjpegAvi(64, 48, 25.0, jpgs)
+    val one = spark.createDataset(Seq(Multimodal.Media(
+      7L, "video", avi, "avi", 64, 48, 120L, 25.0)))
+    val frames = Multimodal.extractFrames(one)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    // 25 fps -> 40000 us/frame -> 0, 40, 80 ms
+    assert(frames.map(_.t_ms).toSeq == Seq(0L, 40L, 80L))
+    assert(frames.map(f => (f.frame_w, f.frame_h)).toSeq ==
+      Seq((64, 48), (64, 48), (32, 24)))
+    // the payload is the ORIGINAL standalone JPEG, bit-exact —
+    // even-padding bytes must not leak into the slice
+    frames.zip(jpgs).foreach { case (f, j) =>
+      assert(f.frame.toSeq == j.toSeq && f.n_bytes == j.length)
+    }
+    // the round-trip also survives the container-header decode path
+    val meta = graft.doc.VideoCodec.decode(avi).get
+    assert(meta.nFrames == 3 && meta.width == 64)
+  }
+
+  test("extractFrames emits nothing for header-only, foreign or " +
+      "hostile containers") {
+    import spark.implicits._
+    // the synthetic table's video rows carry TEXT movi payloads (no
+    // frame chunks): metadata stays real, frames stay empty
+    val noFrames = Multimodal.extractFrames(
+      media.filter(_.kind == "video").limit(3))
+    assert(noFrames.count() == 0)
+    // hostile/truncated payloads: no crash, no rows
+    val junk = Seq(
+      Multimodal.Media(1L, "video", Array[Byte](1, 2, 3), "avi",
+        0, 0, 0L, 0.0),
+      Multimodal.Media(2L, "video",
+        java.util.Arrays.copyOf(graft.doc.VideoCodec.encodeMjpegAvi(
+          8, 8, 10.0, Seq(miniJpg(8, 8))), 40), "avi", 0, 0, 0L, 0.0))
+    assert(Multimodal.extractFrames(
+      spark.createDataset(junk)).count() == 0)
+    // the per-video cap bounds a single row's expansion
+    val many = graft.doc.VideoCodec.encodeMjpegAvi(8, 8, 10.0,
+      Seq.fill(10)(miniJpg(8, 8)))
+    val capped = Multimodal.extractFrames(
+      spark.createDataset(Seq(Multimodal.Media(
+        3L, "video", many, "avi", 8, 8, 1000L, 10.0))),
+      maxFramesPerVideo = 4)
+    assert(capped.count() == 4)
+  }
 }
