@@ -414,4 +414,18 @@ object ImageCodec {
     chunk("IEND", Array.empty)
     out.toByteArray
   }
+
+  /** Minimal marker-stream JPEG writer: SOI + SOF0 (3 components at
+    * the given dims) + EOI — no entropy-coded scan data, but a valid
+    * marker stream whose geometry [[decode]] reads back. The
+    * synthetic MJPEG video frames and the codec specs share it. */
+  def encodeMarkerJpeg(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && width < 65536 && height > 0 && height < 65536)
+    Array(0xFF, 0xD8,
+      0xFF, 0xC0, 0x00, 0x11, 0x08,
+      (height >> 8) & 0xFF, height & 0xFF,
+      (width >> 8) & 0xFF, width & 0xFF, 0x03,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1,
+      0xFF, 0xD9).map(_.toByte)
+  }
 }

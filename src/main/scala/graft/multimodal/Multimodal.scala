@@ -360,9 +360,12 @@ object Multimodal {
     * — and audio rows carry REAL WAV payloads — content-seeded mono
     * PCM16 at [[SyntheticAudioRate]] Hz matching the row's declared
     * duration, encoded by [[AudioCodec.encodePcm16]] — and video rows
-    * carry REAL AVI headers at the declared 640x480 / 25 fps timing
-    * ([[VideoCodec.encodeAviHeader]]) wrapping the utf-8 text as the
-    * opaque movi payload — so all three decode paths exercise the
+    * carry REAL AVI containers at the declared 640x480 / 25 fps
+    * timing: every other one a full MJPEG ([[VideoCodec.
+    * encodeMjpegAvi]], one content-seeded marker-stream JPEG per
+    * header frame, so [[extractFrames]] works on the corpus), the
+    * rest header-only with the utf-8 text as an opaque movi payload
+    * (the foreign-codec case) — so all decode paths exercise the
     * actual codecs end to end. */
   def syntheticMediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
@@ -400,9 +403,24 @@ object Multimodal {
               i += 1
             }
             AudioCodec.encodePcm16(SyntheticAudioRate, 1, pcm)
+          } else if (id % 6 == 2) {
+            // every other video is a REAL MJPEG container: one
+            // standalone marker-stream JPEG per header frame with
+            // content-seeded geometry, so frame extraction runs on
+            // the synthetic corpus end to end (same text -> same
+            // container bytes)
+            var s = Codecs.contentHash(text.getBytes("UTF-8"))
+            val n = (durationMs * 25L / 1000L).toInt
+            val frames = (0 until n).map { _ =>
+              s = s * 6364136223846793005L + 1442695040888963407L
+              ImageCodec.encodeMarkerJpeg(
+                16 + ((s >>> 40) & 63).toInt, 16 + ((s >>> 46) & 63).toInt)
+            }
+            VideoCodec.encodeMjpegAvi(640, 480, 25.0, frames)
           } else {
             // real AVI header at the declared geometry/timing, text
-            // bytes as the (opaque, undecodable) movi payload
+            // bytes as the (opaque, undecodable) movi payload — the
+            // foreign-codec case frame extraction must skip
             VideoCodec.encodeAviHeader(640, 480, 25.0,
               nFrames = durationMs * 25L / 1000L,
               moviPayload = text.getBytes("UTF-8"))

@@ -269,16 +269,10 @@ class MultimodalSpec extends SparkTestBase {
       r.getAs[Seq[Long]]("ids").contains(100000L)))
   }
 
-  /** Minimal baseline JPEG (SOI + SOF0 with dims + EOI, 3 components):
-    * a valid marker stream the header parser reads geometry from. At
-    * 23 bytes it is ODD-length, so wrapping it as a movi chunk also
-    * exercises RIFF's even-padding rule. */
+  /** Shared minimal marker-stream JPEG (23 bytes — ODD length, so
+    * wrapping it as a movi chunk also exercises RIFF even-padding). */
   private def miniJpg(w: Int, h: Int): Array[Byte] =
-    (Array(0xFF, 0xD8,
-      0xFF, 0xC0, 0x00, 0x11, 0x08,
-      (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF, 0x03,
-      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1,
-      0xFF, 0xD9)).map(_.toByte)
+    graft.doc.ImageCodec.encodeMarkerJpeg(w, h)
 
   test("extractFrames slices standalone JPEG frames out of an MJPEG " +
       "AVI with per-frame geometry and container timing") {
@@ -305,13 +299,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(meta.nFrames == 3 && meta.width == 64)
   }
 
+  test("extractFrames runs on the synthetic corpus: MJPEG rows " +
+      "explode into their header frame count") {
+    import spark.implicits._
+    val mjpeg = media.filter(m => m.kind == "video" && m.media_id % 6 == 2)
+    val expected = mjpeg.collect()
+      .map(m => m.media_id -> m.duration_ms * 25L / 1000L).toMap
+    assert(expected.nonEmpty)
+    val got = Multimodal.extractFrames(mjpeg).groupByKey(_.media_id)
+      .count().collect().toMap
+    assert(got == expected)
+  }
+
   test("extractFrames emits nothing for header-only, foreign or " +
       "hostile containers") {
     import spark.implicits._
-    // the synthetic table's video rows carry TEXT movi payloads (no
-    // frame chunks): metadata stays real, frames stay empty
+    // the synthetic table's OTHER video rows carry TEXT movi payloads
+    // (no frame chunks): metadata stays real, frames stay empty
     val noFrames = Multimodal.extractFrames(
-      media.filter(_.kind == "video").limit(3))
+      media.filter(m => m.kind == "video" && m.media_id % 6 != 2).limit(3))
     assert(noFrames.count() == 0)
     // hostile/truncated payloads: no crash, no rows
     val junk = Seq(
