@@ -538,6 +538,40 @@ object Multimodal {
     }
   }
 
+  /** Frame-level video near-dup candidates: videos sharing at least
+    * `minShared` identical frame payloads (re-encoded intros,
+    * duplicated segments, re-uploads with different headers — content
+    * a container-level hash misses by construction). Frames hash
+    * partition-locally during extraction, the shuffle carries only
+    * (hash, id) pairs, and hash buckets above `maxBucketSize` are
+    * dropped like every banded-join cap here (a corpus of black
+    * frames would otherwise quadratically explode one bucket); the
+    * pair count is bounded by bucket² per shared hash, never corpus².
+    * Emits (id_a, id_b, shared_frames), id_a < id_b. */
+  def videoFrameDupCandidates(media: Dataset[Media],
+      minShared: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashed = extractFrames(media)
+      .mapPartitions(_.map(f =>
+        (f.media_id, Codecs.contentHash(f.frame))))
+      .toDF("media_id", "fhash")
+      .distinct() // a frame repeated WITHIN one video counts once
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fhash"))
+    val capped = hashed
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    capped.select(col("fhash"), col("media_id").as("id_a"))
+      .join(capped.select(col("fhash"), col("media_id").as("id_b")),
+        Seq("fhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Resize metadata transform (the plumbing of an image resize: the
     * payload stays opaque; real deployments rewrite content too). */
   def resizeMeta(media: Dataset[Media], w: Int, h: Int): Dataset[Media] = {

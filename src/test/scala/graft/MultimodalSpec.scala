@@ -337,4 +337,35 @@ class MultimodalSpec extends SparkTestBase {
       maxFramesPerVideo = 4)
     assert(capped.count() == 4)
   }
+
+  test("videoFrameDupCandidates pairs videos by shared frames, not " +
+      "shared containers") {
+    import spark.implicits._
+    import graft.doc.VideoCodec
+    val shared = Seq(miniJpg(64, 48), miniJpg(32, 24))
+    val uniq = (1 to 4).map(i => miniJpg(100 + i, 80 + i))
+    def vid(id: Long, frames: Seq[Array[Byte]], fps: Double) =
+      Multimodal.Media(id, "video",
+        VideoCodec.encodeMjpegAvi(64, 48, fps, frames), "avi",
+        64, 48, frames.size * 1000L, fps)
+    val vids = spark.createDataset(Seq(
+      // 1 and 2 share both frames but differ in container timing and
+      // extra content: a whole-payload hash can never pair them
+      vid(1L, shared ++ Seq(uniq(0)), 25.0),
+      vid(2L, Seq(uniq(1)) ++ shared, 10.0),
+      // 3 shares only ONE frame with 1: below minShared = 2
+      vid(3L, Seq(shared.head, uniq(2), uniq(3)), 25.0),
+      // 4 repeats one shared frame 5 times WITHIN itself: per-video
+      // distinct keeps that from inflating the pair count
+      vid(4L, Seq.fill(5)(shared.head), 25.0)))
+    val pairs = Multimodal.videoFrameDupCandidates(vids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)))
+    // dropping the threshold surfaces the single-frame overlaps too
+    val loose = Multimodal.videoFrameDupCandidates(vids, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(loose == Set((1L, 2L, 2L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
 }
