@@ -379,12 +379,15 @@ object TextOps {
         // score table is docs-sized — far smaller than the token
         // stream — so at small corpora every later read pays 32 tasks
         // of scheduling for a few thousand rows. Re-cache at ~64k
-        // rows/partition, capped at the session's shuffle partitions:
-        // at 100 TB the cap keeps the layout (coalesce above the
-        // current partition count is a no-op and the preserved doc_id
-        // hash partitioning still feeds co-located joins); locally it
-        // collapses to one task per read. The re-cache pass reads the
-        // just-persisted copy, not the token stream.
+        // rows/partition, capped at the session's shuffle partitions,
+        // so at 100 TB the cached layout never drops below the
+        // session's parallelism; locally it collapses to one task per
+        // read. (Coalesce reports UnknownPartitioning, so consumers
+        // joining on doc_id re-shuffle either way — the cap is about
+        // bounded task counts, not join co-location.) The re-cache
+        // pass reads the just-persisted copy, not the token stream,
+        // and an evicted compact partition recomputes from the
+        // lineage-cut token table, not from the raw corpus.
         val parts = math.max(1L, math.min(
           s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
           (n + 65535L) / 65536L)).toInt
