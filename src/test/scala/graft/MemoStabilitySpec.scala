@@ -23,6 +23,15 @@ import graft.ops.IndexMemo
   * eagerly inside it, so an unstable key moves the counters before
   * any action. Queries that never touch the memo cost only plan
   * analysis on the second pass.
+  *
+  * Deliberately NOT asserted: raw persistent-RDD growth. ~50 queries
+  * legitimately grow `getPersistentRDDs` per construction — every
+  * `GraftSession.cut` mints a call-scoped localCheckpoint RDD that
+  * the ContextCleaner reclaims once the plan is unreachable
+  * (GC-bounded, unlike a memo entry's strong pin) — so that invariant
+  * false-positives by design; the per-instance lifecycle tests in
+  * IndexMemoSpec assert pinned-storage stability where it IS the
+  * contract (memoized index builds).
   */
 class MemoStabilitySpec extends SparkTestBase {
 
