@@ -111,11 +111,32 @@ object Bench {
       cal: Double, stalled: Set[String], queries: Map[String, Double],
       calMed: Option[Double] = None)
 
-  /** The latest committed `BENCH_r<N>.json` in `dir`. The driver wraps
-    * the bench line ESCAPED inside its own JSON (`"tail": "...\"cal\":
-    * ..."`), so `\"` unescapes before the field regexes run — they are
-    * enough because the inner line is machine-written, single-line,
-    * flat. None on any miss so the bench never fails over this. */
+  /** Parse one bench record file. The driver wraps the bench line
+    * ESCAPED inside its own JSON (`"tail": "...\"cal\": ..."`), so
+    * `\"` unescapes before the field regexes run — they are enough
+    * because the inner line is machine-written, single-line, flat. */
+  private def parseBenchFile(f: java.io.File): Option[PrevBench] = {
+    val s = scala.io.Source.fromFile(f)
+    val text = (try s.mkString finally s.close())
+      .replace("\\\"", "\"")
+    for {
+      cal <- CalField.findFirstMatchIn(text).map(_.group(1).toDouble)
+      sf <- SfField.findFirstMatchIn(text).map(_.group(1))
+    } yield {
+      val stalled = StalledField.findFirstMatchIn(text)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      val qs = QNum.findAllMatchIn(text)
+        .map(m2 => m2.group(1) -> m2.group(2).toDouble).toMap
+      val calMed = CalMedField.findFirstMatchIn(text)
+        .map(_.group(1).toDouble).filter(_ > 0)
+      PrevBench(f.getName, sf, cal, stalled, qs, calMed)
+    }
+  }
+
+  /** The latest committed `BENCH_r<N>.json` in `dir`. None on any
+    * miss so the bench never fails over this. */
   private[graft] def latestPrevBench(dir: String = ".")
       : Option[PrevBench] =
     try {
@@ -126,24 +147,20 @@ object Bench {
           case _ => None
         })
         .sortBy(-_._1).headOption.flatMap { case (_, f) =>
-          val s = scala.io.Source.fromFile(f)
-          val text = (try s.mkString finally s.close())
-            .replace("\\\"", "\"")
-          for {
-            cal <- CalField.findFirstMatchIn(text).map(_.group(1).toDouble)
-            sf <- SfField.findFirstMatchIn(text).map(_.group(1))
-          } yield {
-            val stalled = StalledField.findFirstMatchIn(text)
-              .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
-                .stripSuffix("\"")).filter(_.nonEmpty).toSet)
-              .getOrElse(Set.empty[String])
-            val qs = QNum.findAllMatchIn(text)
-              .map(m2 => m2.group(1) -> m2.group(2).toDouble).toMap
-            val calMed = CalMedField.findFirstMatchIn(text)
-              .map(_.group(1).toDouble).filter(_ > 0)
-            PrevBench(f.getName, sf, cal, stalled, qs, calMed)
-          }
+          parseBenchFile(f)
         }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The committed full-precision sidecar (`BENCH_full_local.json`) as
+    * a secondary prior: the official driver record keeps only the
+    * slowest ~130 queries (stdout tail budget), so the FAST queries —
+    * exactly the ones a host stall inflates most dramatically — would
+    * otherwise lose their stall-re-verify bar. None on any miss. */
+  private[graft] def sidecarPrevBench(dir: String = ".")
+      : Option[PrevBench] =
+    try {
+      val f = new java.io.File(dir, "BENCH_full_local.json")
+      if (f.isFile) parseBenchFile(f) else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The host-speed normalizer between two records: the steady-state
@@ -210,6 +227,21 @@ object Bench {
         }
       case _ => Nil
     }
+
+  /** [[reverifyTargets]] against the official record first, then the
+    * sidecar for queries the official record's stdout-truncated query
+    * map is missing — each prior judged with its own cal fields. */
+  private[graft] def reverifyTargetsMerged(
+      results: Seq[(String, Measured)], official: Option[PrevBench],
+      sidecar: Option[PrevBench], sfDir: String, cal: Double,
+      calMed: Option[Double] = None): Seq[String] = {
+    val primary = reverifyTargets(results, official, sfDir, cal, calMed)
+    val known = official.map(_.queries.keySet).getOrElse(Set.empty)
+    val fallback = sidecar.map(p => p.copy(
+      queries = p.queries.filter { case (k, _) => !known.contains(k) }))
+    (primary ++
+      reverifyTargets(results, fallback, sfDir, cal, calMed)).distinct
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -304,8 +336,8 @@ object Bench {
     // stall window has usually passed — and the minimum wins; the
     // record lists re-run queries so a reader knows which numbers
     // were adjudicated.
-    val targets = reverifyTargets(firstPass, latestPrevBench(), sfDir,
-      calibration, calMed = runMedian())
+    val targets = reverifyTargetsMerged(firstPass, latestPrevBench(),
+      sidecarPrevBench(), sfDir, calibration, calMed = runMedian())
     val targetSet = targets.toSet
     val results = firstPass.map { case (name, m) =>
       if (!targetSet(name)) name -> m

@@ -132,6 +132,46 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.reverifyTargets(results, None, Sf, 0.2).isEmpty)
   }
 
+  test("sidecar priors cover queries the truncated official record " +
+      "dropped — and never override ones it kept") {
+    // official record: only q1 survived the stdout truncation; the
+    // sidecar carries q1 (at a DIFFERENT, tighter value) and q2
+    val official = Some(Bench.PrevBench("BENCH_r12.json", Sf, cal = 0.2,
+      stalled = Set.empty, queries = Map("q1" -> 5.0)))
+    val sidecar = Some(Bench.PrevBench("BENCH_full_local.json", Sf,
+      cal = 0.2, stalled = Set.empty,
+      queries = Map("q1" -> 0.5, "q2" -> 0.1)))
+    val results = Seq(
+      // 6.0 vs official 5.0: fine there; the sidecar's 0.5 would flag
+      // it, but the official record takes precedence for q1
+      "q1_a" -> Bench.Measured(6.0, 3, stalled = false),
+      // q2 is MISSING from the official record: the sidecar's 0.1
+      // prior flags this 3.0 s stall survivor
+      "q2_b" -> Bench.Measured(3.0, 3, stalled = false))
+    assert(Bench.reverifyTargetsMerged(results, official, sidecar,
+      Sf, 0.2) == Seq("q2_b"))
+    // no sidecar: only official priors apply
+    assert(Bench.reverifyTargetsMerged(results, official, None,
+      Sf, 0.2).isEmpty)
+    // no official record: the sidecar alone adjudicates both
+    assert(Bench.reverifyTargetsMerged(results, None, sidecar,
+      Sf, 0.2).toSet == Set("q1_a", "q2_b"))
+  }
+
+  test("sidecarPrevBench parses the full-precision sidecar file") {
+    val line = s"""{"metric":"total","value":10.0,"sf":"$Sf",""" +
+      """"cal":0.15,"cal_med":0.11,"stalled":[],""" +
+      """"queries":{"q1":0.6,"q2":0.1}}"""
+    withBenchDir("BENCH_full_local.json" -> line) { dir =>
+      val Some(p) = Bench.sidecarPrevBench(dir)
+      assert(p.cal == 0.15 && p.calMed.contains(0.11) &&
+        p.queries == Map("q1" -> 0.6, "q2" -> 0.1))
+    }
+    withBenchDir() { dir =>
+      assert(Bench.sidecarPrevBench(dir).isEmpty)
+    }
+  }
+
   test("reverifyTargets prefers steady-state medians when both sides " +
       "carry one") {
     // startup cals say host is 2x slower (0.4 vs 0.2) which would
