@@ -236,7 +236,10 @@ object Bench {
       sidecar: Option[PrevBench], sfDir: String, cal: Double,
       calMed: Option[Double] = None): Seq[String] = {
     val primary = reverifyTargets(results, official, sfDir, cal, calMed)
-    val known = official.map(_.queries.keySet).getOrElse(Set.empty)
+    // an official record at a DIFFERENT scale factor adjudicates
+    // nothing — its keys must not mask the sidecar's priors either
+    val known = official.filter(_.sfDir == sfDir)
+      .map(_.queries.keySet).getOrElse(Set.empty)
     val fallback = sidecar.map(p => p.copy(
       queries = p.queries.filter { case (k, _) => !known.contains(k) }))
     (primary ++

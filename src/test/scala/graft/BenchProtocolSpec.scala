@@ -156,6 +156,11 @@ class BenchProtocolSpec extends AnyFunSuite {
     // no official record: the sidecar alone adjudicates both
     assert(Bench.reverifyTargetsMerged(results, None, sidecar,
       Sf, 0.2).toSet == Set("q1_a", "q2_b"))
+    // an official record at a DIFFERENT sf adjudicates nothing AND
+    // must not mask the sidecar's priors for the keys it carries
+    val otherSf = official.map(_.copy(sfDir = "/other/sf"))
+    assert(Bench.reverifyTargetsMerged(results, otherSf, sidecar,
+      Sf, 0.2).toSet == Set("q1_a", "q2_b"))
   }
 
   test("sidecarPrevBench parses the full-precision sidecar file") {
