@@ -50,6 +50,17 @@ import scala.collection.mutable.ArrayBuffer
   * by that normalizer; ~1.0 means same engine speed once host variance
   * is removed). Stalled queries on either side are excluded from the
   * shared set.
+  *
+  * Host-drift self-labeling (r14, mechanizing the r13 verdict's manual
+  * adjudication): the sum-based shared ratio is dominated by a few slow
+  * movers, so the record also carries `shared_median_ratio` — the
+  * per-query MEDIAN calnorm ratio vs the prior record — and flags
+  * `host_drift` when that median leaves the ±20% band. A drifted first
+  * pass additionally tightens the stall-reverify trigger from 2.5x to
+  * 1.8x, so a uniformly slow host period re-runs its ~2x cohort instead
+  * of certifying it (r13 shipped 14 queries between 2.0x and 2.75x that
+  * way). The stdout `reverified` list truncates to 40 with the full
+  * count in `reverified_n`; the sidecar keeps the complete list.
   */
 object Bench {
   private val LineBudget = 1900
@@ -170,11 +181,65 @@ object Bench {
     * `cal` sits mid-curve and drifts 0.143-0.256 on unchanged code —
     * the medians, taken over hundreds of steady-state probes spanning
     * the same wall window as the queries, are the comparable pair. */
-  private def calPair(cal: Double, calMed: Option[Double],
+  private[graft] def calPair(cal: Double, calMed: Option[Double],
       p: PrevBench): (Double, Double) = (calMed, p.calMed) match {
     case (Some(a), Some(b)) => (a, b)
     case _ => (cal, p.cal)
   }
+
+  /** Per-query cal-normalized ratios vs a prior record — the basis of
+    * the drift median. One entry per query that is clean on BOTH
+    * sides at the same scale factor; each prior is normalized with
+    * its own [[calPair]]. Pure logic: BenchProtocolSpec. */
+  private[graft] def calnormRatios(results: Seq[(String, Measured)],
+      prev: Option[PrevBench], sfDir: String, cal: Double,
+      calMed: Option[Double] = None): Seq[Double] =
+    prev match {
+      case Some(p) if p.sfDir == sfDir =>
+        val (c, pc) = calPair(cal, calMed, p)
+        if (c <= 0 || pc <= 0) Nil
+        else results.collect {
+          case (n, m) if m.best > 0 && !m.stalled &&
+              p.queries.get(shortKey(n)).exists(v => v > 0 &&
+                !p.stalled(shortKey(n))) =>
+            (m.best / p.queries(shortKey(n))) / (c / pc)
+        }
+      case _ => Nil
+    }
+
+  /** [[calnormRatios]] against the official record plus the sidecar
+    * for queries its stdout-truncated query map is missing — the same
+    * merge rule as [[reverifyTargetsMerged]]. */
+  private[graft] def calnormRatiosMerged(results: Seq[(String, Measured)],
+      official: Option[PrevBench], sidecar: Option[PrevBench],
+      sfDir: String, cal: Double, calMed: Option[Double] = None)
+      : Seq[Double] = {
+    val known = official.filter(_.sfDir == sfDir)
+      .map(_.queries.keySet).getOrElse(Set.empty)
+    val fallback = sidecar.map(p => p.copy(
+      queries = p.queries.filter { case (k, _) => !known.contains(k) }))
+    calnormRatios(results, official, sfDir, cal, calMed) ++
+      calnormRatios(results, fallback, sfDir, cal, calMed)
+  }
+
+  /** Median of the per-query calnorm ratios — a host-drift figure the
+    * sum-based `shared_ratio_calnorm` can't give (a few slow movers
+    * dominate a sum; uniform drift moves the median). None under 20
+    * shared queries: a targeted run's median is sampling noise. */
+  private[graft] def sharedMedianRatio(ratios: Seq[Double])
+      : Option[Double] =
+    if (ratios.size < 20) None
+    else { val s = ratios.sorted; Some(s(s.size / 2)) }
+
+  /** The r13 verdict's adjudication rule, mechanized: a per-query
+    * median calnorm ratio outside the ±20% noise band means the host
+    * (or the normalizer) drifted broadly — the record self-labels
+    * `host_drift` so a reader distrusts cross-round per-query deltas,
+    * and the stall-reverify trigger tightens from 2.5x to 1.8x so the
+    * drifted cohort is re-run instead of certified (r13's 14 queries
+    * between 2.0x and 2.75x sailed under the spike-calibrated 2.5x). */
+  private[graft] def isHostDrift(medianRatio: Option[Double]): Boolean =
+    medianRatio.exists(m => m < 0.8 || m > 1.2)
 
   /** The `,"prev":...` JSON fragment comparing this run to the previous
     * round's record, cal-normalized; empty when no sound comparison
@@ -214,7 +279,7 @@ object Bench {
     * logic: unit-tested in BenchProtocolSpec. */
   private[graft] def reverifyTargets(results: Seq[(String, Measured)],
       prev: Option[PrevBench], sfDir: String, cal: Double,
-      calMed: Option[Double] = None): Seq[String] =
+      calMed: Option[Double] = None, factor: Double = 2.5): Seq[String] =
     prev match {
       case Some(p) if p.sfDir == sfDir && p.cal > 0 && cal > 0 =>
         val (c, pc) = calPair(cal, calMed, p)
@@ -223,7 +288,7 @@ object Bench {
           case (n, m) if m.best >= 0 && !m.stalled &&
               p.queries.get(shortKey(n)).exists(v => v > 0 &&
                 !p.stalled(shortKey(n)) &&
-                m.best > math.max(2.5 * v, v + 0.25) * host) => n
+                m.best > math.max(factor * v, v + 0.25) * host) => n
         }
       case _ => Nil
     }
@@ -234,8 +299,9 @@ object Bench {
   private[graft] def reverifyTargetsMerged(
       results: Seq[(String, Measured)], official: Option[PrevBench],
       sidecar: Option[PrevBench], sfDir: String, cal: Double,
-      calMed: Option[Double] = None): Seq[String] = {
-    val primary = reverifyTargets(results, official, sfDir, cal, calMed)
+      calMed: Option[Double] = None, factor: Double = 2.5): Seq[String] = {
+    val primary =
+      reverifyTargets(results, official, sfDir, cal, calMed, factor)
     // an official record at a DIFFERENT scale factor adjudicates
     // nothing — its keys must not mask the sidecar's priors either
     val known = official.filter(_.sfDir == sfDir)
@@ -243,7 +309,8 @@ object Bench {
     val fallback = sidecar.map(p => p.copy(
       queries = p.queries.filter { case (k, _) => !known.contains(k) }))
     (primary ++
-      reverifyTargets(results, fallback, sfDir, cal, calMed)).distinct
+      reverifyTargets(results, fallback, sfDir, cal, calMed, factor))
+      .distinct
   }
 
   def main(args: Array[String]): Unit = {
@@ -339,8 +406,17 @@ object Bench {
     // stall window has usually passed — and the minimum wins; the
     // record lists re-run queries so a reader knows which numbers
     // were adjudicated.
-    val targets = reverifyTargetsMerged(firstPass, latestPrevBench(),
-      sidecarPrevBench(), sfDir, calibration, calMed = runMedian())
+    val official = latestPrevBench()
+    val sidecarPrior = sidecarPrevBench()
+    // host-drift check BEFORE reverify: a broadly drifted first pass
+    // (median calnorm ratio outside ±20%) tightens the trigger so the
+    // ~2x cohort a uniform slow period inflates gets re-run too
+    val driftMed = sharedMedianRatio(calnormRatiosMerged(firstPass,
+      official, sidecarPrior, sfDir, calibration, runMedian()))
+    val factor = if (isHostDrift(driftMed)) 1.8 else 2.5
+    val targets = reverifyTargetsMerged(firstPass, official,
+      sidecarPrior, sfDir, calibration, calMed = runMedian(),
+      factor = factor)
     val targetSet = targets.toSet
     val results = firstPass.map { case (name, m) =>
       if (!targetSet(name)) name -> m
@@ -357,20 +433,29 @@ object Bench {
     val buildCounts = graft.ops.IndexMemo.buildCounts
     val buildsJson = buildCounts.toSeq.sortBy(_._1)
       .map { case (t, n) => "\"" + t + "\":" + n }.mkString("{", ",", "}")
-    val reverifiedJson = targets.take(40)
+    def reverifiedJson(keep: Int): String = targets.take(keep)
       .map(n => "\"" + shortKey(n) + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, m) if m.best >= 0 => m.best }.sum
     val stalled = results.collect { case (n, m) if m.stalled => "\"" + shortKey(n) + "\"" }
       .mkString("[", ",", "]")
-    val calMed = runMedian().getOrElse(calibration)
+    // the shipped numbers' own drift label (post-reverify: a rescued
+    // cohort may be back in band); the factor above used the first pass
+    val finalMed = sharedMedianRatio(calnormRatiosMerged(results,
+      official, sidecarPrior, sfDir, calibration, runMedian()))
     val prevCmp = prevComparisonJson(calibration, sfDir, results,
         calMed = runMedian()) +
-      s""","cal_med":${fmt(calMed, 3)}""" +
+      finalMed.map(v => s""","shared_median_ratio":${fmt(v, 3)}""" +
+        (if (isHostDrift(finalMed)) ""","host_drift":true""" else ""))
+        .getOrElse("") +
+      // cal_med is OMITTED on short targeted runs (<50 in-band probes):
+      // a mid-JIT-curve startup snapshot under a steady-state field
+      // name would mislead calPair in later cross-round comparisons
+      runMedian().map(v => s""","cal_med":${fmt(v, 3)}""").getOrElse("") +
       s""","memo_build_s":${fmt(memoBuildS, 3)}""" +
       s""","memo_builds_n":${buildCounts.values.sum}""" +
-      s""","reverified":$reverifiedJson"""
+      s""","reverified_n":${targets.size}"""
     val out = assembleLine(results, total, calibration, sfDir, stalled,
-      prevCmp)
+      prevCmp + s""","reverified":${reverifiedJson(40)}""")
     // the suite outgrew the stdout budget (180+ queries x 3 decimals >
     // 1900 chars), so the degraded stdout line is no longer the whole
     // record: the FULL-precision line (3 decimals + the prev-comparison
@@ -380,7 +465,9 @@ object Bench {
     if (args.isEmpty) {
       val sidecar = java.nio.file.Paths.get("BENCH_full_local.json")
       try java.nio.file.Files.writeString(sidecar,
-        fullLine(results, total, calibration, sfDir, stalled, prevCmp,
+        fullLine(results, total, calibration, sfDir, stalled,
+          prevCmp +
+            s""","reverified":${reverifiedJson(Int.MaxValue)}""",
           buildsJson) + "\n")
       catch {
         case scala.util.control.NonFatal(e) =>

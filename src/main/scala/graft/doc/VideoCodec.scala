@@ -45,7 +45,7 @@ object VideoCodec {
       if (declared > Int.MaxValue.toLong) return None
       val size = declared.toInt
       val body = off + 8
-      val end = math.min(to, body + size)
+      val end = math.min(to.toLong, body.toLong + size).toInt
       if (id == "avih" && body + 40 <= b.length) return Some(body)
       if (id == "LIST" && body + 4 <= b.length) {
         val hit = findAvih(b, body + 4, end, depth + 1)
@@ -84,7 +84,7 @@ object VideoCodec {
       if (declared > Int.MaxValue.toLong) return None
       val size = declared.toInt
       val body = off + 8
-      val end = math.min(to, body + size)
+      val end = math.min(to.toLong, body.toLong + size).toInt
       if (id == "LIST" && body + 4 <= b.length) {
         if (tag(b, body) == "movi") return Some((body + 4, end))
         val hit = findMovi(b, body + 4, end, depth + 1)
@@ -130,10 +130,14 @@ object VideoCodec {
             val body = off + 8
             if (id == "LIST" && body + 4 <= bytes.length &&
               tag(bytes, body) == "rec ")
-              walk(body + 4, math.min(to, body + size), depth + 1)
+              walk(body + 4,
+                math.min(to.toLong, body.toLong + size).toInt, depth + 1)
             else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
               (id.endsWith("dc") || id.endsWith("db")) &&
-              size > 0 && body + size <= bytes.length) {
+              // long arithmetic: a hostile size near Int.MaxValue wraps
+              // `body + size` negative and would pass an Int compare,
+              // emitting a FrameRef whose copyOfRange then throws
+              size > 0 && body.toLong + size <= bytes.length) {
               out += FrameRef((id(0) - '0') * 10 + (id(1) - '0'),
                 body, size)
               n += 1

@@ -472,14 +472,27 @@ object Curation {
     * constants (scores are already round-6). Returns per
     * (lang, bucket) counts with round-6 score min/max.
     *
-    * The rank lookup is ONE sorted-array aggregate over the sample
-    * (sort_array on (score, doc_id) structs ties exactly like the
-    * window's ORDER BY), not a count-broadcast + global-window +
-    * re-aggregate chain: same two constants, one scheduled stage pair
-    * instead of four — per-call latency is stage overhead, not data,
-    * once [[TextOps.bigramNll]]'s memoized score table is warm. The
-    * sample lands on one node either way (the window device was a
-    * single-partition sort); CCNet itself bounds it by sampling. */
+    * The rank lookup is the two-level subsplit device of
+    * [[Profiling.equiDepthHistogram]] plus a pruning refinement, NOT
+    * a whole-sample `sort_array(collect_list(...))` aggregate (the
+    * r13 shape: one task holding every sampled (score, doc_id)
+    * struct — tens of GB at 10^9 documents) and NOT a bare global
+    * window (same single task, as a sort). Sampled rows hash into
+    * value-range subsplits (`floor(mean_nll * 64)` — a prefix of the
+    * (mean_nll, doc_id) sort order, so the global rank decomposes
+    * exactly); each subsplit's offset and the total m come from
+    * windows over the tiny per-subsplit count table (value-range
+    * sized, ~64 rows per nll unit). The refinement: the count table
+    * alone already identifies WHICH one or two subsplits own ranks
+    * ceil(m/3) and ceil(2m/3), so only those subsplits' rows — a
+    * 1/(64·spread) sliver of the sample, not the sample — are
+    * broadcast-filtered out, `row_number`-ranked within their
+    * subsplit, and matched against the target ranks. Nothing
+    * corpus-proportional ever lands in one task (an owning subsplit
+    * is sorted in one task, but it is 2-3 orders of magnitude below
+    * the sample and halves again with each step refinement). Ranks,
+    * order, and tie-break are identical to the r13 device, so the
+    * oracle hash cannot move. */
   def perplexityBuckets(s: SparkSession, d: String): DataFrame = {
     // the LM score table feeds both the cutoff branch and the labeling
     // branch; bigramNll memoizes one persisted copy internally (keyed
@@ -487,18 +500,34 @@ object Curation {
     // returned plan can never hit), so both reads here are cache scans
     val nll = graft.ops.TextOps.bigramNll(s, d)
     val sample = nll.filter(hashKeep(col("doc_id"), lit("3f")))
-    def rankScore(arr: Column, rank: Column): Column =
-      when(size(arr) > 0,
-        element_at(arr, greatest(lit(1), rank.cast("int")))
-          .getField("mean_nll"))
+      .select(col("mean_nll"), col("doc_id"))
+      .withColumn("sub", floor(col("mean_nll") * lit(64.0)).cast("long"))
+    val wOff = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // (sub, off, m, sub_n): global-rank offsets over the tiny count
+    // table; then keep only the subsplit(s) owning the target ranks
+    val targets = sample.groupBy(col("sub"))
+      .agg(count(lit(1)).as("sub_n"))
+      .select(col("sub"), col("sub_n"),
+        coalesce(sum(col("sub_n")).over(wOff), lit(0L)).as("off"),
+        sum(col("sub_n")).over(wAll).as("m"))
+      .select(col("sub"), col("off"),
+        ceil(col("m") / lit(3.0)).as("r1"),
+        ceil(col("m") * 2 / lit(3.0)).as("r2"), col("sub_n"))
+      .filter(
+        (col("r1") > col("off") && col("r1") <= col("off") + col("sub_n")) ||
+        (col("r2") > col("off") && col("r2") <= col("off") + col("sub_n")))
+      .select(col("sub"), col("off"), col("r1"), col("r2"))
+    val wSub = Window.partitionBy(col("sub"))
+      .orderBy(col("mean_nll"), col("doc_id"))
     val cuts = sample
-      .agg(sort_array(collect_list(struct(col("mean_nll"),
-        col("doc_id")))).as("arr"))
-      .select(
-        rankScore(col("arr"), ceil(size(col("arr")) / lit(3.0)))
-          .as("c1"),
-        rankScore(col("arr"), ceil(size(col("arr")) * 2 / lit(3.0)))
-          .as("c2"))
+      .join(broadcast(targets), "sub")
+      .withColumn("grk", col("off") + row_number().over(wSub))
+      .agg(
+        max(when(col("grk") === col("r1"), col("mean_nll"))).as("c1"),
+        max(when(col("grk") === col("r2"), col("mean_nll"))).as("c2"))
     nll
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
         Seq("doc_id"))

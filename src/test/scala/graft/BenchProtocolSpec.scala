@@ -197,6 +197,73 @@ class BenchProtocolSpec extends AnyFunSuite {
       calMed = Some(0.1)).isEmpty)
   }
 
+  test("calPair picks steady-state medians only when both sides " +
+      "carry one") {
+    // r14 activation check: r13 was the first record to EMIT cal_med,
+    // so r14 is the first comparison where both sides carry it — the
+    // normalizer must switch to the medians there and keep the startup
+    // fallback everywhere else (the path r13 itself exercised)
+    val withMed = Bench.PrevBench("BENCH_r13.json", Sf, cal = 0.2,
+      stalled = Set.empty, queries = Map("q1" -> 0.5),
+      calMed = Some(0.1))
+    assert(Bench.calPair(0.4, Some(0.12), withMed) == (0.12, 0.1))
+    assert(Bench.calPair(0.4, None, withMed) == (0.4, 0.2))
+    val noMed = withMed.copy(calMed = None)
+    assert(Bench.calPair(0.4, Some(0.12), noMed) == (0.4, 0.2))
+    assert(Bench.calPair(0.4, None, noMed) == (0.4, 0.2))
+  }
+
+  test("uniform ~2x host drift is self-labeled and widens the " +
+      "reverify set") {
+    // the r13 adjudication, mechanized: 24 shared queries uniformly
+    // 2.1x their prior (cal ratio 1.0) — each individually under the
+    // spike-calibrated 2.5x trigger, so the old rule certified all of
+    // them. The median calnorm ratio reads the drift; the flag
+    // tightens the factor to 1.8x and the whole cohort re-runs.
+    val prior = Some(Bench.PrevBench("BENCH_r13.json", Sf, cal = 0.2,
+      stalled = Set.empty,
+      queries = (1 to 24).map(i => s"q$i" -> 2.0).toMap,
+      calMed = Some(0.1)))
+    val drifted = (1 to 24).map(i =>
+      s"q${i}_x" -> Bench.Measured(4.2, 3, stalled = false))
+    val ratios = Bench.calnormRatiosMerged(drifted, prior, None, Sf,
+      cal = 0.2, calMed = Some(0.1))
+    val med = Bench.sharedMedianRatio(ratios)
+    assert(med.exists(m => m > 2.0 && m < 2.2))
+    assert(Bench.isHostDrift(med))
+    // old trigger: nothing flagged; drift-tightened trigger: everything
+    assert(Bench.reverifyTargetsMerged(drifted, prior, None, Sf, 0.2,
+      calMed = Some(0.1), factor = 2.5).isEmpty)
+    assert(Bench.reverifyTargetsMerged(drifted, prior, None, Sf, 0.2,
+      calMed = Some(0.1), factor = 1.8).size == 24)
+    // an in-band run neither flags nor widens
+    val clean = (1 to 24).map(i =>
+      s"q${i}_x" -> Bench.Measured(2.1, 3, stalled = false))
+    val cleanMed = Bench.sharedMedianRatio(Bench.calnormRatiosMerged(
+      clean, prior, None, Sf, cal = 0.2, calMed = Some(0.1)))
+    assert(cleanMed.exists(m => m > 1.0 && m < 1.1))
+    assert(!Bench.isHostDrift(cleanMed))
+    // under 20 shared queries the median is sampling noise: no label,
+    // no tightening (a targeted run never self-labels drift)
+    assert(Bench.sharedMedianRatio(ratios.take(19)).isEmpty)
+    assert(!Bench.isHostDrift(None))
+    // the median normalizes by calPair like everything else: the same
+    // 2.1x raw drift on a host whose medians say it runs 2.1x slower
+    // is NOT drift
+    val slowHost = Bench.sharedMedianRatio(Bench.calnormRatiosMerged(
+      drifted, prior, None, Sf, cal = 0.42, calMed = Some(0.21)))
+    assert(slowHost.exists(m => m > 0.95 && m < 1.05))
+    assert(!Bench.isHostDrift(slowHost))
+    // sidecar priors feed the median for keys the official record
+    // dropped — same merge rule as the reverify set
+    val officialTrunc = Some(prior.get.copy(
+      queries = prior.get.queries.filter(_._1 == "q1")))
+    val sidecar = Some(prior.get.copy(name = "BENCH_full_local.json"))
+    val merged = Bench.calnormRatiosMerged(drifted, officialTrunc,
+      sidecar, Sf, cal = 0.2, calMed = Some(0.1))
+    assert(merged.size == 24)
+  }
+
   test("prevComparisonJson normalizes by the calibration ratio") {
     // prev: cal 0.2, q1+q2 = 1.0s. now: cal 0.4 (host 2x slower),
     // q1+q2 = 2.0s -> raw ratio 2.0, cal ratio 2.0, normalized 1.0.

@@ -328,6 +328,23 @@ class MultimodalSpec extends SparkTestBase {
           8, 8, 10.0, Seq(miniJpg(8, 8))), 40), "avi", 0, 0, 0L, 0.0))
     assert(Multimodal.extractFrames(
       spark.createDataset(junk)).count() == 0)
+    // a declared chunk size near Int.MaxValue must not wrap the bounds
+    // check negative: frames() promises empty, not copyOfRange throws
+    val wrap = graft.doc.VideoCodec.encodeMjpegAvi(
+      8, 8, 10.0, Seq(miniJpg(8, 8)))
+    val dcAt = {
+      // locate the 00dc tag and poison its declared size
+      val needle = "00dc".getBytes("US-ASCII")
+      (0 until wrap.length - 4).find(i =>
+        wrap(i) == needle(0) && wrap(i + 1) == needle(1) &&
+          wrap(i + 2) == needle(2) && wrap(i + 3) == needle(3)).get
+    }
+    val sz = Int.MaxValue - 4 // > file len, but body+size wraps negative
+    wrap(dcAt + 4) = (sz & 0xff).toByte
+    wrap(dcAt + 5) = ((sz >> 8) & 0xff).toByte
+    wrap(dcAt + 6) = ((sz >> 16) & 0xff).toByte
+    wrap(dcAt + 7) = ((sz >> 24) & 0xff).toByte
+    assert(graft.doc.VideoCodec.frames(wrap).isEmpty)
     // the per-video cap bounds a single row's expansion
     val many = graft.doc.VideoCodec.encodeMjpegAvi(8, 8, 10.0,
       Seq.fill(10)(miniJpg(8, 8)))

@@ -95,7 +95,9 @@ class PlanShapeSpec extends SparkTestBase {
         "mannWhitney" ->
           (() => graft.ops.Profiling.mannWhitney(spark, sf(""))),
         "giniSpend" ->
-          (() => graft.ops.Profiling.giniSpend(spark, sf(""))))) {
+          (() => graft.ops.Profiling.giniSpend(spark, sf(""))),
+        "perplexityBuckets" ->
+          (() => graft.ops.Curation.perplexityBuckets(spark, sf(""))))) {
         val plan = mk().queryExecution.executedPlan
         val globals = plan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
@@ -126,6 +128,32 @@ class PlanShapeSpec extends SparkTestBase {
         }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("perplexityBuckets: no ungrouped corpus-proportional collect") {
+    // the r13 cutoff device put ~25% of all doc scores into ONE
+    // sort_array(collect_list(...)) aggregate — a single task holding
+    // tens of GB at 10^9 documents. The r14 subsplit-rank rewrite must
+    // never regress: an Aggregate with EMPTY grouping whose functions
+    // include collect_list/collect_set accumulates its whole input in
+    // one task, and nothing in this plan's lineage is
+    // corpus-independent (grouped collects — per-doc, per-bucket —
+    // remain fine and are used elsewhere).
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, CollectList, CollectSet}
+    val plan = graft.ops.Curation.perplexityBuckets(spark, sf(""))
+      .queryExecution.optimizedPlan
+    val offenders = plan.collect {
+      case a: Aggregate if a.groupingExpressions.isEmpty =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case e: AggregateExpression
+              if e.aggregateFunction.isInstanceOf[CollectList] ||
+                e.aggregateFunction.isInstanceOf[CollectSet] => e
+        })
+    }.flatten
+    assert(offenders.isEmpty,
+      s"single-task whole-input collect in cutoff branch: $offenders")
   }
 
   test("hardNegatives shuffles bounded top-k state, no embedding arrays") {
