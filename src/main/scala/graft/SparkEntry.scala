@@ -1472,15 +1472,42 @@ object SparkEntry {
         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
-    "q64_token_quantiles" ->
-      """SELECT source,
-        |  round(quantile_cont(t, 0.5), 6) AS p50,
-        |  round(quantile_cont(t, 0.9), 6) AS p90,
-        |  round(quantile_cont(t, 0.99), 6) AS p99
-        |FROM (SELECT source,
-        |        CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS t
-        |      FROM documents) x
-        |GROUP BY source ORDER BY source""".stripMargin,
+    // histogram + interpolated-rank quantiles: the identical R-7
+    // expression the Spark side evaluates (quantile_cont would match
+    // numerically, but mirroring the histogram device keeps the float
+    // expression tree identical by construction)
+    "q64_token_quantiles" -> {
+      def h(q: String) =
+        s"CAST(n - 1 AS DOUBLE) * CAST($q AS DOUBLE)"
+      def los(q: String, tag: String) =
+        s"""MIN(CASE WHEN cum >= floor(${h(q)}) + 1 THEN t END)
+           |      AS lo$tag,
+           |    MIN(CASE WHEN cum >= ceil(${h(q)}) + 1 THEN t END)
+           |      AS hi$tag""".stripMargin
+      def interp(q: String, tag: String) =
+        s"""round(CASE WHEN floor(${h(q)}) = ceil(${h(q)}) THEN lo$tag
+           |    ELSE (ceil(${h(q)}) - ${h(q)}) * lo$tag
+           |      + (${h(q)} - floor(${h(q)})) * hi$tag END, 6)
+           |    AS p$tag""".stripMargin
+      s"""WITH hist AS (SELECT source,
+         |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS t,
+         |    COUNT(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |r AS (SELECT source, t,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY t) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM hist),
+         |q AS (SELECT source, MAX(n) AS n,
+         |    ${los("0.5", "50")},
+         |    ${los("0.9", "90")},
+         |    ${los("0.99", "99")}
+         |  FROM r GROUP BY source)
+         |SELECT source,
+         |  ${interp("0.5", "50")},
+         |  ${interp("0.9", "90")},
+         |  ${interp("0.99", "99")}
+         |FROM q ORDER BY source""".stripMargin
+    },
     "q65_rollup_revenue" ->
       s"""SELECT COALESCE(o_year, -1) AS o_year,
          |  COALESCE(o_month, -1) AS o_month,

@@ -119,17 +119,50 @@ object TextOps {
         sum(subwordCount(col("text"))).cast("long").as("total_subwords"))
 
   /** Exact token-count quantiles per source (R-7 linear interpolation,
-    * matched by DuckDB's quantile_cont over DOUBLEs). Exact quantiles
-    * shuffle the group's values; at 100 TB swap in
-    * approx_percentile — same call shape, sketch-mergeable. */
+    * the formula `percentile`/quantile_cont evaluate), computed on the
+    * per-source token-count HISTOGRAM instead of Percentile's
+    * collect-the-group buffer. Percentile materializes every group
+    * value in one aggregation task — group-row-sized state, the
+    * grouped cousin of the q119 single-task class — while the
+    * histogram is bounded by the token VALUE RANGE (max tokens per
+    * document), so per-task state at 100 TB is value-range-sized
+    * regardless of how many documents a source holds: the q136
+    * rank-at-ceil device generalized to interpolated ranks. The
+    * oracle mirrors the identical histogram + interpolation
+    * expression, so the hash stays exact by construction. */
   def tokenQuantiles(s: SparkSession, d: String): DataFrame = {
     val t = tokenCount(col("text")).cast("double")
-    Tables.documents(s, d)
-      .groupBy(col("source"))
-      .agg(
-        round(percentile(t, lit(0.5)), 6).as("p50"),
-        round(percentile(t, lit(0.9)), 6).as("p90"),
-        round(percentile(t, lit(0.99)), 6).as("p99"))
+    val hist = Tables.documents(s, d)
+      .groupBy(col("source"), t.as("t"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val r = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    // 0-based interpolated position h = (n-1)*q; the value at 0-based
+    // rank k is the first histogram row whose cumulative count
+    // reaches k+1
+    def pos(q: Double): Column = (col("n") - 1).cast("double") * lit(q)
+    def vAt(rank0: Column): Column =
+      min(when(col("cum") >= rank0 + 1, col("t")))
+    val aggs = max(col("n")).as("n") +: Seq(
+      (0.5, "50"), (0.9, "90"), (0.99, "99")).flatMap { case (q, tag) =>
+      Seq(vAt(floor(pos(q))).as(s"lo$tag"),
+        vAt(ceil(pos(q))).as(s"hi$tag"))
+    }
+    def interp(q: Double, tag: String): Column = {
+      val p = pos(q)
+      val loR = floor(p)
+      val hiR = ceil(p)
+      round(when(loR === hiR, col(s"lo$tag"))
+        .otherwise((hiR.cast("double") - p) * col(s"lo$tag")
+          + (p - loR.cast("double")) * col(s"hi$tag")), 6).as(s"p$tag")
+    }
+    r.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .select(col("source"),
+        interp(0.5, "50"), interp(0.9, "90"), interp(0.99, "99"))
   }
 
   /** Corpus heavy hitters: the top-k most frequent tokens. Exact
@@ -798,16 +831,37 @@ object TextOps {
       .select(col("doc_id"),
         log((col("offt") + col("cwt")).cast("double")).as("x"),
         log((col("offv") + col("cwv")).cast("double")).as("y"))
-    val lst = sort_array(collect_list(
-      struct(col("doc_id"), col("x"), col("y"))))
-    def fsum(f: Column => Column): Column => Column = l =>
-      aggregate(transform(l, st => f(st)), lit(0.0), (acc, v) => acc + v)
-    pts.agg(count(lit(1)).as("n"), lst.as("l"))
+    // two-level deterministic fold (r14): pts is corpus/10 rows, so a
+    // whole-table ungrouped sorted collect is the q119 single-task
+    // class (tens of GB of structs at 10^9 documents). The regression
+    // sums instead fold within doc_id%4096 residue classes (each
+    // n/4096, a partitioned grouped collect) in doc_id order, then the
+    // <=4096 class partials fold in class order — a different but
+    // equally deterministic association the oracle mirrors term for
+    // term, so both engines still agree bit-for-bit. Single-task state
+    // is O(4096), never O(corpus).
+    def fold1(v: Column): Column =
+      aggregate(
+        transform(
+          sort_array(collect_list(struct(col("doc_id"), v.as("v")))),
+          st => st.getField("v")),
+        lit(0.0), (acc, x) => acc + x)
+    val psub = pts.withColumn("fs", expr("doc_id % 4096"))
+      .groupBy(col("fs"))
+      .agg(count(lit(1)).as("c"),
+        fold1(col("x")).as("px"), fold1(col("y")).as("py"),
+        fold1(col("x") * col("y")).as("pxy"),
+        fold1(col("x") * col("x")).as("pxx"))
+    def fold2(v: Column): Column =
+      aggregate(
+        transform(sort_array(collect_list(struct(col("fs"), v.as("v")))),
+          st => st.getField("v")),
+        lit(0.0), (acc, x) => acc + x)
+    psub.agg(sum(col("c")).as("n"),
+        fold2(col("px")).as("sx"), fold2(col("py")).as("sy"),
+        fold2(col("pxy")).as("sxy"), fold2(col("pxx")).as("sxx"))
       .select(col("n"), col("n").cast("double").as("nd"),
-        fsum(st => st.getField("x"))(col("l")).as("sx"),
-        fsum(st => st.getField("y"))(col("l")).as("sy"),
-        fsum(st => st.getField("x") * st.getField("y"))(col("l")).as("sxy"),
-        fsum(st => st.getField("x") * st.getField("x"))(col("l")).as("sxx"))
+        col("sx"), col("sy"), col("sxy"), col("sxx"))
       .select(col("n").as("n_points"),
         round((col("nd") * col("sxy") - col("sx") * col("sy"))
           / (col("nd") * col("sxx") - col("sx") * col("sx")), 6)
@@ -836,13 +890,19 @@ object TextOps {
       |pts AS (SELECT doc_id, ln(CAST(ct AS DOUBLE)) AS x,
       |          ln(CAST(cv AS DOUBLE)) AS y
       |        FROM cum WHERE doc_id % 10 = 0),
-      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(COUNT(*) AS DOUBLE) AS nd,
-      |    list_sum(list(x ORDER BY doc_id)) AS sx,
-      |    list_sum(list(y ORDER BY doc_id)) AS sy,
-      |    list_sum(list(x * y ORDER BY doc_id)) AS sxy,
-      |    list_sum(list(x * x ORDER BY doc_id)) AS sxx
-      |  FROM pts)
+      |psub AS (SELECT doc_id % 4096 AS fs, COUNT(*) AS c,
+      |    list_sum(list(x ORDER BY doc_id)) AS px,
+      |    list_sum(list(y ORDER BY doc_id)) AS py,
+      |    list_sum(list(x * y ORDER BY doc_id)) AS pxy,
+      |    list_sum(list(x * x ORDER BY doc_id)) AS pxx
+      |  FROM pts GROUP BY 1),
+      |st AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c) AS DOUBLE) AS nd,
+      |    list_sum(list(px ORDER BY fs)) AS sx,
+      |    list_sum(list(py ORDER BY fs)) AS sy,
+      |    list_sum(list(pxy ORDER BY fs)) AS sxy,
+      |    list_sum(list(pxx ORDER BY fs)) AS sxx
+      |  FROM psub)
       |SELECT n AS n_points,
       |  round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS beta,
       |  round((sy * sxx - sx * sxy) / (nd * sxx - sx * sx), 6) AS ln_k
@@ -1415,7 +1475,17 @@ object TextOps {
         sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb")))
     val tot = counts.agg(sum(col("ca")).as("na"),
       sum(col("cb")).as("nb"), count(lit(1)).as("vocab"))
-    counts.crossJoin(broadcast(tot))
+    // two-level deterministic fold (r14): the joint vocabulary is
+    // unbounded at corpus scale (raw web vocab grows into the
+    // billions — the same reason tfidf never broadcasts df), so a
+    // whole-vocabulary ungrouped sorted collect is the q119
+    // single-task class. Term contributions instead fold within
+    // fixed md5-prefix buckets (4096, each vocab/4096, a partitioned
+    // grouped collect) in term order, then the <=4096 bucket partials
+    // fold in bucket order — both engines compute md5 of the same
+    // UTF-8 bytes (the hashKeep equivalence), so the association is
+    // reproduced exactly. Single-task state is O(4096), not O(vocab).
+    val psub = counts.crossJoin(broadcast(tot))
       .withColumn("p", (col("ca") + 1L).cast("double")
         / (col("na") + col("vocab")).cast("double"))
       .withColumn("q", (col("cb") + 1L).cast("double")
@@ -1424,11 +1494,17 @@ object TextOps {
       .withColumn("term",
         (col("p") * log(col("p") / col("m"))
           + col("q") * log(col("q") / col("m"))) * 0.5)
-      .agg(max(col("vocab")).as("vocab"), max(col("na")).as("n_a"),
-        max(col("nb")).as("n_b"),
-        round(expr("aggregate(sort_array(collect_list(" +
-          "struct(t, term))), CAST(0.0 AS DOUBLE), " +
-          "(acc, x) -> acc + x.term)"), 6).as("jsd_nats"))
+      .withColumn("fs", substring(md5(col("t")), 1, 3))
+      .groupBy(col("fs"))
+      .agg(expr("aggregate(sort_array(collect_list(" +
+        "struct(t, term))), CAST(0.0 AS DOUBLE), " +
+        "(acc, x) -> acc + x.term)").as("s"))
+    val folded = psub.agg(
+      round(expr("aggregate(sort_array(collect_list(struct(fs, s))), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.s)"), 6).as("jsd_nats"))
+    tot.crossJoin(folded)
+      .select(col("vocab"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("jsd_nats"))
   }
 
   /** DuckDB oracle for [[jsDivergence]]. */
@@ -1449,14 +1525,17 @@ object TextOps {
        |terms AS (SELECT t,
        |    CAST(ca + 1 AS DOUBLE) / CAST(na + vocab AS DOUBLE) AS p,
        |    CAST(cb + 1 AS DOUBLE) / CAST(nb + vocab AS DOUBLE) AS q
-       |  FROM cnt CROSS JOIN tot)
-       |SELECT vocab, na AS n_a, nb AS n_b,
-       |  round(list_reduce(list(
-       |    (p * ln(p / ((p + q) / 2.0))
-       |     + q * ln(q / ((p + q) / 2.0))) * 0.5 ORDER BY t),
-       |    (acc, x) -> acc + x), 6) AS jsd_nats
-       |FROM terms CROSS JOIN tot
-       |GROUP BY vocab, na, nb""".stripMargin
+       |  FROM cnt CROSS JOIN tot),
+       |psub AS (SELECT substr(md5(t), 1, 3) AS fs,
+       |    list_reduce(list(
+       |      (p * ln(p / ((p + q) / 2.0))
+       |       + q * ln(q / ((p + q) / 2.0))) * 0.5 ORDER BY t),
+       |      (acc, x) -> acc + x) AS s
+       |  FROM terms GROUP BY 1),
+       |folded AS (SELECT round(list_reduce(list(s ORDER BY fs),
+       |    (acc, x) -> acc + x), 6) AS jsd_nats FROM psub)
+       |SELECT vocab, na AS n_a, nb AS n_b, jsd_nats
+       |FROM tot CROSS JOIN folded""".stripMargin
 
   /** Readability-band census: a Flesch-style reading-ease score per
     * document from three regexp counts — words (`[^ ]+`), sentence

@@ -301,6 +301,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(beta > 0.0 && beta <= 1.0, s"beta=$beta out of range")
   }
 
+  test("tokenQuantiles: histogram rank device equals Percentile bit " +
+      "for bit") {
+    // the value-histogram + interpolated-rank device replaces
+    // Percentile's collect-the-group buffer (group-row-sized state in
+    // one task at 100 TB); it evaluates the SAME R-7 expression
+    // (higher-pos)*lo + (pos-lower)*hi on the same positions, so the
+    // doubles must agree exactly, not just within tolerance
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.TextOps.tokenQuantiles(spark, sf("documents"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val t = graft.ops.TextOps.tokenCount(col("text")).cast("double")
+    val exp = graft.Tables.documents(spark, sf(""))
+      .groupBy(col("source"))
+      .agg(round(percentile(t, lit(0.5)), 6).as("p50"),
+        round(percentile(t, lit(0.9)), 6).as("p90"),
+        round(percentile(t, lit(0.99)), 6).as("p99"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == exp)
+  }
+
   test("charEntropy: zero for runs, ln2 for balanced, order-invariant") {
     val dir = java.nio.file.Files
       .createTempDirectory("entropy_docs").toString
