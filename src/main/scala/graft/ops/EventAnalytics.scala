@@ -64,24 +64,32 @@ object EventAnalytics {
     * standard small-set fallback). Every draw is the md5-nibble
     * fraction both engines decode identically, so the sketch is
     * hash-checkable — unlike HLL, whose register layout is
-    * engine-private. Scale shape: the rank window runs over distinct
-    * (type, user) pairs — bounded by true cardinality, not event
-    * volume; a mergeable bounded top-k Aggregator is the streaming
-    * variant ([[Sketches]]). */
+    * engine-private. Scale shape: distinct (type, user) pairs reduce
+    * through the mergeable [[Sketches.BottomKScored]] buffer — k-entry
+    * partial state map-side, never a per-type sort task — the same
+    * buffer the streaming variant keeps. */
   def kmvDistinct(s: SparkSession, d: String, k: Int = 32): DataFrame = {
     val users = ev(s, d)
       .select(col("event_type"), col("user_id")).distinct()
       .withColumn("fr", Curation.md5Frac32(col("user_id")))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("fr"), col("user_id"))
+    // the k smallest draws per type via the mergeable bottom-k
+    // Aggregator — k-entry partial buffers map-side, k rows shuffled
+    // per partition per type — NOT a rank window, which would funnel
+    // every distinct user of a type through one task's sort (r14; the
+    // selection and (fr, user_id) tie-break are identical, so the
+    // estimate and its oracle hash are unchanged). This is also just
+    // what a KMV sketch IS: the same buffer the streaming variant
+    // keeps.
+    val bk = udaf(new Sketches.BottomKScored(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
     users
-      .withColumn("rn", row_number().over(w))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_exact"),
-        max(when(col("rn") === k, col("fr"))).as("rk"))
+        bk(col("user_id"), col("fr")).as("sk"))
       .select(col("event_type"), col("n_exact"),
-        round(when(col("rk").isNull, col("n_exact").cast("double"))
-          .otherwise(lit((k - 1).toDouble) / col("rk")), 6)
+        round(when(size(col("sk")) < k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble)
+            / element_at(col("sk"), k).getField("score")), 6)
           .as("kmv_est"))
       .orderBy(col("event_type"))
   }

@@ -440,4 +440,35 @@ object Sketches {
       }
       .toDF("key", "term", "est_count")
   }
+
+  /** Mergeable bottom-k by (score, id) ascending — the KMV sketch's
+    * own state. This is the scalable replacement for a rank window
+    * whose rank is CONSUMED WITHOUT a `rank <= k` filter (the
+    * [[graft.ops.EventAnalytics.kmvDistinct]] `max(when(rn === k))`
+    * shape): Catalyst's InferWindowGroupLimit only fires on the
+    * filter pattern, so a filterless rank window really does funnel
+    * every row of a group (all distinct users of an event type)
+    * through one task's sort, where this Aggregator reduces to
+    * k-entry partial buffers map-side. Selection and tie-break are
+    * identical to `row_number().over(partitionBy(g).orderBy(score,
+    * id))`, so swapping the device cannot move a hash. */
+  class BottomKScored(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k >= 1, "k must be positive")
+    private def trim(l: Seq[Scored]): Seq[Scored] =
+      l.sortBy(s => (s.score, s.id)).take(k)
+    def zero: Seq[Scored] = Nil
+    def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+      if (b.length >= k && {
+        val floor = b.last
+        a.score > floor.score || (a.score == floor.score && a.id > floor.id)
+      }) b // above the current k-th entry: no resort needed
+      else trim(a +: b)
+    def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = trim(a ++ b)
+    def finish(r: Seq[Scored]): Seq[Scored] = r // invariant: trimmed+sorted
+    def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -8,31 +8,38 @@ import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
 
 /** Mechanical single-task-hazard sweep over EVERY gate query.
   *
-  * The r13/r14 q119 lesson, generalized: the two plan shapes that
-  * funnel a corpus-proportional row stream into ONE task — an
-  * UNGROUPED collect_list/collect_set aggregate (the whole input
-  * materializes as one array in one task) and a GLOBAL window (empty
-  * partition spec = single-partition sort) over un-aggregated rows —
-  * are invisible at test scale and fatal at 10^9 documents. Hand
-  * audits caught q119 only after three rounds shipped it, and this
-  * sweep's first run immediately found two more members of the class
-  * the manual audit had cleared (q152's corpus/10-point regression
-  * fold, q165's joint-vocabulary fold — both since rewritten as
-  * two-level folds). So the invariant is now mechanical: every
-  * `SparkEntry.queries` plan is checked, and the legitimate uses are
-  * a CLOSED allowlist with per-entry justifications. Adding a new
-  * ungrouped collect — or dropping an allowlisted one — fails the
-  * sweep until the list is consciously edited, the same
-  * drift-guard contract as MemoStabilitySpec and OperatorIndexSpec.
+  * The r13/r14 q119 lesson, generalized: plan shapes that funnel a
+  * corpus-proportional row stream into ONE task are invisible at test
+  * scale and fatal at 10^9 documents, and hand audits keep missing
+  * them — q119 shipped for three rounds, and this sweep's first runs
+  * falsified the r13 audit's "q119 was the only one" three more
+  * times (q152's corpus/10-point fold, q165's joint-vocabulary fold,
+  * q121's filterless rank window). So the invariant is mechanical:
+  * every `SparkEntry.queries` plan is checked for FOUR shapes, and
+  * the legitimate uses are CLOSED allowlists with per-entry
+  * justifications, compared for exact equality — adding a new device
+  * or dropping an allowlisted one fails CI until the list is
+  * consciously edited (the MemoStabilitySpec / OperatorIndexSpec
+  * drift-guard contract).
   *
-  * What "bounded" means for the window gate: a global window is
-  * allowed only when its input (modulo sort/exchange/project/filter/
-  * codegen plumbing) comes from an Aggregate (grouping-cardinality-
-  * sized: subsplit counts, strata, contingency cells), a Limit
-  * (top-K), a union / broadcast-nested-loop cross of such inputs, or
-  * another global window over one. A cut() table (RDDScanExec) is
-  * opaque to the traversal, so the two queries that window over a cut
-  * HISTOGRAM are allowlisted by name instead.
+  *  1. UNGROUPED collect_list/collect_set: the whole input
+  *     materializes as one array in one task.
+  *  2. Exact Percentile: buffers every group value in one task
+  *     (group-row-sized; banned outright since q64's histogram
+  *     rank device left zero users).
+  *  3. GLOBAL windows (empty partition spec = single-partition sort)
+  *     over un-aggregated, un-limited input.
+  *  4. Windows partitioned ONLY by categorical keys (source, lang,
+  *     event_type — corpus/|categories| rows per sort task) over
+  *     such input.
+  *
+  * What "bounded" means for the window gates: input that (modulo
+  * sort/exchange/project/filter/codegen plumbing) comes from an
+  * Aggregate (grouping-cardinality-sized), a Limit, Catalyst's own
+  * WindowGroupLimit (the rank-limit pushdown — see NOTE below), a
+  * generate/union/join of such inputs, or another window over one.
+  * A cut() table (RDDScanExec) is opaque to the traversal, so the
+  * queries windowing over cut HISTOGRAMS are allowlisted by name.
   */
 class ScaleInvariantsSpec extends SparkTestBase {
 
@@ -56,14 +63,36 @@ class ScaleInvariantsSpec extends SparkTestBase {
     "q168_cramers_v" ->
       "lang x source contingency cells — category-sized")
 
-  /** Gate queries whose global window reads a cut() table the
-    * traversal cannot see past — each cut is a value-range-sized
-    * HISTOGRAM aggregate, bounded by the value domain. */
-  private val cutFedGlobalWindows: Map[String, String] = Map(
+  /** Gate queries whose (global or categorical) window input traces
+    * to a cut() table the traversal cannot see past — each cut is a
+    * value-range- or time-range-sized HISTOGRAM aggregate, bounded by
+    * the value domain, never by corpus rows. */
+  private val cutFedWindows: Map[String, String] = Map(
     "q136_conversion_latency" ->
       "cut per-second latency histogram (groupBy lat_s counts)",
+    "q155_autocorr" ->
+      "cut hourly-count buckets (time-range x types) densify join",
     "q182_order_gaps" ->
       "cut gap-day histogram (groupBy gap counts)")
+
+  /** Partition keys that are CATEGORICAL (a handful of values at any
+    * corpus size), so a window partitioned ONLY by them concentrates
+    * corpus/|categories| rows into single sort tasks unless its input
+    * is already bounded. High-cardinality keys (doc_id, user_id,
+    * hashes, buckets, salts) are exempt: their groups are small and
+    * the window's parallelism is the key's cardinality. */
+  private val CategoricalKeys =
+    Set("source", "lang", "event_type", "kind")
+
+  // NOTE on rank-limit windows: `row_number().over(...)` followed by
+  // `filter(rn <= k)` is NOT a hazard — Catalyst's InferWindowGroupLimit
+  // rewrites it with a map-side WindowGroupLimit(Partial) BEFORE the
+  // exchange, so the shuffle and the per-group task carry k rows per
+  // map partition, not the group (verified on the q99 plan). bounded()
+  // treats WindowGroupLimitExec as a terminal OK, which mechanically
+  // REQUIRES the filter pattern: a rank consumed without the filter
+  // (the pre-r14 kmvDistinct `max(when(rn === k))` shape) gets no
+  // group-limit and fails here.
 
   private def hasUngroupedCollect(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -85,14 +114,20 @@ class ScaleInvariantsSpec extends SparkTestBase {
     case _: aggregate.BaseAggregateExec => true
     case _: GlobalLimitExec | _: LocalLimitExec |
         _: TakeOrderedAndProjectExec => true
+    // Catalyst's rank-limit pushdown: the window's input is already
+    // group-limited to k rows per map partition (see NOTE above)
+    case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+      true
     case r: ReusedExchangeExec => bounded(r.child)
     case _: SortExec | _: Exchange | _: ProjectExec | _: FilterExec |
         _: WholeStageCodegenExec | _: InputAdapter | _: CoalesceExec |
+        _: GenerateExec |
         _: org.apache.spark.sql.execution.window.WindowExec =>
       bounded(p.children.head)
     case u: UnionExec => u.children.forall(bounded)
-    case j: org.apache.spark.sql.execution.joins
-        .BroadcastNestedLoopJoinExec => j.children.forall(bounded)
+    // a join of bounded inputs is bounded (by their product at worst)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      j.children.forall(bounded)
     case _ => false
   }
 
@@ -122,18 +157,30 @@ class ScaleInvariantsSpec extends SparkTestBase {
           if (!boundedUngroupedCollects.contains(name))
             collectOffenders += name
         }
-        val globals = df.queryExecution.executedPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
+        val windows = df.queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
         }
-        globals.foreach { w =>
-          if (!bounded(w.child)) {
+        windows.foreach { w =>
+          // global windows (single-partition sort of the WHOLE input)
+          // and windows partitioned only by categorical keys (single
+          // sort task per category, corpus/|categories| rows) must
+          // both sit over bounded input
+          val categorical = w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall {
+              case a: org.apache.spark.sql.catalyst.expressions
+                  .AttributeReference => CategoricalKeys(a.name)
+              case _ => false
+            }
+          if ((w.partitionSpec.isEmpty || categorical) &&
+              !bounded(w.child)) {
             val feedsCut = w.child.collectFirst {
               case r: RDDScanExec => r }.isDefined
             if (feedsCut) cutWindowUsers += name
-            if (!(feedsCut && cutFedGlobalWindows.contains(name)))
+            val excused = feedsCut && cutFedWindows.contains(name)
+            if (!excused)
               windowOffenders +=
-                s"$name(window over ${w.child.getClass.getSimpleName})"
+                s"$name(window by ${w.partitionSpec.mkString(",")} " +
+                  s"over ${w.child.getClass.getSimpleName})"
           }
         }
       }
@@ -154,9 +201,9 @@ class ScaleInvariantsSpec extends SparkTestBase {
       "ungrouped-collect allowlist is stale: " +
         s"actual=${collectUsers.result().toSeq.sorted} " +
         s"listed=${boundedUngroupedCollects.keySet.toSeq.sorted}")
-    assert(cutWindowUsers.result() == cutFedGlobalWindows.keySet,
+    assert(cutWindowUsers.result() == cutFedWindows.keySet,
       "cut-fed-window allowlist is stale: " +
         s"actual=${cutWindowUsers.result().toSeq.sorted} " +
-        s"listed=${cutFedGlobalWindows.keySet.toSeq.sorted}")
+        s"listed=${cutFedWindows.keySet.toSeq.sorted}")
   }
 }
