@@ -139,6 +139,7 @@ class ScaleInvariantsSpec extends SparkTestBase {
     val collectOffenders = Seq.newBuilder[String]
     val windowOffenders = Seq.newBuilder[String]
     val percentileOffenders = Seq.newBuilder[String]
+    val cartesianOffenders = Seq.newBuilder[String]
     val collectUsers = Set.newBuilder[String]
     val cutWindowUsers = Set.newBuilder[String]
     try {
@@ -152,6 +153,14 @@ class ScaleInvariantsSpec extends SparkTestBase {
               if e.aggregateFunction.isInstanceOf[Percentile] => e
             }.isDefined)))
           percentileOffenders += name
+        // a cartesian product with both sides corpus-scaled is the
+        // rows-squared cousin of the single-task funnels (broadcast
+        // crosses of scalar/strata tables plan as BNLJ and are fine)
+        df.queryExecution.executedPlan.collect {
+          case c: org.apache.spark.sql.execution.joins
+              .CartesianProductExec if !c.children.forall(bounded) =>
+            cartesianOffenders += name
+        }
         if (hasUngroupedCollect(df.queryExecution.optimizedPlan)) {
           collectUsers += name
           if (!boundedUngroupedCollects.contains(name))
@@ -192,6 +201,9 @@ class ScaleInvariantsSpec extends SparkTestBase {
       "exact Percentile (group-row-sized buffer) in a gate plan — " +
         "use the q64 value-histogram rank device: " +
         percentileOffenders.result())
+    assert(cartesianOffenders.result().isEmpty,
+      "cartesian product with an unbounded side in a gate plan: " +
+        cartesianOffenders.result())
     assert(windowOffenders.result().isEmpty,
       "global window over un-aggregated, un-limited input " +
         s"(single-partition corpus sort): ${windowOffenders.result()}")
