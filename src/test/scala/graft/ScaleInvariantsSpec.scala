@@ -32,6 +32,15 @@ import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
   *  4. Windows partitioned ONLY by categorical keys (source, lang,
   *     event_type — corpus/|categories| rows per sort task) over
   *     such input.
+  *  5. collect_list/collect_set GROUPED only by categorical keys over
+  *     such input — corpus/|categories| rows per array buffer, and
+  *     unlike a sort, an aggregation ARRAY cannot spill.
+  *  6. Cartesian products with an unbounded side (rows-squared).
+  *
+  * Boundary: memoized index BUILD plans materialize inside the first
+  * construction (IndexMemo) and are not visible to this sweep — their
+  * shapes are audited per-index in IndexMemoSpec and the plan-shape
+  * gates of PlanShapeSpec.
   *
   * What "bounded" means for the window gates: input that (modulo
   * sort/exchange/project/filter/codegen plumbing) comes from an
@@ -75,6 +84,12 @@ class ScaleInvariantsSpec extends SparkTestBase {
     "q182_order_gaps" ->
       "cut gap-day histogram (groupBy gap counts)")
 
+  /** Same cut-opacity, for categorical-GROUPED collects: the collect's
+    * input is a cut HISTOGRAM with constant rows per category. */
+  private val cutFedCategoricalCollects: Map[String, String] = Map(
+    "q150_psi_drift" ->
+      "cut types x 24 hour-of-day cells (constant per type)")
+
   /** Partition keys that are CATEGORICAL (a handful of values at any
     * corpus size), so a window partitioned ONLY by them concentrates
     * corpus/|categories| rows into single sort tasks unless its input
@@ -94,17 +109,57 @@ class ScaleInvariantsSpec extends SparkTestBase {
   // (the pre-r14 kmvDistinct `max(when(rn === k))` shape) gets no
   // group-limit and fails here.
 
+  private def hasCollect(a: Aggregate): Boolean =
+    a.aggregateExpressions.exists(_.collectFirst {
+      case e: AggregateExpression
+          if e.aggregateFunction.isInstanceOf[CollectList] ||
+            e.aggregateFunction.isInstanceOf[CollectSet] => e
+    }.isDefined)
+
   private def hasUngroupedCollect(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Boolean =
     plan.collectFirst {
       case a: Aggregate if a.groupingExpressions.isEmpty &&
-          a.aggregateExpressions.exists(_.collectFirst {
-            case e: AggregateExpression
-                if e.aggregateFunction.isInstanceOf[CollectList] ||
-                  e.aggregateFunction.isInstanceOf[CollectSet] => e
-          }.isDefined) => a
+          hasCollect(a) => a
     }.isDefined
+
+  /** Logical-plan boundedness (the physical bounded() can't adjudicate
+    * a grouped collect: its own partial/final agg pair satisfies the
+    * aggregate terminal). Same house rules, logical nodes. */
+  private def boundedL(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: WindowGroupLimit => true
+      case u: Union => u.children.forall(boundedL)
+      case j: Join => j.children.forall(boundedL)
+      case _: Project | _: Filter | _: Sort | _: Window | _: Generate |
+          _: RepartitionOperation | _: SubqueryAlias =>
+        boundedL(p.children.head)
+      case _ => false
+    }
+  }
+
+  /** Aggregates GROUPED only by categorical keys whose functions
+    * include a collect over un-bounded input: corpus/|categories|
+    * rows in one in-memory array buffer (and unlike a sort, an
+    * aggregation array cannot spill). Returns the offending
+    * aggregates for cut-fed classification. */
+  private def categoricalCollectHazards(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[Aggregate] =
+    plan.collect {
+      case a: Aggregate if a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall {
+            case ar: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference => CategoricalKeys(ar.name)
+            case _ => false
+          } && hasCollect(a) && !boundedL(a.child) => a
+    }
 
   /** Is a global window's input bounded (never corpus-row-sized)?
     * Terminal OKs: aggregates and limits. Unions and broadcast
@@ -142,6 +197,7 @@ class ScaleInvariantsSpec extends SparkTestBase {
     val cartesianOffenders = Seq.newBuilder[String]
     val collectUsers = Set.newBuilder[String]
     val cutWindowUsers = Set.newBuilder[String]
+    val catCutUsers = Set.newBuilder[String]
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val df = fn(spark, d)
@@ -166,6 +222,16 @@ class ScaleInvariantsSpec extends SparkTestBase {
           if (!boundedUngroupedCollects.contains(name))
             collectOffenders += name
         }
+        categoricalCollectHazards(df.queryExecution.optimizedPlan)
+          .foreach { a =>
+            val feedsCut = a.child.collectFirst {
+              case l: org.apache.spark.sql.execution.LogicalRDD => l
+            }.isDefined
+            if (feedsCut) catCutUsers += name
+            if (!(feedsCut && cutFedCategoricalCollects.contains(name)))
+              collectOffenders += s"$name(categorical-grouped collect)"
+          }
+
         val windows = df.queryExecution.executedPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec => w
         }
@@ -217,5 +283,9 @@ class ScaleInvariantsSpec extends SparkTestBase {
       "cut-fed-window allowlist is stale: " +
         s"actual=${cutWindowUsers.result().toSeq.sorted} " +
         s"listed=${cutFedWindows.keySet.toSeq.sorted}")
+    assert(catCutUsers.result() == cutFedCategoricalCollects.keySet,
+      "cut-fed-categorical-collect allowlist is stale: " +
+        s"actual=${catCutUsers.result().toSeq.sorted} " +
+        s"listed=${cutFedCategoricalCollects.keySet.toSeq.sorted}")
   }
 }
