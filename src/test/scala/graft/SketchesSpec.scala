@@ -10,6 +10,37 @@ import graft.ops.{Sketches, TextOps}
 class SketchesSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("BottomKScored == rank-window selection on adversarial ties, " +
+      "any partitioning") {
+    // the aggregator replaced kmvDistinct's filterless rank window;
+    // its reduce() early-out compares against the buffer's k-th entry
+    // with an (score, id) tie chain — pin equivalence on data built to
+    // stress exactly that: few distinct scores (massive ties), ids
+    // interleaved, across several partitionings (merge() order varies)
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(id => (id, (rnd.nextInt(5) + 1) / 10.0))
+    for (k <- Seq(1, 7, 32); parts <- Seq(1, 3, 17)) {
+      val expected = rows.sortBy { case (id, sc) => (sc, id) }.take(k)
+      val agg = new Sketches.BottomKScored(k)
+      // driver-side fold mirroring arbitrary partition splits + merges
+      val merged = rows.grouped(math.max(1, rows.size / parts))
+        .map(chunk => chunk.foldLeft(agg.zero)((b, r) =>
+          agg.reduce(b, graft.ops.Scored(r._1, r._2))))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged).map(s => (s.id, s.score)) == expected,
+        s"k=$k parts=$parts")
+      // and through the real Spark aggregation path
+      val udafCol = udaf(agg,
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[graft.ops.Scored]())
+      val got = rows.toDF("id", "score").repartition(parts)
+        .agg(udafCol(col("id"), col("score")).as("sk"))
+        .head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got == expected, s"spark path k=$k parts=$parts")
+    }
+  }
+
   test("MG guarantees: frequent items kept, estimates within N/k") {
     // skewed stream: item i appears 2^(12-i) times, i = 1..12, plus
     // 500 singletons — across 8 partitions to exercise merge()
