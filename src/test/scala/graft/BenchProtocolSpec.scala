@@ -231,10 +231,21 @@ class BenchProtocolSpec extends AnyFunSuite {
     val med = Bench.sharedMedianRatio(ratios)
     assert(med.exists(m => m > 2.0 && m < 2.2))
     assert(Bench.isHostDrift(med))
-    // old trigger: nothing flagged; drift-tightened trigger: everything
+    // r15: the calnorm spike rule now flags the 2.1x cohort even at
+    // factor 2.5 (each mover is >2.0x calnorm and >+0.25 s), so the
+    // drift-tightened factor is a second line of defense for the
+    // 1.8-2.0x band rather than the only one
     assert(Bench.reverifyTargetsMerged(drifted, prior, None, Sf, 0.2,
+      calMed = Some(0.1), factor = 2.5).size == 24)
+    assert(Bench.reverifyTargetsMerged(drifted, prior, None, Sf, 0.2,
+      calMed = Some(0.1), factor = 1.8).size == 24)
+    // a 1.9x drifted cohort sits under the spike rule: only the
+    // tightened factor catches it — the band the tightening still owns
+    val drifted19 = (1 to 24).map(i =>
+      s"q${i}_x" -> Bench.Measured(3.8, 3, stalled = false))
+    assert(Bench.reverifyTargetsMerged(drifted19, prior, None, Sf, 0.2,
       calMed = Some(0.1), factor = 2.5).isEmpty)
-    assert(Bench.reverifyTargetsMerged(drifted, prior, None, Sf, 0.2,
+    assert(Bench.reverifyTargetsMerged(drifted19, prior, None, Sf, 0.2,
       calMed = Some(0.1), factor = 1.8).size == 24)
     // an in-band run neither flags nor widens
     val clean = (1 to 24).map(i =>
@@ -262,6 +273,72 @@ class BenchProtocolSpec extends AnyFunSuite {
     val merged = Bench.calnormRatiosMerged(drifted, officialTrunc,
       sidecar, Sf, cal = 0.2, calMed = Some(0.1))
     assert(merged.size == 24)
+  }
+
+  test("a single 2.4x mover on an in-band record is re-run (spike " +
+      "rule, drift-independent)") {
+    // the r14 q106 numbers verbatim: 0.42 s prior -> 0.99 s measured,
+    // prior cal_med 0.098 vs 0.090 now (cal ratio 0.918, in band, no
+    // host_drift), raw ratio 2.36x UNDER the 2.5x trigger — but
+    // calnorm 2.57x and +0.57 s absolute. The r14 protocol certified
+    // it; the spike rule re-runs it regardless of drift state.
+    val prior = Some(Bench.PrevBench("BENCH_r14.json", Sf, cal = 0.147,
+      stalled = Set.empty,
+      queries = (1 to 20).map(i => s"q$i" -> 1.0).toMap +
+        ("q106" -> 0.42),
+      calMed = Some(0.098)))
+    val inBand = (1 to 20).map(i =>
+      s"q${i}_x" -> Bench.Measured(0.92, 3, stalled = false))
+    val results = inBand :+
+      ("q106_unigram_nll" -> Bench.Measured(0.99, 3, stalled = false))
+    val med = Bench.sharedMedianRatio(Bench.calnormRatiosMerged(
+      results, prior, None, Sf, cal = 0.14, calMed = Some(0.09)))
+    assert(!Bench.isHostDrift(med)) // record is in band: factor stays 2.5
+    assert(Bench.reverifyTargetsMerged(results, prior, None, Sf,
+      cal = 0.14, calMed = Some(0.09), factor = 2.5) ==
+      Seq("q106_unigram_nll"))
+    // the same mover under the absolute floor (0.2 -> 0.42 s) stays
+    // certified: micro-query jitter is not a spike
+    val tiny = inBand :+
+      ("q106_unigram_nll" -> Bench.Measured(0.42, 3, stalled = false))
+    val priorTiny = prior.map(p => p.copy(
+      queries = p.queries + ("q106" -> 0.2)))
+    assert(Bench.reverifyTargetsMerged(tiny, priorTiny, None, Sf,
+      cal = 0.14, calMed = Some(0.09), factor = 2.5).isEmpty)
+  }
+
+  test("sharedMedianRatio averages the two middles for even n — the " +
+      "drift flag cannot flip on shared-set parity") {
+    // 20 ratios straddling the 1.2 edge: ten at 1.19, ten at 1.23.
+    // The upper-middle form read 1.23 (host_drift); the true median
+    // is 1.21 — still drifted here, but symmetric: the mirrored set
+    // at the 0.8 edge must agree regardless of parity
+    val even = Seq.fill(10)(1.19) ++ Seq.fill(10)(1.23)
+    assert(Bench.sharedMedianRatio(even)
+      .exists(m => math.abs(m - 1.21) < 1e-9))
+    val odd = even :+ 1.19
+    assert(Bench.sharedMedianRatio(odd).contains(1.19))
+    // lower edge: half at 0.7 (drifted alone), half at 0.95 (clean)
+    // averages to 0.825 — in band; a lower-middle "median" would have
+    // read 0.7 and flagged drift on parity alone
+    val lower = Seq.fill(10)(0.7) ++ Seq.fill(10)(0.95)
+    val lowerMed = Bench.sharedMedianRatio(lower)
+    assert(lowerMed.exists(m => math.abs(m - 0.825) < 1e-9))
+    assert(!Bench.isHostDrift(lowerMed))
+  }
+
+  test("calnorm ratios share reverify's clean-side rule and ship " +
+      "named in the sidecar fragment") {
+    val prior = Some(Bench.PrevBench("BENCH_r14.json", Sf, cal = 0.2,
+      stalled = Set.empty, queries = Map("q1" -> 0.5, "q2" -> 0.5)))
+    // a 0.0 s measurement is clean (only -1 marks failure): it must
+    // feed the drift median exactly as reverify would adjudicate it
+    val results = Seq(
+      "q1_a" -> Bench.Measured(0.0, 3, stalled = false),
+      "q2_b" -> Bench.Measured(1.0, 3, stalled = false),
+      "q3_c" -> Bench.Measured(-1.0, 0, stalled = false))
+    val named = Bench.calnormRatiosNamed(results, prior, Sf, cal = 0.2)
+    assert(named.toMap == Map("q1" -> 0.0, "q2" -> 2.0))
   }
 
   test("prevComparisonJson normalizes by the calibration ratio") {
