@@ -72,6 +72,15 @@ object EventAnalytics {
     val users = ev(s, d)
       .select(col("event_type"), col("user_id")).distinct()
       .withColumn("fr", Curation.md5Frac32(col("user_id")))
+    // The udaf below binds user_id to Scored.id: Long. A generator
+    // shipping user_id as STRING/DOUBLE would implicit-cast silently —
+    // nulled or reordered ids would corrupt the (fr, user_id)
+    // tie-break instead of failing loudly, the same representational
+    // drift Tables.events guards for ts. Pin the contract here.
+    val uidType = users.schema("user_id").dataType
+    require(uidType == org.apache.spark.sql.types.LongType,
+      s"events.user_id has type $uidType; kmvDistinct requires BIGINT " +
+        "(BottomKScored binds Scored.id: Long)")
     // the k smallest draws per type via the mergeable bottom-k
     // Aggregator — k-entry partial buffers map-side, k rows shuffled
     // per partition per type — NOT a rank window, which would funnel

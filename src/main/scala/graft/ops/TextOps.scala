@@ -132,7 +132,12 @@ object TextOps {
     * expression, so the hash stays exact by construction. */
   def tokenQuantiles(s: SparkSession, d: String): DataFrame = {
     val t = tokenCount(col("text")).cast("double")
+    // null token-counts (null text) must not enter n: Percentile
+    // ignored nulls, and Spark's nulls-first ascending sort vs
+    // DuckDB's nulls-last window order would shift every rank —
+    // null-equivalence by construction, not by generator contract
     val hist = Tables.documents(s, d)
+      .filter(t.isNotNull)
       .groupBy(col("source"), t.as("t"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("t"))
