@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Session factory carrying the engine's deployment posture, so every
   * entry point (and a user's own driver) runs with the same knobs:
@@ -85,6 +86,36 @@ object GraftSession {
     val reliable =
       s.conf.getOption("spark.graft.reliableCheckpoints").contains("true") &&
         s.sparkContext.getCheckpointDir.isDefined
-    if (reliable) ds.checkpoint() else ds.localCheckpoint()
+    val out = if (reliable) ds.checkpoint() else ds.localCheckpoint()
+    out.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.foreach(registerCutOrigin(_, ds.queryExecution.optimizedPlan))
+    out
   }
+
+  /** Pre-cut logical plans keyed by the checkpoint RDD's id. A cut()
+    * table plans as an opaque `RDDScanExec`, so plan-invariant sweeps
+    * (ScaleInvariantsSpec's single-task rules) could historically only
+    * allowlist cut-fed windows BY NAME and trust the prose
+    * justification; this registry is the seam that lets them resolve
+    * the scan back to the plan that produced it and classify its
+    * boundedness mechanically (r14 verdict task). Bounded LRU: plans
+    * are small logical trees, but iterative operators cut every
+    * round, so the registry caps at 8192 entries — generous enough
+    * that a full gate sweep (a few hundred cuts) never evicts an
+    * entry between a query's construction and its classification. */
+  private val cutOrigins =
+    new java.util.LinkedHashMap[Int, LogicalPlan](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, LogicalPlan]): Boolean =
+        size() > 8192
+    }
+
+  private def registerCutOrigin(rddId: Int, plan: LogicalPlan): Unit =
+    cutOrigins.synchronized { cutOrigins.put(rddId, plan); () }
+
+  /** The optimized pre-cut plan behind a cut() RDD, if this session
+    * produced it (None for RDDs that never went through [[cut]]). */
+  def cutOrigin(rddId: Int): Option[LogicalPlan] =
+    cutOrigins.synchronized(Option(cutOrigins.get(rddId)))
 }

@@ -472,62 +472,26 @@ object Curation {
     * constants (scores are already round-6). Returns per
     * (lang, bucket) counts with round-6 score min/max.
     *
-    * The rank lookup is the two-level subsplit device of
-    * [[Profiling.equiDepthHistogram]] plus a pruning refinement, NOT
-    * a whole-sample `sort_array(collect_list(...))` aggregate (the
-    * r13 shape: one task holding every sampled (score, doc_id)
-    * struct — tens of GB at 10^9 documents) and NOT a bare global
-    * window (same single task, as a sort). Sampled rows hash into
-    * value-range subsplits (`floor(mean_nll * 64)` — a prefix of the
-    * (mean_nll, doc_id) sort order, so the global rank decomposes
-    * exactly); each subsplit's offset and the total m come from
-    * windows over the tiny per-subsplit count table (value-range
-    * sized, ~64 rows per nll unit). The refinement: the count table
-    * alone already identifies WHICH one or two subsplits own ranks
-    * ceil(m/3) and ceil(2m/3), so only those subsplits' rows — a
-    * 1/(64·spread) sliver of the sample, not the sample — are
-    * broadcast-filtered out, `row_number`-ranked within their
-    * subsplit, and matched against the target ranks. Nothing
-    * corpus-proportional ever lands in one task (an owning subsplit
-    * is sorted in one task, but it is 2-3 orders of magnitude below
-    * the sample and halves again with each step refinement). Ranks,
-    * order, and tie-break are identical to the r13 device, so the
-    * oracle hash cannot move. */
+    * The rank lookup is [[sampledTercileCuts]] — the q64 value-
+    * histogram rank device: the value at a given rank depends only on
+    * the value MULTISET (ties are interchangeable), so the cutoffs
+    * come from the sampled score HISTOGRAM, never from ranking sample
+    * ROWS. Per-task rows are bounded by distinct round-6 scores per
+    * 1/64-wide subsplit (<= 15,626, a constant of the encoding) at
+    * ANY score distribution — including the degenerate near-constant
+    * corpus that re-concentrated the r14 row-rank form's owning
+    * subsplit into one task (r14 verdict). Rank arithmetic and
+    * tie-break semantics are unchanged, so the oracle hash cannot
+    * move. */
   def perplexityBuckets(s: SparkSession, d: String): DataFrame = {
     // the LM score table feeds both the cutoff branch and the labeling
     // branch; bigramNll memoizes one persisted copy internally (keyed
     // on the pre-cut token plan — see its doc for why keying on the
     // returned plan can never hit), so both reads here are cache scans
     val nll = graft.ops.TextOps.bigramNll(s, d)
-    val sample = nll.filter(hashKeep(col("doc_id"), lit("3f")))
-      .select(col("mean_nll"), col("doc_id"))
-      .withColumn("sub", floor(col("mean_nll") * lit(64.0)).cast("long"))
-    val wOff = Window.orderBy(col("sub"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(col("sub"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // (sub, off, m, sub_n): global-rank offsets over the tiny count
-    // table; then keep only the subsplit(s) owning the target ranks
-    val targets = sample.groupBy(col("sub"))
-      .agg(count(lit(1)).as("sub_n"))
-      .select(col("sub"), col("sub_n"),
-        coalesce(sum(col("sub_n")).over(wOff), lit(0L)).as("off"),
-        sum(col("sub_n")).over(wAll).as("m"))
-      .select(col("sub"), col("off"),
-        ceil(col("m") / lit(3.0)).as("r1"),
-        ceil(col("m") * 2 / lit(3.0)).as("r2"), col("sub_n"))
-      .filter(
-        (col("r1") > col("off") && col("r1") <= col("off") + col("sub_n")) ||
-        (col("r2") > col("off") && col("r2") <= col("off") + col("sub_n")))
-      .select(col("sub"), col("off"), col("r1"), col("r2"))
-    val wSub = Window.partitionBy(col("sub"))
-      .orderBy(col("mean_nll"), col("doc_id"))
-    val cuts = sample
-      .join(broadcast(targets), "sub")
-      .withColumn("grk", col("off") + row_number().over(wSub))
-      .agg(
-        max(when(col("grk") === col("r1"), col("mean_nll"))).as("c1"),
-        max(when(col("grk") === col("r2"), col("mean_nll"))).as("c2"))
+    val cuts = sampledTercileCuts(
+      nll.filter(hashKeep(col("doc_id"), lit("3f")))
+        .select(col("mean_nll")))
     nll
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
@@ -541,6 +505,54 @@ object Curation {
         min(col("mean_nll")).as("min_nll"),
         max(col("mean_nll")).as("max_nll"))
       .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Tercile cutoffs (the scores at ranks ceil(m/3) and ceil(2m/3) of
+    * the ascending sample) via the value-histogram rank device: the
+    * value at rank r is the smallest v whose cumulative histogram
+    * count reaches r — no row ever gets an individual rank, so the
+    * tie-break key is unnecessary and a degenerate (constant-score)
+    * sample is a ONE-ROW histogram instead of a one-task sort.
+    *
+    * Two-level, like the r14 device it replaces: histogram rows split
+    * by `floor(mean_nll * 64)` (a prefix of the value order — the
+    * decomposition is exact); the tiny per-subsplit count table
+    * yields each subsplit's exclusive offset and identifies WHICH 1-2
+    * subsplits own the target ranks; only those subsplits' histogram
+    * rows (<= 15,626 each for round-6 scores) cumulate. Non-owning
+    * subsplit rows that pass the `cum >= r` predicate carry strictly
+    * larger values than the owning row, so the `min` is untouched.
+    * Returns one row (c1, c2); both NULL on an empty sample (the
+    * labeling branch then sends every doc to "tail", as before). */
+  private[graft] def sampledTercileCuts(sample: DataFrame): DataFrame = {
+    val hist = sample.groupBy(col("mean_nll")).agg(count(lit(1)).as("c"))
+      .withColumn("sub", floor(col("mean_nll") * lit(64.0)).cast("long"))
+    val wOff = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // (sub, off, r1, r2): global-rank offsets over the tiny count
+    // table; then keep only the subsplit(s) owning the target ranks
+    val targets = hist.groupBy(col("sub"))
+      .agg(sum(col("c")).as("sub_n"))
+      .select(col("sub"), col("sub_n"),
+        coalesce(sum(col("sub_n")).over(wOff), lit(0L)).as("off"),
+        sum(col("sub_n")).over(wAll).as("m"))
+      .select(col("sub"), col("off"),
+        ceil(col("m") / lit(3.0)).as("r1"),
+        ceil(col("m") * 2 / lit(3.0)).as("r2"), col("sub_n"))
+      .filter(
+        (col("r1") > col("off") && col("r1") <= col("off") + col("sub_n")) ||
+        (col("r2") > col("off") && col("r2") <= col("off") + col("sub_n")))
+      .select(col("sub"), col("off"), col("r1"), col("r2"))
+    val wCum = Window.partitionBy(col("sub")).orderBy(col("mean_nll"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .join(broadcast(targets), "sub")
+      .withColumn("cum", col("off") + sum(col("c")).over(wCum))
+      .agg(
+        min(when(col("cum") >= col("r1"), col("mean_nll"))).as("c1"),
+        min(when(col("cum") >= col("r2"), col("mean_nll"))).as("c2"))
   }
 
   /** Cross-source vocabulary overlap: pairwise Jaccard similarity of

@@ -103,39 +103,66 @@ object Profiling {
   }
 
   /** Equi-depth histogram of o_totalprice in `buckets` buckets —
-    * exact, WITHOUT a global single-partition window. The naive
-    * formulation (`ntile` / `row_number` with no PARTITION BY) drags
-    * every row through one partition; instead the global rank is
-    * decomposed the same way as `Curation.tokenStreamOf`: rows get a
-    * row_number within value-range SUBSPLITS (floor(price/step) — a
-    * prefix of the (price, orderkey) sort order, so the decomposition
-    * is exact), and each subsplit's global offset comes from a window
-    * over the tiny per-subsplit count table, broadcast back. Bucket
-    * assignment is then pure integer arithmetic: (rank-1)*B div n.
-    * Every heavy operation is partitioned; only the subsplit-count
-    * table (#subsplits rows) is sorted globally. */
+    * exact, WITHOUT a global single-partition window and WITHOUT
+    * ranking rows at all. The bucket layout depends only on the VALUE
+    * MULTISET: every per-bucket output (count, lo, hi) is invariant
+    * under any permutation of equal values across the rank range they
+    * occupy, so the whole query computes on the value HISTOGRAM. Each
+    * distinct value v with count c occupies 0-based global positions
+    * [voff, voff+c-1] (voff = rows with smaller values, from the
+    * two-level subsplit cumulative: a partitioned window over the
+    * histogram plus per-subsplit offsets from the tiny count table);
+    * the positions map to buckets by pure integer arithmetic, so each
+    * histogram row explodes into the <= B buckets it spans with an
+    * exact interval-intersection row count. Per-task rows are bounded
+    * by distinct VALUES per subsplit (<= step x cents, data-
+    * independent) — the r14 row-rank form re-concentrated a constant-
+    * valued corpus into ONE subsplit sort task (degenerate-
+    * distribution hazard, r14 verdict), which a histogram cannot: a
+    * constant corpus is a one-row histogram. */
   def equiDepthHistogram(s: SparkSession, d: String,
-      buckets: Int = 10): DataFrame = {
+      buckets: Int = 10): DataFrame =
+    equiDepthOf(Tables.orders(s, d).select(col("o_totalprice").as("p")),
+      buckets)
+
+  /** [[equiDepthHistogram]]'s device over any single-column (`p`)
+    * DataFrame — split out so DegenerateDistributionSpec can drive it
+    * with adversarial (constant) value distributions. */
+  private[graft] def equiDepthOf(rows: DataFrame, buckets: Int)
+      : DataFrame = {
     val step = 32768.0
-    val base = Tables.orders(s, d)
-      .select(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
-      .withColumn("sub", floor(col("p") / lit(step)).cast("long"))
-    val wSub = Window.partitionBy(col("sub")).orderBy(col("p"), col("k"))
-    val inSub = base.withColumn("rn", row_number().over(wSub))
+    // cut: the histogram feeds the offsets table, the total and the
+    // position pass — one source scan instead of three
+    val hist = GraftSession.cut(rows.groupBy(col("p"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("sub", floor(col("p") / lit(step)).cast("long")))
+    val wVal = Window.partitionBy(col("sub")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.orderBy(col("sub"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("sub"))
-      .agg(count(lit(1)).as("sub_n"))
+    val offsets = hist.groupBy(col("sub"))
+      .agg(sum(col("c")).as("sub_n"))
       .withColumn("off", coalesce(sum(col("sub_n")).over(wOff), lit(0L)))
       .select(col("sub"), col("off"))
-    val n = base.agg(count(lit(1)).as("n"))
-    inSub.join(broadcast(offsets), "sub")
+    val n = hist.agg(sum(col("c")).as("n"))
+    hist
+      .withColumn("voff0", coalesce(sum(col("c")).over(wVal), lit(0L)))
+      .join(broadcast(offsets), "sub")
       .crossJoin(broadcast(n))
-      .withColumn("bucket",
-        expr(s"((off + rn - 1) * $buckets) DIV n"))
+      .withColumn("voff", col("off") + col("voff0"))
+      // the buckets positions [voff, voff+c-1] span; for each, the
+      // in-bucket positions are the intersection with the bucket's
+      // position interval [ceil(b*n/B), ceil((b+1)*n/B)-1]
+      .withColumn("bucket", explode(sequence(
+        expr(s"(voff * $buckets) DIV n"),
+        expr(s"((voff + c - 1) * $buckets) DIV n"))))
+      .withColumn("fi", greatest(col("voff"),
+        expr(s"(bucket * n + ${buckets - 1}) DIV $buckets")))
+      .withColumn("li", least(col("voff") + col("c") - 1,
+        expr(s"((bucket + 1) * n + ${buckets - 1}) DIV $buckets - 1")))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"), min(col("p")).as("lo"),
-        max(col("p")).as("hi"))
+      .agg(sum(col("li") - col("fi") + 1).as("n_rows"),
+        min(col("p")).as("lo"), max(col("p")).as("hi"))
       .orderBy(col("bucket"))
   }
 
@@ -311,28 +338,58 @@ object Profiling {
     * integer even when the double product sits at x.99999... */
   private def cents = round(col("o_totalprice") * 100, 0).cast("long")
 
-  /** Global row-number WITHOUT a single-partition window: the ksTest
-    * two-level device generalized. Rows bucket by `v DIV step`; the
-    * within-bucket row_number runs partitioned (parallel), and the
-    * tiny bucket-count table (range/step rows) carries the exclusive
-    * cumulative offsets back via broadcast. The only global sort is
-    * over bucket ids — bounded by the value RANGE, not the row count
-    * — so the rank scales where a bare `Window.orderBy(v)` would
-    * funnel every row through one task. */
-  private def scalableRank(df: DataFrame, v: String, tie: String,
-      step: Long, out: String): DataFrame = {
-    val wSub = Window.partitionBy(col("__sub"))
-      .orderBy(col(v), col(tie))
+  /** Global row-number over (v, tie) order WITHOUT a single-partition
+    * window AND without a data-dependent task bound: the ksTest
+    * two-level device generalized, hardened for degenerate value
+    * distributions (r15). Ranks decompose twice:
+    *
+    *  - level 1: value sub-buckets `v DIV step` — exclusive offsets
+    *    from the tiny bucket-count table (range/step rows, the only
+    *    global sort), broadcast back;
+    *  - level 2 (the degenerate-distribution guard): within a
+    *    sub-bucket, rows group by (exact v, `tie DIV tieStep`). For a
+    *    FIXED value, a tie-key range is a contiguous slice of the
+    *    (v, tie) order, so the decomposition stays exact — and
+    *    because the tie key is unique per row, a group holds at most
+    *    `tieStep` rows NO MATTER how the values distribute. The r14
+    *    form ranked raw rows per sub-bucket, so a constant-valued
+    *    column (all rows in one sub) re-concentrated the whole table
+    *    into one sort task; now a constant column just means level-2
+    *    groups of <= tieStep rows each. Level-2 offsets cumulate over
+    *    the (sub, v, tie-range) count table, partitioned by sub —
+    *    per task <= distinct level-2 groups per sub, bounded by
+    *    step (distinct values) + tie-domain/tieStep.
+    *
+    * The final row window partitions by (v, tie-range): its input
+    * sorts in tasks of <= tieStep rows. One extra map-side-combined
+    * aggregate + group-table shuffle versus the r14 form — the
+    * OOM-ceiling price, same trade as the q119 subsplit device. */
+  private[graft] def scalableRank(df: DataFrame, v: String, tie: String,
+      step: Long, out: String, tieStep: Long = 1L << 22): DataFrame = {
     val wOff = Window.orderBy(col("__sub"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff2 = Window.partitionBy(col("__sub"))
+      .orderBy(col(v), col("__sub2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRn = Window.partitionBy(col(v), col("__sub2")).orderBy(col(tie))
     val sub = df.withColumn("__sub", expr(s"$v DIV $step"))
-    val offs = sub.groupBy(col("__sub")).agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .select(col("__sub"), col("__off"))
-    sub.withColumn("__rn", row_number().over(wSub))
-      .join(broadcast(offs), "__sub")
+      .withColumn("__sub2", expr(s"$tie DIV $tieStep"))
+    val l2 = sub.groupBy(col("__sub"), col(v), col("__sub2"))
+      .agg(count(lit(1)).as("__c"))
+    val offs1 = l2.groupBy(col("__sub")).agg(sum(col("__c")).as("__sc"))
+      .withColumn("__off1", coalesce(sum(col("__sc")).over(wOff), lit(0L)))
+      .select(col("__sub"), col("__off1"))
+    val offs2 = l2.join(broadcast(offs1), "__sub")
+      .withColumn("__off", col("__off1") +
+        coalesce(sum(col("__c")).over(wOff2), lit(0L)))
+      .select(col(v), col("__sub2"), col("__off"))
+    // group-level offsets join AFTER the row window, on the window's
+    // own (v, tie-range) partitioning — the row side is not
+    // re-shuffled; offs2 (group-table-sized, histogram-scale) is.
+    sub.withColumn("__rn", row_number().over(wRn))
+      .join(offs2, Seq(v, "__sub2"))
       .withColumn(out, col("__off") + col("__rn"))
-      .drop("__sub", "__rn", "__off")
+      .drop("__sub", "__sub2", "__rn", "__off")
   }
 
   /** Gini coefficient of customer spend concentration — the standard
@@ -710,35 +767,49 @@ object Profiling {
   /** Per-group equi-depth histogram: order-total deciles WITHIN each
     * order priority — the grouped variant of q133, and the shape a
     * stratified sampler reads before drawing per-stratum quantile
-    * boundaries. Ranks decompose per (group, value sub-bucket):
-    * the row window partitions on (g, sub), the offsets window on g
-    * over its sub-bucket counts (group-count x sub-bucket rows), so
-    * adding groups adds parallelism, never a bigger global sort.
-    * Bucket assignment is exact integer arithmetic per group. */
+    * boundaries. Positions decompose per (group, value sub-bucket)
+    * over the (g, v) HISTOGRAM — the cumulative window partitions on
+    * (g, sub), the offsets window on g over its sub-bucket counts —
+    * so adding groups adds parallelism, never a bigger global sort,
+    * and per-task rows are bounded by distinct values per (g, sub)
+    * at ANY value distribution. Bucket assignment is exact integer
+    * arithmetic per group. */
   def groupedEquiDepth(s: SparkSession, d: String,
       buckets: Int = 10): DataFrame = {
     val step = 1048576L
-    val base = GraftSession.cut(Tables.orders(s, d)
-      .select(col("o_orderpriority").as("g"), cents.as("v"),
-        col("o_orderkey").as("k"))
+    // the grouped twin of [[equiDepthOf]]'s value-histogram device:
+    // per-bucket (count, lo, hi) within each group is invariant under
+    // tie permutation, so positions come from the (g, v) histogram —
+    // a constant-valued group is a one-row histogram, never a
+    // one-task row sort (degenerate-distribution hardening, r15)
+    val hist = GraftSession.cut(Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"), cents.as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("sub", expr(s"v DIV $step")))
-    val wSub = Window.partitionBy(col("g"), col("sub"))
-      .orderBy(col("v"), col("k"))
+    val wVal = Window.partitionBy(col("g"), col("sub")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.partitionBy(col("g")).orderBy(col("sub"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = base.groupBy(col("g"), col("sub"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+    val offs = hist.groupBy(col("g"), col("sub"))
+      .agg(sum(col("c")).as("sub_n"))
+      .withColumn("off", coalesce(sum(col("sub_n")).over(wOff), lit(0L)))
       .select(col("g"), col("sub"), col("off"))
-    val ns = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    base.withColumn("rn", row_number().over(wSub))
+    val ns = hist.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    hist
+      .withColumn("voff0", coalesce(sum(col("c")).over(wVal), lit(0L)))
       .join(broadcast(offs), Seq("g", "sub"))
       .join(broadcast(ns), "g")
-      .withColumn("bucket",
-        expr(s"((off + rn - 1) * $buckets) DIV n"))
+      .withColumn("voff", col("off") + col("voff0"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"(voff * $buckets) DIV n"),
+        expr(s"((voff + c - 1) * $buckets) DIV n"))))
+      .withColumn("fi", greatest(col("voff"),
+        expr(s"(bucket * n + ${buckets - 1}) DIV $buckets")))
+      .withColumn("li", least(col("voff") + col("c") - 1,
+        expr(s"((bucket + 1) * n + ${buckets - 1}) DIV $buckets - 1")))
       .groupBy(col("g"), col("bucket"))
-      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
-        max(col("v")).as("hi"))
+      .agg(sum(col("li") - col("fi") + 1).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
       .orderBy(col("g"), col("bucket"))
   }
 
