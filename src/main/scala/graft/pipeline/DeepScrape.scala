@@ -94,10 +94,12 @@ object DeepScrape {
     numbers.join(contents, Seq("meeting_page", "pos"))
   }
 
-  /** One run: synthesize a PDF per Referat meeting; idempotent via
-    * bulk-inventory anti-join. Returns newly-written count. */
-  def run(spark: SparkSession, pagesDir: String, listingPage: String,
-      municipality: String, sinkDir: String): Long = {
+  /** The full synthesis plan: listing -> meetings -> agenda items ->
+    * content cleanup -> per-meeting HTML assembly -> PDF. Split from
+    * the action so plan sweeps (ScaleInvariantsSpec) audit the exact
+    * dataflow a production run executes. */
+  def synthesizedDocs(spark: SparkSession, pagesDir: String,
+      listingPage: String, municipality: String): DataFrame = {
     GraftFunctions.register(spark)
     val pages = readPages(spark, pagesDir)
     val ms = meetings(pages, listingPage)
@@ -108,7 +110,7 @@ object DeepScrape {
         concat(lit("<h2>Punkt "), col("number"), lit(": "), col("title"),
           lit("</h2><p>"), col("content"), lit("</p>")))
 
-    val docs = items
+    items
       .groupBy(col("meeting_page"), col("meeting_date"))
       .agg(sort_array(collect_list(struct(col("number"), col("section"))))
         .as("parts"))
@@ -121,7 +123,13 @@ object DeepScrape {
       .withColumn("filename", Exprs.canonicalFilename(col("meeting_date"),
         col("municipality"), lit("oekonomiudvalget"), col("meeting_page")))
       .select("municipality", "committee", "filename", "meeting_date", "pdf")
+  }
 
+  /** One run: synthesize a PDF per Referat meeting; idempotent via
+    * bulk-inventory anti-join. Returns newly-written count. */
+  def run(spark: SparkSession, pagesDir: String, listingPage: String,
+      municipality: String, sinkDir: String): Long = {
+    val docs = synthesizedDocs(spark, pagesDir, listingPage, municipality)
     val todo = docs.join(
       broadcast(GenericIngest.inventory(spark, sinkDir)),
       Seq("filename"), "left_anti")

@@ -110,19 +110,7 @@ object GenericIngest {
       minDate: Option[java.sql.Date] = None,
       fetcher: graft.fetch.Fetch.Fetcher = graft.fetch.Fetch.StaticFetcher())
       : Long = {
-    val base = spark.read.format("meetinglist")
-      .option("assumeSortedDesc", "true").load(portalDir)
-    val bounded = minDate match {
-      case Some(d) => base.filter(col("meeting_date") >= lit(d))
-      case None => base
-    }
-    val cand = bounded
-      .filter(col("doc_uuid").isNotNull)
-      .withColumn("committee", lit(committee))
-      .withColumn("filename", graft.expr.Exprs.sanitizeFilename(
-        graft.expr.Exprs.canonicalFilename(col("meeting_date"),
-          col("municipality"), lit("oekonomiudvalget"), col("doc_uuid"))))
-      .dropDuplicates("filename")
+    val cand = connectorCandidates(spark, portalDir, committee, minDate)
     val todo = cand.join(broadcast(inventory(spark, sinkDir)),
       Seq("filename"), "left_anti")
     val fetched = graft.fetch.Fetch.fetchBinary(todo, "url", fetcher)
@@ -137,6 +125,30 @@ object GenericIngest {
       }
       n
     } finally fetched.unpersist()
+  }
+
+  /** The connector-backed candidate plan [[runFromConnector]] fetches
+    * and sinks: DSv2 `meetinglist` scan (date bound and limits push
+    * into the crawl) -> validity filter -> canonical naming ->
+    * first-seen dedup by filename. Split from the action so plan
+    * sweeps (ScaleInvariantsSpec) audit the exact dataflow a
+    * production run executes. */
+  def connectorCandidates(spark: SparkSession, portalDir: String,
+      committee: String = "Oekonomi",
+      minDate: Option[java.sql.Date] = None): DataFrame = {
+    val base = spark.read.format("meetinglist")
+      .option("assumeSortedDesc", "true").load(portalDir)
+    val bounded = minDate match {
+      case Some(d) => base.filter(col("meeting_date") >= lit(d))
+      case None => base
+    }
+    bounded
+      .filter(col("doc_uuid").isNotNull)
+      .withColumn("committee", lit(committee))
+      .withColumn("filename", graft.expr.Exprs.sanitizeFilename(
+        graft.expr.Exprs.canonicalFilename(col("meeting_date"),
+          col("municipality"), lit("oekonomiudvalget"), col("doc_uuid"))))
+      .dropDuplicates("filename")
   }
 
   /** Bulk sink inventory (J1's right side): list once, never probe

@@ -1,21 +1,30 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, CollectList, CollectSet, Percentile}
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
-/** Mechanical single-task-hazard sweep over EVERY gate query.
+import graft.pipeline.{CorpusCuration, DeepScrape, Discovery, GenericIngest}
+import graft.streaming.{IncrementalIngest, StreamOps}
+
+/** Mechanical single-task-hazard sweep over EVERY gate query, the
+  * flagship entry(), the pipeline dataflows and the streaming twins.
   *
   * The r13/r14 q119 lesson, generalized: plan shapes that funnel a
   * corpus-proportional row stream into ONE task are invisible at test
   * scale and fatal at 10^9 documents, and hand audits keep missing
   * them — q119 shipped for three rounds, and this sweep's first runs
-  * falsified the r13 audit's "q119 was the only one" three more
-  * times (q152's corpus/10-point fold, q165's joint-vocabulary fold,
-  * q121's filterless rank window). So the invariant is mechanical:
-  * every `SparkEntry.queries` plan is checked for FOUR shapes, and
+  * falsified the r13 audit's "q119 was the only one" FOUR times
+  * (q152's corpus/10-point fold, q165's joint-vocabulary fold, q64's
+  * exact percentile buffer, q121's filterless rank window). So the
+  * invariant is mechanical: every plan is checked for SIX shapes, and
   * the legitimate uses are CLOSED allowlists with per-entry
   * justifications, compared for exact equality — adding a new device
   * or dropping an allowlisted one fails CI until the list is
@@ -30,8 +39,8 @@ import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
   *  3. GLOBAL windows (empty partition spec = single-partition sort)
   *     over un-aggregated, un-limited input.
   *  4. Windows partitioned ONLY by categorical keys (source, lang,
-  *     event_type — corpus/|categories| rows per sort task) over
-  *     such input.
+  *     event_type, municipality — corpus/|categories| rows per sort
+  *     task) over such input.
   *  5. collect_list/collect_set GROUPED only by categorical keys over
   *     such input — corpus/|categories| rows per array buffer, and
   *     unlike a sort, an aggregation ARRAY cannot spill.
@@ -47,12 +56,14 @@ import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
   * Aggregate (grouping-cardinality-sized), a Limit, Catalyst's own
   * WindowGroupLimit (the rank-limit pushdown — see NOTE below), a
   * generate/union/join of such inputs, or another window over one.
-  * A cut() table (RDDScanExec) is opaque to the traversal, so the
-  * queries windowing over cut HISTOGRAMS are allowlisted by name.
+  * A cut() table (RDDScanExec / LogicalRDD) resolves MECHANICALLY
+  * through GraftSession.cutOrigin to the plan that produced it (r15;
+  * the r14 form trusted three by-name allowlist entries with prose
+  * justifications) — an RDD scan nobody registered stays unbounded.
   */
 class ScaleInvariantsSpec extends SparkTestBase {
 
-  /** Gate queries whose plan legitimately carries an ungrouped
+  /** Plans whose tree legitimately carries an ungrouped
     * collect_list/collect_set — every entry's input is bounded by
     * construction, NOT corpus-proportional. Keep justifications
     * honest: this list is compared for EXACT equality. */
@@ -72,32 +83,17 @@ class ScaleInvariantsSpec extends SparkTestBase {
     "q168_cramers_v" ->
       "lang x source contingency cells — category-sized")
 
-  /** Gate queries whose (global or categorical) window input traces
-    * to a cut() table the traversal cannot see past — each cut is a
-    * value-range- or time-range-sized HISTOGRAM aggregate, bounded by
-    * the value domain, never by corpus rows. */
-  private val cutFedWindows: Map[String, String] = Map(
-    "q136_conversion_latency" ->
-      "cut per-second latency histogram (groupBy lat_s counts)",
-    "q155_autocorr" ->
-      "cut hourly-count buckets (time-range x types) densify join",
-    "q182_order_gaps" ->
-      "cut gap-day histogram (groupBy gap counts)")
-
-  /** Same cut-opacity, for categorical-GROUPED collects: the collect's
-    * input is a cut HISTOGRAM with constant rows per category. */
-  private val cutFedCategoricalCollects: Map[String, String] = Map(
-    "q150_psi_drift" ->
-      "cut types x 24 hour-of-day cells (constant per type)")
-
   /** Partition keys that are CATEGORICAL (a handful of values at any
     * corpus size), so a window partitioned ONLY by them concentrates
     * corpus/|categories| rows into single sort tasks unless its input
     * is already bounded. High-cardinality keys (doc_id, user_id,
     * hashes, buckets, salts) are exempt: their groups are small and
-    * the window's parallelism is the key's cardinality. */
+    * the window's parallelism is the key's cardinality. municipality
+    * and committee are the pipeline surfaces' categorical keys (~100
+    * portals, 4 committees). */
   private val CategoricalKeys =
-    Set("source", "lang", "event_type", "kind")
+    Set("source", "lang", "event_type", "kind", "municipality",
+      "committee")
 
   // NOTE on rank-limit windows: `row_number().over(...)` followed by
   // `filter(rn <= k)` is NOT a hazard — Catalyst's InferWindowGroupLimit
@@ -116,25 +112,40 @@ class ScaleInvariantsSpec extends SparkTestBase {
             e.aggregateFunction.isInstanceOf[CollectSet] => e
     }.isDefined)
 
-  private def hasUngroupedCollect(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Boolean =
+  private def hasUngroupedCollect(plan: LogicalPlan): Boolean =
     plan.collectFirst {
       case a: Aggregate if a.groupingExpressions.isEmpty &&
           hasCollect(a) => a
     }.isDefined
 
+  private def hasPercentile(plan: LogicalPlan): Boolean =
+    plan.exists(_.expressions.exists(_.collectFirst {
+      case e: AggregateExpression
+          if e.aggregateFunction.isInstanceOf[Percentile] => e
+    }.isDefined))
+
+  private def isCategoricalAttr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e match {
+      case ar: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => CategoricalKeys(ar.name)
+      case _ => false
+    }
+
   /** Logical-plan boundedness (the physical bounded() can't adjudicate
     * a grouped collect: its own partial/final agg pair satisfies the
-    * aggregate terminal). Same house rules, logical nodes. */
-  private def boundedL(
-      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Boolean = {
+    * aggregate terminal). Same house rules, logical nodes; cut()
+    * tables resolve through the GraftSession.cutOrigin registry. */
+  private def boundedL(p: LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     p match {
       case _: Aggregate => true
+      case _: Deduplicate => true
       case _: GlobalLimit | _: LocalLimit => true
       case _: WindowGroupLimit => true
+      case _: LocalRelation | _: OneRowRelation => true
+      case l: LogicalRDD =>
+        GraftSession.cutOrigin(l.rdd.id).exists(boundedL)
       case u: Union => u.children.forall(boundedL)
       case j: Join => j.children.forall(boundedL)
       case _: Project | _: Filter | _: Sort | _: Window | _: Generate |
@@ -147,32 +158,31 @@ class ScaleInvariantsSpec extends SparkTestBase {
   /** Aggregates GROUPED only by categorical keys whose functions
     * include a collect over un-bounded input: corpus/|categories|
     * rows in one in-memory array buffer (and unlike a sort, an
-    * aggregation array cannot spill). Returns the offending
-    * aggregates for cut-fed classification. */
-  private def categoricalCollectHazards(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Seq[Aggregate] =
+    * aggregation array cannot spill). */
+  private def categoricalCollectHazards(plan: LogicalPlan): Seq[Aggregate] =
     plan.collect {
       case a: Aggregate if a.groupingExpressions.nonEmpty &&
-          a.groupingExpressions.forall {
-            case ar: org.apache.spark.sql.catalyst.expressions
-                .AttributeReference => CategoricalKeys(ar.name)
-            case _ => false
-          } && hasCollect(a) && !boundedL(a.child) => a
+          a.groupingExpressions.forall(isCategoricalAttr) &&
+          hasCollect(a) && !boundedL(a.child) => a
     }
 
   /** Is a global window's input bounded (never corpus-row-sized)?
-    * Terminal OKs: aggregates and limits. Unions and broadcast
-    * nested-loop (cross) joins are bounded iff every input is.
-    * RDDScanExec (cut tables) is opaque: handled by allowlist. */
+    * Terminal OKs: aggregates, limits, local relations (driver-
+    * literal-sized). Unions and joins are bounded iff every input is.
+    * RDDScanExec (cut tables) resolves to its registered pre-cut
+    * plan. */
   private def bounded(p: SparkPlan): Boolean = p match {
-    case _: aggregate.BaseAggregateExec => true
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      true
     case _: GlobalLimitExec | _: LocalLimitExec |
         _: TakeOrderedAndProjectExec => true
+    case _: LocalTableScanExec => true
     // Catalyst's rank-limit pushdown: the window's input is already
     // group-limited to k rows per map partition (see NOTE above)
     case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
       true
+    case r: RDDScanExec =>
+      GraftSession.cutOrigin(r.rdd.id).exists(boundedL)
     case r: ReusedExchangeExec => bounded(r.child)
     case _: SortExec | _: Exchange | _: ProjectExec | _: FilterExec |
         _: WholeStageCodegenExec | _: InputAdapter | _: CoalesceExec |
@@ -186,6 +196,35 @@ class ScaleInvariantsSpec extends SparkTestBase {
     case _ => false
   }
 
+  /** Global/categorical windows over unbounded input, physical form. */
+  private def windowHazards(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if (w.partitionSpec.isEmpty ||
+            w.partitionSpec.forall(isCategoricalAttr)) &&
+            !bounded(w.child) =>
+        s"window by ${w.partitionSpec.mkString(",")} " +
+          s"over ${w.child.getClass.getSimpleName}"
+    }
+
+  /** The same window rule on a LOGICAL plan — for streaming frames,
+    * whose physical micro-batch plans only exist per-batch. */
+  private def windowHazardsL(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if (w.partitionSpec.isEmpty ||
+            w.partitionSpec.forall(isCategoricalAttr)) &&
+            !boundedL(w.child) =>
+        s"window by ${w.partitionSpec.mkString(",")}"
+    }
+
+  private def cartesianHazards(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+          if !c.children.forall(bounded) =>
+        "cartesian with unbounded side"
+    }
+
   test("no gate query funnels corpus-proportional rows into one task") {
     val d = sf("")
     // static plans: AQE wraps the physical tree in an opaque
@@ -196,68 +235,29 @@ class ScaleInvariantsSpec extends SparkTestBase {
     val percentileOffenders = Seq.newBuilder[String]
     val cartesianOffenders = Seq.newBuilder[String]
     val collectUsers = Set.newBuilder[String]
-    val cutWindowUsers = Set.newBuilder[String]
-    val catCutUsers = Set.newBuilder[String]
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val df = fn(spark, d)
         // exact Percentile buffers EVERY group value in one task —
         // group-row-sized state. Zero gate queries use it since q64
         // moved to the value-histogram rank device; keep it that way.
-        if (df.queryExecution.optimizedPlan.exists(_.expressions.exists(
-            _.collectFirst { case e: AggregateExpression
-              if e.aggregateFunction.isInstanceOf[Percentile] => e
-            }.isDefined)))
+        if (hasPercentile(df.queryExecution.optimizedPlan))
           percentileOffenders += name
         // a cartesian product with both sides corpus-scaled is the
         // rows-squared cousin of the single-task funnels (broadcast
         // crosses of scalar/strata tables plan as BNLJ and are fine)
-        df.queryExecution.executedPlan.collect {
-          case c: org.apache.spark.sql.execution.joins
-              .CartesianProductExec if !c.children.forall(bounded) =>
-            cartesianOffenders += name
-        }
+        cartesianHazards(df.queryExecution.executedPlan)
+          .foreach(h => cartesianOffenders += s"$name($h)")
         if (hasUngroupedCollect(df.queryExecution.optimizedPlan)) {
           collectUsers += name
           if (!boundedUngroupedCollects.contains(name))
             collectOffenders += name
         }
         categoricalCollectHazards(df.queryExecution.optimizedPlan)
-          .foreach { a =>
-            val feedsCut = a.child.collectFirst {
-              case l: org.apache.spark.sql.execution.LogicalRDD => l
-            }.isDefined
-            if (feedsCut) catCutUsers += name
-            if (!(feedsCut && cutFedCategoricalCollects.contains(name)))
-              collectOffenders += s"$name(categorical-grouped collect)"
-          }
-
-        val windows = df.queryExecution.executedPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec => w
-        }
-        windows.foreach { w =>
-          // global windows (single-partition sort of the WHOLE input)
-          // and windows partitioned only by categorical keys (single
-          // sort task per category, corpus/|categories| rows) must
-          // both sit over bounded input
-          val categorical = w.partitionSpec.nonEmpty &&
-            w.partitionSpec.forall {
-              case a: org.apache.spark.sql.catalyst.expressions
-                  .AttributeReference => CategoricalKeys(a.name)
-              case _ => false
-            }
-          if ((w.partitionSpec.isEmpty || categorical) &&
-              !bounded(w.child)) {
-            val feedsCut = w.child.collectFirst {
-              case r: RDDScanExec => r }.isDefined
-            if (feedsCut) cutWindowUsers += name
-            val excused = feedsCut && cutFedWindows.contains(name)
-            if (!excused)
-              windowOffenders +=
-                s"$name(window by ${w.partitionSpec.mkString(",")} " +
-                  s"over ${w.child.getClass.getSimpleName})"
-          }
-        }
+          .foreach(_ => collectOffenders +=
+            s"$name(categorical-grouped collect)")
+        windowHazards(df.queryExecution.executedPlan)
+          .foreach(h => windowOffenders += s"$name($h)")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(collectOffenders.result().isEmpty,
@@ -273,19 +273,128 @@ class ScaleInvariantsSpec extends SparkTestBase {
     assert(windowOffenders.result().isEmpty,
       "global window over un-aggregated, un-limited input " +
         s"(single-partition corpus sort): ${windowOffenders.result()}")
-    // staleness: the allowlists must match reality EXACTLY, so a
+    // staleness: the allowlist must match reality EXACTLY, so a
     // rewrite that removes a justified use also prunes its entry
     assert(collectUsers.result() == boundedUngroupedCollects.keySet,
       "ungrouped-collect allowlist is stale: " +
         s"actual=${collectUsers.result().toSeq.sorted} " +
         s"listed=${boundedUngroupedCollects.keySet.toSeq.sorted}")
-    assert(cutWindowUsers.result() == cutFedWindows.keySet,
-      "cut-fed-window allowlist is stale: " +
-        s"actual=${cutWindowUsers.result().toSeq.sorted} " +
-        s"listed=${cutFedWindows.keySet.toSeq.sorted}")
-    assert(catCutUsers.result() == cutFedCategoricalCollects.keySet,
-      "cut-fed-categorical-collect allowlist is stale: " +
-        s"actual=${catCutUsers.result().toSeq.sorted} " +
-        s"listed=${cutFedCategoricalCollects.keySet.toSeq.sorted}")
+  }
+
+  test("no flagship or pipeline surface funnels corpus rows into " +
+      "one task") {
+    // the surfaces a 100 TB user actually runs (r14 verdict): the
+    // flagship entry(), both ingest dataflows, deep-scrape synthesis,
+    // end-to-end corpus curation, discovery, and the incremental
+    // ingest's batch projection. Fixture-sized inputs — the sweep
+    // checks SHAPES, which don't change with scale.
+    import spark.implicits._
+    graft.parse.GraftFunctions.register(spark)
+    val today = java.sql.Date.valueOf("2024-01-01")
+    val csv = "src/test/resources/fixtures/municipalities.csv"
+    val portals = "src/test/resources/fixtures/portals"
+    val d001 = sf("")
+    val surfaces: Seq[(String, () => DataFrame)] = Seq(
+      "entry_flagship" -> (() => SparkEntry.entry(spark)),
+      "ingest_candidates" -> (() => GenericIngest.candidates(
+        spark, csv, portals, "Oekonomi", "ALL", 100, today)),
+      "ingest_todo" -> (() => GenericIngest.candidates(
+        spark, csv, portals, "Oekonomi", "NEW", 100, today)
+        .join(broadcast(GenericIngest.inventory(spark,
+          "/tmp/graft_sweep_no_such_sink")), Seq("filename"),
+          "left_anti")),
+      "connector_candidates" -> (() => GenericIngest.connectorCandidates(
+        spark, "src/test/resources/fixtures/portals3")),
+      "deepscrape_docs" -> (() => DeepScrape.synthesizedDocs(spark,
+        "src/test/resources/fixtures/kkpages", "listing", "kobenhavn")),
+      "curation_curated" -> (() => CorpusCuration.curate(spark, d001)._1),
+      "curation_chunks" ->
+        (() => CorpusCuration.curateToChunks(spark, d001)._1),
+      "discovery_candidates" -> (() => Discovery.candidateUrls(spark,
+        Seq("aarhus", "silkeborg"))),
+      "discovery_probe" -> (() => Discovery.probePortals(
+        Discovery.candidateUrls(spark, Seq("aarhus", "silkeborg")),
+        Discovery.StaticProber(Map.empty, 200))),
+      "discovery_committees" -> (() => Discovery.discoverCommittees(
+        Seq(("https://aarhus.dk",
+          "<html><a data-value=\"ab12\">Økonomiudvalget</a></html>"))
+          .toDF("base_url", "html"))),
+      "incremental_candidates" -> (() => IncrementalIngest.toCandidates(
+        Seq(("aarhus", "https://a.dk/vis?Referat-d.01-02-2024&id=x"))
+          .toDF("municipality", "url"), "NEW", today)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = Seq.newBuilder[String]
+    try {
+      surfaces.foreach { case (name, mk) =>
+        val df = mk()
+        if (hasUngroupedCollect(df.queryExecution.optimizedPlan))
+          offenders += s"$name(ungrouped collect)"
+        if (hasPercentile(df.queryExecution.optimizedPlan))
+          offenders += s"$name(exact Percentile)"
+        categoricalCollectHazards(df.queryExecution.optimizedPlan)
+          .foreach(_ => offenders +=
+            s"$name(categorical-grouped collect)")
+        cartesianHazards(df.queryExecution.executedPlan)
+          .foreach(h => offenders += s"$name($h)")
+        windowHazards(df.queryExecution.executedPlan)
+          .foreach(h => offenders += s"$name($h)")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(offenders.result().isEmpty,
+      "single-task hazard in a flagship/pipeline surface: " +
+        offenders.result())
+  }
+
+  test("streaming micro-batch plans carry no single-task aggregation " +
+      "shapes") {
+    // the streaming twins' physical plans exist only per micro-batch,
+    // but every rule-1/2/4/5 shape is visible on the UNSTARTED logical
+    // plan (collects, percentiles and windows are logical operators;
+    // the keyed-state ops shuffle by their group key and hold O(k)
+    // state per key by construction — StreamOpsSpec pins that).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evTyped = MemoryStream[(Timestamp, String)]
+    val evUser = MemoryStream[(Timestamp, Long)]
+    val upd = MemoryStream[(Timestamp, Long, Double)]
+    val keyed = MemoryStream[StreamOps.KeyedRow]
+    val terms = MemoryStream[StreamOps.TermRow]
+    val funnelEv = MemoryStream[StreamOps.FunnelEvent]
+    val buckets = MemoryStream[StreamOps.BucketCount]
+    val urls = MemoryStream[(Timestamp, String)]
+    val texts = MemoryStream[(Timestamp, String, String)]
+    val plans: Seq[(String, LogicalPlan)] = Seq(
+      "windowed_counts" -> StreamOps.windowedEventCounts(
+        evTyped.toDF().toDF("ts", "event_type")).queryExecution.analyzed,
+      "session_counts" -> StreamOps.sessionCounts(
+        evUser.toDF().toDF("ts", "user_id")).queryExecution.analyzed,
+      "enrich_join" -> StreamOps.enrichJoin(
+        evUser.toDF().toDF("ts", "user_id"),
+        upd.toDF().toDF("uts", "u_user_id", "price"))
+        .queryExecution.analyzed,
+      "dedup_watermark" -> StreamOps.dedupWithinWatermark(
+        urls.toDF().toDF("ts", "url"), Seq("url"))
+        .queryExecution.analyzed,
+      "near_dedup" -> StreamOps.nearDedupWithinWatermark(
+        texts.toDF().toDF("ts", "url", "text"), "text")
+        .queryExecution.analyzed,
+      "first_seen" -> StreamOps.firstSeenDedup(keyed.toDS())
+        .queryExecution.analyzed,
+      "heavy_hitters" -> StreamOps.streamingHeavyHitters(terms.toDS())
+        .queryExecution.analyzed,
+      "funnel" -> StreamOps.streamingFunnel(funnelEv.toDS())
+        .queryExecution.analyzed,
+      "anomalies" -> StreamOps.streamingAnomalies(buckets.toDS())
+        .queryExecution.analyzed)
+    val offenders = plans.flatMap { case (name, p) =>
+      (if (hasUngroupedCollect(p)) Seq(s"$name(ungrouped collect)")
+      else Nil) ++
+        (if (hasPercentile(p)) Seq(s"$name(exact Percentile)") else Nil) ++
+        categoricalCollectHazards(p)
+          .map(_ => s"$name(categorical-grouped collect)") ++
+        windowHazardsL(p).map(h => s"$name($h)")
+    }
+    assert(offenders.isEmpty,
+      s"single-task hazard in a streaming twin plan: $offenders")
   }
 }
