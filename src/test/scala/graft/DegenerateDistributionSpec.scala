@@ -217,7 +217,14 @@ class DegenerateDistributionSpec extends SparkTestBase {
       "giniSpend" -> (() => Profiling.giniSpend(spark, d)),
       "lorenzDeciles" -> (() => Profiling.lorenzDeciles(spark, d)),
       "paretoShare" -> (() => Profiling.paretoShare(spark, d)),
-      "rfmSegments" -> (() => Profiling.rfmSegments(spark, d))))
+      "rfmSegments" -> (() => Profiling.rfmSegments(spark, d)),
+      // already histogram-based before r15 — pinned so a future edit
+      // cannot degrade them back to row-level ranks
+      "ksTest" -> (() => Profiling.ksTest(spark, d)),
+      "mannWhitney" -> (() => Profiling.mannWhitney(spark, d)),
+      "winsorizedMean" -> (() => Profiling.winsorizedMean(spark, d)),
+      "madOutliers" -> (() => Profiling.madOutliers(spark, d)),
+      "spearman" -> (() => Profiling.spearman(spark, d))))
       assertBoundedWindows(mk, label, Set("v", "rec", "freq", "mon"))
   }
 }
