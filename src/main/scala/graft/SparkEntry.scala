@@ -40,7 +40,9 @@ object SparkEntry {
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .withColumn("detected_lang", TextOps.langId(col("text")))
       .filter(col("quality") >= 0.3)
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      // contaminated is corpus-proportional (per-doc overlap rows) —
+      // no broadcast hint; stats/AQE pick the strategy at each scale
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .filter(Curation.hashKeep(col("doc_id"), lit("cc"))) // ~80% sample
       .select(col("doc_id"), col("lang"), col("detected_lang"),
         round(col("quality"), 4).as("quality"), col("n_chars"))

@@ -208,7 +208,10 @@ object Curation {
     val benchGrams = gramHashes(docs.filter(col("doc_id") % 97 === 0), k)
       .select(col("gh")).distinct()
     gramHashes(docs.filter(col("doc_id") % 97 =!= 0), k)
-      .join(broadcast(benchGrams), "gh")
+      // benchGrams is a fixed FRACTION of the corpus, not a fixed
+      // size — the join strategy stays with stats/AQE (broadcast at
+      // test scale, shuffle on fixed-width gh at 100 TB)
+      .join(benchGrams, "gh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_shared_grams"))
   }

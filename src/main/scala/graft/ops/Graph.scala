@@ -1557,15 +1557,17 @@ object Graph {
     * random rewiring would produce. Computed EXACTLY in integers as
     * (4·m·Σe_c − Σd_c²) / (4m²) with one final rounded double
     * division: e_c and d_c are counts off the memoized edge/degree
-    * tables, the nation dim is broadcast (25 rows at any scale), and
-    * the whole statistic is two map-side-combined aggs — no shuffle
-    * grows with anything but the node count. */
+    * tables, the node→nation label map is supplier-count-sized (the
+    * join strategy is left to stats/AQE — broadcast when it fits,
+    * shuffle when the node count says otherwise), and the whole
+    * statistic is two map-side-combined aggs — no shuffle grows with
+    * anything but the node count. */
   def modularity(s: SparkSession, d: String,
       minSupport: Int = 7): DataFrame = {
     val dec = "decimal(38,0)"
     val e = copurchaseEdges(s, d, minSupport)
-    val nat = broadcast(Tables.supplier(s, d)
-      .select(col("s_suppkey"), col("s_nationkey")))
+    val nat = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
     val labeled = e
       .join(nat.select(col("s_suppkey").as("a"),
         col("s_nationkey").as("ca")), "a")

@@ -193,7 +193,7 @@ object Pq {
       .orderBy(col("adc_cos").desc, col("vec_id"))
       .limit(k * refineFactor)
       .select(col("vec_id"))
-    val q = emb.filter(col("vec_id") === queryId)
+    val q = emb.filter(col("vec_id") === queryId).limit(1)
       .select(col("embedding").as("q_embedding"))
     emb.join(cands, Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(q))

@@ -562,7 +562,7 @@ object Relational {
     val nat = Tables.nation(s, d)
       .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
     val cells = li.join(o, "o_orderkey")
-      .join(broadcast(sup), "l_suppkey")
+      .join(sup, "l_suppkey")
       .join(broadcast(nat), "s_nationkey")
       .groupBy(col("o_year"), col("n_name"))
       .agg(sum(col("c")).as("rev_cents"))
@@ -620,9 +620,9 @@ object Relational {
         expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
           " AS LONG)").as("c"))
     li.join(o, "o_orderkey")
-      .join(broadcast(sup.withColumnRenamed("s_suppkey", "l_suppkey")),
+      .join(sup.withColumnRenamed("s_suppkey", "l_suppkey"),
         "l_suppkey")
-      .join(broadcast(cust.withColumnRenamed("c_custkey", "o_custkey")),
+      .join(cust.withColumnRenamed("c_custkey", "o_custkey"),
         "o_custkey")
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat.withColumnRenamed("n_nationkey",
@@ -670,7 +670,7 @@ object Relational {
         expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
           " AS LONG)").as("c"))
     li.join(o, "o_orderkey")
-      .join(broadcast(cust), "o_custkey")
+      .join(cust, "o_custkey")
       .groupBy(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
         col("o_orderpriority"))
       .agg(sum(col("c")).as("rev_cents"))
@@ -725,11 +725,11 @@ object Relational {
         expr("CAST(year(l_shipdate) AS LONG)").as("l_year"),
         expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100)" +
           " AS LONG)").as("c"))
-    li.join(broadcast(sup.select(col("l_suppkey"), col("supp_nation"))),
+    li.join(sup.select(col("l_suppkey"), col("supp_nation")),
         "l_suppkey")
       .join(Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey")), "o_orderkey")
-      .join(broadcast(cust.select(col("o_custkey"), col("cust_nation"))),
+      .join(cust.select(col("o_custkey"), col("cust_nation")),
         "o_custkey")
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
@@ -781,7 +781,7 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_returned"),
         sum(col("c")).as("lost_cents"))
-      .join(broadcast(cust), "o_custkey")
+      .join(cust, "o_custkey")
       .join(broadcast(nat), "c_nationkey")
       .select(col("o_custkey").as("c_custkey"), col("c_name"),
         col("n_name"), col("n_returned"), col("lost_cents"))
@@ -901,8 +901,8 @@ object Relational {
         expr("CAST(round(o_totalprice * 100) AS LONG)")
           .as("total_cents"))
     big.join(o, "l_orderkey")
-      .join(broadcast(Tables.customer(s, d)
-        .select(col("c_custkey").as("o_custkey"), col("c_name"))), "o_custkey")
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_name")), "o_custkey")
       .select(col("c_name"), col("o_custkey").as("c_custkey"),
         col("l_orderkey").as("o_orderkey"), col("o_orderdate"),
         col("total_cents"), col("total_qty"))
@@ -1101,9 +1101,9 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
     val cost = Tables.lineitem(s, d)
-      .join(broadcast(pf.select(col("p_partkey"))),
+      .join(pf.select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(broadcast(eu.select(col("s_suppkey"))),
+      .join(eu.select(col("s_suppkey")),
         col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(expr("CAST(round(l_extendedprice * 100) AS LONG)"))
@@ -1112,8 +1112,8 @@ object Relational {
       .agg(min(col("cost_cents")).as("min_cents"))
     cost.join(minc, "l_partkey")
       .filter(col("cost_cents") === col("min_cents"))
-      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .join(eu, col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),
         col("n_name"), col("cost_cents"))
       .orderBy(col("p_partkey"), col("s_name"))
@@ -1211,11 +1211,11 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
     Tables.lineitem(s, d)
-      .join(broadcast(pf), col("l_partkey") === col("p_partkey"),
+      .join(pf, col("l_partkey") === col("p_partkey"),
         "left_semi")
       .select(col("l_orderkey"), col("l_suppkey"), revCents.as("rc"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(sum(col("rc")).as("total_cents"),
         coalesce(sum(when(col("n_name") === supNation, col("rc"))),
@@ -1320,7 +1320,7 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val v = Tables.lineitem(s, d)
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"),
+      .join(sup, col("l_suppkey") === col("s_suppkey"),
         "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS LONG)"))
@@ -1401,7 +1401,7 @@ object Relational {
     val mx = rev.agg(max(col("total_rev_cents")).as("max_cents"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_rev_cents") === col("max_cents"))
-      .join(broadcast(Tables.supplier(s, d)),
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
       .orderBy(col("s_suppkey"))
@@ -1440,8 +1440,8 @@ object Relational {
     val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
       .select(col("s_suppkey"))
     Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .join(excl, col("l_suppkey") === col("s_suppkey"),
         "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -1471,9 +1471,9 @@ object Relational {
   def smallQuantityRevenue(s: SparkSession, d: String,
       brand: String = "Brand#11"): DataFrame = {
     val li = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)
+      .join(Tables.part(s, d)
           .filter(col("p_brand") === brand)
-          .select(col("p_partkey"))),
+          .select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"),
         expr("CAST(round(l_quantity * 100) AS LONG)").as("qc"),
@@ -1524,7 +1524,7 @@ object Relational {
     }.reduce(_ || _)
     Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"), revCents.as("rc"))
-      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(pf, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg(coalesce(sum(col("rc")), lit(0L)).as("rev_cents"),
         count(lit(1)).as("n_lines"))
@@ -1565,12 +1565,12 @@ object Relational {
       .select(col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("o_year"))
     Tables.lineitem(s, d)
-      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(pf, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (revCents - expr("CAST(round(l_quantity) AS LONG)")
           * col("unit_cents")).as("profit_cents"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"), col("o_year"))
       .agg(sum(col("profit_cents")).as("profit_cents"),
         count(lit(1)).as("n_lines"))
@@ -1656,7 +1656,7 @@ object Relational {
     val shipped = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
         col("l_shipdate") < lit(until).cast("timestamp"))
-      .join(broadcast(pf), col("l_partkey") === col("p_partkey"),
+      .join(pf, col("l_partkey") === col("p_partkey"),
         "left_semi")
       .groupBy(col("l_suppkey"))
       .agg(sum(expr("CAST(round(l_quantity * 100) AS LONG)"))

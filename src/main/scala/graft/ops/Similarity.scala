@@ -92,7 +92,10 @@ object Similarity {
   /** [[knnJoin]] over an explicit (vec_id, embedding) corpus. */
   def knnJoinOf(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val s = emb.sparkSession
-    val queries = emb.filter(col("vec_id") < numQueries)
+    // vec_id is the unique key, so the range filter yields at most
+    // numQueries rows; the limit restates that bound IN the plan, so
+    // the broadcast below is provably fixed-size to any plan audit
+    val queries = emb.filter(col("vec_id") < numQueries).limit(numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
     val topk = udaf(new TopKByScore(k), ExpressionEncoder[Scored]())
     emb.crossJoin(broadcast(queries))
@@ -291,7 +294,7 @@ object Similarity {
       k: Int = 5, lambda: Double = 0.7, poolSize: Int = 50): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val q = emb.filter(col("vec_id") === queryId)
+    val q = emb.filter(col("vec_id") === queryId).limit(1)
       .select(col("embedding").as("qe"))
     val pool = graft.GraftSession.cut(emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryId)
@@ -394,7 +397,7 @@ object Similarity {
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), slice(col("embedding"), 1, dims).as("pe"))
-    val q = emb.filter(col("vec_id") === queryId)
+    val q = emb.filter(col("vec_id") === queryId).limit(1)
       .select(col("pe").as("qe"))
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
@@ -415,7 +418,7 @@ object Similarity {
     val cand = mrlPrefixTopK(s, d, dims, queryId, candidates)
       .select(col("vec_id"))
     val emb = Tables.embeddings(s, d)
-    val q = emb.filter(col("vec_id") === queryId)
+    val q = emb.filter(col("vec_id") === queryId).limit(1)
       .select(col("embedding").as("q_embedding"))
     emb.join(broadcast(cand), "vec_id")
       .crossJoin(broadcast(q))
@@ -451,7 +454,7 @@ object Similarity {
   def knnBruteForce(s: SparkSession, d: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val q = emb.filter(col("vec_id") === queryId)
+    val q = emb.filter(col("vec_id") === queryId).limit(1)
       .select(col("embedding").as("q_embedding"))
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
@@ -1016,7 +1019,7 @@ object Similarity {
         (i, math.sqrt(diff.map(x => x * x).sum))
       }
       .sortBy(_._2).take(nprobe).map(_._1).toSeq
-    val q = index.assigned.filter(col("vec_id") === queryId)
+    val q = index.assigned.filter(col("vec_id") === queryId).limit(1)
       .select(col("embedding").as("q_embedding"))
     index.assigned
       .filter(col("list_id").isin(probeLists: _*) &&
@@ -1068,7 +1071,7 @@ object Similarity {
         .persist()
       (idx, Seq(idx))
     }
-    val q = bucketed.filter(col("vec_id") === queryId)
+    val q = bucketed.filter(col("vec_id") === queryId).limit(1)
       .select(col("embedding").as("q_embedding") +:
         (0 until tables).map(t => col(s"b$t").as(s"qb$t")): _*)
     val sameBucket = (0 until tables).map { t =>
@@ -1113,7 +1116,7 @@ object Similarity {
         .persist()
       (idx, Seq(idx))
     }
-    val q = bucketed.filter(col("vec_id") === queryId)
+    val q = bucketed.filter(col("vec_id") === queryId).limit(1)
       .select(col("embedding").as("q_embedding") +:
         (0 until tables).map(t => col(s"b$t").as(s"qb$t")): _*)
     val sameBucket = (0 until tables)
@@ -1182,12 +1185,12 @@ object Similarity {
       assigned.count() // materialize the index
       (SeededIvfIndex(seeds, assigned), Seq(seeds, assigned))
     }
-    val probed = emb.filter(col("vec_id") === queryId)
+    val probed = emb.filter(col("vec_id") === queryId).limit(1)
       .crossJoin(broadcast(ix.seeds))
       .select(col("srank").as("list_id"), dist2.as("d2"))
       .orderBy(col("d2"), col("list_id")).limit(nprobe)
       .select(col("list_id"))
-    val q = emb.filter(col("vec_id") === queryId)
+    val q = emb.filter(col("vec_id") === queryId).limit(1)
       .select(col("embedding").as("q_embedding"))
     ix.assigned.join(broadcast(probed), "list_id")
       .filter(col("vec_id") =!= queryId)

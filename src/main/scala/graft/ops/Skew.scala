@@ -90,9 +90,13 @@ object Skew {
       .withColumn("rn", row_number().over(
         Window.orderBy(col("cnt"), col("l_suppkey"))))
       .crossJoin(broadcast(stats))
+    // rn is a row_number, so the equality matches exactly one row;
+    // the limit(1) states that bound in the plan itself, making the
+    // broadcasts below provably single-row to any plan audit
     def atRank(q: Double, name: String): DataFrame =
       ranked.filter(col("rn") ===
           ceil(lit(q) * col("nk").cast("double")).cast("long"))
+        .limit(1)
         .select(col("cnt").as(name))
     stats.crossJoin(broadcast(atRank(0.5, "p50_cnt")))
       .crossJoin(broadcast(atRank(0.99, "p99_cnt")))

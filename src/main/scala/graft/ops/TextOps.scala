@@ -1407,7 +1407,10 @@ object TextOps {
           - col("ns").cast("double") + a0 - rest - aw))
     val z = delta / sqrt(lit(1.0) / (cD + aw) + lit(1.0) / (rest + aw))
     val scored = counts
-      .join(broadcast(termTot), "t")
+      // termTot is VOCABULARY-sized (one row per term) — forcing a
+      // broadcast would OOM at corpus scale; the shuffle join on t
+      // moves only (t, ct) pairs and AQE still broadcasts when small
+      .join(termTot, "t")
       .join(broadcast(srcTot), "source")
       .crossJoin(broadcast(corpus))
       .withColumn("z", z)

@@ -49,7 +49,9 @@ object CorpusCuration {
       scored.select(col("doc_id"), col("text")), "text", "doc_id",
       threshold = nearDupThreshold)
     val losers = pairs.select(col("id_b").as("doc_id")).distinct()
-    val curated = scored.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    // losers scale with the near-dup rate (corpus-proportional) — the
+    // anti-join strategy stays with stats/AQE rather than a forced hint
+    val curated = scored.join(losers, Seq("doc_id"), "left_anti")
 
     // 5. token budget, piggybacked on the final count
     val obs = new org.apache.spark.sql.Observation()

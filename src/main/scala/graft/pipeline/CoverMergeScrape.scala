@@ -95,7 +95,7 @@ object CoverMergeScrape {
       .select("municipality", "committee", "filename", "meeting_date", "pdf")
 
     val todo = merged.join(
-      broadcast(GenericIngest.inventory(spark, sinkDir)),
+      GenericIngest.inventory(spark, sinkDir),
       Seq("filename"), "left_anti")
     val n = todo.count()
     if (n > 0) {

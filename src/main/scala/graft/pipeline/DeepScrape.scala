@@ -131,7 +131,7 @@ object DeepScrape {
       municipality: String, sinkDir: String): Long = {
     val docs = synthesizedDocs(spark, pagesDir, listingPage, municipality)
     val todo = docs.join(
-      broadcast(GenericIngest.inventory(spark, sinkDir)),
+      GenericIngest.inventory(spark, sinkDir),
       Seq("filename"), "left_anti")
     val n = todo.count()
     if (n > 0) {

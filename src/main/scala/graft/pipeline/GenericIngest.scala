@@ -23,9 +23,12 @@ import graft.parse.GraftFunctions
   * listing + left_anti — never per-key existence probes).
   *
   * Scale shape: one shuffle for the per-URL dedup window, one for the
-  * anti-join (inventory side is small -> broadcast); everything else is
-  * scan-local projection. Discovery order is an explicit column, never
-  * an implicit row order.
+  * anti-join. The inventory grows with everything ever written —
+  * corpus-proportional over the crawl's lifetime — so its join
+  * strategy is left to stats/AQE (broadcast while it fits, shuffle
+  * anti-join once it doesn't) rather than a forced hint; everything
+  * else is scan-local projection. Discovery order is an explicit
+  * column, never an implicit row order.
   */
 object GenericIngest {
 
@@ -111,7 +114,7 @@ object GenericIngest {
       fetcher: graft.fetch.Fetch.Fetcher = graft.fetch.Fetch.StaticFetcher())
       : Long = {
     val cand = connectorCandidates(spark, portalDir, committee, minDate)
-    val todo = cand.join(broadcast(inventory(spark, sinkDir)),
+    val todo = cand.join(inventory(spark, sinkDir),
       Seq("filename"), "left_anti")
     val fetched = graft.fetch.Fetch.fetchBinary(todo, "url", fetcher)
       .filter(col("status") < 400)
@@ -179,7 +182,7 @@ object GenericIngest {
     val observed = cand.observe(obs,
       count(lit(1)).as("n_candidates"),
       count(col("meeting_date")).as("n_dated"))
-    val todo = observed.join(broadcast(inventory(spark, sinkDir)),
+    val todo = observed.join(inventory(spark, sinkDir),
       Seq("filename"), "left_anti")
     // acquire AFTER all filters + the anti-join — never fetch a
     // document that would be discarded (the reference's explicit

@@ -23,7 +23,8 @@ import graft.pipeline.GenericIngest
   *
   * At scale: the file source lists incrementally; each micro-batch
   * shuffles once for the in-batch dedup; inventory is a bulk listing
-  * broadcast against the (small) batch.
+  * whose join strategy is left to stats/AQE — it grows with the
+  * crawl's lifetime, so a forced broadcast would eventually OOM.
   */
 object IncrementalIngest {
 
@@ -67,7 +68,7 @@ object IncrementalIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val todo = batch.join(
-          broadcast(GenericIngest.inventory(batch.sparkSession, sinkDir)),
+          GenericIngest.inventory(batch.sparkSession, sinkDir),
           Seq("filename"), "left_anti")
           .withColumn("content", to_binary(col("doc_uuid"), lit("utf-8")))
         val n = todo.count()

@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, CollectList, CollectSet, Percentile}
 import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -24,7 +26,7 @@ import graft.streaming.{IncrementalIngest, StreamOps}
   * falsified the r13 audit's "q119 was the only one" FOUR times
   * (q152's corpus/10-point fold, q165's joint-vocabulary fold, q64's
   * exact percentile buffer, q121's filterless rank window). So the
-  * invariant is mechanical: every plan is checked for SIX shapes, and
+  * invariant is mechanical: every plan is checked for SEVEN shapes, and
   * the legitimate uses are CLOSED allowlists with per-entry
   * justifications, compared for exact equality — adding a new device
   * or dropping an allowlisted one fails CI until the list is
@@ -45,11 +47,19 @@ import graft.streaming.{IncrementalIngest, StreamOps}
   *     such input — corpus/|categories| rows per array buffer, and
   *     unlike a sort, an aggregation ARRAY cannot spill.
   *  6. Cartesian products with an unbounded side (rows-squared).
+  *  7. Explicit broadcast() hints on a side whose CARDINALITY is not
+  *     provably bounded at any corpus scale (r15): the planner's own
+  *     size-based broadcast re-plans to a shuffle join at 1000x the
+  *     data, but a hint is obeyed unconditionally — a forced broadcast
+  *     of a corpus-proportional side is a guaranteed executor OOM.
   *
   * Boundary: memoized index BUILD plans materialize inside the first
-  * construction (IndexMemo) and are not visible to this sweep — their
+  * construction (IndexMemo) and are not visible to rules 1-6 — their
   * shapes are audited per-index in IndexMemoSpec and the plan-shape
-  * gates of PlanShapeSpec.
+  * gates of PlanShapeSpec. Rule 7 reaches one level further: a
+  * persisted index consumed under a broadcast hint (InMemoryRelation)
+  * is resolved through its cached BUILD plan, so the cardinality
+  * argument is checked on what the index actually computes.
   *
   * What "bounded" means for the window gates: input that (modulo
   * sort/exchange/project/filter/codegen plumbing) comes from an
@@ -225,6 +235,170 @@ class ScaleInvariantsSpec extends SparkTestBase {
         "cartesian with unbounded side"
     }
 
+  // ---- rule 7: forced broadcast of a scale-proportional side ----
+  //
+  // An EXPLICIT broadcast() hint is obeyed regardless of size — unlike
+  // the planner's own size-based choice (which re-plans to a shuffle
+  // join when the stats say so at 1000x the data), a hinted side is
+  // collected to the driver and shipped to every executor even when it
+  // is corpus-proportional. So the hint is only legitimate on a side
+  // whose CARDINALITY is bounded at any corpus scale; everything else
+  // must leave the strategy to Catalyst/AQE or gate the hint on a
+  // measured count.
+
+  /** Grouping keys whose cardinality is bounded at any corpus size, so
+    * an Aggregate grouped ONLY by them is broadcast-safe. Deliberately
+    * minimal, each entry justified:
+    *  - `sub` / `__sub` / `__s`: the value-range subsplit device keys
+    *    (count per VALUE sub-bucket — value-range-, not corpus-,
+    *    cardinality; the q119/q133/q159 rank devices)
+    *  - `g`: the grouped-device stratum label — o_orderpriority in
+    *    shipLatency/groupedEquiDepth (5 values)
+    *  - `month` / `o_year`: time-dimension keys — grow with wall
+    *    clock, not with data volume
+    *  - `dim`: vector dimension index (embedding width, fixed)
+    *  - `label`: IVF / k-means centroid id (k fixed by the index)
+    * (NOT here: `b` — vocabulary-sized in the Kneser-Ney continuation
+    * counts; `bucket` — hour buckets are time-bounded but LSH-style
+    * buckets are not, and the name alone cannot tell them apart;
+    * `t` / `term` / `gh` — vocabulary- or gram-sized.) */
+  private val BroadcastSafeKeys: Set[String] = CategoricalKeys ++
+    Set("sub", "__sub", "__s", "g", "month", "o_year", "dim", "label")
+
+  /** Scans of the two FIXED-cardinality tables (nation: 25 rows,
+    * region: 5 — constant at every scale factor, unlike customer /
+    * supplier / part / orders, which scale linearly with SF). */
+  private def fixedDimScan(lr: LogicalRelation): Boolean =
+    lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.nonEmpty &&
+        fs.location.rootPaths.forall(
+          _.toString.matches(".*/(nation|region)\\.parquet/?"))
+      case _ => false
+    }
+
+  /** Is this plan's CARDINALITY bounded at any corpus scale (safe to
+    * force-broadcast)? Distinct from [[boundedL]], which adjudicates
+    * single-TASK funnels: there an Aggregate is always a terminal OK
+    * (its shuffle parallelizes by the group key), but an Aggregate
+    * grouped by a high-cardinality key yields a corpus-sized RESULT —
+    * fatal to broadcast. An Aggregate here is safe iff its grouping
+    * keys are all bounded-cardinality OR its child is itself safe
+    * (aggregation never grows a row count). Same resolution rules
+    * otherwise: cut() tables resolve through GraftSession.cutOrigin;
+    * an unregistered RDD scan stays unsafe. */
+  private def broadcastSafeL(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall {
+            case ar: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference => BroadcastSafeKeys(ar.name)
+            case _ => false
+          } || broadcastSafeL(a.child)
+      case d: Deduplicate => broadcastSafeL(d.child)
+      case _: GlobalLimit | _: LocalLimit | _: WindowGroupLimit => true
+      case _: LocalRelation | _: OneRowRelation => true
+      case r: Range => r.numElements <= BigInt(4000000L)
+      case l: LogicalRDD =>
+        GraftSession.cutOrigin(l.rdd.id).exists(broadcastSafeL)
+      case lr: LogicalRelation => fixedDimScan(lr)
+      // a memoized .persist() index: audit its BUILD plan (physical —
+      // that is all InMemoryRelation retains) under the same rules
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        broadcastSafeP(imr.cachedPlan)
+      case u: Union => u.children.forall(broadcastSafeL)
+      case j: Join => j.children.forall(broadcastSafeL)
+      case _: Project | _: Filter | _: Sort | _: Window | _: Generate |
+          _: RepartitionOperation | _: SubqueryAlias | _: Expand |
+          _: Sample =>
+        broadcastSafeL(p.children.head)
+      case _ => false
+    }
+  }
+
+  /** [[broadcastSafeL]] on a PHYSICAL plan — needed because an
+    * InMemoryRelation (a persisted index) only retains its build plan
+    * in physical form. Same cardinality rules, physical nodes; an
+    * aggregate pair (partial/final) recurses like a single Aggregate. */
+  private def broadcastSafeP(p: SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall {
+          case ar: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference => BroadcastSafeKeys(ar.name)
+          case _ => false
+        } || broadcastSafeP(a.child)
+    case _: GlobalLimitExec | _: LocalLimitExec |
+        _: TakeOrderedAndProjectExec => true
+    case _: LocalTableScanExec => true
+    case r: RangeExec => r.range.numElements <= BigInt(4000000L)
+    case r: RDDScanExec =>
+      GraftSession.cutOrigin(r.rdd.id).exists(broadcastSafeL)
+    case f: FileSourceScanExec => f.relation.location.rootPaths.nonEmpty &&
+      f.relation.location.rootPaths.forall(
+        _.toString.matches(".*/(nation|region)\\.parquet/?"))
+    case i: org.apache.spark.sql.execution.columnar
+        .InMemoryTableScanExec => broadcastSafeP(i.relation.cachedPlan)
+    case r: ReusedExchangeExec => broadcastSafeP(r.child)
+    case u: UnionExec => u.children.forall(broadcastSafeP)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      j.children.forall(broadcastSafeP)
+    case _: SortExec | _: Exchange | _: ProjectExec | _: FilterExec |
+        _: WholeStageCodegenExec | _: InputAdapter | _: CoalesceExec |
+        _: GenerateExec | _: ExpandExec | _: SampleExec |
+        _: org.apache.spark.sql.execution.window.WindowExec |
+        _: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+      broadcastSafeP(p.children.head)
+    case _ => false
+  }
+
+  /** Compact triage signature of a hinted side: its top node (with
+    * grouping keys for aggregates) plus the parquet leaves under it. */
+  private def sigL(p: LogicalPlan): String = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val top = p match {
+      case a: Aggregate => "Aggregate[" + a.groupingExpressions.map {
+        case ar: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => ar.name
+        case e => e.sql
+      }.mkString(",") + "]"
+      case o => o.nodeName
+    }
+    val leaves = p.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.headOption
+          .map(_.getName).getOrElse("fs")
+        case _ => "rel"
+      }
+      case l: LogicalRDD =>
+        if (GraftSession.cutOrigin(l.rdd.id).isDefined) "cut" else "rdd"
+      case o => o.nodeName
+    }.distinct
+    top + leaves.mkString("(", ",", ")")
+  }
+
+  /** Join sides carrying an explicit BROADCAST hint that are not
+    * provably cardinality-bounded. Optimized plans fold hints into
+    * Join.hint; analyzed (streaming) plans still carry ResolvedHint
+    * nodes — both forms are matched. */
+  private def forcedBroadcastHazards(plan: LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Join => LJoin, ResolvedHint, BROADCAST}
+    plan.collect {
+      case j: LJoin =>
+        Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right))
+          .collect {
+            case (Some(h), side) if h.strategy.contains(BROADCAST) &&
+                !broadcastSafeL(side) =>
+              s"forced broadcast of ${sigL(side)}"
+          }
+      case rh: ResolvedHint if rh.hints.strategy.contains(BROADCAST) &&
+          !broadcastSafeL(rh.child) =>
+        Seq(s"forced broadcast of ${sigL(rh.child)}")
+    }.flatten
+  }
+
   test("no gate query funnels corpus-proportional rows into one task") {
     val d = sf("")
     // static plans: AQE wraps the physical tree in an opaque
@@ -281,6 +455,74 @@ class ScaleInvariantsSpec extends SparkTestBase {
         s"listed=${boundedUngroupedCollects.keySet.toSeq.sorted}")
   }
 
+  /** Gate queries whose plans legitimately carry a broadcast hint on a
+    * side the structural rule cannot prove bounded. Every entry must
+    * name WHY the side is bounded (or how the hint is gated on a
+    * measured count); exact-equality staleness below. */
+  private val justifiedForcedBroadcasts: Map[String, String] = Map(
+    "q38_minhash_pairs" ->
+      ("verify-join candidate list — hint applied only under the " +
+        "MEASURED count (<= 5M, verifiedMd5NearDups candSide)"),
+    "q39_ngram_jaccard_pairs" ->
+      "same gated candSide as q38 (charJaccard declaration)",
+    "q44_embed_near_dup" ->
+      ("SRP candidate pairs — hint gated on measured count <= " +
+        "maxBroadcastPairs (verifiedNearDupsFromBuckets)"),
+    "q92_cms_estimate" ->
+      "CMS cell table — depth x width rows, fixed by sketch params",
+    "q115_dsir_weights" ->
+      "DSIR bucket model — `buckets` (256) rows by pmod construction",
+    "q154_transitions" ->
+      "event-type pair totals — |types|^2 rows (categorical squared)",
+    "q215_twonn_id" ->
+      ("anchorCross — count-gated <= 200k rows per broadcast, " +
+        "hash-chunked corpus passes above the bound"),
+    "q229_hard_negatives" ->
+      "anchorCross (same gate as q215)",
+    "q247_dedup_roi" ->
+      "gated candSide at two thresholds (verifiedMd5NearDups)",
+    "q250_simhash_calibration" ->
+      "gated candSide (verifiedMd5NearDups)")
+
+  test("no gate query force-broadcasts a scale-proportional side") {
+    val d = sf("")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = Seq.newBuilder[String]
+    val users = Set.newBuilder[String]
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val hits = forcedBroadcastHazards(
+          fn(spark, d).queryExecution.optimizedPlan)
+        if (hits.nonEmpty) {
+          users += name
+          if (!justifiedForcedBroadcasts.contains(name))
+            hits.foreach(h => offenders += s"$name($h)")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(offenders.result().isEmpty,
+      "explicit broadcast() of a side that scales with the corpus — " +
+        "drop the hint (let stats/AQE choose), gate it on a measured " +
+        s"count, or justify here: ${offenders.result()}")
+    assert(users.result() == justifiedForcedBroadcasts.keySet,
+      "forced-broadcast allowlist is stale: " +
+        s"actual=${users.result().toSeq.sorted} " +
+        s"listed=${justifiedForcedBroadcasts.keySet.toSeq.sorted}")
+  }
+
+  /** Pipeline surfaces whose plans legitimately hint a broadcast the
+    * structural rule cannot prove bounded (same contract as
+    * [[justifiedForcedBroadcasts]]). */
+  private val justifiedSurfaceBroadcasts: Map[String, String] = Map(
+    "ingest_candidates" ->
+      "municipality-config CSV — a fixed ~100-row domain table",
+    "ingest_todo" ->
+      "same config dim through candidates()",
+    "curation_curated" ->
+      "gated candSide inside the near-dup stage (measured-count hint)",
+    "curation_chunks" ->
+      "same curation dataflow, chunked output")
+
   test("no flagship or pipeline surface funnels corpus rows into " +
       "one task") {
     // the surfaces a 100 TB user actually runs (r14 verdict): the
@@ -300,8 +542,8 @@ class ScaleInvariantsSpec extends SparkTestBase {
         spark, csv, portals, "Oekonomi", "ALL", 100, today)),
       "ingest_todo" -> (() => GenericIngest.candidates(
         spark, csv, portals, "Oekonomi", "NEW", 100, today)
-        .join(broadcast(GenericIngest.inventory(spark,
-          "/tmp/graft_sweep_no_such_sink")), Seq("filename"),
+        .join(GenericIngest.inventory(spark,
+          "/tmp/graft_sweep_no_such_sink"), Seq("filename"),
           "left_anti")),
       "connector_candidates" -> (() => GenericIngest.connectorCandidates(
         spark, "src/test/resources/fixtures/portals3")),
@@ -324,6 +566,7 @@ class ScaleInvariantsSpec extends SparkTestBase {
           .toDF("municipality", "url"), "NEW", today)))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val offenders = Seq.newBuilder[String]
+    val broadcastUsers = Set.newBuilder[String]
     try {
       surfaces.foreach { case (name, mk) =>
         val df = mk()
@@ -338,11 +581,21 @@ class ScaleInvariantsSpec extends SparkTestBase {
           .foreach(h => offenders += s"$name($h)")
         windowHazards(df.queryExecution.executedPlan)
           .foreach(h => offenders += s"$name($h)")
+        val bHits = forcedBroadcastHazards(df.queryExecution.optimizedPlan)
+        if (bHits.nonEmpty) {
+          broadcastUsers += name
+          if (!justifiedSurfaceBroadcasts.contains(name))
+            bHits.foreach(h => offenders += s"$name($h)")
+        }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(offenders.result().isEmpty,
       "single-task hazard in a flagship/pipeline surface: " +
         offenders.result())
+    assert(broadcastUsers.result() == justifiedSurfaceBroadcasts.keySet,
+      "surface forced-broadcast allowlist is stale: " +
+        s"actual=${broadcastUsers.result().toSeq.sorted} " +
+        s"listed=${justifiedSurfaceBroadcasts.keySet.toSeq.sorted}")
   }
 
   test("streaming micro-batch plans carry no single-task aggregation " +
@@ -392,7 +645,8 @@ class ScaleInvariantsSpec extends SparkTestBase {
         (if (hasPercentile(p)) Seq(s"$name(exact Percentile)") else Nil) ++
         categoricalCollectHazards(p)
           .map(_ => s"$name(categorical-grouped collect)") ++
-        windowHazardsL(p).map(h => s"$name($h)")
+        windowHazardsL(p).map(h => s"$name($h)") ++
+        forcedBroadcastHazards(p).map(h => s"$name($h)")
     }
     assert(offenders.isEmpty,
       s"single-task hazard in a streaming twin plan: $offenders")
