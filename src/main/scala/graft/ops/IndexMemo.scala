@@ -79,6 +79,33 @@ private[graft] object IndexMemo {
   @volatile private[graft] var planHash: DataFrame => Int =
     _.semanticHash()
 
+  /** PRE-CACHE logical plans of every DataFrame a build left pinned,
+    * keyed by tag. This is what makes the single-task sweep's reach
+    * into memoized builds MECHANICAL (ScaleInvariantsSpec rules 1-6
+    * previously stopped at the IndexMemo boundary with a prose
+    * justification): the analyzed plan is captured before Spark's
+    * cache manager can substitute the InMemoryRelation, so the sweep
+    * sees the build's real aggregation/window/join shapes. Appended
+    * on every build (not replaced): distinct param sets under one tag
+    * each contribute their shapes. Cleared with [[clear]]. */
+  private val builtPlansMap = new ConcurrentHashMap[String,
+    List[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
+  private[graft] def builtPlans: Map[String,
+      Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = {
+    val b = Map.newBuilder[String,
+      Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
+    builtPlansMap.forEach((k, v) => b += k -> v)
+    b.result()
+  }
+  private def recordBuiltPlans(tag: String, pinned: Seq[DataFrame]): Unit =
+    if (pinned.nonEmpty) {
+      val plans = pinned.flatMap(df =>
+        try Some(df.queryExecution.analyzed) catch {
+          case _: Throwable => None
+        }).toList
+      builtPlansMap.merge(tag, plans, (a, b) => a ++ b)
+    }
+
   private def release(dfs: Seq[DataFrame]): Unit =
     dfs.foreach(df => try df.unpersist() catch { case _: Throwable => () })
 
@@ -112,6 +139,7 @@ private[graft] object IndexMemo {
     buildNanosAcc.addAndGet(System.nanoTime() - t0)
     buildCountsMap.computeIfAbsent(tag,
       _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+    recordBuiltPlans(tag, pinned)
     val prev = cache.putIfAbsent(key, Entry(inputs, value, pinned))
     if (prev == null) { boundTag(tag, key); value }
     else if (sameInputs(prev, inputs)) { // lost the race: adopt the winner
@@ -147,5 +175,6 @@ private[graft] object IndexMemo {
     cache.values.forEach(e => release(e.pinned))
     cache.clear()
     tagQueues.clear()
+    builtPlansMap.clear()
   }
 }

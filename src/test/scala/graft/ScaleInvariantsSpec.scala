@@ -53,13 +53,14 @@ import graft.streaming.{IncrementalIngest, StreamOps}
   *     data, but a hint is obeyed unconditionally — a forced broadcast
   *     of a corpus-proportional side is a guaranteed executor OOM.
   *
-  * Boundary: memoized index BUILD plans materialize inside the first
-  * construction (IndexMemo) and are not visible to rules 1-6 — their
-  * shapes are audited per-index in IndexMemoSpec and the plan-shape
-  * gates of PlanShapeSpec. Rule 7 reaches one level further: a
+  * The IndexMemo boundary is closed in both directions (r15): build
+  * plans register their pre-cache analyzed form (IndexMemo.builtPlans)
+  * and are swept by the same rules in their own test below, and a
   * persisted index consumed under a broadcast hint (InMemoryRelation)
-  * is resolved through its cached BUILD plan, so the cardinality
+  * resolves through its cached BUILD plan, so rule 7's cardinality
   * argument is checked on what the index actually computes.
+  * IndexMemoSpec and PlanShapeSpec keep their per-index footprint and
+  * shape gates on top.
   *
   * What "bounded" means for the window gates: input that (modulo
   * sort/exchange/project/filter/codegen plumbing) comes from an
@@ -158,6 +159,9 @@ class ScaleInvariantsSpec extends SparkTestBase {
         GraftSession.cutOrigin(l.rdd.id).exists(boundedL)
       case u: Union => u.children.forall(boundedL)
       case j: Join => j.children.forall(boundedL)
+      // analyzed plans (streaming, memo build registrations) still
+      // carry hint wrappers; a hint never changes cardinality
+      case h: ResolvedHint => boundedL(h.child)
       case _: Project | _: Filter | _: Sort | _: Window | _: Generate |
           _: RepartitionOperation | _: SubqueryAlias =>
         boundedL(p.children.head)
@@ -309,6 +313,7 @@ class ScaleInvariantsSpec extends SparkTestBase {
         broadcastSafeP(imr.cachedPlan)
       case u: Union => u.children.forall(broadcastSafeL)
       case j: Join => j.children.forall(broadcastSafeL)
+      case h: ResolvedHint => broadcastSafeL(h.child)
       case _: Project | _: Filter | _: Sort | _: Window | _: Generate |
           _: RepartitionOperation | _: SubqueryAlias | _: Expand |
           _: Sample =>
@@ -508,6 +513,68 @@ class ScaleInvariantsSpec extends SparkTestBase {
       "forced-broadcast allowlist is stale: " +
         s"actual=${users.result().toSeq.sorted} " +
         s"listed=${justifiedForcedBroadcasts.keySet.toSeq.sorted}")
+  }
+
+  /** Logical mirror of the cartesian rule for plans that only exist in
+    * logical form (memo build registrations): a condition-less join
+    * where NEITHER side is bounded is rows-squared; one bounded side
+    * plans as a (linear) broadcast nested loop and passes. */
+  private def cartesianHazardsL(plan: LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    plan.collect {
+      case j: LJoin if j.condition.isEmpty &&
+          !j.children.exists(boundedL) =>
+        "cross join with both sides unbounded"
+    }
+  }
+
+  /** Memo build tags whose registered plans legitimately carry a
+    * flagged shape — same closed-allowlist contract as the query-level
+    * lists. */
+  private val justifiedBuildShapes: Map[String, String] = Map()
+
+  test("memoized index build plans carry no single-task shapes") {
+    // The IndexMemo boundary, mechanized: every build registers the
+    // PRE-CACHE analyzed plans of what it pinned (IndexMemo
+    // .builtPlans), so the same six logical rules sweep what the
+    // indexes actually compute. Cleared first so the registry holds
+    // EXACTLY the gate surface's builds — in a full suite run, other
+    // specs' fixture-corpus builds would otherwise leak in and make
+    // the staleness check order-dependent. Constructing every gate
+    // DataFrame then re-triggers each build.
+    graft.ops.IndexMemo.clear()
+    val d = sf("")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      fn(spark, d)
+    }
+    val built = graft.ops.IndexMemo.builtPlans
+    assert(built.nonEmpty, "no memo build plans were registered — " +
+      "the registry seam (IndexMemo.recordBuiltPlans) is broken")
+    val offenders = Seq.newBuilder[String]
+    val users = Set.newBuilder[String]
+    built.toSeq.sortBy(_._1).foreach { case (tag, plans) =>
+      val hits = plans.flatMap { p =>
+        (if (hasUngroupedCollect(p)) Seq("ungrouped collect") else Nil) ++
+          (if (hasPercentile(p)) Seq("exact Percentile") else Nil) ++
+          categoricalCollectHazards(p)
+            .map(_ => "categorical-grouped collect") ++
+          windowHazardsL(p) ++
+          cartesianHazardsL(p) ++
+          forcedBroadcastHazards(p)
+      }
+      if (hits.nonEmpty) {
+        users += tag
+        if (!justifiedBuildShapes.contains(tag))
+          hits.foreach(h => offenders += s"$tag($h)")
+      }
+    }
+    assert(offenders.result().isEmpty,
+      "single-task shape inside a memoized index build plan: " +
+        offenders.result())
+    assert(users.result() == justifiedBuildShapes.keySet,
+      "build-shape allowlist is stale: " +
+        s"actual=${users.result().toSeq.sorted} " +
+        s"listed=${justifiedBuildShapes.keySet.toSeq.sorted}")
   }
 
   /** Pipeline surfaces whose plans legitimately hint a broadcast the
