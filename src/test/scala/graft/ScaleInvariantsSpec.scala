@@ -26,7 +26,7 @@ import graft.streaming.{IncrementalIngest, StreamOps}
   * falsified the r13 audit's "q119 was the only one" FOUR times
   * (q152's corpus/10-point fold, q165's joint-vocabulary fold, q64's
   * exact percentile buffer, q121's filterless rank window). So the
-  * invariant is mechanical: every plan is checked for SEVEN shapes, and
+  * invariant is mechanical: every plan is checked for EIGHT shapes, and
   * the legitimate uses are CLOSED allowlists with per-entry
   * justifications, compared for exact equality — adding a new device
   * or dropping an allowlisted one fails CI until the list is
@@ -52,6 +52,11 @@ import graft.streaming.{IncrementalIngest, StreamOps}
   *     size-based broadcast re-plans to a shuffle join at 1000x the
   *     data, but a hint is obeyed unconditionally — a forced broadcast
   *     of a corpus-proportional side is a guaranteed executor OOM.
+  *  8. Row-returning driver actions (collect/head/take) over plans the
+  *     same cardinality rule cannot bound (r15): captured live via a
+  *     QueryExecutionListener while the full gate surface builds, so
+  *     the "no unbounded collect in any hot path" claim is measured,
+  *     not grepped — a corpus-scaled collect is a driver OOM.
   *
   * The IndexMemo boundary is closed in both directions (r15): build
   * plans register their pre-cache analyzed form (IndexMemo.builtPlans)
@@ -262,12 +267,16 @@ class ScaleInvariantsSpec extends SparkTestBase {
     *    clock, not with data volume
     *  - `dim`: vector dimension index (embedding width, fixed)
     *  - `label`: IVF / k-means centroid id (k fixed by the index)
+    *  - `prediction`: Spark ML's reserved assignment column —
+    *    cardinality = the model's k by construction (KMeans.fit
+    *    aggregates by it and collects k centroid rows)
     * (NOT here: `b` — vocabulary-sized in the Kneser-Ney continuation
     * counts; `bucket` — hour buckets are time-bounded but LSH-style
     * buckets are not, and the name alone cannot tell them apart;
     * `t` / `term` / `gh` — vocabulary- or gram-sized.) */
   private val BroadcastSafeKeys: Set[String] = CategoricalKeys ++
-    Set("sub", "__sub", "__s", "g", "month", "o_year", "dim", "label")
+    Set("sub", "__sub", "__s", "g", "month", "o_year", "dim", "label",
+      "prediction")
 
   /** Scans of the two FIXED-cardinality tables (nation: 25 rows,
     * region: 5 — constant at every scale factor, unlike customer /
@@ -575,6 +584,75 @@ class ScaleInvariantsSpec extends SparkTestBase {
       "build-shape allowlist is stale: " +
         s"actual=${users.result().toSeq.sorted} " +
         s"listed=${justifiedBuildShapes.keySet.toSeq.sorted}")
+  }
+
+  /** Row-returning driver actions — the calls that materialize a
+    * result IN the driver JVM. `count`/`reduce`-style scalar actions
+    * are excluded (one row by construction); `head`/`take` embed
+    * their own Limit in the captured plan. */
+  private val DriverRowActions =
+    Set("collect", "collectAsList", "head", "take", "toLocalIterator")
+
+  /** Driver actions whose plans the cardinality rule cannot prove
+    * bounded — same closed-allowlist contract, keyed by
+    * funcName(signature). */
+  private val justifiedDriverActions: Map[String, String] = Map()
+
+  test("driver-side actions only materialize cardinality-bounded " +
+      "plans") {
+    // The r14 verdict's "no unbounded .collect() in any hot path" was
+    // prose over a grep; this is the claim mechanized. Every
+    // row-returning action fired while constructing the full gate
+    // surface (index builds collect centroids/codebooks/gates here)
+    // must have a plan that is cardinality-bounded at ANY corpus
+    // scale — the same [[broadcastSafeL]] criterion, because "fits in
+    // the driver" and "fits in a broadcast" are the same bound.
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, LogicalPlan)]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (DriverRowActions(funcName))
+          captured.add(funcName -> qe.optimizedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.ops.IndexMemo.clear() // force every gate build's actions
+      val d = sf("")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        fn(spark, d)
+      }
+      // the execution-listener bus is async: drain it before reading
+      val bus = spark.sparkContext.getClass
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" &&
+          m.getParameterCount == 0)
+        .foreach(_.invoke(bus))
+      assert(!captured.isEmpty,
+        "no driver actions captured — the listener seam is broken " +
+          "(index builds are known to collect centroids and gates)")
+      val offenders = Seq.newBuilder[String]
+      val users = Set.newBuilder[String]
+      captured.forEach { case (fn, plan) =>
+        if (!broadcastSafeL(plan)) {
+          val key = s"$fn(${sigL(plan)})"
+          users += key
+          if (!justifiedDriverActions.contains(key)) offenders += key
+        }
+      }
+      assert(offenders.result().distinct.isEmpty,
+        "driver action over a corpus-scaled plan (driver OOM at " +
+          s"scale): ${offenders.result().distinct}")
+      assert(users.result() == justifiedDriverActions.keySet,
+        "driver-action allowlist is stale: " +
+          s"actual=${users.result().toSeq.sorted} " +
+          s"listed=${justifiedDriverActions.keySet.toSeq.sorted}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   /** Pipeline surfaces whose plans legitimately hint a broadcast the
