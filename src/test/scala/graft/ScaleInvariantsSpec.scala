@@ -598,15 +598,11 @@ class ScaleInvariantsSpec extends SparkTestBase {
     * funcName(signature). */
   private val justifiedDriverActions: Map[String, String] = Map()
 
-  test("driver-side actions only materialize cardinality-bounded " +
-      "plans") {
-    // The r14 verdict's "no unbounded .collect() in any hot path" was
-    // prose over a grep; this is the claim mechanized. Every
-    // row-returning action fired while constructing the full gate
-    // surface (index builds collect centroids/codebooks/gates here)
-    // must have a plan that is cardinality-bounded at ANY corpus
-    // scale — the same [[broadcastSafeL]] criterion, because "fits in
-    // the driver" and "fits in a broadcast" are the same bound.
+  /** Run `body` with a QueryExecutionListener capturing every
+    * row-returning driver action's optimized plan, draining the async
+    * execution-listener bus before returning. */
+  private def capturedDriverActions(body: => Unit)
+      : Seq[(String, LogicalPlan)] = {
     val captured =
       new java.util.concurrent.ConcurrentLinkedQueue[(String, LogicalPlan)]
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -620,40 +616,71 @@ class ScaleInvariantsSpec extends SparkTestBase {
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
-    try {
+    try body
+    finally {
+      // the execution-listener bus is async: drain it before unregister
+      try {
+        val bus = spark.sparkContext.getClass
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" &&
+            m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } finally spark.listenerManager.unregister(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    captured.iterator().asScala.toSeq
+  }
+
+  /** Assert every captured action's plan is cardinality-bounded,
+    * against the given allowlist (shared by the gate and surface
+    * driver-action tests). */
+  private def assertActionsBounded(actions: Seq[(String, LogicalPlan)],
+      allow: Map[String, String], what: String): Unit = {
+    val offenders = Seq.newBuilder[String]
+    val users = Set.newBuilder[String]
+    actions.foreach { case (fn, plan) =>
+      if (!broadcastSafeL(plan)) {
+        val key = s"$fn(${sigL(plan)})"
+        users += key
+        if (!allow.contains(key)) offenders += key
+      }
+    }
+    assert(offenders.result().distinct.isEmpty,
+      s"driver action over a corpus-scaled plan (driver OOM at " +
+        s"scale) in $what: ${offenders.result().distinct}")
+    assert(users.result() == allow.keySet,
+      s"driver-action allowlist for $what is stale: " +
+        s"actual=${users.result().toSeq.sorted} " +
+        s"listed=${allow.keySet.toSeq.sorted}")
+  }
+
+  test("driver-side actions only materialize cardinality-bounded " +
+      "plans") {
+    // The r14 verdict's "no unbounded .collect() in any hot path" was
+    // prose over a grep; this is the claim mechanized. Every
+    // row-returning action fired while constructing the full gate
+    // surface (index builds collect centroids/codebooks/gates here)
+    // must have a plan that is cardinality-bounded at ANY corpus
+    // scale — the same [[broadcastSafeL]] criterion, because "fits in
+    // the driver" and "fits in a broadcast" are the same bound.
+    val actions = capturedDriverActions {
       graft.ops.IndexMemo.clear() // force every gate build's actions
       val d = sf("")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         fn(spark, d)
       }
-      // the execution-listener bus is async: drain it before reading
-      val bus = spark.sparkContext.getClass
-        .getMethod("listenerBus").invoke(spark.sparkContext)
-      bus.getClass.getMethods
-        .find(m => m.getName == "waitUntilEmpty" &&
-          m.getParameterCount == 0)
-        .foreach(_.invoke(bus))
-      assert(!captured.isEmpty,
-        "no driver actions captured — the listener seam is broken " +
-          "(index builds are known to collect centroids and gates)")
-      val offenders = Seq.newBuilder[String]
-      val users = Set.newBuilder[String]
-      captured.forEach { case (fn, plan) =>
-        if (!broadcastSafeL(plan)) {
-          val key = s"$fn(${sigL(plan)})"
-          users += key
-          if (!justifiedDriverActions.contains(key)) offenders += key
-        }
-      }
-      assert(offenders.result().distinct.isEmpty,
-        "driver action over a corpus-scaled plan (driver OOM at " +
-          s"scale): ${offenders.result().distinct}")
-      assert(users.result() == justifiedDriverActions.keySet,
-        "driver-action allowlist is stale: " +
-          s"actual=${users.result().toSeq.sorted} " +
-          s"listed=${justifiedDriverActions.keySet.toSeq.sorted}")
-    } finally spark.listenerManager.unregister(listener)
+    }
+    assert(actions.nonEmpty,
+      "no driver actions captured — the listener seam is broken " +
+        "(index builds are known to collect centroids and gates)")
+    assertActionsBounded(actions, justifiedDriverActions, "gate builds")
   }
+
+  /** Driver actions fired by the pipeline surfaces that the
+    * cardinality rule cannot bound (same contract as
+    * [[justifiedDriverActions]]). */
+  private val justifiedSurfaceDriverActions: Map[String, String] = Map()
 
   /** Pipeline surfaces whose plans legitimately hint a broadcast the
     * structural rule cannot prove bounded (same contract as
@@ -712,28 +739,34 @@ class ScaleInvariantsSpec extends SparkTestBase {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val offenders = Seq.newBuilder[String]
     val broadcastUsers = Set.newBuilder[String]
-    try {
-      surfaces.foreach { case (name, mk) =>
-        val df = mk()
-        if (hasUngroupedCollect(df.queryExecution.optimizedPlan))
-          offenders += s"$name(ungrouped collect)"
-        if (hasPercentile(df.queryExecution.optimizedPlan))
-          offenders += s"$name(exact Percentile)"
-        categoricalCollectHazards(df.queryExecution.optimizedPlan)
-          .foreach(_ => offenders +=
-            s"$name(categorical-grouped collect)")
-        cartesianHazards(df.queryExecution.executedPlan)
-          .foreach(h => offenders += s"$name($h)")
-        windowHazards(df.queryExecution.executedPlan)
-          .foreach(h => offenders += s"$name($h)")
-        val bHits = forcedBroadcastHazards(df.queryExecution.optimizedPlan)
-        if (bHits.nonEmpty) {
-          broadcastUsers += name
-          if (!justifiedSurfaceBroadcasts.contains(name))
-            bHits.foreach(h => offenders += s"$name($h)")
+    // surface construction EXECUTES the dataflows' own driver actions
+    // (curation counts its quality gate, deep-scrape collects its page
+    // set) — capture them for the rule-8 boundedness check too
+    val actions = capturedDriverActions {
+      try {
+        surfaces.foreach { case (name, mk) =>
+          val df = mk()
+          if (hasUngroupedCollect(df.queryExecution.optimizedPlan))
+            offenders += s"$name(ungrouped collect)"
+          if (hasPercentile(df.queryExecution.optimizedPlan))
+            offenders += s"$name(exact Percentile)"
+          categoricalCollectHazards(df.queryExecution.optimizedPlan)
+            .foreach(_ => offenders +=
+              s"$name(categorical-grouped collect)")
+          cartesianHazards(df.queryExecution.executedPlan)
+            .foreach(h => offenders += s"$name($h)")
+          windowHazards(df.queryExecution.executedPlan)
+            .foreach(h => offenders += s"$name($h)")
+          val bHits =
+            forcedBroadcastHazards(df.queryExecution.optimizedPlan)
+          if (bHits.nonEmpty) {
+            broadcastUsers += name
+            if (!justifiedSurfaceBroadcasts.contains(name))
+              bHits.foreach(h => offenders += s"$name($h)")
+          }
         }
-      }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
     assert(offenders.result().isEmpty,
       "single-task hazard in a flagship/pipeline surface: " +
         offenders.result())
@@ -741,6 +774,8 @@ class ScaleInvariantsSpec extends SparkTestBase {
       "surface forced-broadcast allowlist is stale: " +
         s"actual=${broadcastUsers.result().toSeq.sorted} " +
         s"listed=${justifiedSurfaceBroadcasts.keySet.toSeq.sorted}")
+    assertActionsBounded(actions, justifiedSurfaceDriverActions,
+      "pipeline surfaces")
   }
 
   test("streaming micro-batch plans carry no single-task aggregation " +
