@@ -506,11 +506,19 @@ object Bench {
         .sortBy(_._1)
         .map { case (k, r) => "\"" + k + "\":" + fmt(r, 3) }
         .mkString("{", ",", "}")
+      // sidecar-only: per-tag build seconds, so a memo_build_s move
+      // (r15: 53.2 -> 67.5 on same-count builds) is attributable to
+      // its tag from the record alone. Nested builds bill both tags.
+      val buildSecsJson = graft.ops.IndexMemo.buildNanosByTag.toSeq
+        .sortBy(_._1)
+        .map { case (t, ns) => "\"" + t + "\":" + fmt(ns / 1e9, 3) }
+        .mkString("{", ",", "}")
       try java.nio.file.Files.writeString(sidecar,
         fullLine(results, total, calibration, sfDir, stalled,
           prevCmp +
             s""","reverified":${reverifiedJson(Int.MaxValue)}""" +
-            s""","calnorm_ratios":$ratiosJson""",
+            s""","calnorm_ratios":$ratiosJson""" +
+            s""","memo_build_s_by_tag":$buildSecsJson""",
           buildsJson) + "\n")
       catch {
         case scala.util.control.NonFatal(e) =>

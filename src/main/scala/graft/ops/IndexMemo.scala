@@ -72,6 +72,19 @@ private[graft] object IndexMemo {
     b.result()
   }
 
+  /** Per-tag build wall nanos — attributes `memo_build_s` to its tags
+    * from the record alone (the r15 question "which build grew 14 s"
+    * was unanswerable from counts). Caveat shared with the total: a
+    * build that NESTS another memoized build bills the inner elapsed
+    * to both tags, so the per-tag sum can exceed wall time. */
+  private val buildNanosByTagMap =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private[graft] def buildNanosByTag: Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    buildNanosByTagMap.forEach((k, v) => b += k -> v.get())
+    b.result()
+  }
+
   /** Plan-hash provider for memo keys. A test seam: real plans cannot
     * fabricate a 32-bit `semanticHash` collision on demand, so the
     * collision-path spec swaps in a constant; production always uses
@@ -136,7 +149,10 @@ private[graft] object IndexMemo {
     }
     val t0 = System.nanoTime()
     val (value, pinned) = build
-    buildNanosAcc.addAndGet(System.nanoTime() - t0)
+    val elapsed = System.nanoTime() - t0
+    buildNanosAcc.addAndGet(elapsed)
+    buildNanosByTagMap.computeIfAbsent(tag,
+      _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(elapsed)
     buildCountsMap.computeIfAbsent(tag,
       _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     recordBuiltPlans(tag, pinned)
