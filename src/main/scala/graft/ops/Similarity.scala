@@ -1204,14 +1204,10 @@ object Similarity {
 
   /** Column-level twin of [[md5Nibs15]]: the 60-bit value of hex
     * nibbles 1..15 of md5(src) — identical to the oracle's decode. */
-  private def md5Nibs15Col(src: Column): Column = {
-    val hh = md5(src)
-    (0 until 15).map { i =>
-      val nib = substring(hh, 1 + i, 1)
-      (ascii(nib) - when(nib <= "9", 48).otherwise(87)).cast("long") *
-        (1L << (4 * (14 - i)))
-    }.reduce(_ + _)
-  }
+  private def md5Nibs15Col(src: Column): Column =
+    // single base-16 parse — value-identical to the oracle's
+    // per-nibble decode (60 bits < BIGINT)
+    conv(substring(md5(src), 1, 15), 16, 10).cast("long")
 
   // ---- DuckDB oracle builders for the md5 family ----
 

@@ -93,18 +93,12 @@ object Sketches {
       ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
   }
 
-  /** Column form of [[md5Hash32]] mod `width` — the same ascii nibble
-    * arithmetic as [[graft.ops.Curation]]'s md5 draws, codegen'd. */
+  /** Column form of [[md5Hash32]] mod `width` — one codegen'd base-16
+    * parse, value-identical to [[graft.ops.Curation]]'s md5 draws. */
   private[graft] def md5BucketCol(seed: Int, term: Column,
-      width: Int): Column = {
-    val h = md5(concat(lit(s"$seed|"), term))
-    val v = (1 to 8).map { i =>
-      val d = substring(h, i, 1)
-      (ascii(d) - when(d <= "9", 48).otherwise(87)).cast("long") *
-        (1L << (4 * (8 - i)))
-    }.reduce(_ + _)
-    pmod(v, lit(width.toLong))
-  }
+      width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$seed|"), term)), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
 
   /** Count-Min sketch as a typed Aggregator: the buffer is the flat
     * depth x width counter matrix, reduce increments one cell per row

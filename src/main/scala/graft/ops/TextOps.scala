@@ -201,11 +201,7 @@ object TextOps {
       seed: String = ""): DataFrame = {
     val h = md5(concat(lit(seed),
       regexp_replace(trim(col("text")), "\\s+", " ")))
-    val fp = (0 until 15).map { i =>
-      val nib = substring(h, i + 1, 1)
-      (ascii(nib) - when(nib <= "9", 48).otherwise(87)).cast("long") *
-        (1L << (4 * (14 - i)))
-    }.reduce(_ + _)
+    val fp = conv(substring(h, 1, 15), 16, 10).cast("long")
     Tables.documents(s, d).select(col("doc_id"), fp.as("fp60"))
   }
 
@@ -553,14 +549,8 @@ object TextOps {
 
   /** The k-gram hash stream feeding winnowing: (doc_id, p, gh). */
   private def winnowingGrams(docs: DataFrame, k: Int): DataFrame = {
-    val md5Long32: Column => Column = { c =>
-      val h = md5(c)
-      (1 to 8).map { i =>
-        val dg = substring(h, i, 1)
-        (ascii(dg) - when(dg <= "9", 48).otherwise(87)).cast("long") *
-          (1L << (4 * (8 - i)))
-      }.reduce(_ + _)
-    }
+    val md5Long32: Column => Column = c =>
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     docs
       .select(col("doc_id"), posexplode(split(col("text"), " "))
@@ -1739,14 +1729,8 @@ object TextOps {
   /** 60-bit value of md5 hex nibbles 1..15 — the oracle-shared hash
     * decode (the q38/q86/q44 family's device, local twin of
     * Similarity.md5Nibs15Col). */
-  private def nibs15(src: Column): Column = {
-    val hh = md5(src)
-    (0 until 15).map { i =>
-      val nib = substring(hh, 1 + i, 1)
-      (ascii(nib) - when(nib <= "9", 48).otherwise(87)).cast("long") *
-        (1L << (4 * (14 - i)))
-    }.reduce(_ + _)
-  }
+  private def nibs15(src: Column): Column =
+    conv(substring(md5(src), 1, 15), 16, 10).cast("long")
   /** Decode of md5 hex nibbles 1..15 over a column named `hh`. */
   private def nibs15Sql: String = (0 until 15).map { i =>
     val nib = s"substr(hh, ${1 + i}, 1)"
