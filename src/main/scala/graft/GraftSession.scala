@@ -118,4 +118,17 @@ object GraftSession {
     * produced it (None for RDDs that never went through [[cut]]). */
   def cutOrigin(rddId: Int): Option[LogicalPlan] =
     cutOrigins.synchronized(Option(cutOrigins.get(rddId)))
+
+  /** Snapshot of every registered (rdd id, pre-cut plan) — the seam
+    * that lets plan sweeps audit the TRANSIENT plans of iterative
+    * operators: a fixpoint's per-round joins exist only for one round,
+    * but each round's result passes through [[cut]], so the registry
+    * holds exactly the plans that executed between rounds. */
+  private[graft] def cutOriginSnapshot: Map[Int, LogicalPlan] = {
+    val b = Map.newBuilder[Int, LogicalPlan]
+    cutOrigins.synchronized {
+      cutOrigins.forEach((k, v) => b += (k.intValue() -> v))
+    }
+    b.result()
+  }
 }

@@ -677,6 +677,86 @@ class ScaleInvariantsSpec extends SparkTestBase {
     assertActionsBounded(actions, justifiedDriverActions, "gate builds")
   }
 
+  /** Per-round cut() plans the rules flag — same closed contract.
+    * Every entry is one of the two runtime-gated broadcast devices:
+    * Graph.perRoundSide (rank/frontier/label tables hinted only under
+    * the MEASURED <=4M-node bound, shuffle path above) and
+    * Similarity.anchorCross (anchors hinted under the measured <=200k
+    * bound, hash-chunked corpus passes above). The sweep sees the
+    * hint because fixture-scale counts sit under the gates. */
+  private val justifiedCutShapes: Map[String, String] = Map(
+    "Aggregate[node](cut): forced broadcast of Project(cut)" ->
+      "perRoundSide rank table (<=4M gate)",
+    "Aggregate[node](InMemoryRelation,cut,Range): forced broadcast " +
+      "of Aggregate[node](InMemoryRelation,cut,Range)" ->
+      "perRoundSide rank table (<=4M gate)",
+    "Aggregate[dst](InMemoryRelation,cut): forced broadcast of " +
+      "Project(cut)" ->
+      "perRoundSide frontier table (<=4M gate)",
+    "Aggregate[node](cut,InMemoryRelation): forced broadcast of " +
+      "Project(cut)" ->
+      "perRoundSide rank table (<=4M gate)",
+    "Aggregate[node](InMemoryRelation,cut,Range): forced broadcast " +
+      "of Project(cut)" ->
+      "perRoundSide rank table (<=4M gate)",
+    "Aggregate[dst](InMemoryRelation,cut): forced broadcast of " +
+      "Aggregate[dst](InMemoryRelation,cut)" ->
+      "perRoundSide frontier table (<=4M gate)",
+    "Aggregate[sup](InMemoryRelation,cut): forced broadcast of " +
+      "Project(cut)" ->
+      "perRoundSide label table (<=4M gate)",
+    "Aggregate[c](InMemoryRelation,cut): forced broadcast of " +
+      "Project(cut)" ->
+      "perRoundSide label table (<=4M gate)",
+    "Aggregate[sup](InMemoryRelation,cut): forced broadcast of " +
+      "Filter(cut)" ->
+      "perRoundSide label table (<=4M gate)",
+    "Aggregate[vec_id](embeddings.parquet): forced broadcast of " +
+      "Project(embeddings.parquet)" ->
+      "anchorCross anchors (<=200k gate, hash-chunked above)")
+
+  test("per-round cut() plans carry no single-task shapes") {
+    // Iterative operators' per-round joins exist only transiently —
+    // no other sweep sees them — but every round's result passes
+    // through GraftSession.cut(), which registers the pre-cut
+    // OPTIMIZED plan. Construct the gate surface, then sweep every
+    // plan registered DURING that pass (diff against the prior
+    // snapshot, so other suites' fixture cuts can't leak in).
+    val before = GraftSession.cutOriginSnapshot.keySet
+    val d = sf("")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      fn(spark, d)
+    }
+    val fresh = GraftSession.cutOriginSnapshot.view
+      .filterKeys(!before(_)).values.toSeq
+    assert(fresh.nonEmpty, "no cut() plans registered during the gate " +
+      "pass — the cutOrigin seam is broken (iterative rounds cut)")
+    val offenders = Seq.newBuilder[String]
+    val users = Set.newBuilder[String]
+    fresh.foreach { p =>
+      val hits =
+        (if (hasUngroupedCollect(p)) Seq("ungrouped collect") else Nil) ++
+          (if (hasPercentile(p)) Seq("exact Percentile") else Nil) ++
+          categoricalCollectHazards(p)
+            .map(_ => "categorical-grouped collect") ++
+          windowHazardsL(p) ++
+          cartesianHazardsL(p) ++
+          forcedBroadcastHazards(p)
+      hits.foreach { h =>
+        val key = s"${sigL(p)}: $h"
+        users += key
+        if (!justifiedCutShapes.contains(key)) offenders += key
+      }
+    }
+    assert(offenders.result().distinct.isEmpty,
+      "single-task shape in a per-round cut() plan: " +
+        offenders.result().distinct)
+    assert(users.result() == justifiedCutShapes.keySet,
+      "cut-shape allowlist is stale: " +
+        s"actual=${users.result().toSeq.sorted} " +
+        s"listed=${justifiedCutShapes.keySet.toSeq.sorted}")
+  }
+
   /** Driver actions fired by the pipeline surfaces that the
     * cardinality rule cannot bound (same contract as
     * [[justifiedDriverActions]]). */
