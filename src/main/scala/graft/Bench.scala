@@ -114,13 +114,19 @@ object Bench {
   private val CalMedField = "\"cal_med\":([0-9.]+)".r
   private val StalledField = "\"stalled\":\\[([^\\]]*)\\]".r
   private val SfField = "\"sf\":\"([^\"]+)\"".r
+  private val BestKnownField = "\"best_known\":\\{([^}]*)\\}".r
+  private val BestKnownEntry =
+    "\"([A-Za-z0-9_]+)\":\\[([0-9.]+),([0-9.]+)\\]".r
 
   /** Parsed prior-round record: the bench line's own fields. `calMed`
     * is the steady-state in-band probe median (absent in records from
-    * before r13). */
+    * before r13); `bestKnown` is the sidecar's rolling per-query
+    * best-ever-warm map (absent before r16): shortKey -> (min warm
+    * seconds ever recorded at this SF, the recording run's cal). */
   private[graft] final case class PrevBench(name: String, sfDir: String,
       cal: Double, stalled: Set[String], queries: Map[String, Double],
-      calMed: Option[Double] = None)
+      calMed: Option[Double] = None,
+      bestKnown: Map[String, (Double, Double)] = Map.empty)
 
   /** Parse one bench record file. The driver wraps the bench line
     * ESCAPED inside its own JSON (`"tail": "...\"cal\": ..."`), so
@@ -142,7 +148,11 @@ object Bench {
         .map(m2 => m2.group(1) -> m2.group(2).toDouble).toMap
       val calMed = CalMedField.findFirstMatchIn(text)
         .map(_.group(1).toDouble).filter(_ > 0)
-      PrevBench(f.getName, sf, cal, stalled, qs, calMed)
+      val bk = BestKnownField.findFirstMatchIn(text).map { m =>
+        BestKnownEntry.findAllMatchIn(m.group(1)).map(e =>
+          e.group(1) -> (e.group(2).toDouble, e.group(3).toDouble)).toMap
+      }.getOrElse(Map.empty[String, (Double, Double)])
+      PrevBench(f.getName, sf, cal, stalled, qs, calMed, bk)
     }
   }
 
@@ -347,6 +357,92 @@ object Bench {
       .distinct
   }
 
+  /** Rolling per-query best-ever-warm prior (r15 verdict task 3): the
+    * minimum warm seconds ever recorded at this SF, with the cal of
+    * the run that set it — the host-speed context a later reader
+    * needs. Seeded from the prior sidecar's own best_known map AND its
+    * queries map (so the mechanism bootstraps from existing records),
+    * then improved by this run's clean measurements. Raw min: a best
+    * is a lower bound by definition, and keeping its cal lets the
+    * consumer host-adjust instead of baking one normalizer in. */
+  private[graft] def mergedBestKnown(prior: Option[PrevBench],
+      sfDir: String, results: Seq[(String, Measured)], calNow: Double)
+      : Map[String, (Double, Double)] = {
+    val seed = prior.filter(_.sfDir == sfDir).map { p =>
+      val fromQueries = p.queries.collect {
+        case (k, v) if v > 0 && !p.stalled(k) =>
+          k -> (v, p.calMed.getOrElse(p.cal))
+      }
+      // an existing best_known entry beats the same record's queries
+      // value by construction (it already folded that run in)
+      fromQueries ++ p.bestKnown
+    }.getOrElse(Map.empty[String, (Double, Double)])
+    val current = results.collect {
+      case (n, m) if m.best >= 0 && !m.stalled =>
+        shortKey(n) -> (m.best, calNow)
+    }.toMap
+    (seed.keySet ++ current.keySet).iterator.map { k =>
+      k -> Seq(seed.get(k), current.get(k)).flatten.minBy(_._1)
+    }.toMap
+  }
+
+  /** Adjudicate one still-slow reverified query against its best-known
+    * prior (r15 verdict: a reverify re-run shares the original's host
+    * window, so a "confirmed" slow value proves nothing by itself).
+    * `host-window`: the value exceeds DOUBLE the best ever recorded
+    * even after host adjustment (bestCal -> calNow) — the documented
+    * stall-window signature, distrust it. `confirmed-vs-best`: the
+    * value is within that band, i.e. plausibly a real measurement.
+    * Caveat a consumer must keep: a genuine regression ALSO reads
+    * host-window on its first appearance (best_known keeps the min
+    * ever), so a repeated host-window label across rounds on TOUCHED
+    * code is a regression, not noise. */
+  private[graft] def reverifyLabel(v: Double, best: (Double, Double),
+      calNow: Double): String = {
+    val (bestT, bestCal) = best
+    val hostFactor =
+      if (bestCal > 0 && calNow > 0) math.max(1.0, calNow / bestCal)
+      else 1.0
+    if (v <= bestT * hostFactor * 2.0) "confirmed-vs-best"
+    else "host-window"
+  }
+
+  /** Labels for the reverified queries whose FINAL value still trips
+    * the reverify rule (the confirmed movers a judge must adjudicate —
+    * rescued ones need none). Only queries with a best-known prior get
+    * a label; shortKey -> label. */
+  private[graft] def reverifyLabels(confirmed: Seq[String],
+      bestKnown: Map[String, (Double, Double)],
+      results: Seq[(String, Measured)], calNow: Double)
+      : Seq[(String, String)] = {
+    val byName = results.toMap
+    confirmed.flatMap { n =>
+      for {
+        m <- byName.get(n) if m.best >= 0
+        best <- bestKnown.get(shortKey(n))
+      } yield shortKey(n) -> reverifyLabel(m.best, best, calNow)
+    }
+  }
+
+  /** Do the two host-speed normalizers disagree vs this prior (r15
+    * verdict task 5)? True when the startup-cal ratio and the
+    * steady-state cal_med ratio diverge >15% — the record's calnorm
+    * per-query ratios are low-confidence that round (r15: cal ratio
+    * 0.85 vs cal_med ratio 0.678 made the record read 1.103 where the
+    * raw shared median was 0.878). */
+  private[graft] def calDisagreement(cal: Double, calMed: Option[Double],
+      prev: Option[PrevBench], sfDir: String): Boolean =
+    // same-SF only, like every other prev-comparison field: the flag
+    // qualifies the per-query calnorm ratios, which exist only against
+    // a same-scale prior (a local sf0.001 run vs the sf0.1 record
+    // would otherwise self-flag on nothing)
+    prev.filter(_.sfDir == sfDir).exists(p => (calMed, p.calMed) match {
+      case (Some(a), Some(b))
+          if a > 0 && b > 0 && cal > 0 && p.cal > 0 =>
+        math.abs((cal / p.cal) / (a / b) - 1.0) > 0.15
+      case _ => false
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -476,11 +572,37 @@ object Bench {
     // cohort may be back in band); the factor above used the first pass
     val finalMed = sharedMedianRatio(calnormRatiosMerged(results,
       official, sidecarPrior, sfDir, calibration, runMedian()))
+    val calNow = runMedian().getOrElse(calibration)
+    // best-known priors BEFORE folding this run in: the labels below
+    // must compare a confirmed mover against history, not against
+    // itself
+    val priorBest = {
+      val a = mergedBestKnown(sidecarPrior, sfDir, Nil, calNow)
+      val b = mergedBestKnown(official, sfDir, Nil, calNow)
+      (a.keySet ++ b.keySet).iterator.map(k =>
+        k -> Seq(a.get(k), b.get(k)).flatten.minBy(_._1)).toMap
+    }
+    val bestKnown = mergedBestKnown(
+      Some(PrevBench("prior", sfDir, calibration, Set.empty,
+        Map.empty, None, priorBest)), sfDir, results, calNow)
+    // the movers whose FINAL value still trips the trigger — the set a
+    // judge adjudicates — each labeled vs its best-known prior
+    val confirmed = reverifyTargetsMerged(results, official,
+      sidecarPrior, sfDir, calibration, calMed = runMedian(),
+      factor = factor)
+    val labels = reverifyLabels(confirmed, priorBest, results, calNow)
+    val labelsJson = labels.sortBy(_._1)
+      .map { case (k, l) => "\"" + k + "\":\"" + l + "\"" }
+      .mkString("{", ",", "}")
     val prevCmp = prevComparisonJson(calibration, sfDir, results,
         calMed = runMedian()) +
       finalMed.map(v => s""","shared_median_ratio":${fmt(v, 3)}""" +
         (if (isHostDrift(finalMed)) ""","host_drift":true""" else ""))
         .getOrElse("") +
+      (if (calDisagreement(calibration, runMedian(), official, sfDir))
+        ""","cal_disagreement":true""" else "") +
+      (if (labels.nonEmpty) s""","reverify_labels":$labelsJson"""
+      else "") +
       // cal_med is OMITTED on short targeted runs (<50 in-band probes):
       // a mid-JIT-curve startup snapshot under a steady-state field
       // name would mislead calPair in later cross-round comparisons
@@ -513,12 +635,20 @@ object Bench {
         .sortBy(_._1)
         .map { case (t, ns) => "\"" + t + "\":" + fmt(ns / 1e9, 3) }
         .mkString("{", ",", "}")
+      // sidecar-only: the rolling best-ever-warm map — [min warm
+      // seconds at this SF, cal of the run that set it] per query, so
+      // a confirmed mover is adjudicable from the record alone
+      val bestKnownJson = bestKnown.toSeq.sortBy(_._1)
+        .map { case (k, (t, c)) =>
+          "\"" + k + "\":[" + fmt(t, 3) + "," + fmt(c, 3) + "]" }
+        .mkString("{", ",", "}")
       try java.nio.file.Files.writeString(sidecar,
         fullLine(results, total, calibration, sfDir, stalled,
           prevCmp +
             s""","reverified":${reverifiedJson(Int.MaxValue)}""" +
             s""","calnorm_ratios":$ratiosJson""" +
-            s""","memo_build_s_by_tag":$buildSecsJson""",
+            s""","memo_build_s_by_tag":$buildSecsJson""" +
+            s""","best_known":$bestKnownJson""",
           buildsJson) + "\n")
       catch {
         case scala.util.control.NonFatal(e) =>

@@ -48,6 +48,15 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  /** CONTRACT: `vec_id` is the table's unique primary key. The
+    * similarity operators lean on this structurally — single-query
+    * probes carry `filter(vec_id === q).limit(1)` and the batch kNN
+    * query side `filter(vec_id < n).limit(n)`, bound declarations
+    * that let the plan sweep prove the broadcast sides fixed-size. A
+    * duplicate vec_id would make those limits silently DROP rows
+    * instead of surfacing the corruption, so uniqueness is gated by a
+    * data-quality spec (SimilaritySpec "embeddings vec_id unique"),
+    * not just stated here (ADVICE r15). */
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register all tables as temp views (used by tests / ad-hoc SQL).

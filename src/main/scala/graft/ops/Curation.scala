@@ -748,8 +748,19 @@ object Curation {
       val sigs = (0 until numHashes).map(j =>
         min((col("h1") + lit(j.toLong) * col("h2")) % MinHashP)
           .as(s"sig_$j"))
-      val sig = hashed.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
-      val bandedIdx = sig.select(col("doc_id"),
+      // ONE scan and ONE doc_id shuffle for BOTH artifacts (r16): the
+      // signatures and the per-doc gram-key sets aggregate the same
+      // #grams-row md5+decode pipeline over the same key, and the
+      // former two-aggregation form re-ran that pipeline — the build's
+      // dominant cost at 32M char grams per sf0.1 — twice. The
+      // combined table pins the 8 sig BIGINTs next to the key set
+      // (negligible width) and both downstream reads prune columns
+      // from the one cached copy.
+      val combined = hashed.groupBy(col("doc_id"))
+        .agg(sigs.head,
+          (sigs.tail :+ collect_set(col("h1")).as("hs")): _*)
+        .persist()
+      val bandedIdx = combined.select(col("doc_id"),
         posexplode(array((0 until bands).map { b =>
           md5(concat_ws("|",
             lit(b.toString) +:
@@ -780,13 +791,9 @@ object Curation {
       // small candidate list back to ~#docs rows, never re-scanning
       // #grams rows per call — the same sets-join-back-onto-candidates
       // shape as the xxhash64 path (Dedup.lshNearDupPairsFromHashes)
-      val gs = hashed.select(col("doc_id"), col("h1").as("h"))
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("h")).as("hs"))
-        .select(col("doc_id"), col("hs"),
-          size(col("hs")).cast("long").as("n"))
-        .persist()
-      ((p, gs, java.lang.Long.valueOf(n)), Seq(p, gs))
+      val gs = combined.select(col("doc_id"), col("hs"),
+        size(col("hs")).cast("long").as("n"))
+      ((p, gs, java.lang.Long.valueOf(n)), Seq(p, combined))
     }
     // broadcast the candidate list when its MEASURED size allows, so
     // the verify joins never shuffle the per-doc set table (its array

@@ -461,19 +461,34 @@ object Graph {
     * ([[bfsHopsSql]]): UNION-deduped (node, hops) walk states, MIN per
     * node — identical min-hop semantics, pure integer arithmetic. */
   /** Memoized BFS distance table over the trade graph: the hop census
-    * is consumed by both the k-hop listing ([[bfsHops]]) and the
-    * harmonic centrality — one traversal per (session, source,
-    * radius), pinned like the graph it walks. */
+    * is consumed by the k-hop listing ([[bfsHops]]), the harmonic
+    * centrality and both [[diameterSweep]] passes — one traversal per
+    * (session, source), pinned like the graph it walks.
+    *
+    * One walk per SOURCE, not per (source, radius) (r16): min-hops are
+    * prefix-stable — a longer walk assigns every node the same minimum
+    * hop count and only ADDS nodes farther out — so the memo walks to
+    * a cap of max(maxHops, 8) and any radius <= cap is a filter over
+    * the one cached table. r15 billed three full traversals for the
+    * gate's (2,4)/(2,6)/(far,6) calls where two suffice; the walk's
+    * own empty-frontier exit bounds the extra rounds by the source's
+    * ACTUAL eccentricity, so the cap costs nothing on a small-diameter
+    * graph and a deeper radius request (> 8) simply keys its own
+    * walk. */
+  private val BfsCapHops = 8
   private def bfsDist(s: SparkSession, d: String, source: Long,
-      maxHops: Int): DataFrame =
-    IndexMemo.getOrBuild[DataFrame]("bfsDist", s"$source#$maxHops",
-      Seq(tradeEdges(s, d))) {
+      maxHops: Int): DataFrame = {
+    val cap = math.max(maxHops, BfsCapHops)
+    val full = IndexMemo.getOrBuild[DataFrame]("bfsDist",
+      s"$source#cap$cap", Seq(tradeEdges(s, d))) {
       val (edges, _, nBox) = tradeGraph(s, d)
       val dist = bfsHopsFrom(edges.select(col("src"), col("dst")),
-        source, maxHops, nBox.longValue()).persist()
+        source, cap, nBox.longValue()).persist()
       dist.count()
       (dist, Seq(dist))
     }
+    if (maxHops >= cap) full else full.filter(col("hops") <= maxHops)
+  }
 
   def bfsHops(s: SparkSession, d: String, source: Long = 2L,
       maxHops: Int = 4): DataFrame =

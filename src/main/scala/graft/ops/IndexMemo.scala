@@ -150,15 +150,24 @@ private[graft] object IndexMemo {
     val t0 = System.nanoTime()
     val (value, pinned) = build
     val elapsed = System.nanoTime() - t0
+    // nanos/counts bill every EXECUTED build, including a lost race:
+    // the loser's elapsed is real wall time that polluted whatever the
+    // bench was timing, so the delta-based paid-build detector and the
+    // per-tag bill must both see it (two raced builds = two real
+    // builds, same caveat class as the documented nesting one)
     buildNanosAcc.addAndGet(elapsed)
     buildNanosByTagMap.computeIfAbsent(tag,
       _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(elapsed)
     buildCountsMap.computeIfAbsent(tag,
       _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
-    recordBuiltPlans(tag, pinned)
     val prev = cache.putIfAbsent(key, Entry(inputs, value, pinned))
-    if (prev == null) { boundTag(tag, key); value }
-    else if (sameInputs(prev, inputs)) { // lost the race: adopt the winner
+    if (prev == null) {
+      // plans register on the WINNER path only (ADVICE r15): a lost
+      // race's pinned copies are released below, so appending their
+      // plans would hand the sweep duplicates of shapes it already has
+      recordBuiltPlans(tag, pinned)
+      boundTag(tag, key); value
+    } else if (sameInputs(prev, inputs)) { // lost the race: adopt the winner
       release(pinned)
       prev.value.asInstanceOf[T]
     } else value // collision raced back in; serve our build unmemoized
@@ -186,11 +195,19 @@ private[graft] object IndexMemo {
     evicted.foreach(e => release(e.pinned))
   }
 
-  /** Release every memoized index (tolerant of stopped sessions). */
+  /** Release every memoized index (tolerant of stopped sessions).
+    * Resets the build counters with the plans they describe (ADVICE
+    * r15): a sidecar read after N clear/rebuild cycles in one JVM
+    * should bill the LIVE indexes, not every incarnation ever built.
+    * The bench never calls this mid-run, so its startup-to-emit
+    * deltas are unaffected. */
   def clear(): Unit = {
     cache.values.forEach(e => release(e.pinned))
     cache.clear()
     tagQueues.clear()
     builtPlansMap.clear()
+    buildNanosAcc.set(0L)
+    buildNanosByTagMap.clear()
+    buildCountsMap.clear()
   }
 }

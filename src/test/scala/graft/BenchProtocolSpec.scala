@@ -376,6 +376,92 @@ class BenchProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("a host-inflated confirmed mover is labeled host-window; a " +
+      "plausible one confirmed-vs-best (r15 verdict task 3)") {
+    // best ever: 0.4 s at cal 0.10. The host now runs at the same
+    // speed (calNow 0.10, hostFactor 1.0), so the plausible band tops
+    // out at 0.8 s: a 1.2 s "confirmed" re-run exceeds anything ever
+    // measured for this query host-adjusted -> the documented stall
+    // window, not the code.
+    assert(Bench.reverifyLabel(1.2, (0.4, 0.10), 0.10) == "host-window")
+    // 0.7 s is inside the band -> a real measurement
+    assert(
+      Bench.reverifyLabel(0.7, (0.4, 0.10), 0.10) == "confirmed-vs-best")
+    // a slower host stretches the band: cal 0.10 -> 0.20 doubles it,
+    // so the same 1.2 s reads as plausible
+    assert(
+      Bench.reverifyLabel(1.2, (0.4, 0.10), 0.20) == "confirmed-vs-best")
+    // a FASTER host never shrinks the band below the raw best (the
+    // max(1, ...) clamp): 0.7 stays plausible at calNow 0.05
+    assert(
+      Bench.reverifyLabel(0.7, (0.4, 0.10), 0.05) == "confirmed-vs-best")
+  }
+
+  test("reverifyLabels cover only confirmed movers with a prior") {
+    val results = Seq(
+      "q1_a" -> Bench.Measured(1.2, 3, stalled = false),
+      "q2_b" -> Bench.Measured(0.5, 3, stalled = false))
+    val best = Map("q1" -> (0.4, 0.10))
+    // q2 has no best-known prior -> no label; q1 labels host-window
+    val ls = Bench.reverifyLabels(Seq("q1_a", "q2_b"), best, results, 0.10)
+    assert(ls == Seq("q1" -> "host-window"))
+  }
+
+  test("mergedBestKnown seeds from the prior's best_known and queries, " +
+      "keeps the min, and folds this run in") {
+    val prior = Bench.PrevBench("BENCH_full_local.json", Sf, 0.12,
+      Set("q4"), Map("q1" -> 0.6, "q2" -> 0.5, "q4" -> 9.9),
+      calMed = Some(0.10),
+      bestKnown = Map("q1" -> (0.45, 0.08), "q3" -> (1.0, 0.09)))
+    val results = Seq(
+      "q1_a" -> Bench.Measured(0.40, 3, stalled = false), // new best
+      "q2_b" -> Bench.Measured(0.9, 3, stalled = false), // worse: keep
+      "q5_e" -> Bench.Measured(0.2, 0, stalled = true)) // stalled: skip
+    val m = Bench.mergedBestKnown(Some(prior), Sf, results, 0.07)
+    assert(m("q1") == (0.40, 0.07)) // this run set a new best
+    assert(m("q2") == (0.5, 0.10)) // prior queries value survives
+    assert(m("q3") == (1.0, 0.09)) // prior best_known carries forward
+    assert(!m.contains("q4")) // stalled prior value is no prior
+    assert(!m.contains("q5")) // stalled current value is no best
+    // a different-SF prior seeds nothing
+    val other = Bench.mergedBestKnown(Some(prior),
+      "/root/testdata/sf0.001", results, 0.07)
+    assert(!other.contains("q3"))
+  }
+
+  test("sidecar best_known round-trips through parseBenchFile") {
+    val line = s"""{"metric":"total","value":9.0,"unit":"sec",""" +
+      s""""sf":"$Sf","cal":0.12,"cal_med":0.08,""" +
+      """"best_known":{"q1":[0.45,0.08],"q3":[1.0,0.09]},""" +
+      """"stalled":[],"queries":{"q1":0.6}}"""
+    withBenchDir("BENCH_full_local.json" -> line) { dir =>
+      val Some(p) = Bench.sidecarPrevBench(dir)
+      assert(p.bestKnown == Map("q1" -> (0.45, 0.08), "q3" -> (1.0, 0.09)))
+      // the queries map is NOT polluted by best_known entries
+      assert(p.queries == Map("q1" -> 0.6))
+    }
+  }
+
+  test("calDisagreement flags a >15% normalizer split, not agreement " +
+      "(r15 verdict task 5)") {
+    // the r15 figures: cal 0.147 -> 0.125 (ratio 0.85) while cal_med
+    // 0.090 -> 0.061 (ratio 0.678) — 25% apart, flagged
+    val prior = Bench.PrevBench("BENCH_r14.json", Sf, 0.147,
+      Set.empty, Map.empty, calMed = Some(0.090))
+    assert(Bench.calDisagreement(0.125, Some(0.061), Some(prior), Sf))
+    // agreeing normalizers (both ~0.85): not flagged
+    assert(!Bench.calDisagreement(0.125, Some(0.0765), Some(prior), Sf))
+    // either median missing -> no basis, not flagged
+    assert(!Bench.calDisagreement(0.125, None, Some(prior), Sf))
+    val noMed = prior.copy(calMed = None)
+    assert(!Bench.calDisagreement(0.125, Some(0.061), Some(noMed), Sf))
+    assert(!Bench.calDisagreement(0.125, Some(0.061), None, Sf))
+    // a prior at a DIFFERENT scale factor adjudicates nothing — a
+    // local sf0.001 run must not self-flag against the sf0.1 record
+    assert(!Bench.calDisagreement(0.125, Some(0.061), Some(prior),
+      "/root/testdata/sf0.001"))
+  }
+
   test("assembleLine fits the tail budget at 180+ queries, keeps prev") {
     val results = (1 to 185).map { i =>
       f"q$i%03d_op" -> Bench.Measured(i / 100.0, 3, stalled = false)

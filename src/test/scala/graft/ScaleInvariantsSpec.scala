@@ -310,7 +310,13 @@ class ScaleInvariantsSpec extends SparkTestBase {
             case _ => false
           } || broadcastSafeL(a.child)
       case d: Deduplicate => broadcastSafeL(d.child)
-      case _: GlobalLimit | _: LocalLimit | _: WindowGroupLimit => true
+      // only a GLOBAL limit bounds total cardinality; LocalLimit and
+      // WindowGroupLimit bound rows per partition / per window group,
+      // so a per-group top-k over a corpus-scaled input is still
+      // corpus-proportional — safe iff the child is safe (ADVICE r15)
+      case _: GlobalLimit => true
+      case l: LocalLimit => broadcastSafeL(l.child)
+      case w: WindowGroupLimit => broadcastSafeL(w.child)
       case _: LocalRelation | _: OneRowRelation => true
       case r: Range => r.numElements <= BigInt(4000000L)
       case l: LogicalRDD =>
@@ -343,8 +349,12 @@ class ScaleInvariantsSpec extends SparkTestBase {
               .AttributeReference => BroadcastSafeKeys(ar.name)
           case _ => false
         } || broadcastSafeP(a.child)
-    case _: GlobalLimitExec | _: LocalLimitExec |
-        _: TakeOrderedAndProjectExec => true
+    // GlobalLimitExec / TakeOrderedAndProject bound the TOTAL row
+    // count; LocalLimitExec bounds per partition only — recurse into
+    // the child (ADVICE r15: a per-partition top-k over a corpus-
+    // scaled input is corpus-proportional in total)
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+    case l: LocalLimitExec => broadcastSafeP(l.child)
     case _: LocalTableScanExec => true
     case r: RangeExec => r.range.numElements <= BigInt(4000000L)
     case r: RDDScanExec =>
@@ -586,6 +596,181 @@ class ScaleInvariantsSpec extends SparkTestBase {
         s"listed=${justifiedBuildShapes.keySet.toSeq.sorted}")
   }
 
+  // ---- rule 9: skewed-key shuffle audit (r15 verdict task 6) ----
+  //
+  // The one scale-killer class the first eight rules don't see: a
+  // shuffle join whose key distribution concentrates a large share of
+  // rows under one value — at 100 TB that partition is a straggler (or
+  // an executor OOM) no matter how clean the plan shape is. The rule:
+  // collect every shuffle-join key TUPLE (per side) across the gate
+  // surface; tuples with a hash/uuid component are uniform by
+  // construction and pass; tuples of base-table columns are MEASURED
+  // (top joint-value share at the test SF — a distribution property of
+  // the generator, not of scale) and must stay under 5% or carry a
+  // mitigation entry; tuples of derived intermediates must each carry
+  // a closed-allowlist justification naming why the key is low-skew.
+  // Broadcast joins never enter (no shuffle to skew); the memoized
+  // builds' banded self-joins key on hash buckets by construction and
+  // are swept as logical plans by the build-shape rule above.
+
+  private val SkewShareLimit = 0.05
+
+  /** Hash-family expressions: a key containing one is uniform by
+    * construction at any scale. */
+  private def hashDerived(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.Md5 => true
+      case _: org.apache.spark.sql.catalyst.expressions.Sha2 => true
+      case _: org.apache.spark.sql.catalyst.expressions.Crc32 => true
+      case _: org.apache.spark.sql.catalyst.expressions.Murmur3Hash => true
+      case _: org.apache.spark.sql.catalyst.expressions.XxHash64 => true
+      case _: org.apache.spark.sql.catalyst.expressions
+          .MonotonicallyIncreasingID => true
+      case _ => false
+    }
+
+  /** Closed allowlist: shuffle-join key tuples (one side's key column
+    * names, sorted, "+"-joined) made of DERIVED intermediates the
+    * base-table measurement cannot reach. Every entry must say why the
+    * key is low-skew (or why skew cannot hurt: aggregated or
+    * cardinality-capped sides) at corpus scale. Exact-equality
+    * staleness. */
+  private def justifiedDerivedJoinKeys: Map[String, String] = Map(
+    "__sub2+freq" ->
+      ("scalableRank offsets join (q159): __sub2 = tie DIV 2^22 caps " +
+        "rows per (v, __sub2) key at tieStep at ANY value " +
+        "distribution — the r15 degenerate-distribution device; key " +
+        "share shrinks as the corpus grows"),
+    "__sub2+mon" ->
+      "same scalableRank tie-range subsplit bound (q159 monetary rank)",
+    "c" ->
+      ("modularity (q210): both sides grouped to ONE row per " +
+        "community before the join — no per-key row mass to skew"),
+    "cls" ->
+      ("langIdEval (q180): byPred/byActual are each grouped to one " +
+        "row per language class before the full-outer join"),
+    "cust" ->
+      ("butterflies (q223): per-cust degree capped at maxDegree " +
+        "(4000) by the keep semi-join BEFORE the wedge self-join — " +
+        "bounded rows per key at any corpus"),
+    "expr:knownfloatingpointnormalized" ->
+      ("dedupRoiCurve (q247): the key is the threshold literal over " +
+        "per-threshold AGGREGATE tables — every side is <= " +
+        "|thresholds| rows"),
+    "id" ->
+      ("rrfFusion (q268): full-outer join of two channels each " +
+        "already bounded top-k (<= k rows per side)"),
+    "sa+sb" ->
+      ("kmvSourceJaccard (q231): source-pair key over k-bounded KMV " +
+        "sketch rows — <= k entries per (sa, sb) per side"))
+
+  /** Closed allowlist: measurable base-table key tuples whose top
+    * joint-value share exceeds [[SkewShareLimit]], with the mitigation
+    * that keeps the join safe (salt, pre-aggregation, AQE skew join).
+    * Exact-equality staleness. Currently empty: every measured base
+    * key (order/part/supp/doc/user keys) is generator-uniform under
+    * 5%. */
+  private def justifiedSkewedBaseKeys: Map[String, String] = Map()
+
+  /** Column name -> base table, for every unambiguous column of the
+    * ten synthetic tables. */
+  private lazy val baseColumnTable: Map[String, String] = {
+    val d = sf("")
+    val cols = graft.Tables.names.flatMap { t =>
+      graft.Tables.load(spark, d, t).schema.fieldNames.map(_ -> t)
+    }
+    cols.groupBy(_._1).collect {
+      case (c, owners) if owners.map(_._2).distinct.size == 1 =>
+        c -> owners.head._2
+    }
+  }
+
+  /** Measured top joint-value share of a base-table column tuple.
+    * Measured at sf0.01, NOT the plans' sf0.001: share is a
+    * distribution property, but a key whose CARDINALITY scales with
+    * SF (suppkey: 10 suppliers at sf0.001 -> a fake 10% top share)
+    * needs enough keys for the share to mean skew rather than
+    * small-population uniformity; for this generator shares only
+    * shrink further with SF. */
+  private def topShare(table: String, cols: Seq[String]): Double = {
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.01", table)
+    val total = df.count().toDouble
+    if (total == 0) 0.0
+    else {
+      val top = df.groupBy(cols.map(col): _*).count()
+        .agg(max(col("count"))).head().getLong(0).toDouble
+      top / total
+    }
+  }
+
+  /** Classify one side's key tuple: None = uniform by construction
+    * (hash component) or measured under the limit; Some(label ->
+    * kind) = needs an allowlist entry. */
+  private def classifyKeyTuple(keys: Seq[
+      org.apache.spark.sql.catalyst.expressions.Expression],
+      shareMemo: scala.collection.mutable.Map[String, Double])
+      : Option[(String, String)] = {
+    if (keys.exists(hashDerived)) return None
+    val names = keys.map {
+      case ar: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => ar.name
+      case e => s"expr:${e.prettyName}"
+    }.sorted
+    val label = names.mkString("+")
+    val tables = names.flatMap(baseColumnTable.get).distinct
+    if (names.forall(baseColumnTable.contains) && tables.size == 1) {
+      val share = shareMemo.getOrElseUpdate(label,
+        topShare(tables.head, names))
+      if (share <= SkewShareLimit) None
+      else Some(label -> f"measured-skew($share%.3f)")
+    } else Some(label -> "derived")
+  }
+
+  test("no gate query shuffle-joins on a skewed or unvouched key") {
+    val d = sf("")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val shareMemo = scala.collection.mutable.Map.empty[String, Double]
+    // label -> (kind, example queries)
+    val found = scala.collection.mutable.Map
+      .empty[String, (String, Set[String])]
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        fn(spark, d).queryExecution.executedPlan.foreach {
+          case j: org.apache.spark.sql.execution.joins
+              .SortMergeJoinExec =>
+            Seq(j.leftKeys, j.rightKeys).foreach(ks =>
+              classifyKeyTuple(ks, shareMemo).foreach { case (l, k) =>
+                val (_, qs) = found.getOrElse(l, (k, Set.empty[String]))
+                found(l) = (k, qs + name)
+              })
+          case j: org.apache.spark.sql.execution.joins
+              .ShuffledHashJoinExec =>
+            Seq(j.leftKeys, j.rightKeys).foreach(ks =>
+              classifyKeyTuple(ks, shareMemo).foreach { case (l, k) =>
+                val (_, qs) = found.getOrElse(l, (k, Set.empty[String]))
+                found(l) = (k, qs + name)
+              })
+          case _ => ()
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val allow = justifiedDerivedJoinKeys ++ justifiedSkewedBaseKeys
+    val offenders = found.toSeq.sortBy(_._1).collect {
+      case (l, (kind, qs)) if !allow.contains(l) =>
+        s"$l [$kind] in ${qs.toSeq.sorted.take(4).mkString(",")}" +
+          (if (qs.size > 4) s" (+${qs.size - 4})" else "")
+    }
+    assert(offenders.isEmpty,
+      "shuffle-join key neither hash-derived, measured-low-skew, nor " +
+        s"allowlisted:\n  ${offenders.mkString("\n  ")}")
+    // staleness both ways: every allowlist entry must still have users
+    assert(found.keySet == allow.keySet,
+      "skew-key allowlist is stale: " +
+        s"actual=${found.keySet.toSeq.sorted} " +
+        s"listed=${allow.keySet.toSeq.sorted}")
+  }
+
   /** Row-returning driver actions — the calls that materialize a
     * result IN the driver JVM. `count`/`reduce`-style scalar actions
     * are excluded (one row by construction); `head`/`take` embed
@@ -618,14 +803,21 @@ class ScaleInvariantsSpec extends SparkTestBase {
     spark.listenerManager.register(listener)
     try body
     finally {
-      // the execution-listener bus is async: drain it before unregister
+      // the execution-listener bus is async: drain it before
+      // unregister. FAIL LOUDLY if the drain seam is gone (ADVICE
+      // r15): a silent skip would let late-arriving action events
+      // slip past rule 8 — a Spark upgrade must break this test, not
+      // quietly disable it.
       try {
         val bus = spark.sparkContext.getClass
           .getMethod("listenerBus").invoke(spark.sparkContext)
-        bus.getClass.getMethods
+        val drain = bus.getClass.getMethods
           .find(m => m.getName == "waitUntilEmpty" &&
             m.getParameterCount == 0)
-          .foreach(_.invoke(bus))
+        assert(drain.isDefined, "SparkContext.listenerBus no longer " +
+          "exposes a zero-arg waitUntilEmpty — rule 8's async drain " +
+          "is disabled; port capturedDriverActions to the new API")
+        drain.foreach(_.invoke(bus))
       } finally spark.listenerManager.unregister(listener)
     }
     import scala.jdk.CollectionConverters._

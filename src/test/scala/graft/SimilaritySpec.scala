@@ -9,6 +9,18 @@ import graft.ops.Similarity
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("embeddings vec_id unique (the limit-bound contract's gate)") {
+    // Tables.embeddings CONTRACT: the single-query probes' limit(1)
+    // and knnJoin's limit(numQueries) restate vec_id uniqueness as a
+    // plan-visible bound; a duplicate id would make them silently
+    // drop rows, so the invariant gets its own data-quality check
+    val emb = graft.Tables.embeddings(spark, sf("embeddings"))
+    val total = emb.count()
+    val distinct = emb.select(col("vec_id")).distinct().count()
+    assert(total == distinct,
+      s"embeddings.vec_id must be unique: $total rows, $distinct ids")
+  }
+
   test("dot / l2Norm / cosine on known vectors") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f)))
       .toDF("a", "b")
