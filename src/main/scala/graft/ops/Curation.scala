@@ -1497,17 +1497,25 @@ object Curation {
     def docs = Tables.documents(s, d)
     IndexMemo.getOrBuild[DataFrame](
       "containGrams", s"$k#$maxDf", Seq(docs)) {
+      // build-local persists (r16): gramDoc feeds the df census AND
+      // the kept join, and dfc feeds the hot count AND the cap filter
+      // — unpersisted, the tokenize + lead-window + distinct pipeline
+      // (the build's dominant cost) re-ran for every consumer. Both
+      // intermediates are released before the build returns; only the
+      // capped gram set stays pinned.
       val gramDoc = posGramHashes(docs, k)
-        .select(col("doc_id"), col("gh")).distinct()
+        .select(col("doc_id"), col("gh")).distinct().persist()
       val dfc = gramDoc.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      val hot = dfc.filter(col("df") > maxDf)
-        .agg(coalesce(count(lit(1)), lit(0L))).head().getLong(0)
+        .persist()
+      val hot = dfc.filter(col("df") > maxDf).count()
       if (hot > 0)
         log2.warn(s"containment: dropped $hot grams in more than " +
           s"$maxDf docs (stop-gram cap)")
       val kept = gramDoc.join(dfc.filter(col("df") <= maxDf)
         .select(col("gh")), "gh").persist()
       kept.count()
+      gramDoc.unpersist()
+      dfc.unpersist()
       (kept, Seq(kept))
     }
   }
