@@ -357,6 +357,11 @@ object Graph {
         .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("dg"))
       // orient low (degree, id) -> high: out-degrees stay O(sqrt(E))
+      // build-local persist (r16): the wedge count reads `oriented`
+      // THREE times (both wedge legs + the closing join), and each
+      // unpersisted read re-ran the degree-orientation joins; cache
+      // the oriented edge list for the one counting job, release it
+      // before the build returns (only the scalar stays pinned)
       val oriented = e
         .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
         .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
@@ -367,6 +372,7 @@ object Graph {
           when(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")), col("b"))
             .otherwise(col("a")).as("hi"))
+        .persist()
       val wedges = oriented.select(col("lo").as("x"), col("hi").as("y"))
         .join(oriented.select(col("lo").as("y"), col("hi").as("z")), "y")
       val tri = wedges
@@ -375,6 +381,7 @@ object Graph {
         .agg(count(lit(1)).as("n_triangles"))
         .persist()
       tri.count()
+      oriented.unpersist()
       (tri, Seq(tri))
     }
   }
