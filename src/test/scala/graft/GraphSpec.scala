@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Graph, Profiling, Temporal, TextOps}
+import graft.ops.{Dedup, Graph, Profiling, Temporal, TextOps}
 
 /** The round-9 analytics batch: PageRank invariants, column-profile
   * exactness, SCD2 interval laws, basket-pair symmetry, join-size
@@ -287,6 +287,27 @@ class GraphSpec extends SparkTestBase {
       assert(if (h % 2 == 0) label.startsWith("c") else label.startsWith("s"),
         s"$label at hop $h breaks bipartite layering")
     }
+  }
+
+  test("bfsDist builds ONE walk per source across radii, and a " +
+      "smaller radius is a pure filter of the capped walk") {
+    Dedup.clearLshCache()
+    val d = sf("orders")
+    def builds() =
+      graft.ops.IndexMemo.buildCounts.getOrElse("bfsDist", 0L)
+    // r16: min-hops are prefix-stable, so (source, 4) and (source, 6)
+    // resolve to the same cap-8 walk — one build, not two
+    val h4 = Graph.bfsHops(spark, d, maxHops = 4).collect()
+    val afterFirst = builds()
+    assert(afterFirst == 1L, s"expected 1 bfsDist build, got $afterFirst")
+    val h6 = Graph.bfsHops(spark, d, maxHops = 6).collect()
+    assert(builds() == afterFirst,
+      "a deeper radius under the cap must reuse the per-source walk")
+    // filter semantics: the radius-4 rows are exactly the radius-6
+    // rows at hops <= 4 (same min hop per node, nothing re-labeled)
+    val m6 = h6.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m4 = h4.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m4 == m6.filter(_._2 <= 4L))
   }
 
   test("ssspFrom relaxes to exact cheapest costs on a known graph") {
