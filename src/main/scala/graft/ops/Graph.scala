@@ -87,8 +87,26 @@ object Graph {
       // fold the out-degree into the pinned edge table: the per-round
       // contribution is rank DIV deg, so carrying deg on the edge saves
       // one join per PageRank iteration
-      val edges = raw.join(deg, "src").persist()
+      val eJoined = raw.join(deg, "src").persist()
       val n = java.lang.Long.valueOf(deg.count())
+      // Right-size the pinned edge cache (r16, the componentLabels /
+      // pplScores device): EVERY fixpoint round of PageRank / HITS /
+      // eigenvector / BFS scans this table, so near-empty inherited
+      // partitions bill one task each per round times every consumer.
+      // Measured-count gate, capped at the session's shuffle
+      // partitions: at cluster scale the coalesce is a no-op; the
+      // compact pass reads the just-persisted copy, not the lineage.
+      val ec = eJoined.count()
+      val parts = math.max(1L, math.min(
+        s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+        (ec + 65535L) / 65536L)).toInt
+      val edges =
+        if (parts < eJoined.rdd.getNumPartitions) {
+          val compact = eJoined.coalesce(parts).persist()
+          compact.count()
+          eJoined.unpersist()
+          compact
+        } else eJoined
       ((edges, deg, n), Seq(edges, deg))
     }
 
@@ -338,7 +356,19 @@ object Graph {
         .filter(col("support") >= minSupport)
         .select(col("a"), col("b"))
         .persist()
-      (built, Seq(built))
+      // compact re-cache (the tradeGraph/cutCompact device): the
+      // thresholded edge list is scanned by every supplier-graph
+      // statistic's joins; measured-count gate, cluster no-op
+      val ec = built.count()
+      val parts = math.max(1L, math.min(
+        s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+        (ec + 65535L) / 65536L)).toInt
+      if (parts < built.rdd.getNumPartitions) {
+        val compact = built.coalesce(parts).persist()
+        compact.count()
+        built.unpersist()
+        (compact, Seq(compact))
+      } else (built, Seq(built))
     }
   }
 
@@ -785,7 +815,18 @@ object Graph {
         .unionAll(pairs.select(col("snode").as("src"),
           col("cnode").as("dst"), col("cost"), col("support")))
         .persist()
-      (edges, Seq(edges))
+      // compact re-cache (the tradeGraph device): weighted fixpoints
+      // scan this table every round
+      val ec = edges.count()
+      val parts = math.max(1L, math.min(
+        s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+        (ec + 65535L) / 65536L)).toInt
+      if (parts < edges.rdd.getNumPartitions) {
+        val compact = edges.coalesce(parts).persist()
+        compact.count()
+        edges.unpersist()
+        (compact, Seq(compact))
+      } else (edges, Seq(edges))
     }
 
   /** Support-weighted PageRank: the [[pageRank]] walk where a round's
@@ -806,7 +847,17 @@ object Graph {
       "wprEdges", "", Seq(raw)) {
       val built = raw.select(col("src"), col("dst"), col("support"))
         .join(wdeg, "src").persist()
-      (built, Seq(built))
+      // compact re-cache (the tradeGraph device)
+      val ec = built.count()
+      val parts = math.max(1L, math.min(
+        s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+        (ec + 65535L) / 65536L)).toInt
+      if (parts < built.rdd.getNumPartitions) {
+        val compact = built.coalesce(parts).persist()
+        compact.count()
+        built.unpersist()
+        (compact, Seq(compact))
+      } else (built, Seq(built))
     }
     val n = tradeGraph(s, d)._3.longValue()
     val init = RankScale / n
@@ -1516,7 +1567,9 @@ object Graph {
     * the round-`rounds` (or earlier-fixpoint) state. */
   private[graft] def componentLabels(und0: DataFrame,
       rounds: Int): DataFrame = {
-    val und = GraftSession.cut(und0)
+    // cutCompact: the edge table is cut ONCE and scanned every round,
+    // the exact shape the right-sizing device exists for
+    val und = GraftSession.cutCompact(und0)
     var lab = GraftSession.cut(und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab")))
     // gate per-round broadcasts on the NODE count (lab is one row per
@@ -1814,7 +1867,7 @@ object Graph {
   def lpaCommunities(s: SparkSession, d: String, minSupport: Int = 7,
       rounds: Int = 4): DataFrame = {
     val e = copurchaseEdges(s, d, minSupport)
-    val und = GraftSession.cut(
+    val und = GraftSession.cutCompact(
       e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
     var lab = GraftSession.cut(und.select(col("u").as("node")).distinct()
