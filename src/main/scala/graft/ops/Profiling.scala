@@ -1316,20 +1316,34 @@ object Profiling {
     * only exchange). */
   def bootstrapCi(s: SparkSession, d: String, b: Int = 32): DataFrame = {
     require(b <= 32, "one md5 digest carries 32 nibble coins")
+    // replicate r's half coin is the r-th nibble of ONE md5 per row
+    // (top bit of a hex char: < '8' iff that 4-bit value < 8). First
+    // cut was one seeded md5 per (row, replicate) with the full
+    // 8-nibble fraction decode — measured 41.7 s at sf0.1; the
+    // exploded per-(row,rep) single-nibble form was 2.5 s; this r16
+    // form drops the explode entirely: ONE pass with 2B conditional
+    // aggregates (sum, count per replicate) — no B-times row
+    // materialization, no B-times shuffle input, one codegen stage —
+    // then unpivots the single result row to the B replicate means.
+    // Value-identical: each (s_r, c_r) sums exactly the rows the
+    // exploded filter kept, in order-free BIGINT arithmetic.
+    def coin(r: Int) = expr(s"substr(h, $r, 1) < '8'")
+    val aggs = (1 to b).flatMap(r => Seq(
+      sum(when(coin(r), col("v"))).as(s"s_$r"),
+      sum(when(coin(r), 1L).otherwise(0L)).as(s"c_$r")))
     val reps = Tables.orders(s, d)
-      .select(col("o_orderkey").as("id"), cents.as("v"))
-      // replicate r's half coin is the r-th nibble of ONE md5 per
-      // row (top bit of a hex char: < '8' iff that 4-bit value < 8).
-      // First cut was one seeded md5 per (row, replicate) with the
-      // full 8-nibble fraction decode — measured 41.7 s at sf0.1;
-      // the per-(row,rep) single-nibble form was 2.5 s; this
-      // per-ROW digest amortizes the hash across all 32 replicates
-      .select(col("v"), md5(col("id").cast("string")).as("h"),
-        explode(sequence(lit(1), lit(b))).as("rep"))
-      .filter(expr("substr(h, rep, 1) < '8'"))
-      .groupBy(col("rep"))
-      .agg(round(sum(col("v")).cast("double")
-        / count(lit(1)).cast("double"), 6).as("m"))
+      .select(cents.as("v"),
+        md5(col("o_orderkey").cast("string")).as("h"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((1 to b).map(r =>
+        struct(lit(r).as("rep"),
+          round(col(s"s_$r").cast("double")
+            / col(s"c_$r").cast("double"), 6).as("m"))): _*)).as("x"))
+      .select(col("x.rep").as("rep"), col("x.m").as("m"))
+      // a replicate that selected zero rows has no mean — the grouped
+      // form emitted no row for it (impossible at any real n; kept
+      // for exact semantic parity with the oracle)
+      .filter(col("m").isNotNull)
     val w = Window.orderBy(col("m"), col("rep"))
     val full = Tables.orders(s, d)
       .agg(round(sum(cents).cast("double")
