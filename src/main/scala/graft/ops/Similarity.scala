@@ -1190,7 +1190,11 @@ object Similarity {
     * only the probed lists before a bounded top-k. */
   def annIvfMd5(s: SparkSession, d: String, queryId: Long = 0L,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // the UNPROJECTED table, like every other md5-family caller: the
+    // memo keys on the input plan's semantic hash, so a projected copy
+    // here built and pinned a SECOND corpus-wide quantized parent —
+    // two wide scans and double the pinned memory (ADVICE r16)
+    val emb = Tables.embeddings(s, d)
     // all reads below go through the shared quantized parent (r16):
     // one scan+decode of the corpus vectors feeds the seed draw, the
     // assignment AND the probes, and the row-side quantization is a

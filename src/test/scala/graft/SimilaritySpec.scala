@@ -183,6 +183,27 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(b - r.getDouble(1)) < 1e-9)))
   }
 
+  test("md5 family shares ONE quantized-parent build across entry points") {
+    // ADVICE r16: annIvfMd5 passed a PROJECTED embeddings plan to
+    // quantEmbMd5 while the SRP/LSH callers passed the raw table; the
+    // memo keys on the input plan's semantic hash, so two corpus-wide
+    // quantized parents were built and pinned. All entry points must
+    // resolve to the same memo entry — at corpus scale the difference
+    // is one wide scan + pinned copy vs two.
+    Similarity.cosineNearDupMd5Query(spark, sf("embeddings")).count()
+    val afterFirst =
+      graft.ops.IndexMemo.buildCounts.getOrElse("quantEmb", 0L)
+    Similarity.annLshMd5(spark, sf("embeddings"), 0L, 5).count()
+    Similarity.annIvfMd5(spark, sf("embeddings"), 0L, 5,
+      nlist = 8, nprobe = 2).count()
+    val afterAll =
+      graft.ops.IndexMemo.buildCounts.getOrElse("quantEmb", 0L)
+    assert(afterAll == afterFirst,
+      s"quantEmb built $afterAll times (was $afterFirst after the " +
+        "first family call): an entry point is forking the shared " +
+        "quantized parent")
+  }
+
   test("measured IVF recall@10 over multiple queries clears a floor") {
     val queries = Seq(0L, 7L, 23L, 111L, 202L)
     val recalls = queries.map { q =>
