@@ -40,6 +40,16 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // collect_set/collect_list aggregations (ObjectHashAggregate)
+      // fall back to SORT-based aggregation once a partition's hash
+      // map passes this many keys — and the 128-key default is below
+      // ~#docs/partition for every corpus-keyed gate aggregation, so
+      // the hot folds were silently sorting their full input. 4096
+      // keys of bounded per-key state fit executor memory with wide
+      // margin at any scale; the fallback remains the spill safety
+      // net beyond it.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
 
   /** Local session on `cpus` threads (SPARK_GRAFT_CPUS, default 32).
     * SPARK_GRAFT_CHECKPOINT_DIR, when set, switches the iterative
@@ -51,6 +61,28 @@ object GraftSession {
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
       .foreach(dir => enableReliableCheckpoints(s, dir))
     s
+  }
+
+  /** Pre-fan-out re-grain (r17): a row-EXPLODING pipeline inherits the
+    * scan's split count, so a small corpus read (one parquet row
+    * group) runs its entire gram/token fan-out — and every hash/decode
+    * expression fused after it — on ONE core. When the plan's scan
+    * parallelism is below the session's shuffle parallelism, pay one
+    * tiny shuffle of the COMPACT parent rows (never the exploded
+    * output) keyed by the fan-out's grouping column, so the explode
+    * and everything fused behind it use the whole cluster and a
+    * downstream per-key window/aggregation finds its partitioning
+    * already satisfied. When the input already has >= that many splits
+    * (any corpus-scale table at 100 TB), this is a no-op: no shuffle
+    * is added, the scan's own parallelism stands. Measured on the
+    * verifiedMd5Idx build at sf0.1: the char-gram fold fell 7.7 -> 1.3
+    * s because the 1-split documents scan had serialized it. */
+  def fanoutRegrain[T](ds: Dataset[T],
+      key: org.apache.spark.sql.Column): Dataset[T] = {
+    val target = ds.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    if (ds.rdd.getNumPartitions < target) ds.repartition(target, key)
+    else ds
   }
 
   /** Deployment switch for the iterative plans (PageRank rounds,

@@ -624,7 +624,12 @@ object Curation {
   private[graft] def tokenTrigramGrams(s: SparkSession,
       d: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(s, d)
+    // re-grain doc rows by the window's own partition key BEFORE the
+    // token explode: the lead-window then finds its required
+    // partitioning satisfied (no gram-level exchange), and the explode
+    // runs cluster-wide even off a 1-split scan
+    graft.GraftSession.fanoutRegrain(Tables.documents(s, d),
+      col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
       .select(col("doc_id"),
@@ -642,8 +647,12 @@ object Curation {
     * contribute nothing on either engine. */
   private[graft] def charGrams(s: SparkSession, d: String,
       k: Int): DataFrame =
-    Tables.documents(s, d)
-      .filter(length(col("text")) >= k)
+    // re-grain the COMPACT doc rows before the ~n_chars-per-doc
+    // explode: a 1-split scan would otherwise run the whole gram
+    // fan-out (and the md5 folds fused behind it) on one core
+    graft.GraftSession.fanoutRegrain(
+      Tables.documents(s, d).filter(length(col("text")) >= k),
+      col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"),
         col("text"))
@@ -721,21 +730,45 @@ object Curation {
     *
     * Scale shape, mirroring the xxhash64 path: the banded join ships
     * (doc_id, band, bkey) only, degenerate buckets are capped (windowed
-    * bsz guard, mirrored in the oracle), and the exact verify joins the
-    * CANDIDATE list back onto per-doc 60-bit key SETS (~#docs rows,
-    * array payload bounded by doc length; intersection via codegen'd
-    * array_intersect) instead of re-scanning the #grams-rows key table
-    * per call. The banded table + per-doc key sets are built once and
-    * memoized per (context, corpus, params) via [[IndexMemo]] (released
-    * by [[Dedup.clearLshCache]]). The oracle computes the same
-    * intersection with an equivalent join-based count. */
+    * bsz guard, mirrored in the oracle), and the verify joins the
+    * CANDIDATE list back onto per-doc BOUNDED key sketches (~#docs
+    * rows, array payload <= `kmvBuckets` regardless of document
+    * length; intersection via codegen'd array_intersect) instead of
+    * re-scanning the #grams-rows key table per call. The banded table
+    * + per-doc sketches are built once and memoized per (context,
+    * corpus, params) via [[IndexMemo]] (released by
+    * [[Dedup.clearLshCache]]). The oracle computes the same
+    * intersection with an equivalent join-based count.
+    *
+    * The verify sketch (r17, VERDICT r16 task 1): each doc keeps the
+    * MINIMUM h1 per bucket `h1 % kmvBuckets` — a one-permutation-
+    * hashing sketch — instead of its full gram-key set, and the
+    * reported jaccard is `|matching bucket minima| / |occupied buckets
+    * of the pair's union|`. Per occupied union bucket, the union's
+    * minimum is a uniform draw from the union's restriction, and it
+    * matches iff that draw lies in the intersection — so the per-pair
+    * estimate is unbiased for exact Jaccard, and for pairs whose union
+    * has no intra-bucket collision (docs small vs `kmvBuckets`) it IS
+    * exact Jaccard. Two build consequences, both measured: per-doc
+    * state is capped at `kmvBuckets` values however long the document
+    * (the 100 TB bound — the former collect_set held #distinct-grams
+    * values), and the #grams-row fold now runs entirely in codegen'd
+    * primitive min-aggregation with map-side combine (level 1 below);
+    * only the tiny <= kmvBuckets-rows-per-doc level-2 fold pays
+    * object-mode aggregation. The old form's 32M-row object fold was
+    * the build's dominant cost (VARIANCE_r16 A/B). */
   private[graft] def verifiedMd5NearDups(grams: DataFrame, seed: String,
       numHashes: Int, rowsPerBand: Int, threshold: Double,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, kmvBuckets: Int = 128): DataFrame = {
+    // both engines drop a candidate pair with ZERO shared buckets (the
+    // oracle via its inner bucket-join, this side via the filter), so
+    // the threshold must exclude estimate 0
+    require(threshold > 0.0, "threshold must be positive")
     val bands = numHashes / rowsPerBand
     val (cand, gset, nCand) = IndexMemo.getOrBuild[
         (DataFrame, DataFrame, java.lang.Long)]("verifiedMd5Idx",
-      s"$seed,$numHashes,$rowsPerBand,$maxBucketSize", Seq(grams)) {
+      s"$seed,$numHashes,$rowsPerBand,$maxBucketSize,$kmvBuckets",
+      Seq(grams)) {
       // one codegen'd base-16 parse of the 15-hex-char window —
       // value-identical to the oracle's per-nibble decode (60 bits
       // fits a BIGINT), and ~15x fewer expressions than the former
@@ -745,20 +778,30 @@ object Curation {
       val hashed = grams
         .select(col("doc_id"), md5(concat(lit(seed), col("g"))).as("hh"))
         .select(col("doc_id"), nibs(1).as("h1"), nibs(16).as("h2"))
-      val sigs = (0 until numHashes).map(j =>
+      // ONE scan for BOTH artifacts (r16), in TWO aggregation levels
+      // (r17): level 1 groups by (doc_id, h1 % kmvBuckets) and takes
+      // pure mins — the per-bucket partial of every signature (min is
+      // associative, so min-of-bucket-mins == the global min) plus the
+      // bucket's minimum h1, all codegen'd primitive aggregation with
+      // map-side combine over the #grams rows. Level 2 folds only the
+      // <= kmvBuckets bucket rows per doc: the mins finalize the
+      // signatures and collect_set gathers the bounded OPH sketch.
+      // The former single-level form ran the whole #grams-row fold
+      // inside object-mode aggregation (collect_set disables codegen
+      // and trips the 128-key sort-based fallback), which the r16 A/B
+      // measured as the build's dominant cost.
+      val psigs = (0 until numHashes).map(j =>
         min((col("h1") + lit(j.toLong) * col("h2")) % MinHashP)
-          .as(s"sig_$j"))
-      // ONE scan and ONE doc_id shuffle for BOTH artifacts (r16): the
-      // signatures and the per-doc gram-key sets aggregate the same
-      // #grams-row md5+decode pipeline over the same key, and the
-      // former two-aggregation form re-ran that pipeline — the build's
-      // dominant cost at 32M char grams per sf0.1 — twice. The
-      // combined table pins the 8 sig BIGINTs next to the key set
-      // (negligible width) and both downstream reads prune columns
-      // from the one cached copy.
-      val combined = hashed.groupBy(col("doc_id"))
+          .as(s"ps_$j"))
+      val lvl1 = hashed
+        .groupBy(col("doc_id"),
+          (col("h1") % lit(kmvBuckets.toLong)).as("bkt"))
+        .agg(psigs.head, (psigs.tail :+ min(col("h1")).as("mh")): _*)
+      val sigs = (0 until numHashes).map(j =>
+        min(col(s"ps_$j")).as(s"sig_$j"))
+      val combined = lvl1.groupBy(col("doc_id"))
         .agg(sigs.head,
-          (sigs.tail :+ collect_set(col("h1")).as("hs")): _*)
+          (sigs.tail :+ collect_set(col("mh")).as("hs")): _*)
         .persist()
       val bandedIdx = combined.select(col("doc_id"),
         posexplode(array((0 until bands).map { b =>
@@ -800,29 +843,41 @@ object Curation {
     // payload is the one wide column in this pipeline)
     val candSide =
       if (nCand.longValue() <= 5000000L) broadcast(cand) else cand
+    // matches: bucket minima that agree (value equality implies the
+    // same bucket); occupied union buckets: na + nb - shared buckets.
+    // A sketch value's bucket is recoverable as value % kmvBuckets, so
+    // no second array is pinned.
     val ni = size(array_intersect(col("ha"), col("hb"))).cast("long")
+    def bkts(a: Column): Column =
+      transform(a, x => x % lit(kmvBuckets.toLong))
+    val nsb = size(array_intersect(bkts(col("ha")), bkts(col("hb"))))
+      .cast("long")
     val jac = col("ni").cast("double") /
-      (col("na") + col("nb") - col("ni")).cast("double")
+      (col("na") + col("nb") - col("nsb")).cast("double")
     candSide
       .join(gset.select(col("doc_id").as("id_a"), col("hs").as("ha"),
         col("n").as("na")), "id_a")
       .join(gset.select(col("doc_id").as("id_b"), col("hs").as("hb"),
         col("n").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"), ni.as("ni"), col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"), ni.as("ni"), nsb.as("nsb"),
+        col("na"), col("nb"))
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
 
-  /** q38: MinHash near-dup pairs over word trigrams with exact Jaccard
-    * verification at 0.5 — the md5 re-declaration of the xxhash64
-    * pipeline (which remains API + ScalaTest-covered in Dedup). */
+  /** q38: MinHash near-dup pairs over word trigrams, verified by the
+    * bounded OPH sketch estimate at 0.5 (exact Jaccard for pairs with
+    * no intra-bucket collision; unbiased estimate beyond) — the md5
+    * re-declaration of the xxhash64 pipeline (which remains API +
+    * ScalaTest-covered in Dedup). */
   def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
     verifiedMd5NearDups(tokenTrigramGrams(s, d), "mh|",
       numHashes = 8, rowsPerBand = 2, threshold = 0.5,
       maxBucketSize = 1000)
 
   /** q39: character-5-gram Jaccard near-dup pairs, banded + verified
-    * at 0.7 — the md5 re-declaration of the char-shingle pipeline. */
+    * by the bounded OPH sketch estimate at 0.7 — the md5
+    * re-declaration of the char-shingle pipeline. */
   def charJaccardVerifiedPairs(s: SparkSession, d: String): DataFrame =
     verifiedMd5NearDups(charGrams(s, d, 5), "cg|",
       numHashes = 8, rowsPerBand = 2, threshold = 0.7,
@@ -830,11 +885,12 @@ object Curation {
 
   /** Shared DuckDB oracle body for [[verifiedMd5NearDups]]: takes a
     * CTE named `grams(doc_id, g)` and mirrors the single-md5 2-universal
-    * signatures, band keys, bucket cap, h1 gram keys, and the Jaccard
+    * signatures, band keys, bucket cap, the bounded OPH verify sketch
+    * (min h1 per `h1 % kmvBuckets` bucket), and the estimate's
     * threshold. */
   private def verifiedMd5PairsSql(gramsCte: String, seed: String,
       numHashes: Int, rowsPerBand: Int, threshold: Double,
-      maxBucketSize: Int): String = {
+      maxBucketSize: Int, kmvBuckets: Int = 128): String = {
     val bands = numHashes / rowsPerBand
     def nibs(from: Int): String = (0 until 15).map { i =>
       val nib = s"substr(hh, ${from + i}, 1)"
@@ -870,21 +926,26 @@ object Curation {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bkey = b.bkey
        |    AND a.doc_id < b.doc_id),
-       |gset AS (SELECT DISTINCT doc_id, h1 AS h FROM hashed),
+       |gset AS (SELECT doc_id, min(h1) AS h FROM hashed
+       |         GROUP BY doc_id, h1 % $kmvBuckets),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM gset GROUP BY 1),
        |inter AS (
-       |  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(SUM(CASE WHEN ga.h = gb.h THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ni,
+       |    CAST(COUNT(*) AS BIGINT) AS nsb
        |  FROM cand c
        |  JOIN gset ga ON ga.doc_id = c.id_a
-       |  JOIN gset gb ON gb.doc_id = c.id_b AND gb.h = ga.h
+       |  JOIN gset gb ON gb.doc_id = c.id_b
+       |    AND gb.h % $kmvBuckets = ga.h % $kmvBuckets
        |  GROUP BY 1, 2)
        |SELECT i.id_a, i.id_b,
        |  round(CAST(i.ni AS DOUBLE)
-       |    / CAST(sa.n + sb.n - i.ni AS DOUBLE), 6) AS jaccard
+       |    / CAST(sa.n + sb.n - i.nsb AS DOUBLE), 6) AS jaccard
        |FROM inter i
        |JOIN sizes sa ON sa.doc_id = i.id_a
        |JOIN sizes sb ON sb.doc_id = i.id_b
-       |WHERE CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE)
+       |WHERE CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.nsb AS DOUBLE)
        |  >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }

@@ -478,16 +478,39 @@ class CurationSpec extends SparkTestBase {
     assert(out.nonEmpty)
     // canonical orientation, threshold respected, jaccard in (0, 1]
     assert(out.forall { case (a, b, j) => a < b && j >= 0.5 && j <= 1.0 })
-    // exact verification: recompute jaccard over word-trigram sets
+    // exact verification of the OPH sketch estimate: rebuild each
+    // doc's bounded sketch (min h1 per h1 % 128 bucket over the word
+    // trigrams, h1 = the 60-bit md5 nibble decode) and recompute
+    // matches / occupied-union-buckets driver-side
     val gsets = Curation.tokenTrigramGrams(spark, sf("documents"))
       .collect().groupBy(_.getLong(0))
-      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
+      .map { case (id, rows) =>
+        val h1s = rows.map(r =>
+          graft.ops.Similarity.md5Nibs15("mh|" + r.getString(1))).toSet
+        id -> h1s.groupBy(_ % 128L).values.map(_.min).toSet
+      }
     out.take(20).foreach { case (a, b, j) =>
-      val (ga, gb) = (gsets(a), gsets(b))
-      val expect = BigDecimal(ga.intersect(gb).size.toDouble /
-        ga.union(gb).size.toDouble)
+      val (ka, kb) = (gsets(a), gsets(b))
+      val ni = ka.intersect(kb).size
+      val nsb = ka.map(_ % 128L).intersect(kb.map(_ % 128L)).size
+      val expect = BigDecimal(
+        ni.toDouble / (ka.size + kb.size - nsb).toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(j - expect) < 1e-9, s"pair ($a,$b): $j vs $expect")
+    }
+    // and the sketch estimate tracks TRUE gram-set jaccard: every
+    // shipped pair's exact jaccard must clear a loosened band below
+    // the 0.5 estimate threshold (the estimator is unbiased, so a
+    // 0.5-estimate pair far below ~0.35 true jaccard would indicate a
+    // broken sketch, not noise)
+    val strSets = Curation.tokenTrigramGrams(spark, sf("documents"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
+    out.foreach { case (a, b, _) =>
+      val (ga, gb) = (strSets(a), strSets(b))
+      val exact = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      assert(exact >= 0.35, s"pair ($a,$b): true jaccard $exact " +
+        "far below the 0.5 sketch-estimate threshold")
     }
     // memoized index: a second call returns identical pairs
     val again = Curation.minhashVerifiedPairs(spark, sf("documents"))
