@@ -184,9 +184,18 @@ object Curation {
     * are equal iff their token sequences are (modulo 2^-64
     * collisions), so set arithmetic over these keys matches set
     * arithmetic over gram strings. */
-  private def posGramHashes(df: DataFrame, k: Int): DataFrame = {
+  private def posGramHashes(df: DataFrame, k: Int,
+      regrain: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    df.select(col("doc_id"), posexplode(split(col("text"), " "))
+    // re-grain doc rows by the window's partition key BEFORE the token
+    // explode (r17): the lead-window's exchange moves 5k doc rows
+    // instead of the exploded token stream, and a 1-split scan no
+    // longer serializes the explode+hash stage. Opt-out for WARM
+    // per-query callers (contamination): the regrain's extra stage
+    // round-trip only pays for itself on cold build-once paths.
+    (if (regrain) graft.GraftSession.fanoutRegrain(df, col("doc_id"))
+     else df)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
       .select(col("doc_id"), col("pos"), xxhash64(col("t")).as("h"))
       .select(col("doc_id"), col("pos"),
@@ -198,7 +207,10 @@ object Curation {
   }
 
   private def gramHashes(df: DataFrame, k: Int): DataFrame =
-    posGramHashes(df, k).select(col("doc_id"), col("gh"))
+    // regrain off: the only caller (contamination) gram-ifies per
+    // query execution, where the warm repeat cost dominates
+    posGramHashes(df, k, regrain = false)
+      .select(col("doc_id"), col("gh"))
 
   def contamination(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     val docs = Tables.documents(s, d)

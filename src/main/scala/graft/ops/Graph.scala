@@ -458,8 +458,21 @@ object Graph {
   private[graft] def bfsHopsFrom(edges: DataFrame, source: Long,
       maxHops: Int, nNodes: Long = Long.MaxValue): DataFrame = {
     val s = edges.sparkSession
-    var dist = GraftSession.cut(
-      s.range(1).select(lit(source).as("node"), lit(0L).as("hops")))
+    // Size every per-round state cut from the graph's KNOWN node
+    // bound (r17): frontier and visited tables can never exceed
+    // nNodes rows, so on a small graph each round materializes one
+    // task instead of shuffle.partitions near-empty ones — the
+    // cutCompact right-sizing WITHOUT its measured-count job, which
+    // a per-round path must not pay. Clamps to the session's shuffle
+    // partitions, so at cluster node counts it is a no-op.
+    val shufParts =
+      s.conf.get("spark.sql.shuffle.partitions").toInt
+    val stateParts = math.max(1L,
+      math.min(shufParts.toLong, nNodes / 65536L + 1L)).toInt
+    def sized(df: DataFrame): DataFrame =
+      if (stateParts < shufParts) df.coalesce(stateParts) else df
+    var dist = GraftSession.cut(sized(
+      s.range(1).select(lit(source).as("node"), lit(0L).as("hops"))))
     var frontier = dist.select(col("node"))
     var h = 1
     var exhausted = false
@@ -471,7 +484,7 @@ object Graph {
         .join(perRoundSide(dist.select(col("node")), nNodes),
           Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hops"))
-      val cutNext = GraftSession.cut(next)
+      val cutNext = GraftSession.cut(sized(next))
       // an empty frontier ends the walk: every later round expands
       // nothing, so stopping here is result-identical to running out
       // the remaining hops — on a small-diameter graph this bounds
@@ -483,7 +496,8 @@ object Graph {
         // plan is a stack of cached scans — no per-round re-materialize;
         // cut only every 4th round to bound plan depth on deep walks
         dist = dist.unionAll(cutNext)
-        if (h % 4 == 0 && h < maxHops) dist = GraftSession.cut(dist)
+        if (h % 4 == 0 && h < maxHops)
+          dist = GraftSession.cut(sized(dist))
         frontier = cutNext.select(col("node"))
         h += 1
       }

@@ -563,8 +563,13 @@ object Similarity {
       vecCol: String): DataFrame =
     IndexMemo.getOrBuild[DataFrame]("quantEmb", s"$idCol,$vecCol",
       Seq(emb)) {
-      val q = emb.select(col(idCol), col(vecCol),
-        quantized(col(vecCol)).as("sq")).persist()
+      // re-grain before pinning (r17): a 1-split scan would otherwise
+      // pin a 1-PARTITION cached parent, serializing every consumer's
+      // per-dimension explode and dot-product fold until its first
+      // shuffle; no-op at corpus-scale split counts
+      val q = graft.GraftSession.fanoutRegrain(emb, col(idCol))
+        .select(col(idCol), col(vecCol),
+          quantized(col(vecCol)).as("sq")).persist()
       q.count()
       (q, Seq(q))
     }

@@ -369,7 +369,11 @@ object TextOps {
     // corpus three times. Rows with b IS NULL (each doc's last token)
     // stay in: every token appears exactly once as `a`, so unigram
     // counts fall out of the same table.
-    val tokenPlan = Tables.documents(s, d)
+    // re-grain by the window's own partition key before the token
+    // explode (r17): the exchange moves doc rows, not the token
+    // stream, and a 1-split scan no longer serializes the explode
+    val tokenPlan = graft.GraftSession.fanoutRegrain(
+      Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "t")))
       .select(col("doc_id"), col("pos"), col("t").as("a"),
