@@ -184,6 +184,41 @@ object Bench {
       if (f.isFile) parseBenchFile(f) else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** EVERY available full-precision local record: the rolling sidecar
+    * plus all round-stamped `BENCH_full_r*.json` files, newest round
+    * first. best_known seeding folds all of them (r17): the rolling
+    * sidecar alone loses the best-ever history whenever a cross-SF
+    * run or the driver's post-commit official re-run overwrites it —
+    * the round-stamped records make the minimum survive in files, not
+    * just in git. */
+  private[graft] def sidecarPriors(dir: String = "."): Seq[PrevBench] =
+    try {
+      val rx = "BENCH_full_r(\\d+)\\D*\\.json".r
+      val stamped = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f))
+          case _ => None
+        })
+        .sortBy(-_._1).flatMap { case (_, f) => parseBenchFile(f) }
+      sidecarPrevBench(dir).toSeq ++ stamped
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** The round this run belongs to: one past the newest committed
+    * official record (`BENCH_r<N>.json`) — the driver writes that file
+    * only at round end, so both the builder's in-round runs and the
+    * driver's post-commit official run stamp the SAME round. */
+  private[graft] def currentRound(dir: String = "."): Int =
+    try {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      1 + Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(_.getName match {
+          case rx(n) => Some(n.toInt)
+          case _ => None
+        }).foldLeft(0)(math.max)
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+
   /** The host-speed normalizer between two records: the steady-state
     * in-band probe medians when BOTH records carry one, else the
     * startup calibrations. The probe JIT-warms ~0.27 → ~0.11 s over
@@ -369,9 +404,17 @@ object Bench {
       sfDir: String, results: Seq[(String, Measured)], calNow: Double)
       : Map[String, (Double, Double)] = {
     val seed = prior.filter(_.sfDir == sfDir).map { p =>
-      val fromQueries = p.queries.collect {
-        case (k, v) if v > 0 && !p.stalled(k) =>
-          k -> (v, p.calMed.getOrElse(p.cal))
+      // queries-seeded entries REQUIRE the prior to carry cal_med
+      // (ADVICE r16): reverifyLabel compares against the CURRENT
+      // steady-state median, and the two normalizer families diverge
+      // ~60% on this host — a startup-cal prior under a median
+      // comparison violates the calPair like-with-like rule. A
+      // pre-cal_med record still contributes via its own best_known.
+      val fromQueries = p.calMed match {
+        case Some(med) => p.queries.collect {
+          case (k, v) if v > 0 && !p.stalled(k) => k -> (v, med)
+        }
+        case None => Map.empty[String, (Double, Double)]
       }
       // an existing best_known entry beats the same record's queries
       // value by construction (it already folded that run in)
@@ -424,6 +467,21 @@ object Bench {
     }
   }
 
+  /** Upgrade host-window labels for queries that got a second-chance
+    * re-run and STILL ship an out-of-band value (r17): the value
+    * reproduced in two separate wall windows, so it is a measurement
+    * — by best_known's own caveat, a repeated host-window on re-run
+    * code is a regression, and the label must say so rather than
+    * invite the reader to dismiss it as a window. Labels for queries
+    * outside the second-chance set pass through unchanged. */
+  private[graft] def upgradeSecondChance(labels: Seq[(String, String)],
+      secondChance: Set[String]): Seq[(String, String)] =
+    labels.map {
+      case (k, "host-window") if secondChance(k) =>
+        k -> "confirmed-vs-best"
+      case kv => kv
+    }
+
   /** Do the two host-speed normalizers disagree vs this prior (r15
     * verdict task 5)? True when the startup-cal ratio and the
     * steady-state cal_med ratio diverge >15% — the record's calnorm
@@ -446,6 +504,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    // a bench run bills ITS OWN index builds: in a fresh JVM this is a
+    // no-op, and a second main() in one process (spec harnesses) must
+    // neither inherit the first run's cumulative nanos under
+    // memo_build_s nor serve its pinned indexes as free warm starts
+    graft.ops.IndexMemo.clear()
 
     // Calibration probe: a fixed, scan-free 32-partition job. Big enough to
     // schedule real tasks on every core (so a paused executor thread shows
@@ -548,7 +611,7 @@ object Bench {
       sidecarPrior, sfDir, calibration, calMed = runMedian(),
       factor = factor)
     val targetSet = targets.toSet
-    val results = firstPass.map { case (name, m) =>
+    val results1 = firstPass.map { case (name, m) =>
       if (!targetSet(name)) name -> m
       else {
         val again = measure(() => buildFreeOf(selected(name))(),
@@ -559,6 +622,46 @@ object Bench {
         else name -> m
       }
     }
+    val calNow = runMedian().getOrElse(calibration)
+    // best-known priors BEFORE folding this run in: the labels below
+    // must compare a confirmed mover against history, not against
+    // itself. Folds EVERY local full-precision record (rolling +
+    // round-stamped) plus the official, so an overwritten rolling
+    // sidecar no longer discards the best-ever history (r17).
+    val priorBest = {
+      val sources = (sidecarPriors() ++ official.toSeq)
+        .map(p => mergedBestKnown(Some(p), sfDir, Nil, calNow))
+      sources.foldLeft(Map.empty[String, (Double, Double)]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).iterator.map(k =>
+          k -> Seq(acc.get(k), m.get(k)).flatten.minBy(_._1)).toMap
+      }
+    }
+    // Second-chance pass (r17, VERDICT r16 task 5): host-window says
+    // "exceeds DOUBLE the best ever recorded, host-adjusted" — but a
+    // genuine regression reads the same on first appearance. Each
+    // still-flagged query re-runs ONCE more in a fresh window
+    // (bounded set); the min ships either way, and a value that
+    // reproduces out-of-band across two windows is upgraded below —
+    // it is a measurement, not a window.
+    val provisional = reverifyLabels(
+      reverifyTargetsMerged(results1, official, sidecarPrior, sfDir,
+        calibration, calMed = runMedian(), factor = factor),
+      priorBest, results1, calNow)
+    val secondChance = provisional.collect {
+      case (k, "host-window") => k
+    }.take(10).toSet
+    val results = if (secondChance.isEmpty) results1
+      else results1.map { case (name, m) =>
+        if (!secondChance(shortKey(name)) || m.best < 0) name -> m
+        else {
+          val again = measure(() => buildFreeOf(selected(name))(),
+            () => probeOk(), wantClean = 1, maxAttempts = 2)
+          if (again.best >= 0 && again.best < m.best)
+            name -> Measured(again.best, m.cleanRuns + again.cleanRuns,
+              stalled = false)
+          else name -> m
+        }
+      }
     val memoBuildS = graft.ops.IndexMemo.buildNanos / 1e9
     val buildCounts = graft.ops.IndexMemo.buildCounts
     val buildsJson = buildCounts.toSeq.sortBy(_._1)
@@ -572,25 +675,20 @@ object Bench {
     // cohort may be back in band); the factor above used the first pass
     val finalMed = sharedMedianRatio(calnormRatiosMerged(results,
       official, sidecarPrior, sfDir, calibration, runMedian()))
-    val calNow = runMedian().getOrElse(calibration)
-    // best-known priors BEFORE folding this run in: the labels below
-    // must compare a confirmed mover against history, not against
-    // itself
-    val priorBest = {
-      val a = mergedBestKnown(sidecarPrior, sfDir, Nil, calNow)
-      val b = mergedBestKnown(official, sfDir, Nil, calNow)
-      (a.keySet ++ b.keySet).iterator.map(k =>
-        k -> Seq(a.get(k), b.get(k)).flatten.minBy(_._1)).toMap
-    }
     val bestKnown = mergedBestKnown(
       Some(PrevBench("prior", sfDir, calibration, Set.empty,
         Map.empty, None, priorBest)), sfDir, results, calNow)
     // the movers whose FINAL value still trips the trigger — the set a
-    // judge adjudicates — each labeled vs its best-known prior
+    // judge adjudicates — each labeled vs its best-known prior; a
+    // second-chance query still labeled host-window here reproduced
+    // its out-of-band value in two separate windows, so the label
+    // upgrades to confirmed-vs-best (r17)
     val confirmed = reverifyTargetsMerged(results, official,
       sidecarPrior, sfDir, calibration, calMed = runMedian(),
       factor = factor)
-    val labels = reverifyLabels(confirmed, priorBest, results, calNow)
+    val labels = upgradeSecondChance(
+      reverifyLabels(confirmed, priorBest, results, calNow),
+      secondChance)
     val labelsJson = labels.sortBy(_._1)
       .map { case (k, l) => "\"" + k + "\":\"" + l + "\"" }
       .mkString("{", ",", "}")
@@ -608,6 +706,12 @@ object Bench {
       // name would mislead calPair in later cross-round comparisons
       runMedian().map(v => s""","cal_med":${fmt(v, 3)}""").getOrElse("") +
       s""","memo_build_s":${fmt(memoBuildS, 3)}""" +
+      // the build bill over the run's own host normalizer (steady-
+      // state median when available, startup cal otherwise): r16's
+      // official read 52.4 s where the same code bracketed 29.4 on a
+      // faster window — cross-round build-bill comparisons need the
+      // calnormed figure in the record itself (VERDICT r16 task 3)
+      s""","memo_build_s_calnorm":${fmt(memoBuildS / calNow, 1)}""" +
       s""","memo_builds_n":${buildCounts.values.sum}""" +
       s""","reverified_n":${targets.size}"""
     val out = assembleLine(results, total, calibration, sfDir, stalled,
@@ -619,7 +723,19 @@ object Bench {
     // BENCH_r*.json history. Best-effort: a read-only cwd must not
     // fail the bench.
     if (args.isEmpty) {
-      val sidecar = java.nio.file.Paths.get("BENCH_full_local.json")
+      // Cross-SF guard (ADVICE r16): a full run at any OTHER SF must
+      // not overwrite the sf-of-record rolling sidecar — doing so
+      // silently discarded the entire rolling best_known history. A
+      // different-SF run records under an SF-suffixed name instead.
+      val sameSf = sidecarPrevBench().forall(_.sfDir == sfDir)
+      val sfLeaf = new java.io.File(sfDir).getName
+      val sidecar = java.nio.file.Paths.get(
+        if (sameSf) "BENCH_full_local.json"
+        else s"BENCH_full_local.$sfLeaf.json")
+      if (!sameSf)
+        System.err.println(s"WARN Bench: existing sidecar is for a " +
+          s"different SF; writing $sidecar and leaving the rolling " +
+          "sidecar untouched")
       // sidecar-only: the per-query calnorm ratios behind the drift
       // median, so a mover audit (r14's q106) is one jq lookup instead
       // of each judge re-deriving them by script
@@ -642,15 +758,34 @@ object Bench {
         .map { case (k, (t, c)) =>
           "\"" + k + "\":[" + fmt(t, 3) + "," + fmt(c, 3) + "]" }
         .mkString("{", ",", "}")
-      try java.nio.file.Files.writeString(sidecar,
-        fullLine(results, total, calibration, sfDir, stalled,
-          prevCmp +
-            s""","reverified":${reverifiedJson(Int.MaxValue)}""" +
-            s""","calnorm_ratios":$ratiosJson""" +
-            s""","memo_build_s_by_tag":$buildSecsJson""" +
-            s""","best_known":$bestKnownJson""",
-          buildsJson) + "\n")
-      catch {
+      val line = fullLine(results, total, calibration, sfDir, stalled,
+        prevCmp +
+          s""","reverified":${reverifiedJson(Int.MaxValue)}""" +
+          s""","calnorm_ratios":$ratiosJson""" +
+          s""","memo_build_s_by_tag":$buildSecsJson""" +
+          s""","best_known":$bestKnownJson""",
+        buildsJson) + "\n"
+      try {
+        java.nio.file.Files.writeString(sidecar, line)
+        // Round-stamped copy (VERDICT r16 task 2): the rolling sidecar
+        // is overwritten by every full run, so the builder's
+        // round-final record and the driver's post-commit official one
+        // could not both survive at HEAD. Each full same-SF run also
+        // writes BENCH_full_r<N>.json, first MOVING any existing
+        // same-round file to ..._prev.json — after the driver's
+        // official run, the round file is the official record and
+        // _prev is the builder's round-final, both committed.
+        if (sameSf) {
+          val n = currentRound()
+          val stamped =
+            java.nio.file.Paths.get(s"BENCH_full_r$n.json")
+          if (java.nio.file.Files.exists(stamped))
+            java.nio.file.Files.move(stamped,
+              java.nio.file.Paths.get(s"BENCH_full_r${n}_prev.json"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.writeString(stamped, line)
+        }
+      } catch {
         case scala.util.control.NonFatal(e) =>
           // a stale sidecar from an earlier run must not silently
           // masquerade as this run's record: remove it and warn.

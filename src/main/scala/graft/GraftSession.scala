@@ -137,6 +137,7 @@ object GraftSession {
     * extra count() job (q209 components: the one-time compact took the
     * 8-round walk from 4.7 to 2.2 s at sf0.1 on one host bracket). */
   def cutCompact[T](ds: Dataset[T]): Dataset[T] = {
+    cutCompactCalls.incrementAndGet()
     val out = cut(ds)
     val n = out.count()
     val parts = math.max(1L, math.min(
@@ -145,6 +146,15 @@ object GraftSession {
       (n + 65535L) / 65536L)).toInt
     if (parts < out.rdd.getNumPartitions) out.coalesce(parts) else out
   }
+
+  /** Lifetime [[cutCompact]] call count (test hook): the device pays
+    * one count() job per call, which its contract confines to
+    * cut-once/scan-many tables — a sweep asserts the call count is
+    * INDEPENDENT of an operator's round knob, which a call inside a
+    * fixpoint loop body would break (VERDICT r16 task 6). */
+  private val cutCompactCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def cutCompactCount: Long = cutCompactCalls.get()
 
   /** Pre-cut logical plans keyed by the checkpoint RDD's id. A cut()
     * table plans as an opaque `RDDScanExec`, so plan-invariant sweeps

@@ -170,7 +170,15 @@ private[graft] object IndexMemo {
     } else if (sameInputs(prev, inputs)) { // lost the race: adopt the winner
       release(pinned)
       prev.value.asInstanceOf[T]
-    } else value // collision raced back in; serve our build unmemoized
+    } else {
+      // collision raced back in: serve our build UNMEMOIZED, but
+      // release its pins first (ADVICE r16) — nothing tracks them, so
+      // they would otherwise stay persisted for the session lifetime
+      // and be invisible to the build-shape sweep. Consumers of the
+      // returned value recompute on use: degraded, never wrong.
+      release(pinned)
+      value
+    }
   }
 
   /** Enforce [[MaxPerTag]] after inserting `key` under `tag`. A key can

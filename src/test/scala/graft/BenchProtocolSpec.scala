@@ -429,6 +429,55 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!other.contains("q3"))
   }
 
+  test("a prior without cal_med seeds best_known only from its own " +
+      "best_known map (the calPair like-with-like rule)") {
+    // ADVICE r16: a queries-seeded entry stores the prior's
+    // normalizer; with no cal_med that would be a STARTUP cal, later
+    // compared against a steady-state median by reverifyLabel — the
+    // two families diverge ~60% on this host, enough to flip a label
+    val prior = Bench.PrevBench("BENCH_r9.json", Sf, 0.12,
+      Set.empty, Map("q1" -> 0.6, "q2" -> 0.5), calMed = None,
+      bestKnown = Map("q3" -> (1.0, 0.09)))
+    val m = Bench.mergedBestKnown(Some(prior), Sf, Nil, 0.07)
+    assert(!m.contains("q1") && !m.contains("q2"),
+      "queries of a pre-cal_med record must not seed best_known")
+    assert(m("q3") == (1.0, 0.09)) // its best_known still carries
+  }
+
+  test("upgradeSecondChance flips only re-run host-window labels") {
+    val labels = Seq("q1" -> "host-window", "q2" -> "host-window",
+      "q3" -> "confirmed-vs-best")
+    val up = Bench.upgradeSecondChance(labels, Set("q1", "q3")).toMap
+    // q1: re-run AND still out of band in a fresh window -> a
+    // reproduced measurement, not a window
+    assert(up("q1") == "confirmed-vs-best")
+    // q2: flagged but not re-run (cap) -> label stands
+    assert(up("q2") == "host-window")
+    assert(up("q3") == "confirmed-vs-best")
+  }
+
+  test("currentRound is one past the newest official record; " +
+      "sidecarPriors folds rolling + round-stamped files") {
+    val mk = (total: Double, bk: String) =>
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""sf":"$Sf","cal":0.12,"cal_med":0.08,""" +
+        s""""best_known":$bk,"stalled":[],"queries":{"q1":0.6}}"""
+    withBenchDir(
+      "BENCH_r15.json" -> mk(9.0, "{}"),
+      "BENCH_r16.json" -> mk(9.0, "{}"),
+      "BENCH_full_local.json" -> mk(8.0, """{"q1":[0.5,0.08]}"""),
+      "BENCH_full_r16.json" -> mk(8.5, """{"q1":[0.41,0.07]}"""),
+      "BENCH_full_r16_prev.json" -> mk(8.4, """{"q2":[1.2,0.07]}""")) {
+      dir =>
+        assert(Bench.currentRound(dir) == 17)
+        val ps = Bench.sidecarPriors(dir)
+        assert(ps.size == 3, s"got ${ps.map(_.name)}")
+        // every record's best_known is reachable for min-folding
+        val keys = ps.flatMap(_.bestKnown.keys).toSet
+        assert(keys == Set("q1", "q2"))
+    }
+  }
+
   test("sidecar best_known round-trips through parseBenchFile") {
     val line = s"""{"metric":"total","value":9.0,"unit":"sec",""" +
       s""""sf":"$Sf","cal":0.12,"cal_med":0.08,""" +

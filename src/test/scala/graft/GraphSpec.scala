@@ -59,6 +59,26 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("cutCompact call count is independent of the round knob") {
+    // VERDICT r16 task 6: cutCompact pays one count() job per call,
+    // which its contract confines to cut-once/scan-many tables. A
+    // call inside a fixpoint loop body would scale with `rounds` —
+    // this sweep pins the invariant mechanically for the iterative
+    // operators that use the device.
+    val d = sf("lineitem")
+    def calls(rounds: Int): Long = {
+      val before = GraftSession.cutCompactCount
+      Graph.components(spark, d, rounds = rounds).count()
+      Graph.lpaCommunities(spark, d, rounds = rounds).count()
+      GraftSession.cutCompactCount - before
+    }
+    val low = calls(2)
+    val high = calls(6)
+    assert(low == high,
+      s"cutCompact calls scale with rounds ($low at 2 vs $high at 6):" +
+        " a fixpoint round body is paying the measured-count job")
+  }
+
   test("components and kCore under reliable checkpoints match local-cut") {
     val d = sf("lineitem")
     val baseCensus = Graph.components(spark, d).collect().toSeq
