@@ -139,12 +139,36 @@ object GraftSession {
   def cutCompact[T](ds: Dataset[T]): Dataset[T] = {
     cutCompactCalls.incrementAndGet()
     val out = cut(ds)
-    val n = out.count()
-    val parts = math.max(1L, math.min(
-      ds.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        .toInt.toLong,
-      (n + 65535L) / 65536L)).toInt
+    val parts = compactParts(ds.sparkSession, out.count())
     if (parts < out.rdd.getNumPartitions) out.coalesce(parts) else out
+  }
+
+  /** The ONE place the right-sizing policy lives (~64k rows per
+    * partition, capped at the session's shuffle partitions so cluster
+    * parallelism is never sacrificed) — [[cutCompact]] and
+    * [[persistCompact]] both read it, so a policy change cannot skew
+    * the cut and persist variants apart (ADVICE r16). */
+  private def compactParts(s: SparkSession, rows: Long): Int =
+    math.max(1L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
+      (rows + 65535L) / 65536L)).toInt
+
+  /** [[cutCompact]]'s persist() twin for BUILD-ONCE pinned tables
+    * (memoized edge lists and their per-round-scanned kin): persist,
+    * measure, and when the measured count right-sizes below the
+    * inherited granularity, re-cache compact and release the
+    * full-granularity copy. Same contract as cutCompact: ONLY for
+    * build-once/scan-many tables — the count() job must never sit in
+    * a per-round path. */
+  def persistCompact[T](ds: Dataset[T]): Dataset[T] = {
+    val p = ds.persist()
+    val parts = compactParts(ds.sparkSession, p.count())
+    if (parts < p.rdd.getNumPartitions) {
+      val compact = p.coalesce(parts).persist()
+      compact.count()
+      p.unpersist()
+      compact
+    } else p
   }
 
   /** Lifetime [[cutCompact]] call count (test hook): the device pays

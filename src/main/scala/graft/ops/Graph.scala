@@ -86,27 +86,11 @@ object Graph {
         .persist()
       // fold the out-degree into the pinned edge table: the per-round
       // contribution is rank DIV deg, so carrying deg on the edge saves
-      // one join per PageRank iteration
-      val eJoined = raw.join(deg, "src").persist()
+      // one join per PageRank iteration. persistCompact right-sizes
+      // the pinned cache (r16 device, factored r17): EVERY fixpoint
+      // round of PageRank / HITS / eigenvector / BFS scans this table.
+      val edges = GraftSession.persistCompact(raw.join(deg, "src"))
       val n = java.lang.Long.valueOf(deg.count())
-      // Right-size the pinned edge cache (r16, the componentLabels /
-      // pplScores device): EVERY fixpoint round of PageRank / HITS /
-      // eigenvector / BFS scans this table, so near-empty inherited
-      // partitions bill one task each per round times every consumer.
-      // Measured-count gate, capped at the session's shuffle
-      // partitions: at cluster scale the coalesce is a no-op; the
-      // compact pass reads the just-persisted copy, not the lineage.
-      val ec = eJoined.count()
-      val parts = math.max(1L, math.min(
-        s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
-        (ec + 65535L) / 65536L)).toInt
-      val edges =
-        if (parts < eJoined.rdd.getNumPartitions) {
-          val compact = eJoined.coalesce(parts).persist()
-          compact.count()
-          eJoined.unpersist()
-          compact
-        } else eJoined
       ((edges, deg, n), Seq(edges, deg))
     }
 
@@ -348,27 +332,18 @@ object Graph {
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
     IndexMemo.getOrBuild[DataFrame](
       "copurchaseEdges", s"$minSupport", Seq(li)) {
-      val built = li.select(col("l_orderkey"), col("l_suppkey").as("a"))
-        .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")),
-          Seq("l_orderkey"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-        .filter(col("support") >= minSupport)
-        .select(col("a"), col("b"))
-        .persist()
-      // compact re-cache (the tradeGraph/cutCompact device): the
-      // thresholded edge list is scanned by every supplier-graph
-      // statistic's joins; measured-count gate, cluster no-op
-      val ec = built.count()
-      val parts = math.max(1L, math.min(
-        s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
-        (ec + 65535L) / 65536L)).toInt
-      if (parts < built.rdd.getNumPartitions) {
-        val compact = built.coalesce(parts).persist()
-        compact.count()
-        built.unpersist()
-        (compact, Seq(compact))
-      } else (built, Seq(built))
+      // persistCompact: the thresholded edge list is scanned by every
+      // supplier-graph statistic's joins; measured-count gate,
+      // cluster no-op
+      val built = GraftSession.persistCompact(
+        li.select(col("l_orderkey"), col("l_suppkey").as("a"))
+          .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")),
+            Seq("l_orderkey"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+          .filter(col("support") >= minSupport)
+          .select(col("a"), col("b")))
+      (built, Seq(built))
     }
   }
 
@@ -625,11 +600,22 @@ object Graph {
       "sharedWedges", s"$minSupport", Seq(e)) {
       val adj = e.select(col("a").as("x"), col("b").as("z"))
         .unionAll(e.select(col("b").as("x"), col("a").as("z")))
-      val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dg"))
-      val wedges = adj.select(col("x"), col("z"))
-        .join(adj.select(col("x").as("y"), col("z")), "z")
-        .filter(col("x") < col("y"))
-        .join(deg, "z")
+      // ORIENTED generation (r17, VERDICT r16 #3): each z's sorted
+      // neighbor list emits every unordered pair exactly once
+      // (ns[i] with each later element), where the former self-join
+      // on z probed deg(z)^2 ordered pairs and filtered half away —
+      // the degree-orientation device of the r16 triangle build
+      // applied to the wedge fan-out. One groupBy replaces the
+      // two-sided adj shuffle + join; the per-row transient is one
+      // <= deg(z) slice, and the OUTPUT (the persisted Σ deg²/2 pair
+      // table, which minSupport thresholding bounds) is unchanged.
+      val wedges = adj.groupBy(col("z"))
+        .agg(sort_array(collect_list(col("x"))).as("ns"))
+        .select(col("z"), col("ns"), size(col("ns")).cast("long").as("dg"),
+          posexplode(col("ns")).as(Seq("i", "x")))
+        .select(col("x"),
+          explode(expr("slice(ns, i + 2, size(ns))")).as("y"),
+          col("z"), col("dg"))
         .select(col("x"), col("y"), col("z"), col("dg"))
         .persist()
       wedges.count()
@@ -823,24 +809,13 @@ object Graph {
         .groupBy(col("cnode"), col("snode"))
         .agg(count(lit(1)).as("support"))
         .withColumn("cost", expr("1000000 DIV support"))
-      val edges = pairs
+      // persistCompact: weighted fixpoints scan this table every round
+      val edges = GraftSession.persistCompact(pairs
         .select(col("cnode").as("src"), col("snode").as("dst"),
           col("cost"), col("support"))
         .unionAll(pairs.select(col("snode").as("src"),
-          col("cnode").as("dst"), col("cost"), col("support")))
-        .persist()
-      // compact re-cache (the tradeGraph device): weighted fixpoints
-      // scan this table every round
-      val ec = edges.count()
-      val parts = math.max(1L, math.min(
-        s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
-        (ec + 65535L) / 65536L)).toInt
-      if (parts < edges.rdd.getNumPartitions) {
-        val compact = edges.coalesce(parts).persist()
-        compact.count()
-        edges.unpersist()
-        (compact, Seq(compact))
-      } else (edges, Seq(edges))
+          col("cnode").as("dst"), col("cost"), col("support"))))
+      (edges, Seq(edges))
     }
 
   /** Support-weighted PageRank: the [[pageRank]] walk where a round's
@@ -859,19 +834,11 @@ object Graph {
     val wdeg = raw.groupBy(col("src")).agg(sum(col("support")).as("wdeg"))
     val edges = IndexMemo.getOrBuild[DataFrame](
       "wprEdges", "", Seq(raw)) {
-      val built = raw.select(col("src"), col("dst"), col("support"))
-        .join(wdeg, "src").persist()
-      // compact re-cache (the tradeGraph device)
-      val ec = built.count()
-      val parts = math.max(1L, math.min(
-        s.conf.get("spark.sql.shuffle.partitions").toInt.toLong,
-        (ec + 65535L) / 65536L)).toInt
-      if (parts < built.rdd.getNumPartitions) {
-        val compact = built.coalesce(parts).persist()
-        compact.count()
-        built.unpersist()
-        (compact, Seq(compact))
-      } else (built, Seq(built))
+      // persistCompact: the weighted walk scans this every round
+      val built = GraftSession.persistCompact(
+        raw.select(col("src"), col("dst"), col("support"))
+          .join(wdeg, "src"))
+      (built, Seq(built))
     }
     val n = tradeGraph(s, d)._3.longValue()
     val init = RankScale / n
