@@ -157,7 +157,12 @@ object GraftSession {
     * (memoized edge lists and their per-round-scanned kin): persist,
     * measure, and when the measured count right-sizes below the
     * inherited granularity, re-cache compact and release the
-    * full-granularity copy. Same contract as cutCompact: ONLY for
+    * full-granularity copy. The re-encode reads the just-persisted
+    * copy, never the lineage — a count-first single-encode variant
+    * was A/B'd in r17 and LOST under a warm JIT (the bench's build
+    * regime: full-run bill 25.5 -> 30.6 s), because recomputing the
+    * join/agg plan costs more than re-encoding the small cached
+    * result. Same placement contract as cutCompact: ONLY for
     * build-once/scan-many tables — the count() job must never sit in
     * a per-round path. */
   def persistCompact[T](ds: Dataset[T]): Dataset[T] = {
