@@ -81,7 +81,12 @@ object Graph {
       d: String): (DataFrame, DataFrame, java.lang.Long) =
     IndexMemo.getOrBuild[(DataFrame, DataFrame, java.lang.Long)](
       "tradeGraph", "", Seq(tradeEdges(s, d))) {
-      val raw = tradeEdges(s, d)
+      // cut the raw edge table ONCE (r17): the degree fold and the
+      // deg-carrying edge join materialize in separate jobs, and
+      // exchange reuse cannot span jobs — uncut, each re-ran the
+      // orders⋈lineitem distinct (A/B: 2.3 -> 1.8 s warm). The memo
+      // keys on the PRE-cut plan above, per the r12 rule.
+      val raw = GraftSession.cut(tradeEdges(s, d))
       val deg = raw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .persist()
       // fold the out-degree into the pinned edge table: the per-round
