@@ -307,4 +307,28 @@ class PlanShapeSpec extends SparkTestBase {
     }
     assert(shuffled.isEmpty, "n_baskets row travelled through a shuffle")
   }
+
+  test("fanoutRegrain: repartitions a 1-split scan by the key, " +
+      "no-ops at/above the session's parallelism, rows identical") {
+    // the r17 device behind the gram/token/vector fan-outs: its two
+    // contractual halves are (a) a scan whose split count is below
+    // spark.sql.shuffle.partitions gains a hash repartition on the
+    // key, with the row SET untouched, and (b) an input already at or
+    // above that parallelism passes through with NO added exchange —
+    // the 100 TB no-op half, which keeps the device out of
+    // corpus-scale plans entirely
+    val docs = graft.Tables.documents(spark, sf("documents"))
+    assert(docs.rdd.getNumPartitions <
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val regrained = graft.GraftSession.fanoutRegrain(docs, col("doc_id"))
+    assert(regrained.rdd.getNumPartitions ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    assert(regrained.select(col("doc_id")).collect().map(_.getLong(0))
+      .sorted.sameElements(
+        docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted))
+    // already-parallel input: the SAME dataset object comes back
+    val wide = docs.repartition(64, col("doc_id"))
+    assert(graft.GraftSession.fanoutRegrain(wide, col("doc_id"))
+      eq wide)
+  }
 }
