@@ -104,6 +104,52 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: the OPH verify sketch is exact without bucket " +
+      "collisions and tracks exact Jaccard within estimator noise") {
+    // pure Scala mirror of verifiedMd5NearDups' bounded sketch
+    // (min h1 per h1 % K bucket; estimate = matches / occupied union
+    // buckets). Two laws: (1) when the pair's UNION has no
+    // intra-bucket collision the estimate IS exact Jaccard; (2) on
+    // colliding unions the estimate stays within a generous band —
+    // per occupied union bucket the match indicator is Bernoulli(J),
+    // so |est - J| beyond ~4 sigma flags a broken estimator, not
+    // noise.
+    val K = 128L
+    def h1(g: String): Long =
+      graft.ops.Similarity.md5Nibs15("prop|" + g)
+    def sketch(grams: Set[String]): Set[Long] =
+      grams.map(h1).groupBy(_ % K).values.map(_.min).toSet
+    def estimate(a: Set[String], b: Set[String]): Double = {
+      val (ka, kb) = (sketch(a), sketch(b))
+      val ni = ka.intersect(kb).size
+      val nsb = ka.map(_ % K).intersect(kb.map(_ % K)).size
+      ni.toDouble / (ka.size + kb.size - nsb)
+    }
+    val vocab = ('a' to 'z').map(_.toString)
+    val smallGen = Gen.chooseNum(2, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.toSet))
+    sample(Gen.zip(smallGen, smallGen), 60).foreach { case (a, b) =>
+      val union = a.union(b)
+      val collides =
+        union.map(h1).groupBy(_ % K).values.exists(_.size > 1)
+      val exact = a.intersect(b).size.toDouble / union.size
+      if (!collides)
+        assert(math.abs(estimate(a, b) - exact) < 1e-12,
+          s"collision-free pair must be exact: $a $b")
+    }
+    // large overlapping sets (300 grams >> K): estimator-noise band
+    val big = (0 until 300).map(i => s"g$i").toSet
+    val variants = Seq(0, 30, 90, 150).map(d =>
+      big -- (0 until d).map(i => s"g$i") ++
+        (0 until d).map(i => s"x$i"))
+    for (v <- variants) {
+      val exact = big.intersect(v).size.toDouble / big.union(v).size
+      val sigma = math.sqrt(exact * (1 - exact) / K.toDouble)
+      assert(math.abs(estimate(big, v) - exact) <= 4 * sigma + 1e-9,
+        s"estimate ${estimate(big, v)} vs exact $exact (4s=${4 * sigma})")
+    }
+  }
+
   test("property: HtmlParser never throws on arbitrary tag soup") {
     val frag = Gen.oneOf("<div", ">", "</", "a href='x'", "<p>", "tekst",
       "&amp;", "&#xZZ;", "<!--", "--!>", "<span class=\"y\"", "/>", "<a",
