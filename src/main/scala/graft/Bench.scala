@@ -472,15 +472,39 @@ object Bench {
     * reproduced in two separate wall windows, so it is a measurement
     * — by best_known's own caveat, a repeated host-window on re-run
     * code is a regression, and the label must say so rather than
-    * invite the reader to dismiss it as a window. Labels for queries
-    * outside the second-chance set pass through unchanged. */
+    * invite the reader to dismiss it as a window. The upgraded label
+    * is its OWN word, `reproduced-vs-best` (ADVICE r17): a value that
+    * reproduced out-of-band in two windows must stay distinguishable
+    * from one that measured within the 2x best-known band on its
+    * first pass. Labels for queries outside the second-chance set
+    * pass through unchanged. */
   private[graft] def upgradeSecondChance(labels: Seq[(String, String)],
       secondChance: Set[String]): Seq[(String, String)] =
     labels.map {
       case (k, "host-window") if secondChance(k) =>
-        k -> "confirmed-vs-best"
+        k -> "reproduced-vs-best"
       case kv => kv
     }
+
+  /** One label for EVERY reverified query (VERDICT r17 task 7: the
+    * official r17 record re-ran 22 queries yet shipped an empty
+    * reverify_labels, because only still-confirmed movers were
+    * labeled — a reader could not tell rescued from adjudicated).
+    * `rescued` = the re-run came back in band (the trigger no longer
+    * fires on the final value); still-confirmed movers keep their
+    * best-known adjudication label; a confirmed mover with no
+    * best-known prior at all is `confirmed-no-prior`. Sidecar-only:
+    * the full map costs chars the stdout tail budget cannot spare. */
+  private[graft] def fullReverifyLabels(targets: Seq[String],
+      confirmed: Seq[String], labels: Seq[(String, String)])
+      : Seq[(String, String)] = {
+    val lm = labels.toMap
+    val conf = confirmed.map(shortKey).toSet
+    targets.map(shortKey).distinct.map { k =>
+      k -> (if (!conf(k)) "rescued"
+      else lm.getOrElse(k, "confirmed-no-prior"))
+    }
+  }
 
   /** Do the two host-speed normalizers disagree vs this prior (r15
     * verdict task 5)? True when the startup-cal ratio and the
@@ -509,6 +533,29 @@ object Bench {
     // neither inherit the first run's cumulative nanos under
     // memo_build_s nor serve its pinned indexes as free warm starts
     graft.ops.IndexMemo.clear()
+
+    // Task-metric clock behind the per-tag build attribution (VERDICT
+    // r17 task 1): cumulative executor task run / GC milliseconds,
+    // snapshotted by IndexMemo around every build, so the sidecar can
+    // say whether a tag's wall bill was task compute or dead wall
+    // (host pause, scheduling gap). Approximate by design — task-end
+    // events post asynchronously — but a 5 s wall bill carrying 0.3 s
+    // of task time is unambiguous.
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            taskRunMs.addAndGet(m.executorRunTime)
+            taskGcMs.addAndGet(m.jvmGCTime)
+          }
+        }
+      })
+    graft.ops.IndexMemo.taskClock =
+      () => (taskRunMs.get(), taskGcMs.get())
 
     // Calibration probe: a fixed, scan-free 32-partition job. Big enough to
     // schedule real tasks on every core (so a paused executor thread shows
@@ -544,6 +591,11 @@ object Bench {
     // pathologically-stalling host degrades to flagged-raw numbers instead
     // of an unbounded bench.
     var stallBudget = 240.0
+    // the most recent probe's verdict: the probe that closed query
+    // N's measurement doubles as the opening bracket of query N+1's
+    // warm run, so builds get stall brackets without paying an extra
+    // probe per query
+    var lastProbeClean = true
     def probeOk(): Boolean = {
       var p = probe()
       while (p > probeLimit && stallBudget > 0) {
@@ -551,7 +603,8 @@ object Bench {
         Thread.sleep(1000)
         p = probe()
       }
-      p <= probeLimit
+      lastProbeClean = p <= probeLimit
+      lastProbeClean
     }
 
     // Optional args restrict the run to the named queries — local
@@ -587,9 +640,47 @@ object Bench {
       }
       t
     }
+    // Stall-bracketed builds (VERDICT r17 task 1): timed runs are
+    // probe-bracketed and build-free, but the BUILDS themselves ran
+    // inside unbracketed warm runs — so a documented 5-47 s host
+    // pause landing mid-build billed straight to memo_build_s, which
+    // is exactly the official-vs-builder 2x build-bill signature
+    // (sharedWedges 5.45 s official vs 0.33 s clean-window on
+    // identical code). A warm run that paid a build now gets a
+    // closing probe; if either bracket was dirty, the freshly built
+    // tags are EVICTED and the warm run retried once the window has
+    // passed, so the SERVING build (memo_build_s_live) is priced in a
+    // clean window. The cumulative memo_build_s keeps billing every
+    // executed build, stalled or not — it explains the run's wall
+    // time; the live figure is the cross-round-comparable one.
+    val stalledBuildTags = scala.collection.mutable.SortedSet.empty[String]
+    def warmStallAware(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      var tries = 0
+      var redo = true
+      while (redo && tries < 3) {
+        val before = lastProbeClean
+        val byTag0 = graft.ops.IndexMemo.buildNanosByTag
+        onceOf(fn)()
+        redo = false
+        val byTag1 = graft.ops.IndexMemo.buildNanosByTag
+        val built = byTag1.collect { case (t, ns)
+          if ns > byTag0.getOrElse(t, 0L) => t }.toSeq
+        if (built.nonEmpty && !(probeOk() && before)) {
+          // probeOk first: it also waits out a live stall window, so
+          // the retry starts clean rather than re-entering the pause
+          stalledBuildTags ++= built
+          if (tries < 2) {
+            built.foreach(graft.ops.IndexMemo.evictTag)
+            redo = true
+          }
+        }
+        tries += 1
+      }
+    }
     val firstPass: Seq[(String, Measured)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        onceOf(fn)() // untimed warm run (failures surface below)
+        warmStallAware(fn) // untimed warm run (failures surface below)
         name -> measure(() => buildFreeOf(fn)(), () => probeOk())
       }
     // Stall-survivor re-verify: the bracket gate passes host pauses
@@ -663,6 +754,7 @@ object Bench {
         }
       }
     val memoBuildS = graft.ops.IndexMemo.buildNanos / 1e9
+    val memoBuildLiveS = graft.ops.IndexMemo.liveBuildNanos / 1e9
     val buildCounts = graft.ops.IndexMemo.buildCounts
     val buildsJson = buildCounts.toSeq.sortBy(_._1)
       .map { case (t, n) => "\"" + t + "\":" + n }.mkString("{", ",", "}")
@@ -712,6 +804,14 @@ object Bench {
       // faster window — cross-round build-bill comparisons need the
       // calnormed figure in the record itself (VERDICT r16 task 3)
       s""","memo_build_s_calnorm":${fmt(memoBuildS / calNow, 1)}""" +
+      // the SERVING bill: wall cost of the builds still live in the
+      // memo at run end — equal to memo_build_s unless a stalled
+      // build was evicted and retried, in which case this prices the
+      // clean rebuild and memo_build_s keeps the honest cumulative
+      // (VERDICT r17 task 1; the calnormed live figure is the
+      // cross-round-comparable build cost)
+      s""","memo_build_s_live":${fmt(memoBuildLiveS, 3)}""" +
+      s""","memo_build_s_live_calnorm":${fmt(memoBuildLiveS / calNow, 1)}""" +
       s""","memo_builds_n":${buildCounts.values.sum}""" +
       s""","reverified_n":${targets.size}"""
     val out = assembleLine(results, total, calibration, sfDir, stalled,
@@ -751,6 +851,40 @@ object Bench {
         .sortBy(_._1)
         .map { case (t, ns) => "\"" + t + "\":" + fmt(ns / 1e9, 3) }
         .mkString("{", ",", "}")
+      // sidecar-only (VERDICT r17 task 1, the field-level attribution
+      // of the build bill): per tag, [cumulative wall s, executor
+      // task-run s, jvm GC s] — wall far above task time is dead wall
+      // (host pause / scheduling), task time dominated by GC is
+      // memory pressure, and wall ≈ task/threads is real compute.
+      val buildWall = graft.ops.IndexMemo.buildNanosByTag
+      val buildTasks = graft.ops.IndexMemo.buildTaskMsByTag
+      val buildTasksJson = buildWall.toSeq.sortBy(_._1)
+        .map { case (t, ns) =>
+          val (runMs, gcMs) = buildTasks.getOrElse(t, (0L, 0L))
+          "\"" + t + "\":[" + fmt(ns / 1e9, 3) + "," +
+            fmt(runMs / 1e3, 3) + "," + fmt(gcMs / 1e3, 3) + "]" }
+        .mkString("{", ",", "}")
+      // sidecar-only: the per-tag SERVING bill plus the tags whose
+      // build window a probe bracket flagged as host-stalled (each
+      // was evicted and rebuilt; a tag present here but with a clean
+      // live bill was successfully re-priced)
+      val buildLiveJson = graft.ops.IndexMemo.liveBuildNanosByTag.toSeq
+        .sortBy(_._1)
+        .map { case (t, ns) => "\"" + t + "\":" + fmt(ns / 1e9, 3) }
+        .mkString("{", ",", "}")
+      val stalledTagsJson = stalledBuildTags
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // sidecar-only (VERDICT r17 task 7): one label for EVERY
+      // reverified query — rescued / confirmed-vs-best /
+      // reproduced-vs-best / host-window / confirmed-no-prior — plus
+      // the queries that got the second-chance window (ADVICE r17:
+      // they were indistinguishable in the record)
+      val fullLabelsJson =
+        fullReverifyLabels(targets, confirmed, labels).sortBy(_._1)
+        .map { case (k, l) => "\"" + k + "\":\"" + l + "\"" }
+        .mkString("{", ",", "}")
+      val secondChanceJson = secondChance.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       // sidecar-only: the rolling best-ever-warm map — [min warm
       // seconds at this SF, cal of the run that set it] per query, so
       // a confirmed mover is adjudicable from the record alone
@@ -763,6 +897,11 @@ object Bench {
           s""","reverified":${reverifiedJson(Int.MaxValue)}""" +
           s""","calnorm_ratios":$ratiosJson""" +
           s""","memo_build_s_by_tag":$buildSecsJson""" +
+          s""","memo_build_s_by_tag_live":$buildLiveJson""" +
+          s""","memo_build_tasks_by_tag":$buildTasksJson""" +
+          s""","memo_build_stalled_tags":$stalledTagsJson""" +
+          s""","reverify_labels_full":$fullLabelsJson""" +
+          s""","second_chance":$secondChanceJson""" +
           s""","best_known":$bestKnownJson""",
         buildsJson) + "\n"
       try {

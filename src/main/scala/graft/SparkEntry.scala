@@ -2237,7 +2237,7 @@ object SparkEntry {
          |pr AS (SELECT * FROM (
          |  ${graft.ops.Curation.charJaccardVerifiedPairsSql}) q),
          |j AS (SELECT
-         |    CAST(floor(pr.jaccard * 10.0 + 1e-9) AS BIGINT)
+         |    CAST(floor(pr.jaccard_est * 10.0 + 1e-9) AS BIGINT)
          |      AS jaccard_decile,
          |    CAST(bit_count(xor(a.simhash60, b.simhash60)) AS BIGINT)
          |      AS hamming

@@ -874,7 +874,7 @@ object Curation {
       .select(col("id_a"), col("id_b"), ni.as("ni"), nsb.as("nsb"),
         col("na"), col("nb"))
       .filter(jac >= threshold)
-      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard_est"))
   }
 
   /** q38: MinHash near-dup pairs over word trigrams, verified by the
@@ -953,7 +953,7 @@ object Curation {
        |  GROUP BY 1, 2)
        |SELECT i.id_a, i.id_b,
        |  round(CAST(i.ni AS DOUBLE)
-       |    / CAST(sa.n + sb.n - i.nsb AS DOUBLE), 6) AS jaccard
+       |    / CAST(sa.n + sb.n - i.nsb AS DOUBLE), 6) AS jaccard_est
        |FROM inter i
        |JOIN sizes sa ON sa.doc_id = i.id_a
        |JOIN sizes sb ON sb.doc_id = i.id_b
@@ -1706,10 +1706,10 @@ object Curation {
         col("simhash60").as("sa")), "id_a")
       .join(sig.select(col("doc_id").as("id_b"),
         col("simhash60").as("sb")), "id_b")
-      .select(col("jaccard"),
+      .select(col("jaccard_est"),
         expr("CAST(bit_count(sa ^ sb) AS LONG)").as("hamming"))
       .withColumn("jaccard_decile",
-        expr("CAST(floor(jaccard * 10.0 + 1e-9) AS LONG)"))
+        expr("CAST(floor(jaccard_est * 10.0 + 1e-9) AS LONG)"))
       .groupBy(col("jaccard_decile"))
       .agg(count(lit(1)).as("n_pairs"),
         round(sum(col("hamming")).cast("double")
@@ -1734,9 +1734,9 @@ object Curation {
       .select(col("doc_id"), col("n_chars"))
     val tot = docs.agg(sum(col("n_chars")).as("total_chars"))
     val sweep = pairs
-      .select(col("id_a"), col("id_b"), col("jaccard"),
+      .select(col("id_a"), col("id_b"), col("jaccard_est"),
         explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
-      .filter(col("jaccard") >= col("threshold"))
+      .filter(col("jaccard_est") >= col("threshold"))
     val nPairs = sweep.groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_pairs"))
     val removed = sweep.select(col("threshold"), col("id_b")).distinct()
@@ -1770,8 +1770,8 @@ object Curation {
     val vals = thresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
     s"""WITH pr AS (SELECT * FROM (${charJaccardVerifiedPairsSql}) q),
        |ths(threshold) AS (VALUES $vals),
-       |sweep AS (SELECT threshold, id_a, id_b, jaccard
-       |          FROM pr JOIN ths ON jaccard >= threshold),
+       |sweep AS (SELECT threshold, id_a, id_b, jaccard_est
+       |          FROM pr JOIN ths ON jaccard_est >= threshold),
        |np AS (SELECT threshold, COUNT(*) AS n_pairs
        |       FROM sweep GROUP BY threshold),
        |rem AS (SELECT threshold, COUNT(*) AS n_docs_removed,

@@ -447,8 +447,10 @@ object Graph {
     // partitions, so at cluster node counts it is a no-op.
     val shufParts =
       s.conf.get("spark.sql.shuffle.partitions").toInt
-    val stateParts = math.max(1L,
-      math.min(shufParts.toLong, nNodes / 65536L + 1L)).toInt
+    // the SHARED right-sizing policy (ADVICE r17: a re-derived divisor
+    // here disagreed with cutCompact's at exact 64k multiples); the
+    // Long.MaxValue default rides compactParts' bound-safe ceil
+    val stateParts = GraftSession.compactParts(s, nNodes)
     def sized(df: DataFrame): DataFrame =
       if (stateParts < shufParts) df.coalesce(stateParts) else df
     var dist = GraftSession.cut(sized(
@@ -605,27 +607,79 @@ object Graph {
       "sharedWedges", s"$minSupport", Seq(e)) {
       val adj = e.select(col("a").as("x"), col("b").as("z"))
         .unionAll(e.select(col("b").as("x"), col("a").as("z")))
-      // ORIENTED generation (r17, VERDICT r16 #3): each z's sorted
-      // neighbor list emits every unordered pair exactly once
-      // (ns[i] with each later element), where the former self-join
-      // on z probed deg(z)^2 ordered pairs and filtered half away —
-      // the degree-orientation device of the r16 triangle build
-      // applied to the wedge fan-out. One groupBy replaces the
-      // two-sided adj shuffle + join; the per-row transient is one
-      // <= deg(z) slice, and the OUTPUT (the persisted Σ deg²/2 pair
-      // table, which minSupport thresholding bounds) is unchanged.
-      val wedges = adj.groupBy(col("z"))
-        .agg(sort_array(collect_list(col("x"))).as("ns"))
-        .select(col("z"), col("ns"), size(col("ns")).cast("long").as("dg"),
-          posexplode(col("ns")).as(Seq("i", "x")))
-        .select(col("x"),
-          explode(expr("slice(ns, i + 2, size(ns))")).as("y"),
-          col("z"), col("dg"))
-        .select(col("x"), col("y"), col("z"), col("dg"))
-        .persist()
-      wedges.count()
+      // persistCompact, not bare persist: the union output can land
+      // as ONE AQE-coalesced partition locally (measured r18 — 68k
+      // pair rows in one pinned partition), and both similarity
+      // scores then aggregate it on one core
+      val wedges = GraftSession.persistCompact(wedgePairs(adj, WedgeHubCap))
       (wedges, Seq(wedges))
     }
+  }
+
+  /** Per-slice neighbor-list bound for [[wedgePairs]]: far above any
+    * minSupport-thresholded co-purchase degree at bench scale (every
+    * node stays single-slice, so the sf paths keep the one-groupBy
+    * oriented plan), low enough that one 100 TB hub node can never
+    * make a collect_list buffer — or one aggregation output row —
+    * scale with the hub's degree (VERDICT r17 #3: the r17 oriented
+    * form collected each z's FULL neighbor list into one row,
+    * O(max-degree) per-row memory on an unthresholded graph). */
+  private[graft] val WedgeHubCap = 4096
+
+  /** Sliced sorted-adjacency groups behind [[wedgePairs]]: one row per
+    * (z, slice) with that slice's sorted neighbor list and z's full
+    * degree. A node at or under `hubCap` neighbors is one slice 0; a
+    * hub's neighbors hash into ceil(deg/hubCap) slices, so every
+    * collect_list buffer and every output row is ~hubCap wide
+    * (expected — the hash split is probabilistic, with slack that
+    * concentrates tightly at this width) regardless of the hub's
+    * degree. Costs one degree fold + join over the adjacency before
+    * the group — paid only inside the build-once wedge index. */
+  private[graft] def wedgeSlices(adj: DataFrame, hubCap: Int): DataFrame = {
+    val m = expr(s"CAST((dg - 1) DIV $hubCap + 1 AS INT)")
+    val dg = adj.groupBy(col("z")).agg(count(lit(1)).as("dg"))
+    adj.join(dg, "z")
+      .select(col("z"), col("x"), col("dg"),
+        when(col("dg") <= hubCap, lit(0))
+          .otherwise(pmod(hash(col("x")), m)).as("sl"))
+      .groupBy(col("z"), col("sl"))
+      .agg(sort_array(collect_list(col("x"))).as("ns"),
+        first(col("dg")).as("dg"))
+  }
+
+  /** ORIENTED wedge generation (r17, hub-bounded r18): every unordered
+    * pair (x, y), x < y, of distinct neighbors of z, exactly once,
+    * with z's degree carried — without ever probing deg(z)^2 ordered
+    * pairs (the pre-r17 self-join) and without any row or buffer wider
+    * than `hubCap` (the r17 transient). WITHIN a slice, the sorted
+    * list emits ns[i] with each later element, the degree-orientation
+    * device; ACROSS two slices of one hub, each slice pair i < j
+    * emits its full cross product once, canonicalized with
+    * least/greatest — each unordered pair lands in exactly one of the
+    * two paths because its endpoints' slices are either equal or one
+    * ordered pair. The OUTPUT (the Σ deg²/2 pair table the similarity
+    * scores aggregate) is identical to the unsliced form; sf graphs
+    * are single-slice throughout so their plan keeps the one-groupBy
+    * shape, and the cross-slice branch prunes to an empty join. */
+  private[graft] def wedgePairs(adj: DataFrame, hubCap: Int): DataFrame = {
+    val groups = wedgeSlices(adj, hubCap)
+    val within = groups
+      .select(col("z"), col("ns"), col("dg"),
+        posexplode(col("ns")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(expr("slice(ns, i + 2, size(ns))")).as("y"),
+        col("z"), col("dg"))
+    def heavy = groups.filter(col("dg") > hubCap)
+    val cross = heavy
+      .join(heavy.select(col("z"), col("sl").as("sl2"),
+        col("ns").as("ns2")), Seq("z"))
+      .filter(col("sl") < col("sl2"))
+      .select(col("z"), col("dg"), explode(col("ns")).as("u"), col("ns2"))
+      .select(col("z"), col("dg"), col("u"), explode(col("ns2")).as("v"))
+      .select(least(col("u"), col("v")).as("x"),
+        greatest(col("u"), col("v")).as("y"), col("z"), col("dg"))
+    within.select(col("x"), col("y"), col("z"), col("dg"))
+      .unionAll(cross.select(col("x"), col("y"), col("z"), col("dg")))
   }
 
   /** Link prediction by NEIGHBORHOOD JACCARD: the top supplier pairs

@@ -444,16 +444,28 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(m("q3") == (1.0, 0.09)) // its best_known still carries
   }
 
-  test("upgradeSecondChance flips only re-run host-window labels") {
+  test("upgradeSecondChance flips only re-run host-window labels, " +
+      "to the DISTINCT reproduced label (ADVICE r17)") {
     val labels = Seq("q1" -> "host-window", "q2" -> "host-window",
       "q3" -> "confirmed-vs-best")
     val up = Bench.upgradeSecondChance(labels, Set("q1", "q3")).toMap
     // q1: re-run AND still out of band in a fresh window -> a
-    // reproduced measurement, not a window
-    assert(up("q1") == "confirmed-vs-best")
+    // reproduced measurement, not a window — and distinguishable
+    // from a first-pass in-band confirmation
+    assert(up("q1") == "reproduced-vs-best")
     // q2: flagged but not re-run (cap) -> label stands
     assert(up("q2") == "host-window")
     assert(up("q3") == "confirmed-vs-best")
+  }
+
+  test("fullReverifyLabels labels every reverified query " +
+      "(VERDICT r17 task 7)") {
+    val targets = Seq("q1_a", "q2_b", "q3_c", "q4_d")
+    val confirmed = Seq("q2_b", "q3_c")
+    val labels = Seq("q2" -> "host-window") // q3 has no best-known
+    val m = Bench.fullReverifyLabels(targets, confirmed, labels).toMap
+    assert(m == Map("q1" -> "rescued", "q2" -> "host-window",
+      "q3" -> "confirmed-no-prior", "q4" -> "rescued"))
   }
 
   test("currentRound is one past the newest official record; " +

@@ -204,6 +204,54 @@ class IndexMemoSpec extends SparkTestBase {
     assert(count() == c0 + 2, "new params are a distinct build")
   }
 
+  test("evictTag releases the tag's pins and the live bill re-prices " +
+      "on rebuild while the cumulative keeps both builds (r18)") {
+    val df = Seq(1L, 2L, 3L).toDF("x")
+    val tag = "specEvictLive"
+    def liveOf = graft.ops.IndexMemo.liveBuildNanosByTag.getOrElse(tag, 0L)
+    val before = pinnedIds
+    val cum0 = graft.ops.IndexMemo.buildNanos
+    graft.ops.IndexMemo.getOrBuild[org.apache.spark.sql.DataFrame](
+      tag, "", Seq(df)) {
+      val p = df.persist(); p.count(); (p, Seq(p))
+    }
+    val live1 = liveOf
+    assert(live1 > 0, "a live entry must carry its build's wall bill")
+    val built = pinnedIds -- before
+    assert(built.nonEmpty, "build should pin a block")
+    graft.ops.IndexMemo.evictTag(tag)
+    assert(pinnedIds.intersect(built).isEmpty,
+      "evictTag must release the tag's pinned blocks")
+    assert(liveOf == 0L, "an evicted entry must leave the live bill")
+    val cum1 = graft.ops.IndexMemo.buildNanos
+    assert(cum1 > cum0, "the cumulative bill keeps the evicted build")
+    // rebuild: a NEW live bill, cumulative bills both executions
+    graft.ops.IndexMemo.getOrBuild[org.apache.spark.sql.DataFrame](
+      tag, "", Seq(df)) {
+      val p = df.persist(); p.count(); (p, Seq(p))
+    }
+    assert(liveOf > 0)
+    assert(graft.ops.IndexMemo.buildNanos > cum1,
+      "a rebuild after eviction is a second executed build")
+    assert(graft.ops.IndexMemo.buildCounts(tag) == 2L)
+    graft.ops.IndexMemo.evictTag(tag)
+  }
+
+  test("taskClock deltas land on the building tag (r18)") {
+    val df = Seq(1L).toDF("x")
+    val tag = "specTaskClock"
+    val ticker = new java.util.concurrent.atomic.AtomicLong(0L)
+    val prev = graft.ops.IndexMemo.taskClock
+    graft.ops.IndexMemo.taskClock = () => (ticker.get(), ticker.get() / 2)
+    try {
+      graft.ops.IndexMemo.getOrBuild[org.apache.spark.sql.DataFrame](
+        tag, "", Seq(df)) { ticker.set(100L); (df, Seq.empty) }
+      val (run, gc) = graft.ops.IndexMemo.buildTaskMsByTag(tag)
+      assert(run == 100L && gc == 50L,
+        s"build task-metric delta misattributed: run=$run gc=$gc")
+    } finally graft.ops.IndexMemo.taskClock = prev
+  }
+
   test("pplScores memo: repeated bigramNll/perplexityBuckets calls " +
       "move neither build nanos nor storage") {
     val d = sf("documents")
