@@ -117,16 +117,22 @@ object Bench {
   private val BestKnownField = "\"best_known\":\\{([^}]*)\\}".r
   private val BestKnownEntry =
     "\"([A-Za-z0-9_]+)\":\\[([0-9.]+),([0-9.]+)\\]".r
+  private val BuildSecsField = "\"memo_build_s_by_tag\":\\{([^}]*)\\}".r
+  private val BuildSecsEntry = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
 
   /** Parsed prior-round record: the bench line's own fields. `calMed`
     * is the steady-state in-band probe median (absent in records from
     * before r13); `bestKnown` is the sidecar's rolling per-query
     * best-ever-warm map (absent before r16): shortKey -> (min warm
-    * seconds ever recorded at this SF, the recording run's cal). */
+    * seconds ever recorded at this SF, the recording run's cal);
+    * `buildSecs` is the sidecar's per-tag memoized-build bill (absent
+    * before r15) — the prior the build-side slow detector compares
+    * against (r18). */
   private[graft] final case class PrevBench(name: String, sfDir: String,
       cal: Double, stalled: Set[String], queries: Map[String, Double],
       calMed: Option[Double] = None,
-      bestKnown: Map[String, (Double, Double)] = Map.empty)
+      bestKnown: Map[String, (Double, Double)] = Map.empty,
+      buildSecs: Map[String, Double] = Map.empty)
 
   /** Parse one bench record file. The driver wraps the bench line
     * ESCAPED inside its own JSON (`"tail": "...\"cal\": ..."`), so
@@ -152,7 +158,11 @@ object Bench {
         BestKnownEntry.findAllMatchIn(m.group(1)).map(e =>
           e.group(1) -> (e.group(2).toDouble, e.group(3).toDouble)).toMap
       }.getOrElse(Map.empty[String, (Double, Double)])
-      PrevBench(f.getName, sf, cal, stalled, qs, calMed, bk)
+      val bs = BuildSecsField.findFirstMatchIn(text).map { m =>
+        BuildSecsEntry.findAllMatchIn(m.group(1)).map(e =>
+          e.group(1) -> e.group(2).toDouble).toMap
+      }.getOrElse(Map.empty[String, Double])
+      PrevBench(f.getName, sf, cal, stalled, qs, calMed, bk, bs)
     }
   }
 
@@ -506,6 +516,39 @@ object Bench {
     }
   }
 
+  /** Best prior per-tag build bill across the local sidecar records:
+    * tag -> (min seconds, that record's cal_med-or-cal) — the prior
+    * the build-side slow detector compares against. Same-SF records
+    * only. */
+  private[graft] def priorBuildBest(priors: Seq[PrevBench],
+      sfDir: String): Map[String, (Double, Double)] =
+    priors.filter(_.sfDir == sfDir)
+      .foldLeft(Map.empty[String, (Double, Double)]) { (acc, p) =>
+        val c = p.calMed.getOrElse(p.cal)
+        p.buildSecs.foldLeft(acc) { case (a, (t, s)) =>
+          a.updated(t, Seq(a.get(t), Some((s, c))).flatten.minBy(_._1))
+        }
+      }
+
+  /** Build-side slow detector (r18): a build whose wall bill exceeds
+    * BOTH 2.5x and +0.25 s over the best prior bill for its tag,
+    * host-adjusted — the reverifyTargets rule applied to builds. The
+    * probe brackets around a warm run miss any pause that starts and
+    * ends INSIDE the run (measured r18: synthetic 10 s contention
+    * bursts inflated memo_build_s 27% with zero dirty brackets), so
+    * bill-vs-prior is the detector that cannot be dodged by timing;
+    * the bracket remains for tags with no prior (first round of a new
+    * index). Conservative by construction: the prior is the tag's
+    * whole-run bill, so a single param-set's build compares against
+    * the sum over param sets and only extreme pauses trigger. */
+  private[graft] def buildSuspect(deltaS: Double,
+      prior: Option[(Double, Double)], calNow: Double): Boolean =
+    prior.exists { case (s, c) =>
+      val host =
+        if (c > 0 && calNow > 0) math.max(1.0, calNow / c) else 1.0
+      deltaS > math.max(2.5 * s, s + 0.25) * host
+    }
+
   /** Do the two host-speed normalizers disagree vs this prior (r15
     * verdict task 5)? True when the startup-cal ratio and the
     * steady-state cal_med ratio diverge >15% — the record's calnorm
@@ -640,20 +683,24 @@ object Bench {
       }
       t
     }
-    // Stall-bracketed builds (VERDICT r17 task 1): timed runs are
+    // Stall-resilient builds (VERDICT r17 task 1): timed runs are
     // probe-bracketed and build-free, but the BUILDS themselves ran
     // inside unbracketed warm runs — so a documented 5-47 s host
     // pause landing mid-build billed straight to memo_build_s, which
     // is exactly the official-vs-builder 2x build-bill signature
     // (sharedWedges 5.45 s official vs 0.33 s clean-window on
     // identical code). A warm run that paid a build now gets a
-    // closing probe; if either bracket was dirty, the freshly built
-    // tags are EVICTED and the warm run retried once the window has
-    // passed, so the SERVING build (memo_build_s_live) is priced in a
-    // clean window. The cumulative memo_build_s keeps billing every
-    // executed build, stalled or not — it explains the run's wall
-    // time; the live figure is the cross-round-comparable one.
-    val stalledBuildTags = scala.collection.mutable.SortedSet.empty[String]
+    // closing probe AND a bill-vs-prior check per built tag
+    // (buildSuspect — the brackets alone miss pauses that start and
+    // end inside the run); on either signal the suspect tags are
+    // EVICTED and the warm run retried once the window has passed, so
+    // the SERVING build (memo_build_s_live, a per-key best-of-N) is
+    // priced in a clean window. The cumulative memo_build_s keeps
+    // billing every executed build, stalled or not — it explains the
+    // run's wall time; the live figure is the cross-round-comparable
+    // one.
+    val priorBuilds = priorBuildBest(sidecarPriors(), sfDir)
+    val suspectBuildTags = scala.collection.mutable.SortedSet.empty[String]
     def warmStallAware(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Unit = {
       var tries = 0
@@ -666,13 +713,20 @@ object Bench {
         val byTag1 = graft.ops.IndexMemo.buildNanosByTag
         val built = byTag1.collect { case (t, ns)
           if ns > byTag0.getOrElse(t, 0L) => t }.toSeq
-        if (built.nonEmpty && !(probeOk() && before)) {
+        if (built.nonEmpty) {
           // probeOk first: it also waits out a live stall window, so
-          // the retry starts clean rather than re-entering the pause
-          stalledBuildTags ++= built
-          if (tries < 2) {
-            built.foreach(graft.ops.IndexMemo.evictTag)
-            redo = true
+          // a retry starts clean rather than re-entering the pause
+          val bracketClean = probeOk() && before
+          val slow = built.filter(t => buildSuspect(
+            (byTag1(t) - byTag0.getOrElse(t, 0L)) / 1e9,
+            priorBuilds.get(t), runMedian().getOrElse(calibration)))
+          val bad = if (!bracketClean) built else slow
+          if (bad.nonEmpty) {
+            suspectBuildTags ++= bad
+            if (tries < 2) {
+              bad.foreach(graft.ops.IndexMemo.evictTag)
+              redo = true
+            }
           }
         }
         tries += 1
@@ -864,15 +918,17 @@ object Bench {
           "\"" + t + "\":[" + fmt(ns / 1e9, 3) + "," +
             fmt(runMs / 1e3, 3) + "," + fmt(gcMs / 1e3, 3) + "]" }
         .mkString("{", ",", "}")
-      // sidecar-only: the per-tag SERVING bill plus the tags whose
-      // build window a probe bracket flagged as host-stalled (each
-      // was evicted and rebuilt; a tag present here but with a clean
-      // live bill was successfully re-priced)
+      // sidecar-only: the per-tag SERVING bill plus the tags flagged
+      // by either build detector — dirty probe bracket or
+      // bill-vs-prior (each was evicted and rebuilt; a tag present
+      // here but with a clean live bill was successfully re-priced,
+      // and one still billing high reproduced its cost across
+      // windows)
       val buildLiveJson = graft.ops.IndexMemo.liveBuildNanosByTag.toSeq
         .sortBy(_._1)
         .map { case (t, ns) => "\"" + t + "\":" + fmt(ns / 1e9, 3) }
         .mkString("{", ",", "}")
-      val stalledTagsJson = stalledBuildTags
+      val suspectTagsJson = suspectBuildTags
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       // sidecar-only (VERDICT r17 task 7): one label for EVERY
       // reverified query — rescued / confirmed-vs-best /
@@ -899,7 +955,7 @@ object Bench {
           s""","memo_build_s_by_tag":$buildSecsJson""" +
           s""","memo_build_s_by_tag_live":$buildLiveJson""" +
           s""","memo_build_tasks_by_tag":$buildTasksJson""" +
-          s""","memo_build_stalled_tags":$stalledTagsJson""" +
+          s""","memo_build_suspect_tags":$suspectTagsJson""" +
           s""","reverify_labels_full":$fullLabelsJson""" +
           s""","second_chance":$secondChanceJson""" +
           s""","best_known":$bestKnownJson""",

@@ -468,6 +468,35 @@ class BenchProtocolSpec extends AnyFunSuite {
       "q3" -> "confirmed-no-prior", "q4" -> "rescued"))
   }
 
+  test("buildSuspect applies the reverify rule to build bills (r18)") {
+    // 2.5x AND +0.25 s over the prior, host-adjusted
+    assert(Bench.buildSuspect(1.0, Some((0.3, 0.10)), 0.10))
+    assert(!Bench.buildSuspect(0.7, Some((0.3, 0.10)), 0.10),
+      "2.33x is under the 2.5x trigger")
+    assert(!Bench.buildSuspect(0.3, Some((0.1, 0.10)), 0.10),
+      "3x but only +0.2 s absolute — micro-build jitter")
+    // slower host now: the bar scales up
+    assert(!Bench.buildSuspect(1.0, Some((0.3, 0.10)), 0.15))
+    // faster host now never LOWERS the bar below the raw prior
+    assert(!Bench.buildSuspect(0.7, Some((0.3, 0.15)), 0.05))
+    // no prior -> never a suspect (the probe bracket still covers it)
+    assert(!Bench.buildSuspect(99.0, None, 0.10))
+  }
+
+  test("priorBuildBest folds per-tag minima with their own cal (r18)") {
+    val a = Bench.PrevBench("a", Sf, 0.12, Set.empty, Map.empty,
+      calMed = Some(0.08),
+      buildSecs = Map("tagX" -> 2.0, "tagY" -> 0.5))
+    val b = Bench.PrevBench("b", Sf, 0.10, Set.empty, Map.empty,
+      calMed = None, buildSecs = Map("tagX" -> 1.5))
+    val other = Bench.PrevBench("c", "/elsewhere", 0.10, Set.empty,
+      Map.empty, buildSecs = Map("tagZ" -> 9.0))
+    val m = Bench.priorBuildBest(Seq(a, b, other), Sf)
+    assert(m("tagX") == (1.5, 0.10)) // b's min, with b's startup cal
+    assert(m("tagY") == (0.5, 0.08)) // a's, with a's cal_med
+    assert(!m.contains("tagZ"), "different-SF priors adjudicate nothing")
+  }
+
   test("currentRound is one past the newest official record; " +
       "sidecarPriors folds rolling + round-stamped files") {
     val mk = (total: Double, bk: String) =>
