@@ -651,35 +651,58 @@ object Graph {
     * pair (x, y), x < y, of distinct neighbors of z, exactly once,
     * with z's degree carried — without ever probing deg(z)^2 ordered
     * pairs (the pre-r17 self-join) and without any row or buffer wider
-    * than `hubCap` (the r17 transient). WITHIN a slice, the sorted
-    * list emits ns[i] with each later element, the degree-orientation
-    * device; ACROSS two slices of one hub, each slice pair i < j
-    * emits its full cross product once, canonicalized with
-    * least/greatest — each unordered pair lands in exactly one of the
-    * two paths because its endpoints' slices are either equal or one
-    * ordered pair. The OUTPUT (the Σ deg²/2 pair table the similarity
-    * scores aggregate) is identical to the unsliced form; sf graphs
-    * are single-slice throughout so their plan keeps the one-groupBy
-    * shape, and the cross-slice branch prunes to an empty join. */
+    * than `hubCap` (the r17 transient). A one-row max-degree probe
+    * picks the path: a graph with NO hub past the cap (every
+    * minSupport-thresholded sf graph, and any corpus graph whose
+    * thresholding bounds degrees) keeps the r17 single-groupBy plan —
+    * the sliced form's degree join back onto the adjacency measured
+    * 2-3x the build cost warm, and its small side is node-cardinality
+    * so a broadcast would violate the forced-broadcast scale rule.
+    * With a hub present, [[wedgeSlices]] engages: WITHIN a slice, the
+    * sorted list emits ns[i] with each later element, the
+    * degree-orientation device; ACROSS two slices of one hub, each
+    * slice pair i < j emits its full cross product once, canonicalized
+    * with least/greatest — each unordered pair lands in exactly one of
+    * the two paths because its endpoints' slices are either equal or
+    * one ordered pair. The OUTPUT (the Σ deg²/2 pair table the
+    * similarity scores aggregate) is identical on both paths
+    * (GraphSpec pins the equality on a synthetic hub fixture). */
   private[graft] def wedgePairs(adj: DataFrame, hubCap: Int): DataFrame = {
-    val groups = wedgeSlices(adj, hubCap)
-    val within = groups
-      .select(col("z"), col("ns"), col("dg"),
-        posexplode(col("ns")).as(Seq("i", "x")))
-      .select(col("x"),
-        explode(expr("slice(ns, i + 2, size(ns))")).as("y"),
-        col("z"), col("dg"))
-    def heavy = groups.filter(col("dg") > hubCap)
-    val cross = heavy
-      .join(heavy.select(col("z"), col("sl").as("sl2"),
-        col("ns").as("ns2")), Seq("z"))
-      .filter(col("sl") < col("sl2"))
-      .select(col("z"), col("dg"), explode(col("ns")).as("u"), col("ns2"))
-      .select(col("z"), col("dg"), col("u"), explode(col("ns2")).as("v"))
-      .select(least(col("u"), col("v")).as("x"),
-        greatest(col("u"), col("v")).as("y"), col("z"), col("dg"))
-    within.select(col("x"), col("y"), col("z"), col("dg"))
-      .unionAll(cross.select(col("x"), col("y"), col("z"), col("dg")))
+    val maxRow = adj.groupBy(col("z")).agg(count(lit(1)).as("dg"))
+      .agg(max(col("dg"))).head() // ungrouped agg: exactly one row
+    val maxDeg = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxDeg <= hubCap)
+      adj.groupBy(col("z"))
+        .agg(sort_array(collect_list(col("x"))).as("ns"))
+        .select(col("z"), col("ns"),
+          size(col("ns")).cast("long").as("dg"),
+          posexplode(col("ns")).as(Seq("i", "x")))
+        .select(col("x"),
+          explode(expr("slice(ns, i + 2, size(ns))")).as("y"),
+          col("z"), col("dg"))
+        .select(col("x"), col("y"), col("z"), col("dg"))
+    else {
+      val groups = wedgeSlices(adj, hubCap)
+      val within = groups
+        .select(col("z"), col("ns"), col("dg"),
+          posexplode(col("ns")).as(Seq("i", "x")))
+        .select(col("x"),
+          explode(expr("slice(ns, i + 2, size(ns))")).as("y"),
+          col("z"), col("dg"))
+      def heavy = groups.filter(col("dg") > hubCap)
+      val cross = heavy
+        .join(heavy.select(col("z"), col("sl").as("sl2"),
+          col("ns").as("ns2")), Seq("z"))
+        .filter(col("sl") < col("sl2"))
+        .select(col("z"), col("dg"), explode(col("ns")).as("u"),
+          col("ns2"))
+        .select(col("z"), col("dg"), col("u"),
+          explode(col("ns2")).as("v"))
+        .select(least(col("u"), col("v")).as("x"),
+          greatest(col("u"), col("v")).as("y"), col("z"), col("dg"))
+      within.select(col("x"), col("y"), col("z"), col("dg"))
+        .unionAll(cross.select(col("x"), col("y"), col("z"), col("dg")))
+    }
   }
 
   /** Link prediction by NEIGHBORHOOD JACCARD: the top supplier pairs
