@@ -540,7 +540,12 @@ object Bench {
     * the bracket remains for tags with no prior (first round of a new
     * index). Conservative by construction: the prior is the tag's
     * whole-run bill, so a single param-set's build compares against
-    * the sum over param sets and only extreme pauses trigger. */
+    * the sum over param sets and only extreme pauses trigger. Known
+    * softness: before the run's probe median exists (~the first dozen
+    * queries), calNow is the mid-JIT-curve startup calibration, ~2x
+    * the steady-state figure, so the host clamp over-raises the bar
+    * for the very first builds — an under-trigger, never a wrongful
+    * eviction, and the probe bracket still covers that window. */
   private[graft] def buildSuspect(deltaS: Double,
       prior: Option[(Double, Double)], calNow: Double): Boolean =
     prior.exists { case (s, c) =>
