@@ -234,6 +234,34 @@ object GraftSession {
     } else p
   }
 
+  /** [[persistCompact]] with a pinned HASH partitioning: right-size to
+    * the same measured-count floor, but repartition by `keys` instead
+    * of coalescing, so the cached table's outputPartitioning is
+    * HashPartitioning(keys, parts) — and every downstream aggregation
+    * or join clustered on `keys` finds its distribution already
+    * satisfied and plans NO exchange (guide §2.4: two operations keyed
+    * the same way share one exchange; here the one exchange is paid
+    * once at build time and every per-round consumer skips its own).
+    * Measured on the r18 iterative-graph rounds: each
+    * `edges ⋈ broadcast(rank) → groupBy(dst)` round dropped its
+    * partial→final agg Exchange entirely once the pinned edge table
+    * was hashed by dst (plan A/B in plans/r18/). Unlike
+    * [[persistCompact]]'s coalesce (which erases partitioning —
+    * coalesced hash partitions are no longer hash-placed), the
+    * repartition costs one extra shuffle of the compact rows at build
+    * time — amortized across every fixpoint round that then runs
+    * exchange-free. Same placement contract: build-once/scan-many
+    * tables only. */
+  def persistCompactBy[T](ds: Dataset[T],
+      keys: org.apache.spark.sql.Column*): Dataset[T] = {
+    val p = ds.persist()
+    val parts = compactParts(ds.sparkSession, p.count())
+    val keyed = p.repartition(parts, keys: _*).persist()
+    keyed.count()
+    p.unpersist()
+    keyed
+  }
+
   /** Lifetime [[cutCompact]] call count (test hook): the device pays
     * one count() job per call, which its contract confines to
     * cut-once/scan-many tables — a sweep asserts the call count is

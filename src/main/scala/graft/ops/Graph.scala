@@ -91,10 +91,15 @@ object Graph {
         .persist()
       // fold the out-degree into the pinned edge table: the per-round
       // contribution is rank DIV deg, so carrying deg on the edge saves
-      // one join per PageRank iteration. persistCompact right-sizes
-      // the pinned cache (r16 device, factored r17): EVERY fixpoint
-      // round of PageRank / HITS / eigenvector / BFS scans this table.
-      val edges = GraftSession.persistCompact(raw.join(deg, "src"))
+      // one join per PageRank iteration. persistCompactBy(dst) (r18)
+      // right-sizes the pinned cache like persistCompact (r16 device,
+      // factored r17) AND pins it hash-partitioned by dst: every
+      // fixpoint round here is edges ⋈ broadcast(state) → groupBy(dst)
+      // (PageRank / PPR / eigenvector contributions, the BFS frontier
+      // distinct), and the BHJ preserves the streamed side's
+      // partitioning, so the per-round aggregation plans no exchange.
+      val edges = GraftSession.persistCompactBy(raw.join(deg, "src"),
+        col("dst"))
       val n = java.lang.Long.valueOf(deg.count())
       ((edges, deg, n), Seq(edges, deg))
     }
@@ -916,10 +921,13 @@ object Graph {
     val wdeg = raw.groupBy(col("src")).agg(sum(col("support")).as("wdeg"))
     val edges = IndexMemo.getOrBuild[DataFrame](
       "wprEdges", "", Seq(raw)) {
-      // persistCompact: the weighted walk scans this every round
-      val built = GraftSession.persistCompact(
+      // persistCompactBy(dst) (r18): the weighted walk scans this
+      // every round as edges ⋈ broadcast(rank) → groupBy(dst) — the
+      // dst hash pin makes each round's aggregation exchange-free,
+      // same device as the tradeGraph edge table
+      val built = GraftSession.persistCompactBy(
         raw.select(col("src"), col("dst"), col("support"))
-          .join(wdeg, "src"))
+          .join(wdeg, "src"), col("dst"))
       (built, Seq(built))
     }
     val n = tradeGraph(s, d)._3.longValue()
@@ -1852,6 +1860,18 @@ object Graph {
       ((built, n), Seq(built))
     }
     val nHubs = nHubsBox.longValue()
+    // state-sizing for the per-round score tables (r18): dir inherits
+    // the dst-hash pin of the trade-graph cache, so the authority
+    // aggregation plans NO exchange — but its output then stays at the
+    // edge table's grain, and the per-round scalar read + cut +
+    // broadcast would each schedule one near-empty task per edge
+    // partition (measured +0.7 s over 6 half-rounds at sf0.1). One
+    // keyed repartition of the AGGREGATED node-sized state (final
+    // rows, never the pre-agg contributions) compacts it to the
+    // shared compactParts floor (cluster node counts meet the session
+    // grain, where this is the same state-sized shuffle every other
+    // fixpoint here pays per round).
+    val stateParts = GraftSession.compactParts(s, nHubs)
     var hub = GraftSession.cut(dir.select(col("c")).distinct()
       .select(col("c"), lit(RankScale / nHubs).as("h")))
     var auth: DataFrame = null
@@ -1861,7 +1881,8 @@ object Graph {
       // materializations per round for no lineage benefit)
       val aRaw = GraftSession.cut(dir
         .join(perRoundSide(hub, nHubs), "c")
-        .groupBy(col("sup")).agg(sum(col("h")).as("ar")))
+        .groupBy(col("sup")).agg(sum(col("h")).as("ar"))
+        .repartition(stateParts, col("sup")))
       val aScale = math.max(
         aRaw.agg(sum(col("ar"))).head().getLong(0) / RankScale, 1L)
       auth = aRaw.select(col("sup"), expr(s"ar DIV $aScale").as("a"))
