@@ -189,8 +189,12 @@ object Graph {
     val raw = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     IndexMemo.getOrBuild[DataFrame]("basketItems", "", Seq(raw)) {
-      val built = raw.persist()
-      built.count() // materialize inside the instrumented build block
+      // persistCompactBy(l_orderkey) (r18): the pair build self-joins
+      // this table on l_orderkey — with the cache hash-pinned on the
+      // basket key, BOTH join sides are already co-partitioned and the
+      // join plans no exchange (sorts only); the old plain pin paid
+      // two full shuffles of the item table there
+      val built = GraftSession.persistCompactBy(raw, col("l_orderkey"))
       (built, Seq(built))
     }
   }
@@ -342,12 +346,20 @@ object Graph {
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
     IndexMemo.getOrBuild[DataFrame](
       "copurchaseEdges", s"$minSupport", Seq(li)) {
+      // one shared order-keyed exchange for the pair self-join (r18):
+      // the two join sides are the SAME distinct scan repartitioned by
+      // the join key, so ReuseExchange dedups the subtree and the join
+      // itself plans no further shuffle — the old shape paid the
+      // distinct plus TWO order-keyed exchanges of the item table
+      val part = li.repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("l_orderkey"))
       // persistCompact: the thresholded edge list is scanned by every
       // supplier-graph statistic's joins; measured-count gate,
       // cluster no-op
       val built = GraftSession.persistCompact(
-        li.select(col("l_orderkey"), col("l_suppkey").as("a"))
-          .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")),
+        part.select(col("l_orderkey"), col("l_suppkey").as("a"))
+          .join(part.select(col("l_orderkey"), col("l_suppkey").as("b")),
             Seq("l_orderkey"))
           .filter(col("a") < col("b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
@@ -892,16 +904,30 @@ object Graph {
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2L).as("cnode"),
           (col("l_suppkey") * 2L + 1L).as("snode"), col("o_orderkey"))
+        // one pair-keyed exchange serves BOTH the support distinct and
+        // the pair count (r18): hash on (cnode, snode) co-locates
+        // every (cnode, snode, orderkey) group — a subset-key
+        // partitioning satisfies the finer clustering — so the
+        // distinct and the groupBy both plan exchange-free on top,
+        // where the old shape paid one full-width distinct exchange
+        // plus a pair-keyed agg exchange
+        .repartition(
+          s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("cnode"), col("snode"))
         .distinct()
         .groupBy(col("cnode"), col("snode"))
         .agg(count(lit(1)).as("support"))
         .withColumn("cost", expr("1000000 DIV support"))
-      // persistCompact: weighted fixpoints scan this table every round
-      val edges = GraftSession.persistCompact(pairs
+      // persistCompactBy(src) (r18): weighted fixpoints scan this
+      // table every round; the src pin additionally makes the wdeg
+      // fold and the wprEdges deg-carry join exchange-free (both key
+      // on src over this cache)
+      val edges = GraftSession.persistCompactBy(pairs
         .select(col("cnode").as("src"), col("snode").as("dst"),
           col("cost"), col("support"))
         .unionAll(pairs.select(col("snode").as("src"),
-          col("cnode").as("dst"), col("cost"), col("support"))))
+          col("cnode").as("dst"), col("cost"), col("support"))),
+        col("src"))
       (edges, Seq(edges))
     }
 
