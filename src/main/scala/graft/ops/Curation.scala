@@ -1584,9 +1584,13 @@ object Curation {
       if (hot > 0)
         log2.warn(s"containment: dropped $hot grams in more than " +
           s"$maxDf docs (stop-gram cap)")
-      val kept = gramDoc.join(dfc.filter(col("df") <= maxDf)
-        .select(col("gh")), "gh").persist()
-      kept.count()
+      // persistCompactBy(gh) (r18): the containment pair self-join
+      // keys on gh over this pin, so the gh hash pin co-partitions
+      // both join sides and the pair census plans no exchange; the
+      // doc-keyed size fold pays its doc_id exchange as before
+      val kept = graft.GraftSession.persistCompactBy(
+        gramDoc.join(dfc.filter(col("df") <= maxDf)
+          .select(col("gh")), "gh"), col("gh"))
       gramDoc.unpersist()
       dfc.unpersist()
       (kept, Seq(kept))

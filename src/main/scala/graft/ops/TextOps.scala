@@ -577,15 +577,22 @@ object TextOps {
     IndexMemo.getOrBuild[DataFrame]("winnowSel", s"$k,$w", Seq(docs)) {
       val winW = Window.partitionBy(col("doc_id")).orderBy(col("p"))
         .rowsBetween(0, w - 1)
-      val built = winnowingGrams(docs, k)
+      // persistCompactBy(gh) (r18): the near-dup pair chain (q139,
+      // and q212 riding it) reads this pin as
+      // distinct(doc,gh) → bucket-cap window(gh) → self-join(gh) —
+      // every one of those is clustered on gh (the subset-key hash
+      // satisfies the finer distinct clustering), so the gh pin lets
+      // the WHOLE chain plan exchange-free down to the final pair
+      // agg; the doc-keyed sketch consumer (q138) pays its doc_id
+      // exchange exactly as it did over the unkeyed pin
+      val built = graft.GraftSession.persistCompactBy(winnowingGrams(docs, k)
         .withColumn("cnt_w", count(lit(1)).over(winW))
         .withColumn("m", min(struct(col("gh"), (-col("p")).as("np")))
           .over(winW))
         .filter(col("cnt_w") === w) // full windows only
         .select(col("doc_id"), col("m.gh").as("gh"),
           (-col("m.np")).as("p"))
-        .distinct()
-        .persist()
+        .distinct(), col("gh"))
       (built, Seq(built))
     }
 
